@@ -1,0 +1,210 @@
+"""End-to-end index build orchestration (SURVEY.md §3.3 rebuild lifecycle,
+§7.2 build order).
+
+``build_index`` is the ``ray job submit`` driver body: each stage writes
+its output under ``index_dir`` with a ``_SUCCESS`` marker, records metrics
+in ``metrics.json``, and is skipped on resume when already complete.  The
+segment stage additionally checkpoints per term-partition via
+``manifest.jsonl`` (stages/segments.py), so a build killed mid-shuffle
+resumes by rebuilding only the missing partitions.
+
+No function here calls ``ray.init``; the caller owns the session
+(driver contract in ``__ray_entry__.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+
+from .config import IndexConfig
+from .stages.doc_table import prepare_documents
+from .stages.postings import (
+    build_segment_rows,
+    compute_term_stats,
+    hot_terms_from_stats,
+)
+from .stages.segments import (
+    SegmentPartitionWriter,
+    completed_partitions,
+    partition_file,
+    read_manifest,
+    write_empty_segment,
+    write_manifest,
+)
+from .stages.tokenize import tokenize_documents
+
+
+def _success(path: str) -> str:
+    return os.path.join(path, "_SUCCESS")
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(_success(path))
+
+
+def _mark(path: str) -> None:
+    with open(_success(path), "w") as f:
+        f.write("")
+
+
+def _read(path: str):
+    import ray.data as rd
+
+    return rd.read_parquet(path)
+
+
+def build_index(
+    docs_ds,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    *,
+    key_cols: list[str] | None = None,
+    id_col: str | None = None,
+    content_col: str = "content",
+    links_ds=None,
+    resume: bool = True,
+) -> dict:
+    """Build the full inverted index under ``index_dir``.
+
+    ``docs_ds`` — Ray Dataset with either ``id_col`` (pre-assigned stable
+    ids) or ``key_cols`` (e.g. ["repo", "path", "commit"]) plus
+    ``content_col``.  ``links_ds`` (optional) — link rows for PageRank
+    (src key columns + ``dst_url``).  Returns the metrics dict.
+    """
+    from .graph.pagerank import build_pagerank_table
+
+    cfg = cfg or IndexConfig()
+    os.makedirs(index_dir, exist_ok=True)
+    metrics: dict = {"stages": {}}
+    t_all = time.monotonic()
+
+    docs_dir = os.path.join(index_dir, "docs")
+    postings_dir = os.path.join(index_dir, "postings")
+    stats_dir = os.path.join(index_dir, "term_stats")
+    seg_dir = os.path.join(index_dir, "segments")
+    pr_dir = os.path.join(index_dir, "pagerank")
+
+    # -- stage 1: doc table (ids + sha256 + exact dedup) --------------------
+    t0 = time.monotonic()
+    if not (resume and _done(docs_dir)):
+        prepared = prepare_documents(
+            docs_ds,
+            key_cols=key_cols,
+            content_col=content_col,
+            num_id_partitions=cfg.num_id_partitions,
+            id_col=id_col,
+        )
+        prepared.write_parquet(docs_dir, mode="overwrite")
+        _mark(docs_dir)
+    docs = _read(docs_dir)
+    n_docs = docs.count()
+    metrics["stages"]["doc_table"] = {
+        "seconds": time.monotonic() - t0,
+        "n_docs": n_docs,
+    }
+
+    # -- stage 2: tokenize -> postings intermediate -------------------------
+    # Materialized to parquet on purpose: it is (a) the tokenize-stage
+    # checkpoint and (b) read twice (stats pass + segment pass) without
+    # re-running the actor pool.  Scale: columnar + dictionary encoding
+    # keeps this well under the raw-text input size.
+    t0 = time.monotonic()
+    if not (resume and _done(postings_dir)):
+        postings = tokenize_documents(
+            docs.select_columns(["doc_id", content_col]), cfg, content_col
+        )
+        postings.write_parquet(postings_dir, mode="overwrite")
+        _mark(postings_dir)
+    metrics["stages"]["tokenize"] = {"seconds": time.monotonic() - t0}
+
+    # -- stage 3: term stats (df, idf) --------------------------------------
+    t0 = time.monotonic()
+    if not (resume and _done(stats_dir)):
+        stats = compute_term_stats(
+            _read(postings_dir).select_columns(["term"]),
+            n_docs,
+            cfg.num_term_partitions,
+        )
+        stats.write_parquet(
+            stats_dir, partition_cols=["term_part"], mode="overwrite"
+        )
+        _mark(stats_dir)
+    metrics["stages"]["term_stats"] = {"seconds": time.monotonic() - t0}
+
+    # -- stage 4: segments (salted chunk build + partition writer) ----------
+    t0 = time.monotonic()
+    done = completed_partitions(index_dir) if resume else set()
+    missing = sorted(set(range(cfg.num_term_partitions)) - done)
+    if missing:
+        os.makedirs(seg_dir, exist_ok=True)
+        hot = hot_terms_from_stats(_read(stats_dir), cfg.hot_df_threshold)
+        seg_rows = build_segment_rows(_read(postings_dir), hot, cfg)
+        if done:
+            missing_set = set(missing)
+            seg_rows = seg_rows.filter(
+                lambda row: row["term_part"] in missing_set
+            )
+        manifest_updates = seg_rows.groupby("term_part").map_groups(
+            SegmentPartitionWriter,
+            batch_format="pyarrow",
+            fn_constructor_args=(seg_dir,),
+            concurrency=(1, 8),
+        )
+        rows = read_manifest(index_dir)
+        new_rows = manifest_updates.to_pandas()
+        for _, r in new_rows.iterrows():
+            rows[int(r["partition"])] = {
+                k: (v.item() if hasattr(v, "item") else v)
+                for k, v in r.items()
+            }
+        # partitions with no terms at all: write empty markers
+        for part in missing:
+            if part not in rows or not os.path.exists(
+                partition_file(seg_dir, part)
+            ):
+                rows[part] = write_empty_segment(seg_dir, part)
+        write_manifest(index_dir, rows)
+        metrics["stages"]["segments"] = {
+            "seconds": time.monotonic() - t0,
+            "partitions_built": len(missing),
+            "partitions_skipped": len(done),
+            "hot_terms": len(hot),
+        }
+    else:
+        metrics["stages"]["segments"] = {
+            "seconds": time.monotonic() - t0,
+            "partitions_built": 0,
+            "partitions_skipped": len(done),
+        }
+
+    # -- stage 5: pagerank ---------------------------------------------------
+    t0 = time.monotonic()
+    if links_ds is not None and not (resume and _done(pr_dir)):
+        pr = build_pagerank_table(links_ds, docs, cfg)
+        pr.write_parquet(pr_dir, mode="overwrite")
+        _mark(pr_dir)
+    metrics["stages"]["pagerank"] = {"seconds": time.monotonic() - t0}
+
+    # -- meta ----------------------------------------------------------------
+    meta = {
+        "n_docs": n_docs,
+        "config": cfg.to_dict(),
+        "version": 1,
+        "has_pagerank": _done(pr_dir) if links_ds is not None else os.path.exists(_success(pr_dir)),
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    metrics["total_seconds"] = time.monotonic() - t_all
+    metrics["n_docs"] = n_docs
+    with open(os.path.join(index_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1, sort_keys=True)
+    return metrics
+
+
+def load_meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        return json.load(f)

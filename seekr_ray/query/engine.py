@@ -1,0 +1,476 @@
+"""Query engine: boolean / phrase / free-text search with the reference's
+exact scoring semantics, plus a block-max WAND top-k fast path.
+
+Faithful-path semantics (the oracle-checked contract):
+
+* free text: stems batched lookup, per-doc wordInfo keyed by the ORIGINAL
+  query word via stem->original (``QueryIndex.java:151-158``); merge across
+  stems unions wordInfo maps (``QP.java:220-238``);
+* boolean (``QP.java:245-358``): AND keeps only the LEFT side's wordInfo
+  (B1 asymmetry), OR merges with right-overwrite and pageRank = max (B2),
+  NOT is left minus right ids (B3); at most one operator, detection order
+  OR > AND > NOT (B4);
+* phrase (``QueryIndex.java:190-395``): candidates must contain ALL stems,
+  then the position walk must find each next word in
+  ``(current, current + MAX_GAP]`` — including the reference's quirk that
+  the walk keeps sliding ``current`` forward across *every* position in
+  range, not just the first (``QueryIndex.java:371-379``);
+* score = 0.7 * Σ_{t in queryWords} tf·idf·1.0 + 0.3 * pagerank
+  (``Ranker.java:18-40``); duplicate entries in queryWords double-count;
+* ordering: score desc, doc_id asc (determinized tie-break — the
+  reference's tie order is HashMap-unstable, SURVEY.md §7.5.1);
+* LRU query cache of 1000 (``QP.java:25-37``) and an unbounded phrase
+  cache (``QueryIndex.java:112``).
+
+The WAND path (``search_topk``) serves the common case — plain free-text
+query, top-k — using per-term upper bounds ``0.7·block_max_tf·idf`` plus
+the global ``0.3·max_pagerank`` static bound; it is asserted equal to the
+faithful path in tests (FIXTURES.md §5 "WAND").
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ..build import load_meta
+from ..config import IndexConfig
+from .parser import (
+    detect_operator,
+    is_quoted,
+    split_query,
+    strip_quotes,
+    tokenize_and_stem,
+)
+from .snippets import generate_snippet
+from .store import SegmentStore, load_pagerank
+
+
+class DocumentData:
+    """Query-time candidate (``QueryIndex.java:37-77``)."""
+
+    __slots__ = ("doc_id", "word_info", "page_rank")
+
+    def __init__(self, doc_id: int, word_info: dict[str, tuple[float, float]]):
+        self.doc_id = doc_id
+        self.word_info = word_info
+        self.page_rank = 0.0
+
+
+class QueryResult:
+    __slots__ = ("documents", "query_words")
+
+    def __init__(self, documents: list[DocumentData], query_words: list[str]):
+        self.documents = documents
+        self.query_words = query_words
+
+
+class QueryEngine:
+    def __init__(self, index_dir: str, use_wand: bool = True):
+        self.index_dir = index_dir
+        meta = load_meta(index_dir)
+        self.cfg = IndexConfig.from_dict(meta["config"])
+        self.n_docs = meta["n_docs"]
+        self.store = SegmentStore(index_dir, self.cfg.num_term_partitions)
+        self.pagerank = load_pagerank(index_dir)
+        self.max_pagerank = max(self.pagerank.values()) if self.pagerank else 0.0
+        self.use_wand = use_wand
+        self._query_cache: OrderedDict[str, QueryResult] = OrderedDict()
+        self._query_cache_max = 1000  # QP.java:26
+        self._phrase_cache: dict[str, QueryResult] = {}
+        self._docs_table = None
+
+    # ------------------------------------------------------------------
+    # QP.search / processQuery
+    # ------------------------------------------------------------------
+
+    def query(self, query: str) -> QueryResult:
+        """``QP.search`` — cache probe then processQuery (``QP.java:86-112``)."""
+        if query is None or not query.strip():
+            return QueryResult([], [])
+        cache_key = query.strip().lower()
+        cached = self._query_cache.get(cache_key)
+        if cached is not None:
+            self._query_cache.move_to_end(cache_key)
+            return cached
+        result = self._process_query(query)
+        if result.documents:
+            self._query_cache[cache_key] = result
+            if len(self._query_cache) > self._query_cache_max:
+                self._query_cache.popitem(last=False)
+        return result
+
+    def _process_query(self, query: str) -> QueryResult:
+        operator = detect_operator(query)
+        if operator:
+            parts = split_query(query)
+            if len(parts) != 2:
+                return self._process_component(query)
+            left = self._process_component(parts[0].strip())
+            right = self._process_component(parts[1].strip())
+            combined_words = list(left.query_words) + list(right.query_words)
+            if operator == "AND":
+                docs = self._intersect(left.documents, right.documents)
+            elif operator == "OR":
+                docs = self._union(left.documents, right.documents)
+            else:  # NOT
+                docs = self._difference(left.documents, right.documents)
+            return QueryResult(docs, combined_words)
+        return self._process_component(query)
+
+    def _process_component(self, query: str) -> QueryResult:
+        if is_quoted(query):
+            clean = strip_quotes(query)
+            original_words = clean.split() or [clean]
+            stems, _ = tokenize_and_stem(clean)
+            if not stems:
+                return QueryResult([], list(original_words))
+            phrase = self.query_phrase(stems, list(original_words))
+            return QueryResult(phrase.documents, list(original_words))
+        stems, stem_to_original = tokenize_and_stem(query)
+        query_words = list(stem_to_original.values())
+        if not stems:
+            return QueryResult([], query_words)
+        docs = self.query_words(stems, stem_to_original)
+        return QueryResult(docs, query_words)
+
+    # ------------------------------------------------------------------
+    # posting lookup (QueryIndex.queryWords)
+    # ------------------------------------------------------------------
+
+    def query_words(
+        self, stems: list[str], stem_to_original: dict[str, str]
+    ) -> list[DocumentData]:
+        doc_word_info: dict[int, dict[str, tuple[float, float]]] = {}
+        for stem in stems:
+            tp = self.store.postings(stem)
+            if tp is None:
+                continue
+            original = stem_to_original.get(stem, stem)
+            idf = tp.idf
+            for doc_id, tf in zip(tp.doc_ids.tolist(), tp.tfs.tolist()):
+                doc_word_info.setdefault(doc_id, {})[original] = (tf, idf)
+        return [DocumentData(d, wi) for d, wi in doc_word_info.items()]
+
+    # ------------------------------------------------------------------
+    # phrase path (QueryIndex.queryPhrase + checkSequentialPositions)
+    # ------------------------------------------------------------------
+
+    def query_phrase(
+        self, stems: list[str], original_words: list[str]
+    ) -> QueryResult:
+        cache_key = repr(stems)
+        if cache_key in self._phrase_cache:
+            return self._phrase_cache[cache_key]
+        stem_to_original = {}
+        for i in range(min(len(stems), len(original_words))):
+            stem_to_original[stems[i]] = original_words[i]
+
+        postings = {}
+        for s in stems:
+            tp = self.store.postings(s)
+            if tp is None:
+                # a stem with no postings -> no doc has ALL stems
+                postings = {}
+                break
+            postings[s] = tp
+        documents: list[DocumentData] = []
+        if postings:
+            # docs containing ALL stems (J3 semi-join)
+            candidate = None
+            for s in stems:
+                ids = postings[s].doc_ids
+                candidate = ids if candidate is None else np.intersect1d(candidate, ids)
+                if candidate.size == 0:
+                    break
+            if candidate is not None and candidate.size:
+                max_gap = self.cfg.max_phrase_gap
+                for doc_id in candidate.tolist():
+                    pos_lists = []
+                    ok = True
+                    for s in stems:
+                        tp = postings[s]
+                        idx = int(np.searchsorted(tp.doc_ids, doc_id))
+                        pos = (
+                            tp.positions[idx]
+                            if tp.positions is not None
+                            else np.empty(0, dtype=np.uint64)
+                        )
+                        if pos.size == 0:
+                            ok = False
+                            break
+                        pos_lists.append(pos)
+                    if ok and _check_sequential_positions(pos_lists, max_gap):
+                        word_info = {}
+                        for s in stems:
+                            tp = postings[s]
+                            idx = int(np.searchsorted(tp.doc_ids, doc_id))
+                            word_info[stem_to_original.get(s, s)] = (
+                                float(tp.tfs[idx]),
+                                tp.idf,
+                            )
+                        documents.append(DocumentData(doc_id, word_info))
+        result = QueryResult(documents, list(original_words))
+        self._phrase_cache[cache_key] = result
+        return result
+
+    # ------------------------------------------------------------------
+    # boolean set ops (QP.java:245-358)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _intersect(left, right):
+        if not left or not right:
+            return []
+        right_ids = {d.doc_id for d in right}
+        return [d for d in left if d.doc_id in right_ids]
+
+    @staticmethod
+    def _union(left, right):
+        merged: dict[int, DocumentData] = {}
+        for doc in list(left) + list(right):
+            prev = merged.get(doc.doc_id)
+            if prev is None:
+                merged[doc.doc_id] = doc
+            else:
+                wi = dict(prev.word_info)
+                wi.update(doc.word_info)  # right overwrites shared words (B2)
+                d = DocumentData(doc.doc_id, wi)
+                d.page_rank = max(prev.page_rank, doc.page_rank)
+                merged[doc.doc_id] = d
+        return list(merged.values())
+
+    @staticmethod
+    def _difference(left, right):
+        if not left:
+            return []
+        if not right:
+            return list(left)
+        right_ids = {d.doc_id for d in right}
+        return [d for d in left if d.doc_id not in right_ids]
+
+    # ------------------------------------------------------------------
+    # ranking (Ranker.java)
+    # ------------------------------------------------------------------
+
+    def rank(
+        self, documents: list[DocumentData], query_words: list[str]
+    ) -> list[tuple[int, float]]:
+        w_tfidf = self.cfg.tfidf_weight
+        w_pr = self.cfg.pagerank_weight
+        pr = self.pagerank
+        out = []
+        for doc in documents:
+            doc.page_rank = pr.get(doc.doc_id, 0.0)
+            tfidf = 0.0
+            wi = doc.word_info
+            for w in query_words:
+                info = wi.get(w)
+                if info is not None:
+                    tfidf += info[0] * info[1]  # importance == 1.0 (§2.9)
+            out.append((doc.doc_id, w_tfidf * tfidf + w_pr * doc.page_rank))
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return out
+
+    # ------------------------------------------------------------------
+    # WAND top-k fast path
+    # ------------------------------------------------------------------
+
+    def search_topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Top-k for a plain free-text query via block-max WAND; falls back
+        to the faithful path for boolean/phrase/cached queries."""
+        if (
+            not self.use_wand
+            or detect_operator(query or "")
+            or is_quoted((query or "").strip())
+        ):
+            result = self.query(query)
+            return self.rank(result.documents, result.query_words)[:k]
+        stems, stem_to_original = tokenize_and_stem(query or "")
+        terms = []
+        for s in stems:
+            tp = self.store.postings(s)
+            if tp is not None:
+                terms.append(tp)
+        if not terms:
+            return []
+        return self._wand(terms, k)
+
+    def _wand(self, terms, k: int) -> list[tuple[int, float]]:
+        w_tfidf = self.cfg.tfidf_weight
+        w_pr = self.cfg.pagerank_weight
+        static_ub = w_pr * self.max_pagerank
+        pr = self.pagerank
+
+        n = len(terms)
+        pos = [0] * n  # cursor per term
+        ubs = [w_tfidf * t.max_tf * t.idf for t in terms]
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top k
+        threshold = -np.inf
+
+        def cur_doc(i: int) -> int:
+            t = terms[i]
+            p = pos[i]
+            return int(t.doc_ids[p]) if p < len(t.doc_ids) else _MAX_DOC
+
+        while True:
+            order = sorted(range(n), key=cur_doc)
+            if cur_doc(order[0]) == _MAX_DOC:
+                break
+            # find pivot
+            acc = static_ub
+            pivot_idx = None
+            for j, i in enumerate(order):
+                if cur_doc(i) == _MAX_DOC:
+                    break
+                acc += ubs[i]
+                if acc > threshold:
+                    pivot_idx = j
+                    break
+            if pivot_idx is None:
+                break  # no doc can beat the threshold
+            pivot_doc = cur_doc(order[pivot_idx])
+            if pivot_doc == _MAX_DOC:
+                break
+            if cur_doc(order[0]) == pivot_doc:
+                # fully evaluate pivot_doc
+                score = 0.0
+                for i in range(n):
+                    t = terms[i]
+                    p = pos[i]
+                    if p < len(t.doc_ids) and int(t.doc_ids[p]) == pivot_doc:
+                        score += t.tfs[p] * t.idf
+                        pos[i] += 1
+                score = w_tfidf * score + w_pr * pr.get(pivot_doc, 0.0)
+                item = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                    if len(heap) == k:
+                        threshold = heap[0][0] - 1e-12
+                else:
+                    if item > heap[0]:
+                        heapq.heapreplace(heap, item)
+                        threshold = heap[0][0] - 1e-12
+            else:
+                # advance the leading terms up to pivot_doc
+                for j in range(pivot_idx):
+                    i = order[j]
+                    t = terms[i]
+                    pos[i] = int(np.searchsorted(t.doc_ids, pivot_doc, side="left"))
+        out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+        return [(-d, s) for s, d in out]
+
+    # ------------------------------------------------------------------
+    # serving (BackendManager.search analog)
+    # ------------------------------------------------------------------
+
+    def _docs(self):
+        if self._docs_table is None:
+            docs_dir = os.path.join(self.index_dir, "docs")
+            files = [
+                os.path.join(docs_dir, f)
+                for f in sorted(os.listdir(docs_dir))
+                if f.endswith(".parquet")
+            ]
+            tbl = pq.read_table(
+                files, columns=["doc_id", "url", "title", "content"]
+            )
+            self._docs_table = {
+                d: (u, t, c)
+                for d, u, t, c in zip(
+                    tbl["doc_id"].to_pylist(),
+                    tbl["url"].to_pylist(),
+                    tbl["title"].to_pylist(),
+                    tbl["content"].to_pylist(),
+                )
+            }
+        return self._docs_table
+
+    def search(self, query: str, page: int = 0, size: int = 10) -> dict:
+        """Full serving flow (``BackendManager.java:278-406``): query ->
+        rank -> paginate -> metadata fetch in rank order -> snippets."""
+        result = self.query(query)
+        documents = result.documents
+        total_count = len(documents)
+        if not documents:
+            return {"results": [], "total_count": 0}
+        ranked = self.rank(documents, result.query_words)
+        start = page * size
+        end = min(start + size, len(ranked))
+        if start >= len(ranked):
+            return {"results": [], "total_count": len(ranked)}
+        docs_meta = self._docs()
+        doc_data = {d.doc_id: d for d in documents}
+        results = []
+        query_words_set = set(result.query_words)
+        for doc_id, score in ranked[start:end]:
+            url, title, content = docs_meta.get(doc_id, ("", "", ""))
+            snippet = generate_snippet(
+                content, doc_data[doc_id].word_info, query_words_set
+            )
+            results.append(
+                {
+                    "doc_id": doc_id,
+                    "url": url,
+                    "title": title,
+                    "score": score,
+                    "snippet": snippet,
+                }
+            )
+        return {"results": results, "total_count": len(ranked)}
+
+    # ------------------------------------------------------------------
+    # suggestions (BackendManager.java:408-446, K3)
+    # ------------------------------------------------------------------
+
+    def suggest(self, query: str, limit: int = 5) -> list[str]:
+        if query is None or not query.strip():
+            return []
+        term = query.strip().lower()
+        matches = [t for t in self.store.all_terms() if t.startswith(term)]
+
+        def rank_key(w: str):
+            if w == term:
+                c = 1
+            elif w.startswith(term + " "):
+                c = 2  # kept for parity; indexed terms never contain spaces
+            else:
+                c = 3
+            return (c, w)
+
+        matches.sort(key=rank_key)
+        return matches[:limit]
+
+
+_MAX_DOC = 1 << 62
+
+
+def _check_sequential_positions(
+    pos_lists: list[np.ndarray], max_gap: int
+) -> bool:
+    """Exact port of ``QueryIndex.checkSequentialPositions`` semantics
+    (``QueryIndex.java:341-395``), including the in-range slide where
+    ``currentPos`` keeps moving to later positions while they stay within
+    ``currentPos + MAX_GAP`` of the *updated* cursor."""
+    n_words = len(pos_lists)
+    first_positions = pos_lists[0]
+    for start_pos in first_positions.tolist():
+        valid = True
+        current = start_pos
+        for wi in range(1, n_words):
+            found = False
+            for p in pos_lists[wi].tolist():
+                if p > current and p <= current + max_gap:
+                    if not found or p < current + max_gap:
+                        current = p
+                        found = True
+            if not found:
+                valid = False
+                break
+        if valid:
+            return True
+    return False
