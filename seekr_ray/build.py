@@ -144,10 +144,14 @@ def build_index(
         hot = hot_terms_from_stats(_read(stats_dir), cfg.hot_df_threshold)
         seg_rows = build_segment_rows(_read(postings_dir), hot, cfg)
         if done:
-            missing_set = set(missing)
-            seg_rows = seg_rows.filter(
-                lambda row: row["term_part"] in missing_set
-            )
+            import pyarrow.compute as pc
+
+            missing_arr = pa.array(missing, pa.int64())
+
+            def keep_missing(batch: pa.Table) -> pa.Table:
+                return batch.filter(pc.is_in(batch["term_part"], missing_arr))
+
+            seg_rows = seg_rows.map_batches(keep_missing, batch_format="pyarrow")
         manifest_updates = seg_rows.groupby("term_part").map_groups(
             SegmentPartitionWriter,
             batch_format="pyarrow",

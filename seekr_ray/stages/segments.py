@@ -81,6 +81,8 @@ class SegmentPartitionWriter:
             ],
         )
         group = group.take(order)
+        # pin the schema so file bytes never depend on upstream inference
+        group = group.select(CHUNK_SCHEMA.names).cast(CHUNK_SCHEMA)
         path = partition_file(self.segments_dir, part)
         _atomic_write(group, path)
         return manifest_row_table(
