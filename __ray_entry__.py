@@ -1,44 +1,92 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native search-engine rebuild.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship pipeline on /root/testdata/sf0.001: build the full
+inverted index (deterministic ids, sha256 + dedup, tokenizer actor pool,
+salted posting shuffle, compressed segments, PageRank) over the
+synthesized (repo, path, commit, lang, content) corpus and run the
+fixture query set through the block-max WAND engine.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2 plus the training-data extras (dedup / similarity / text
+stats / multimodal).  SQL-oracled entries use the simplified shared
+tokenization documented in seekr_ray/entry_queries.py; rows-only entries
+cover the non-SQL-expressible reference semantics (Porter stemming, WAND,
+phrase walk, PageRank, MinHash/SimHash, LSH ANN, multimodal stubs), which
+are verified against the in-process reference oracle by
+``python -m pytest -x -q`` instead.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from seekr_ray.entry_queries import q_corpus_search
+
+    return q_corpus_search("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from seekr_ray import entry_queries as eq
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-oracled (shared simplified tokenization)
+        "doc_token_counts": eq.q_doc_token_counts,
+        "token_count_by_lang": eq.q_token_count_by_lang,
+        "quality_stats": eq.q_quality_stats,
+        "langid": eq.q_langid,
+        "term_df_idf": eq.q_term_df_idf,
+        "term_tf": eq.q_term_tf,
+        "search_tfidf_topk": eq.q_search_tfidf_topk,
+        "exact_dedup": eq.q_exact_dedup,
+        "bool_and": eq.q_bool_and,
+        "bool_or": eq.q_bool_or,
+        "bool_not": eq.q_bool_not,
+        "phrase_match": eq.q_phrase_match,
+        "suggestions": eq.q_suggestions,
+        "events_recent_counts": eq.q_events_recent_counts,
+        "ann_topk": eq.q_ann_topk,
+        "embedding_neardup": eq.q_embedding_neardup,
+        # rows-only (non-SQL-expressible; pytest oracle covers semantics)
+        "corpus_index_manifest": eq.q_corpus_index_manifest,
+        "corpus_search": eq.q_corpus_search,
+        "corpus_pagerank": eq.q_corpus_pagerank,
+        "minhash_clusters": eq.q_minhash_clusters,
+        "simhash": eq.q_simhash,
+        "fingerprints": eq.q_fingerprints,
+        "ann_lsh": eq.q_ann_lsh,
+        "multimodal_features": eq.q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from seekr_ray.entry_queries import oracle_sql_map
+
+    m = oracle_sql_map()
+    return {
+        "doc_token_counts": m["doc_token_counts"],
+        "token_count_by_lang": m["token_count_by_lang"],
+        "quality_stats": m["quality_stats"],
+        "langid": m["langid"],
+        "term_df_idf": m["term_df_idf"],
+        "term_tf": m["term_tf"],
+        "search_tfidf_topk": m["search_tfidf_topk"],
+        "exact_dedup": m["exact_dedup"],
+        "bool_and": m["bool_and"],
+        "bool_or": m["bool_or"],
+        "bool_not": m["bool_not"],
+        "phrase_match": m["phrase_match"],
+        "suggestions": m["suggestions"],
+        "events_recent_counts": m["events_recent_counts"],
+        "ann_topk": m["ann_topk"],
+        "embedding_neardup": m["embedding_neardup"],
+    }

@@ -1,0 +1,637 @@
+"""Driver-contract query implementations (``__ray_entry__.queries``).
+
+Each function takes ``sf_dir`` (a /root/testdata/sf* directory) and
+returns a pyarrow Table / pandas DataFrame / Ray Dataset.  The functions
+with DuckDB oracles (``__ray_entry__.oracle_sql``) use the *simplified
+shared tokenization* of extras/textstats.py so both sides are
+expressible exactly; the fully-faithful reference path (Porter stemming,
+section weights, WAND, phrase walk) is covered by the pytest oracle
+(tests/test_rank_identity.py) and by the rows-only corpus_* entries here.
+
+Float outputs are rounded to 6dp on BOTH sides and every LIMIT has a full
+tie-break so the driver's value-hash compare is deterministic.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from .extras.textstats import (
+    LANGID_THRESHOLD,
+    doc_fingerprints,
+    doc_token_counts,
+    langid_heuristic,
+    quality_stats,
+    simple_tokens,
+    token_count_by_lang,
+)
+
+SEARCH_TERMS = ["spark", "join", "merge"]  # fixed scoring query, present in documents
+SUGGEST_PREFIX = "s"
+BOOL_TERM_A, BOOL_TERM_B = "spark", "window"
+PHRASE_W1, PHRASE_W2 = "batch", "stream"
+ANN_K = 10
+NEARDUP_LIMIT = 300
+NEARDUP_THRESHOLD = 0.9
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _docs_text(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-oracled operators
+# ---------------------------------------------------------------------------
+
+
+def q_doc_token_counts(sf_dir: str):
+    return doc_token_counts(_docs_text(sf_dir))
+
+
+def q_token_count_by_lang(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    out = token_count_by_lang(ds)
+    return out.map_batches(
+        lambda b: b.rename_columns(["lang", "n_tokens"]), batch_format="pyarrow"
+    )
+
+
+def q_quality_stats(sf_dir: str):
+    return quality_stats(_docs_text(sf_dir))
+
+
+def q_langid(sf_dir: str):
+    return langid_heuristic(_docs_text(sf_dir))
+
+
+def _df_and_n(sf_dir: str, terms: list[str] | None = None):
+    """df per term (optionally restricted) + N, via per-batch partials."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc: dict[str, int] = {}
+        n = 0
+        for t in batch["text"].to_pylist():
+            n += 1
+            for term in set(simple_tokens(t or "")):
+                if terms is None or term in terms:
+                    acc[term] = acc.get(term, 0) + 1
+        acc["\x00N"] = n
+        return pa.table(
+            {
+                "term": pa.array(list(acc.keys()), pa.string()),
+                "c": pa.array(list(acc.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs_text(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("c")
+        .to_pandas()
+    )
+    dfs = dict(zip(agg["term"], agg["sum(c)"]))
+    n = int(dfs.pop("\x00N"))
+    return dfs, n
+
+
+def q_term_df_idf(sf_dir: str):
+    """(term, df, idf) over all documents — A2/A3/A4 with log10."""
+    dfs, n = _df_and_n(sf_dir)
+    terms = sorted(dfs)
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array([int(dfs[t]) for t in terms], pa.int64()),
+            "idf": pa.array(
+                [round(math.log10(n / dfs[t]), 6) for t in terms], pa.float64()
+            ),
+        }
+    )
+
+
+def q_term_tf(sf_dir: str):
+    """(doc_id, term, tf) for the fixed SEARCH_TERMS — the tf formula
+    count/len over the shared tokenization."""
+    wanted = set(SEARCH_TERMS)
+
+    def tf(batch: pa.Table) -> pa.Table:
+        out_d, out_t, out_f = [], [], []
+        for d, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = simple_tokens(text or "")
+            if not toks:
+                continue
+            n = len(toks)
+            for term in SEARCH_TERMS:
+                c = toks.count(term)
+                if c:
+                    out_d.append(d)
+                    out_t.append(term)
+                    out_f.append(round(c / n, 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "term": pa.array(out_t, pa.string()),
+                "tf": pa.array(out_f, pa.float64()),
+            }
+        )
+
+    return _docs_text(sf_dir).map_batches(tf, batch_format="pyarrow")
+
+
+def q_search_tfidf_topk(sf_dir: str):
+    """Top-20 docs for the fixed query by 0.7*Σ tf·idf (K1 sort + J2
+    lookup shape, no stemming).  Fixed term order in the FP sum so the
+    oracle adds in the same order."""
+    dfs, n = _df_and_n(sf_dir, terms=set(SEARCH_TERMS))
+    idf = {t: math.log10(n / dfs[t]) for t in SEARCH_TERMS if t in dfs}
+    import ray
+
+    idf_ref = ray.put(idf)
+
+    def score(batch: pa.Table) -> pa.Table:
+        idf_map = ray.get(idf_ref)
+        out_d, out_s = [], []
+        for d, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = simple_tokens(text or "")
+            if not toks:
+                continue
+            n = len(toks)
+            s = 0.0
+            hit = False
+            for term in SEARCH_TERMS:
+                idf_t = idf_map.get(term)
+                if idf_t is not None:
+                    c = toks.count(term)
+                    s += (c / n) * idf_t
+                    if c:
+                        hit = True
+            if hit:
+                out_d.append(d)
+                out_s.append(0.7 * s)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score_raw": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    scored = _docs_text(sf_dir).map_batches(score, batch_format="pyarrow")
+    top = scored.sort(["score_raw", "doc_id"], descending=[True, False]).limit(20)
+    tbl = top.to_pandas()
+    return pa.table(
+        {
+            "doc_id": pa.array(tbl["doc_id"], pa.int64()),
+            "score": pa.array(
+                [round(s, 6) for s in tbl["score_raw"]], pa.float64()
+            ),
+        }
+    )
+
+
+def q_exact_dedup(sf_dir: str):
+    from .extras.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_docs_text(sf_dir))
+
+
+def _doc_ids_with_term(sf_dir: str, term: str) -> set[int]:
+    out = set()
+    for b in _docs_text(sf_dir).iter_batches(batch_format="pyarrow"):
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            if term in simple_tokens(t or ""):
+                out.add(d)
+    return out
+
+
+def _ids_table(ids) -> pa.Table:
+    return pa.table({"doc_id": pa.array(sorted(ids), pa.int64())})
+
+
+def q_bool_and(sf_dir: str):
+    a = _doc_ids_with_term(sf_dir, BOOL_TERM_A)
+    b = _doc_ids_with_term(sf_dir, BOOL_TERM_B)
+    return _ids_table(a & b)
+
+
+def q_bool_or(sf_dir: str):
+    a = _doc_ids_with_term(sf_dir, BOOL_TERM_A)
+    b = _doc_ids_with_term(sf_dir, BOOL_TERM_B)
+    return _ids_table(a | b)
+
+
+def q_bool_not(sf_dir: str):
+    a = _doc_ids_with_term(sf_dir, BOOL_TERM_A)
+    b = _doc_ids_with_term(sf_dir, BOOL_TERM_B)
+    return _ids_table(a - b)
+
+
+def q_phrase_match(sf_dir: str):
+    """Docs where PHRASE_W2 follows PHRASE_W1 within the MAX_GAP=3 window
+    over filtered-token positions (the 2-word phrase walk reduces to an
+    exists-in-(p, p+3] check, QueryIndex.java:341-395)."""
+
+    def match(batch: pa.Table) -> pa.Table:
+        out = []
+        for d, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = simple_tokens(text or "")
+            p1 = [i for i, t in enumerate(toks) if t == PHRASE_W1]
+            p2 = [i for i, t in enumerate(toks) if t == PHRASE_W2]
+            if any(a < b <= a + 3 for a in p1 for b in p2):
+                out.append(d)
+        return pa.table({"doc_id": pa.array(out, pa.int64())})
+
+    return _docs_text(sf_dir).map_batches(match, batch_format="pyarrow")
+
+
+def q_suggestions(sf_dir: str):
+    """K3 prefix-suggestion ranking over the distinct term vocabulary."""
+    dfs, _ = _df_and_n(sf_dir)
+    matches = [t for t in dfs if t.startswith(SUGGEST_PREFIX)]
+    matches.sort(
+        key=lambda w: (
+            1 if w == SUGGEST_PREFIX else 2 if w.startswith(SUGGEST_PREFIX + " ") else 3,
+            w,
+        )
+    )
+    return pa.table({"term": pa.array(matches[:5], pa.string())})
+
+
+def q_events_recent_counts(sf_dir: str):
+    """S10/A7 analog: rows within 12h of the max event ts, counted per
+    event_type (batch-time stand-in for the reference's now()-12h)."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from datetime import timedelta
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+    max_ts = ds.max("ts")
+    cutoff = max_ts - timedelta(hours=12)
+
+    def recent(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["ts"], pa.scalar(cutoff)))
+
+    out = (
+        ds.map_batches(recent, batch_format="pyarrow")
+        .groupby("event_type")
+        .count()
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["event_type", "n"]), batch_format="pyarrow"
+    )
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k vs the vec_id=0 embedding (exact ANN
+    baseline)."""
+    import ray.data as rd
+    from .extras.similarity import ann_topk_bruteforce
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = None
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        ids = b["vec_id"].to_pylist()
+        if 0 in ids:
+            q = np.asarray(b["embedding"][ids.index(0)].as_py(), dtype=np.float64)
+            break
+    out = ann_topk_bruteforce(ds, q[None, :], k=ANN_K)
+    return out.select(["rank", "vec_id", "cos"])
+
+
+def q_embedding_neardup(sf_dir: str):
+    import ray.data as rd
+    from .extras.dedup import embedding_neardup_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_neardup_pairs(ds, NEARDUP_THRESHOLD, id_limit=NEARDUP_LIMIT)
+
+
+# ---------------------------------------------------------------------------
+# rows-only operators (non-SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def _corpus_rows_for(sf_dir: str) -> int:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 5000}.get(name, 500)
+
+
+def _corpus_index(sf_dir: str) -> str:
+    """Build (once per sf scale) the full reference-semantics index over
+    the synthesized (repo,path,commit,lang,content) corpus."""
+    import ray.data as rd
+    from .build import build_index
+    from .config import IndexConfig
+    from .fixtures import cached_corpus_path, cached_links_path
+
+    n = _corpus_rows_for(sf_dir)
+    index_dir = f"/tmp/seekr_entry_index_n{n}"
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        docs = rd.read_parquet(cached_corpus_path(n))
+        links = rd.read_parquet(cached_links_path(n))
+        cfg = IndexConfig(
+            num_term_partitions=8, num_id_partitions=8, hot_df_threshold=2000
+        )
+        build_index(
+            docs, index_dir, cfg, key_cols=["repo", "path", "commit"], links_ds=links
+        )
+    return index_dir
+
+
+def q_corpus_index_manifest(sf_dir: str):
+    """Per-partition lineage/metrics of the corpus index build."""
+    from .stages.segments import read_manifest
+
+    index_dir = _corpus_index(sf_dir)
+    rows = read_manifest(index_dir)
+    parts = sorted(rows)
+    return pa.table(
+        {
+            "partition": pa.array(parts, pa.int64()),
+            "n_terms": pa.array([rows[p]["n_terms"] for p in parts], pa.int64()),
+            "n_chunks": pa.array([rows[p]["n_chunks"] for p in parts], pa.int64()),
+            "n_postings": pa.array(
+                [rows[p]["n_postings"] for p in parts], pa.int64()
+            ),
+        }
+    )
+
+
+def q_corpus_search(sf_dir: str):
+    """Reference-semantics search results for the fixture query set over
+    the corpus index (query_id, rank, doc_id, score)."""
+    from .fixtures import QUERY_SET
+    from .query.engine import QueryEngine
+
+    engine = QueryEngine(_corpus_index(sf_dir))
+    out_q, out_r, out_d, out_s = [], [], [], []
+    for qid, query, k in QUERY_SET:
+        for rank, (doc_id, score) in enumerate(engine.search_topk(query, k)):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_d.append(doc_id)
+            out_s.append(round(score, 9))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.string()),
+            "rank": pa.array(out_r, pa.int32()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
+def q_corpus_pagerank(sf_dir: str):
+    from .query.store import load_pagerank
+
+    pr = load_pagerank(_corpus_index(sf_dir))
+    ids = sorted(pr)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "page_rank": pa.array([round(pr[d], 9) for d in ids], pa.float64()),
+        }
+    )
+
+
+def q_minhash_clusters(sf_dir: str):
+    from .extras.dedup import minhash_dedup_clusters
+
+    return minhash_dedup_clusters(_docs_text(sf_dir), threshold=0.8)
+
+
+def q_simhash(sf_dir: str):
+    from .extras.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_docs_text(sf_dir))
+
+
+def q_fingerprints(sf_dir: str):
+    return doc_fingerprints(_docs_text(sf_dir))
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate ANN (scale path of q_ann_topk)."""
+    import ray.data as rd
+    from .extras.similarity import ann_topk_lsh
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = None
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        ids = b["vec_id"].to_pylist()
+        if 0 in ids:
+            q = np.asarray(b["embedding"][ids.index(0)].as_py(), dtype=np.float64)
+            break
+    return ann_topk_lsh(ds, q[None, :], k=ANN_K)
+
+
+def q_multimodal_features(sf_dir: str):
+    import ray.data as rd
+    from .extras.multimodal import extract_media_features, synthesize_media_table
+
+    n = _corpus_rows_for(sf_dir) // 2
+    media = rd.from_arrow(synthesize_media_table(n))
+    out = extract_media_features(media)
+    return out.map_batches(
+        lambda b: b.drop_columns(["features"]).append_column(
+            "feat_sum",
+            pa.array(
+                [round(float(sum(f)), 6) for f in b["features"].to_pylist()],
+                pa.float64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _stoplist_sql() -> str:
+    from .text.stopwords import STOPWORDS
+
+    return (
+        "["
+        + ",".join("'" + w.replace("'", "''") + "'" for w in sorted(STOPWORDS))
+        + "]"
+    )
+
+
+def _toks_cte() -> str:
+    stop = _stoplist_sql()
+    return f"""WITH toks AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(lower(text), '[a-z]+') AS raw,
+         list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                     t -> length(t) BETWEEN 2 AND 45
+                          AND NOT list_contains({stop}, t)) AS tokens,
+         text
+  FROM documents
+)"""
+
+
+def oracle_sql_map() -> dict[str, str]:
+    toks = _toks_cte()
+    stop = _stoplist_sql()
+    terms_vals = ", ".join(f"('{t}')" for t in SEARCH_TERMS)
+    sql = {}
+
+    sql["doc_token_counts"] = f"""{toks}
+SELECT doc_id, len(tokens) AS n_tokens FROM toks"""
+
+    sql["token_count_by_lang"] = f"""{toks}
+SELECT lang, sum(len(tokens))::BIGINT AS n_tokens FROM toks GROUP BY lang"""
+
+    sql["quality_stats"] = f"""{toks}
+SELECT doc_id,
+       len(tokens) AS n_tokens,
+       CASE WHEN len(tokens) > 0
+            THEN round(list_aggregate(list_transform(tokens, t -> length(t)), 'avg'), 6)
+            ELSE 0.0 END AS mean_token_len,
+       CASE WHEN len(raw) > 0
+            THEN round(len(list_filter(raw, t -> list_contains({stop}, t)))::DOUBLE / len(raw), 6)
+            ELSE 0.0 END AS stopword_ratio,
+       CASE WHEN length(text) > 0
+            THEN round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text), 6)
+            ELSE 0.0 END AS alpha_ratio
+FROM toks"""
+
+    sql["langid"] = f"""{toks}
+SELECT doc_id,
+       CASE WHEN len(raw) > 0
+                 AND len(list_filter(raw, t -> list_contains({stop}, t)))::DOUBLE / len(raw)
+                     >= {LANGID_THRESHOLD}
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM toks"""
+
+    sql["term_df_idf"] = f"""{toks}
+SELECT term,
+       count(DISTINCT doc_id)::BIGINT AS df,
+       round(log10((SELECT count(*) FROM documents)::DOUBLE / count(DISTINCT doc_id)), 6) AS idf
+FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+GROUP BY term"""
+
+    sql["term_tf"] = f"""{toks}
+SELECT doc_id, term,
+       round(cnt::DOUBLE / n_toks, 6) AS tf
+FROM (
+  SELECT t.doc_id, q.term,
+         len(list_filter(t.tokens, x -> x = q.term)) AS cnt,
+         len(t.tokens) AS n_toks
+  FROM toks t CROSS JOIN (VALUES {terms_vals}) AS q(term)
+)
+WHERE cnt > 0 AND n_toks > 0"""
+
+    # fixed-order FP sum: tf_spark*idf_spark + tf_join*idf_join + ...
+    tf_exprs = []
+    for t in SEARCH_TERMS:
+        tf_exprs.append(
+            f"(len(list_filter(tokens, x -> x = '{t}'))::DOUBLE / len(tokens)) * (SELECT idf FROM idfs WHERE term = '{t}')"
+        )
+    chain = tf_exprs[0]
+    for e in tf_exprs[1:]:
+        chain = f"({chain} + {e})"
+    terms_in = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    sql["search_tfidf_topk"] = f"""{toks},
+ idfs AS (
+  SELECT term, log10((SELECT count(*) FROM documents)::DOUBLE / count(DISTINCT doc_id)) AS idf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+  WHERE term IN ({terms_in})
+  GROUP BY term
+)
+SELECT doc_id, round(score_raw, 6) AS score FROM (
+  SELECT doc_id, 0.7 * {chain} AS score_raw
+  FROM toks
+  WHERE len(tokens) > 0
+    AND len(list_filter(tokens, x -> list_contains([{terms_in}], x))) > 0
+  ORDER BY score_raw DESC, doc_id
+  LIMIT 20
+)"""
+
+    sql["exact_dedup"] = """SELECT sha256(text) AS text_sha256,
+       min(doc_id)::BIGINT AS keep_doc_id,
+       count(*)::BIGINT AS n_copies
+FROM documents GROUP BY text"""
+
+    sql["bool_and"] = f"""{toks}
+SELECT doc_id FROM toks WHERE list_contains(tokens, '{BOOL_TERM_A}')
+INTERSECT
+SELECT doc_id FROM toks WHERE list_contains(tokens, '{BOOL_TERM_B}')"""
+
+    sql["bool_or"] = f"""{toks}
+SELECT doc_id FROM toks WHERE list_contains(tokens, '{BOOL_TERM_A}')
+UNION
+SELECT doc_id FROM toks WHERE list_contains(tokens, '{BOOL_TERM_B}')"""
+
+    sql["bool_not"] = f"""{toks}
+SELECT doc_id FROM toks WHERE list_contains(tokens, '{BOOL_TERM_A}')
+EXCEPT
+SELECT doc_id FROM toks WHERE list_contains(tokens, '{BOOL_TERM_B}')"""
+
+    sql["phrase_match"] = f"""{toks},
+ pos AS (
+  SELECT doc_id, unnest(tokens) AS term,
+         unnest(range(0, len(tokens))) AS p
+  FROM toks
+)
+SELECT DISTINCT a.doc_id
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+WHERE a.term = '{PHRASE_W1}' AND b.term = '{PHRASE_W2}'
+  AND b.p > a.p AND b.p <= a.p + 3"""
+
+    sql["suggestions"] = f"""{toks}
+SELECT term FROM (
+  SELECT DISTINCT term FROM (SELECT unnest(tokens) AS term FROM toks)
+  WHERE term LIKE '{SUGGEST_PREFIX}%'
+)
+ORDER BY CASE WHEN term = '{SUGGEST_PREFIX}' THEN 1
+              WHEN term LIKE '{SUGGEST_PREFIX} %' THEN 2
+              ELSE 3 END,
+         term
+LIMIT 5"""
+
+    sql["events_recent_counts"] = """SELECT event_type, count(*)::BIGINT AS n
+FROM events
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 12 HOUR
+GROUP BY event_type"""
+
+    sql["ann_topk"] = f"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+ scored AS (
+  SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], q.qe) AS cos_raw
+  FROM embeddings, q
+)
+SELECT (rank - 1)::INT AS rank, vec_id, round(cos_raw, 6) AS cos FROM (
+  SELECT vec_id, cos_raw, row_number() OVER (ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored
+)
+WHERE rank <= {ANN_K}"""
+
+    sql["embedding_neardup"] = f"""SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < {NEARDUP_LIMIT} AND b.vec_id < {NEARDUP_LIMIT}
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {NEARDUP_THRESHOLD}"""
+
+    return sql

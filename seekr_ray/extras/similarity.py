@@ -1,0 +1,198 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``ann_topk_bruteforce`` — the exact baseline: per-batch numpy matmul of
+  the broadcast query matrix against the batch's embeddings, partial
+  top-k per batch, heap-merged to global top-k on the driver.  This is
+  the canonical "broadcast small side, stream the big side" shape: the
+  query matrix rides ``ray.put`` once, batches stay zero-copy Arrow.
+* ``ann_topk_lsh`` — the scale path: random-hyperplane signature buckets
+  (signs of Q·v) prune the candidate set; exact re-scoring inside the
+  matching buckets.  Recall < 1 by construction; tests assert recall
+  against the brute-force baseline on the fixture table.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def _cosine(q: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """dot(a,b) / (|a|*|b|) — the same FP formulation DuckDB's
+    list_cosine_similarity uses, so 6dp-rounded outputs hash-match."""
+    qn = np.linalg.norm(q, axis=1)
+    mn = np.linalg.norm(mat, axis=1)
+    qn[qn == 0] = 1.0
+    mn[mn == 0] = 1.0
+    return (q @ mat.T) / (qn[:, None] * mn[None, :])
+
+
+class _BruteScorer:
+    """Per-batch top-k against the broadcast query matrix."""
+
+    def __init__(self, query_ref, k: int):
+        import ray
+
+        self.q = np.asarray(ray.get(query_ref), dtype=np.float64)  # (nq, dim)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mat = _to_matrix(batch["embedding"])
+        sims = _cosine(self.q, mat)  # (nq, nbatch)
+        out_q, out_id, out_cos = [], [], []
+        k = min(self.k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            # partial top-k, ties by vec_id asc
+            idx = np.argsort(-row, kind="stable")[:k]
+            for j in idx:
+                out_q.append(qi)
+                out_id.append(int(ids[j]))
+                out_cos.append(float(row[j]))
+        return pa.table(
+            {
+                "query_i": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cos": pa.array(out_cos, pa.float64()),
+            }
+        )
+
+
+def ann_topk_bruteforce(emb_ds, queries: np.ndarray, k: int = 10) -> pa.Table:
+    """Exact top-k cosine for each query row.  Returns
+    (query_i, rank, vec_id, cos) with cos rounded to 6dp and ties broken
+    by vec_id asc — deterministic and oracle-comparable."""
+    import ray
+
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    query_ref = ray.put(queries)
+    partials = emb_ds.map_batches(
+        _BruteScorer,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"query_ref": query_ref, "k": k},
+        concurrency=(1, 4),
+    )
+    # heap-merge partial top-ks on the driver (k * n_batches rows, tiny)
+    heaps: dict[int, list] = {}
+    for batch in partials.iter_batches(batch_format="pyarrow"):
+        for qi, vid, cos in zip(
+            batch["query_i"].to_pylist(),
+            batch["vec_id"].to_pylist(),
+            batch["cos"].to_pylist(),
+        ):
+            h = heaps.setdefault(qi, [])
+            item = (cos, -vid)
+            if len(h) < k:
+                heapq.heappush(h, item)
+            elif item > h[0]:
+                heapq.heapreplace(h, item)
+    rows_q, rows_rank, rows_id, rows_cos = [], [], [], []
+    for qi in sorted(heaps):
+        best = sorted(heaps[qi], key=lambda t: (-t[0], -t[1]))
+        for rank, (cos, nvid) in enumerate(best):
+            rows_q.append(qi)
+            rows_rank.append(rank)
+            rows_id.append(-nvid)
+            rows_cos.append(round(cos, 6))
+    return pa.table(
+        {
+            "query_i": pa.array(rows_q, pa.int32()),
+            "rank": pa.array(rows_rank, pa.int32()),
+            "vec_id": pa.array(rows_id, pa.int64()),
+            "cos": pa.array(rows_cos, pa.float64()),
+        }
+    )
+
+
+class _LshBucketer:
+    def __init__(self, planes_ref):
+        import ray
+
+        self.planes = ray.get(planes_ref)  # (nbits, dim)
+
+    def signature(self, mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ self.planes.T) >= 0  # (n, nbits)
+        return bits.dot(1 << np.arange(bits.shape[1], dtype=np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _unit(_to_matrix(batch["embedding"]))
+        sig = self.signature(mat)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+                "bucket": pa.array(sig, pa.int64()),
+            }
+        )
+
+
+def ann_topk_lsh(
+    emb_ds, queries: np.ndarray, k: int = 10, nbits: int = 8, seed: int = 13
+) -> pa.Table:
+    """Approximate top-k: hyperplane-LSH bucket the corpus, score only the
+    buckets the query lands in (exact cosine within bucket).  Output schema
+    matches ``ann_topk_bruteforce``."""
+    import ray
+
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    dim = queries.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((nbits, dim))
+    planes_ref = ray.put(planes)
+
+    bucketed = emb_ds.map_batches(
+        _LshBucketer,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"planes_ref": planes_ref},
+        concurrency=(1, 4),
+    )
+    q_unit = _unit(queries)
+    q_sigs = ((q_unit @ planes.T) >= 0).dot(1 << np.arange(nbits, dtype=np.int64))
+    wanted = set(int(s) for s in q_sigs)
+
+    rows = {"vec_id": [], "embedding": [], "bucket": []}
+    for batch in bucketed.iter_batches(batch_format="pyarrow"):
+        mask = np.isin(batch["bucket"].to_numpy(zero_copy_only=False), list(wanted))
+        if mask.any():
+            sel = batch.filter(pa.array(mask))
+            rows["vec_id"].extend(sel["vec_id"].to_pylist())
+            rows["embedding"].extend(sel["embedding"].to_pylist())
+            rows["bucket"].extend(sel["bucket"].to_pylist())
+    out_q, out_rank, out_id, out_cos = [], [], [], []
+    if rows["vec_id"]:
+        ids = np.array(rows["vec_id"], dtype=np.int64)
+        mat = _unit(np.stack([np.asarray(v, dtype=np.float64) for v in rows["embedding"]]))
+        buckets = np.array(rows["bucket"], dtype=np.int64)
+        for qi in range(len(queries)):
+            cand = buckets == int(q_sigs[qi])
+            if not cand.any():
+                continue
+            sims = mat[cand] @ q_unit[qi]
+            cids = ids[cand]
+            order = np.lexsort((cids, -sims))[:k]
+            for rank, j in enumerate(order):
+                out_q.append(qi)
+                out_rank.append(rank)
+                out_id.append(int(cids[j]))
+                out_cos.append(round(float(sims[j]), 6))
+    return pa.table(
+        {
+            "query_i": pa.array(out_q, pa.int32()),
+            "rank": pa.array(out_rank, pa.int32()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "cos": pa.array(out_cos, pa.float64()),
+        }
+    )

@@ -1,0 +1,187 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting.  All are vectorized ``map_batches`` stages over the
+``documents`` table shape (doc_id, text, lang, source, n_chars).
+
+A *simplified shared tokenization* is used by every operator in this
+module: ``[a-z]+`` runs over the lowercased text, kept when
+2 <= len <= 45 and not a stopword.  It is deliberately SQL-expressible so
+each operator has an exact DuckDB oracle (``__ray_entry__.oracle_sql``);
+the full reference tokenization (Porter stemming, ``\\b[\\w']+\\b``) is
+exercised by the pytest rank-identity oracle instead (tests/).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..text.stopwords import STOPWORDS
+
+TOKEN_RE = re.compile(r"[a-z]+")
+MIN_LEN, MAX_LEN = 2, 45
+
+
+def simple_tokens(text: str) -> list[str]:
+    return [
+        t
+        for t in TOKEN_RE.findall(text.lower())
+        if MIN_LEN <= len(t) <= MAX_LEN and t not in STOPWORDS
+    ]
+
+
+def raw_tokens(text: str) -> list[str]:
+    """Unfiltered [a-z]+ runs (the denominator for stopword_ratio)."""
+    return TOKEN_RE.findall(text.lower())
+
+
+# -- token counting ----------------------------------------------------------
+
+
+def doc_token_counts(docs_ds, text_col: str = "text"):
+    """(doc_id, n_tokens) per document."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = [len(simple_tokens(t or "")) for t in batch[text_col].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    return docs_ds.map_batches(count, batch_format="pyarrow")
+
+
+def token_count_by_lang(docs_ds, text_col: str = "text"):
+    """Σ tokens grouped by the table's lang column (partial-aggregated
+    per batch before the tiny groupby shuffle)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        texts = batch[text_col].to_pylist()
+        acc: dict[str, int] = {}
+        for lang, t in zip(langs, texts):
+            acc[lang] = acc.get(lang, 0) + len(simple_tokens(t or ""))
+        return pa.table(
+            {
+                "lang": pa.array(list(acc.keys()), pa.string()),
+                "n": pa.array(list(acc.values()), pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(partial, batch_format="pyarrow").groupby("lang").sum("n")
+
+
+# -- quality scoring ---------------------------------------------------------
+
+
+def quality_stats(docs_ds, text_col: str = "text"):
+    """Per-doc quality features: token count, mean token length,
+    stopword ratio, alpha ratio.  Ratios are rounded to 6dp so the DuckDB
+    oracle hash-matches bit-for-bit."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n_tokens, mean_len, stop_ratio, alpha_ratio = [], [], [], []
+        for t in texts:
+            t = t or ""
+            raw = raw_tokens(t)
+            kept = [
+                w for w in raw if MIN_LEN <= len(w) <= MAX_LEN and w not in STOPWORDS
+            ]
+            n_tokens.append(len(kept))
+            mean_len.append(
+                round(sum(len(w) for w in kept) / len(kept), 6) if kept else 0.0
+            )
+            stop_ratio.append(
+                round(sum(1 for w in raw if w in STOPWORDS) / len(raw), 6)
+                if raw
+                else 0.0
+            )
+            n_alpha = sum(1 for c in t if c.isalpha())
+            alpha_ratio.append(round(n_alpha / len(t), 6) if t else 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "mean_token_len": pa.array(mean_len, pa.float64()),
+                "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+                "alpha_ratio": pa.array(alpha_ratio, pa.float64()),
+            }
+        )
+
+    return docs_ds.map_batches(stats, batch_format="pyarrow")
+
+
+# -- language id -------------------------------------------------------------
+
+LANGID_THRESHOLD = 0.05
+
+
+def langid_heuristic(docs_ds, text_col: str = "text"):
+    """N-gram-free language-ID heuristic: English stopword hit-ratio over
+    raw tokens; >= LANGID_THRESHOLD -> 'en'.  (A real pipeline would use a
+    char-n-gram model; the *shape* — stateful stage, per-doc label — is
+    identical, and the formula is SQL-expressible for the oracle.)"""
+
+    def classify(batch: pa.Table) -> pa.Table:
+        preds = []
+        for t in batch[text_col].to_pylist():
+            raw = raw_tokens(t or "")
+            ratio = (
+                sum(1 for w in raw if w in STOPWORDS) / len(raw) if raw else 0.0
+            )
+            preds.append("en" if ratio >= LANGID_THRESHOLD else "other")
+        return pa.table(
+            {"doc_id": batch["doc_id"], "pred_lang": pa.array(preds, pa.string())}
+        )
+
+    return docs_ds.map_batches(classify, batch_format="pyarrow")
+
+
+# -- document fingerprinting -------------------------------------------------
+
+_FNV_PRIME = np.uint64(1099511628211)
+_FNV_OFFSET = np.uint64(14695981039346656037)
+
+
+def _fnv1a(data: bytes) -> np.uint64:
+    h = _FNV_OFFSET
+    for b in data:
+        h = np.uint64(h ^ np.uint64(b)) * _FNV_PRIME
+    return h
+
+
+def rolling_fingerprint(text: str, window: int = 8) -> int:
+    """Winnowing-style fingerprint: FNV-1a over each ``window``-token
+    shingle, xor-folded min over the document.  Deterministic and
+    platform-stable (no python hash())."""
+    toks = simple_tokens(text)
+    if not toks:
+        return 0
+    if len(toks) < window:
+        return int(_fnv1a(" ".join(toks).encode()))
+    best = None
+    for i in range(len(toks) - window + 1):
+        h = _fnv1a(" ".join(toks[i : i + window]).encode())
+        best = h if best is None or h < best else best
+    return int(best)
+
+
+def doc_fingerprints(docs_ds, text_col: str = "text", window: int = 8):
+    def fp(batch: pa.Table) -> pa.Table:
+        vals = [
+            rolling_fingerprint(t or "", window)
+            for t in batch[text_col].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": pa.array(
+                    [v - (1 << 64) if v >= (1 << 63) else v for v in vals],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return docs_ds.map_batches(fp, batch_format="pyarrow")

@@ -178,6 +178,8 @@ def hot_terms_from_stats(term_stats_ds, threshold: int) -> dict[str, int]:
         .select_columns(["term", "df"])
         .to_pandas()
     )
+    if hot_tbl.empty or "term" not in hot_tbl.columns:
+        return {}
     return {
         t: int(math.ceil(df / threshold))
         for t, df in zip(hot_tbl["term"], hot_tbl["df"])
