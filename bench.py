@@ -1,0 +1,174 @@
+"""Benchmark harness.
+
+Headline pipeline over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1):
+
+1. **corpus build** — full inverted-index build (ids, sha+dedup, tokenizer
+   actor pool, salted posting shuffle, compressed segments, PageRank) over
+   the synthesized (repo,path,commit,lang,content) corpus sized to the sf.
+2. **documents build** — same engine over the driver's documents table.
+3. **queries** — the fixture query set through block-max WAND; p50/p95.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-phase seconds...}, "sf": ..., "num_cpus": N}
+
+``--scaling`` re-runs the headline build in two fresh processes
+(num_cpus=8 and 32 by default) on the same pre-generated input and
+reports throughputs + scaling efficiency (the sandbox stand-in for the
+north rule's N vs 4N cluster sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+CORPUS_ROWS = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 20000}
+
+
+def run_bench() -> dict:
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from seekr_ray.build import build_index
+    from seekr_ray.config import IndexConfig
+    from seekr_ray.fixtures import QUERY_SET, cached_corpus_path, cached_links_path
+    from seekr_ray.query.engine import QueryEngine
+
+    n_rows = CORPUS_ROWS.get(_sf_name(sf_dir), 20000)
+    corpus_path = cached_corpus_path(n_rows)  # untimed: input generation
+    links_path = cached_links_path(min(n_rows, 2000))
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    with open(corpus_path, "rb") as f:
+        while f.read(1 << 22):
+            pass
+
+    timings: dict[str, float] = {}
+
+    # 1. corpus build (the headline: index-build docs/s)
+    index_dir = f"/tmp/seekr_bench_index_{_sf_name(sf_dir)}_{num_cpus}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    build_index(
+        rd.read_parquet(corpus_path),
+        index_dir,
+        IndexConfig(num_term_partitions=16, num_id_partitions=32),
+        key_cols=["repo", "path", "commit"],
+        links_ds=rd.read_parquet(links_path),
+    )
+    timings["corpus_build_sec"] = time.monotonic() - t0
+    timings["corpus_docs_per_sec"] = round(n_rows / timings["corpus_build_sec"], 2)
+
+    # 2. documents-table build (driver testdata shape, pre-assigned ids)
+    docs_index_dir = f"/tmp/seekr_bench_docs_{_sf_name(sf_dir)}_{num_cpus}"
+    shutil.rmtree(docs_index_dir, ignore_errors=True)
+    docs_file = os.path.join(sf_dir, "documents.parquet")
+    t0 = time.monotonic()
+    build_index(
+        rd.read_parquet(docs_file),
+        docs_index_dir,
+        IndexConfig(num_term_partitions=16, num_id_partitions=32),
+        id_col="doc_id",
+        content_col="text",
+    )
+    timings["documents_build_sec"] = time.monotonic() - t0
+
+    # 3. query latency over the corpus index (block-max WAND)
+    engine = QueryEngine(index_dir)
+    # warm: load stats/segments once
+    engine.search_topk("parse buffer", 10)
+    lat = []
+    for _qid, query, k in QUERY_SET * 5:
+        t0 = time.monotonic()
+        engine.search_topk(query, k)
+        lat.append((time.monotonic() - t0) * 1000)
+        engine._query_cache.clear()  # measure uncached latency
+    lat.sort()
+    timings["query_p50_ms"] = round(statistics.median(lat), 3)
+    timings["query_p95_ms"] = round(lat[int(len(lat) * 0.95) - 1], 3)
+    timings["query_mean_ms"] = round(statistics.mean(lat), 3)
+
+    total = timings["corpus_build_sec"] + timings["documents_build_sec"]
+    result = {
+        "metric": "index_build_plus_query",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": _sf_name(sf_dir),
+        "num_cpus": num_cpus,
+        "corpus_rows": n_rows,
+    }
+    return result
+
+
+def run_scaling(levels=(8, 32)) -> dict:
+    # pre-generate inputs once so both levels read the same files
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from seekr_ray.fixtures import cached_corpus_path, cached_links_path
+
+    n_rows = CORPUS_ROWS.get(_sf_name(sf_dir), 20000)
+    cached_corpus_path(n_rows)
+    cached_links_path(min(n_rows, 2000))
+
+    out = {}
+    for ncpu in levels:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    lo, hi = levels
+    t_lo = out[lo]["queries"]["corpus_build_sec"]
+    t_hi = out[hi]["queries"]["corpus_build_sec"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "build_scaling",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"docs_per_sec_{lo}": out[lo]["queries"]["corpus_docs_per_sec"],
+        f"docs_per_sec_{hi}": out[hi]["queries"]["corpus_docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "levels": list(levels),
+        "corpus_rows": out[hi]["corpus_rows"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))
