@@ -23,7 +23,7 @@ import pyarrow as pa
 from .config import IndexConfig
 from .stages.doc_table import prepare_documents
 from .stages.postings import (
-    build_segment_rows,
+    AddPartitionKeys,
     compute_term_stats,
     hot_terms_from_stats,
 )
@@ -125,9 +125,7 @@ def build_index(
     t0 = time.monotonic()
     if not (resume and _done(stats_dir)):
         stats = compute_term_stats(
-            _read(postings_dir).select_columns(["term"]),
-            n_docs,
-            cfg.num_term_partitions,
+            _read(postings_dir).select_columns(["term"]), n_docs, cfg
         )
         stats.write_parquet(
             stats_dir, partition_cols=["term_part"], mode="overwrite"
@@ -140,9 +138,20 @@ def build_index(
     done = completed_partitions(index_dir) if resume else set()
     missing = sorted(set(range(cfg.num_term_partitions)) - done)
     if missing:
+        import ray
+
         os.makedirs(seg_dir, exist_ok=True)
         hot = hot_terms_from_stats(_read(stats_dir), cfg.hot_df_threshold)
-        seg_rows = build_segment_rows(_read(postings_dir), hot, cfg)
+        hot_ref = ray.put(hot) if hot else None
+        keyed = _read(postings_dir).map_batches(
+            AddPartitionKeys,
+            batch_format="pyarrow",
+            fn_constructor_kwargs={
+                "hot_ref": hot_ref,
+                "num_partitions": cfg.num_term_partitions,
+            },
+            concurrency=(1, 8),
+        )
         if done:
             import pyarrow.compute as pc
 
@@ -151,11 +160,11 @@ def build_index(
             def keep_missing(batch: pa.Table) -> pa.Table:
                 return batch.filter(pc.is_in(batch["term_part"], missing_arr))
 
-            seg_rows = seg_rows.map_batches(keep_missing, batch_format="pyarrow")
-        manifest_updates = seg_rows.groupby("term_part").map_groups(
+            keyed = keyed.map_batches(keep_missing, batch_format="pyarrow")
+        manifest_updates = keyed.groupby("term_part").map_groups(
             SegmentPartitionWriter,
             batch_format="pyarrow",
-            fn_constructor_args=(seg_dir,),
+            fn_constructor_args=(seg_dir, cfg.postings_per_chunk),
             concurrency=(1, 8),
         )
         rows = read_manifest(index_dir)

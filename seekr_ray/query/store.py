@@ -61,23 +61,26 @@ class SegmentStore:
 
     # -- term stats ---------------------------------------------------------
 
-    def _stats_partition(self, part: int) -> dict[str, tuple[int, float]]:
+    def _stats_partition(self, part: int) -> dict[str, tuple[int, float, int]]:
         cached = self._stats_cache.get(part)
         if cached is None:
             path = os.path.join(self.stats_dir, f"term_part={part}")
             cached = {}
             if os.path.isdir(path):
-                t = pq.read_table(path, columns=["term", "df", "idf"])
-                for term, df, idf in zip(
+                t = pq.read_table(path, columns=["term", "df", "idf", "n_salts"])
+                for term, df, idf, n_salts in zip(
                     t["term"].to_pylist(),
                     t["df"].to_pylist(),
                     t["idf"].to_pylist(),
+                    t["n_salts"].to_pylist(),
                 ):
-                    cached[term] = (df, idf)
+                    cached[term] = (df, idf, n_salts)
             self._stats_cache[part] = cached
         return cached
 
-    def term_stat(self, term: str) -> tuple[int, float] | None:
+    def term_stat(self, term: str) -> tuple[int, float, int] | None:
+        """(df, idf, n_salts); the stats row always lives at the unsalted
+        partition hash(term) % P."""
         return self._stats_partition(term_partition(term, self.P)).get(term)
 
     def all_terms(self) -> list[str]:
@@ -120,10 +123,19 @@ class SegmentStore:
         stat = self.term_stat(term)
         result: TermPostings | None = None
         if stat is not None:
-            df, idf = stat
-            chunks = self._segment_partition(term_partition(term, self.P)).get(
-                term, []
-            )
+            df, idf, n_salts = stat
+            # hot terms spread their chunks over one partition per salt
+            # (stages/postings.py routing) — fan the read across them.
+            # Each distinct partition file already holds ALL of the term's
+            # chunks routed to it, so visit each partition once even when
+            # several salts hash to it.
+            chunks = []
+            visited: set[int] = set()
+            for salt in range(n_salts):
+                part = term_partition(term, self.P, salt)
+                if part not in visited:
+                    visited.add(part)
+                    chunks.extend(self._segment_partition(part).get(term, []))
             ids_parts, tf_parts, pos_parts = [], [], []
             for c in chunks:
                 ids_parts.append(

@@ -1,31 +1,34 @@
 """Posting-list construction: the wide, skew-aware shuffle (SURVEY.md §7.2
 steps 3-4, §4 "Skew control").
 
-Pipeline shape::
+Pipeline shape (ONE all-to-all exchange)::
 
     postings (doc_id, term, tf, positions)
-      ├─ map_batches partial df  ─ groupby(term).sum ─> term_stats (term, df, idf)
-      └─ map_batches add (salt, term_part)
-           └─ groupby(term, salt).map_groups(build_chunks)
-                └─ groupby(term_part).map_groups(SegmentPartitionWriter)
+      ├─ map_batches partial df ── groupby(term).sum ─> term_stats
+      │                            (term, df, idf, n_salts, term_part)
+      └─ map_batches AddPartitionKeys (salt, term_part)
+           └─ groupby(term_part).map_groups(BuildAndWritePartition)
+                -> segments/part-K.parquet + manifest row
 
 * **df / idf** come from a per-batch partial aggregation (one row per term
-  per batch) so the stats shuffle moves tiny rows, not postings — the
+  per batch) so the stats shuffle moves tiny (term, count) pairs — the
   distributed form of ``SQLiteSearcher.updateIDF``'s ``GROUP BY word``
-  (``Indexer/SQLiteSearcher.java:339-403``).  ``idf = log10(N / df)``:
+  (``Indexer/SQLiteSearcher.java:339-403``).  ``idf = log10(N/df)``:
   SQLite's ``-LOG(df/N)`` is base-10 (SURVEY.md §1.3).
-* **Hot terms** (df > cfg.hot_df_threshold — fed back from the stats pass)
-  are salted by ``doc_id % S`` into S sub-groups so no single
-  ``map_groups`` call sees an unbounded group.  Chunks from different
-  salts cover interleaved doc-id ranges; that's fine — query-side merge
-  and WAND only need per-chunk (min_doc, max_doc, max_tf) metadata, not
-  globally sorted chunks.
+* **Hot terms** (df > cfg.hot_df_threshold) are split into
+  ``n_salts = ceil(df / threshold)`` doc-id-keyed salts, and each
+  (term, salt) routes to its OWN partition ``hash(term:salt) % P`` — so a
+  term that appears in half the corpus spreads across partitions instead
+  of melting one reducer (the north rule's "skew-aware repartitioning of
+  hot terms").  ``n_salts`` is recorded in term_stats; the query store
+  fans its reads across the salt partitions.
 * **Chunks** cap postings-per-row at ``cfg.postings_per_chunk`` (Lucene
   block style): bounded Arrow rows AND block-max WAND granularity.
-* Every byte written is a pure function of (rows, config): groups are
-  doc_id-sorted before encoding and partition files are row-sorted before
-  writing, so a resumed build reproduces identical segment files
-  (SURVEY.md §7.5.4).
+* The partition build is vectorized: one sort per partition, run
+  boundaries via numpy, delta+varbyte encode over Arrow list offsets —
+  no per-posting Python.
+* Determinism: rows are (term, salt, doc_id)-sorted before encoding, so
+  a resumed build writes byte-identical files (SURVEY.md §7.5.4).
 """
 
 from __future__ import annotations
@@ -36,7 +39,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..codec import encode_doc_ids, encode_position_lists, pack_f64
+from ..codec import encode_doc_ids, pack_f64, varbyte_encode
 from .doc_table import stable_hash_str
 
 CHUNK_SCHEMA = pa.schema(
@@ -57,8 +60,13 @@ CHUNK_SCHEMA = pa.schema(
 )
 
 
-def term_partition(term: str, num_partitions: int) -> int:
-    return stable_hash_str(term) % num_partitions
+def term_partition(term: str, num_partitions: int, salt: int = 0) -> int:
+    """Partition routing.  salt 0 (the common case) hashes the bare term;
+    hot-term salts hash (term, salt) so their chunks spread across
+    partitions."""
+    if salt == 0:
+        return stable_hash_str(term) % num_partitions
+    return stable_hash_str(f"{term}\x00{salt}") % num_partitions
 
 
 # ---------------------------------------------------------------------------
@@ -71,28 +79,30 @@ def _partial_df(batch: pa.Table) -> pa.Table:
     return g.rename_columns(["term", "df_part"])
 
 
-def compute_term_stats(postings_ds, n_docs: int, num_partitions: int):
-    """postings -> term_stats Dataset (term, df, idf, term_part).
-
-    Partial-aggregates per batch before the groupby so the shuffle moves
-    (term, count) pairs.  ``n_docs`` is the post-dedup corpus size N (A3).
-    """
+def compute_term_stats(postings_ds, n_docs: int, cfg):
+    """postings -> term_stats Dataset (term, df, idf, n_salts, term_part)."""
+    num_partitions = cfg.num_term_partitions
+    threshold = cfg.hot_df_threshold
     partial = postings_ds.map_batches(_partial_df, batch_format="pyarrow")
     stats = partial.groupby("term").sum("df_part")
 
     def finish(batch: pa.Table) -> pa.Table:
-        df = batch["sum(df_part)"]
+        df = pc.cast(batch["sum(df_part)"], pa.int64())
         idf = pc.log10(pc.divide(float(n_docs), pc.cast(df, pa.float64())))
+        terms = batch["term"].to_pylist()
+        df_np = df.to_numpy(zero_copy_only=False)
+        n_salts = np.maximum(1, -(-df_np // threshold)).astype(np.int32)
         parts = np.fromiter(
-            (term_partition(t, num_partitions) for t in batch["term"].to_pylist()),
+            (term_partition(t, num_partitions) for t in terms),
             dtype=np.int64,
-            count=batch.num_rows,
+            count=len(terms),
         )
         return pa.table(
             {
                 "term": batch["term"],
-                "df": pc.cast(df, pa.int64()),
+                "df": df,
                 "idf": idf,
+                "n_salts": pa.array(n_salts, pa.int32()),
                 "term_part": pa.array(parts, pa.int64()),
             }
         )
@@ -100,15 +110,27 @@ def compute_term_stats(postings_ds, n_docs: int, num_partitions: int):
     return stats.map_batches(finish, batch_format="pyarrow")
 
 
+def hot_terms_from_stats(term_stats_ds, threshold: int) -> dict[str, int]:
+    """{term: n_salts} for salted terms — tiny (Zipf head only), safe to
+    broadcast via ray.put."""
+    hot_tbl = (
+        term_stats_ds.filter(expr=f"df > {int(threshold)}")
+        .select_columns(["term", "n_salts"])
+        .to_pandas()
+    )
+    if hot_tbl.empty or "term" not in hot_tbl.columns:
+        return {}
+    return {t: int(s) for t, s in zip(hot_tbl["term"], hot_tbl["n_salts"])}
+
+
 # ---------------------------------------------------------------------------
-# salting + chunk build
+# partition keys
 # ---------------------------------------------------------------------------
 
 
-class AddSaltAndPartition:
-    """Adds (salt, term_part) columns.  ``hot`` maps term -> salt count S;
-    the dict is broadcast once via ray.put and read per actor, never
-    re-shipped per batch."""
+class AddPartitionKeys:
+    """Adds (salt, term_part).  ``hot`` maps term -> n_salts; broadcast
+    once via ray.put, read in __init__ (once per actor)."""
 
     def __init__(self, hot_ref, num_partitions: int):
         import ray
@@ -121,87 +143,108 @@ class AddSaltAndPartition:
         terms = batch["term"].to_pylist()
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         cache = self._part_cache
+        hot = self.hot
         parts = np.empty(len(terms), dtype=np.int64)
         salts = np.zeros(len(terms), dtype=np.int32)
-        hot = self.hot
         for i, t in enumerate(terms):
-            p = cache.get(t)
-            if p is None:
-                p = term_partition(t, self.num_partitions)
-                cache[t] = p
-            parts[i] = p
-            s = hot.get(t)
-            if s:
-                salts[i] = doc_ids[i] % s
+            s_count = hot.get(t)
+            if s_count:
+                s = int(doc_ids[i] % s_count)
+                salts[i] = s
+                parts[i] = term_partition(t, self.num_partitions, s)
+            else:
+                p = cache.get(t)
+                if p is None:
+                    p = term_partition(t, self.num_partitions)
+                    cache[t] = p
+                parts[i] = p
         batch = batch.append_column("salt", pa.array(salts, pa.int32()))
         return batch.append_column("term_part", pa.array(parts, pa.int64()))
 
 
-def build_chunks(group: pa.Table, postings_per_chunk: int) -> pa.Table:
-    """One (term, salt) group -> compressed chunk rows."""
-    term = group["term"][0].as_py()
-    salt = group["salt"][0].as_py()
-    term_part = group["term_part"][0].as_py()
-    order = pc.sort_indices(group["doc_id"])
-    doc_ids = group["doc_id"].take(order).to_numpy(zero_copy_only=False)
-    tfs = group["tf"].take(order).to_numpy(zero_copy_only=False)
-    positions = group["positions"].take(order).to_pylist()
+# ---------------------------------------------------------------------------
+# vectorized per-partition chunk build
+# ---------------------------------------------------------------------------
 
+
+def _delta_encode_runs(values: np.ndarray, run_starts: np.ndarray) -> np.ndarray:
+    """Delta-code ``values`` but reset at each index in ``run_starts``
+    (absolute value kept there)."""
+    deltas = values.copy()
+    if len(values) > 1:
+        deltas[1:] = values[1:] - values[:-1]
+        deltas[run_starts] = values[run_starts]
+    return deltas
+
+
+def build_partition_chunks(group: pa.Table, postings_per_chunk: int) -> pa.Table:
+    """All postings of one term_part -> chunk rows, vectorized.
+
+    One multi-key sort, then numpy run detection per (term, salt); the
+    only Python loop is per chunk (bounded by postings_per_chunk)."""
+    term_part = int(group["term_part"][0].as_py())
+    order = pc.sort_indices(
+        group,
+        sort_keys=[("term", "ascending"), ("salt", "ascending"), ("doc_id", "ascending")],
+    )
+    tbl = group.take(order).combine_chunks()
+    terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
+    salts = tbl["salt"].to_numpy(zero_copy_only=False)
+    doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    tfs = tbl["tf"].to_numpy(zero_copy_only=False)
+    pos_col = tbl["positions"].chunk(0) if tbl["positions"].num_chunks else None
+    if pos_col is not None and len(pos_col) > 0:
+        pos_values = pos_col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos_offsets = pos_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        pos_values = np.empty(0, dtype=np.uint64)
+        pos_offsets = np.zeros(len(tbl) + 1, dtype=np.int64)
+
+    n = len(tbl)
     rows = {k: [] for k in CHUNK_SCHEMA.names}
-    n = len(doc_ids)
-    for seq, start in enumerate(range(0, n, postings_per_chunk)):
-        end = min(start + postings_per_chunk, n)
-        ids = doc_ids[start:end]
-        tf = tfs[start:end]
-        pos = positions[start:end]
-        lens_enc, vals_enc = encode_position_lists(pos)
-        rows["term"].append(term)
-        rows["salt"].append(salt)
-        rows["chunk_seq"].append(seq)
-        rows["n_docs"].append(end - start)
-        rows["doc_ids_enc"].append(encode_doc_ids(ids.astype(np.uint64)))
-        rows["tfs_enc"].append(pack_f64(tf))
-        rows["pos_lens_enc"].append(lens_enc)
-        rows["pos_vals_enc"].append(vals_enc)
-        rows["max_tf"].append(float(tf.max()))
-        rows["min_doc_id"].append(int(ids[0]))
-        rows["max_doc_id"].append(int(ids[-1]))
-        rows["term_part"].append(term_part)
+    if n == 0:
+        return pa.table(rows, schema=CHUNK_SCHEMA)
+
+    # run boundaries at (term, salt) changes
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    if n > 1:
+        change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+    run_starts = np.flatnonzero(change)
+    run_ends = np.r_[run_starts[1:], n]
+
+    pos_lens = np.diff(pos_offsets)
+
+    for rs, re_ in zip(run_starts, run_ends):
+        term = terms[rs]
+        salt = int(salts[rs])
+        seq = 0
+        for cs in range(rs, re_, postings_per_chunk):
+            ce = min(cs + postings_per_chunk, re_)
+            ids = doc_ids[cs:ce]
+            tf = tfs[cs:ce]
+            # positions: flat slice + per-doc lengths for this chunk
+            v0, v1 = pos_offsets[cs], pos_offsets[ce]
+            lens = pos_lens[cs:ce].astype(np.uint64)
+            vals = pos_values[v0:v1]
+            # delta within each doc's list (absolute at list starts)
+            if vals.size:
+                starts_in_chunk = (pos_offsets[cs:ce] - v0)[lens > 0]
+                deltas = _delta_encode_runs(vals, starts_in_chunk.astype(np.int64))
+                vals_enc = varbyte_encode(deltas)
+            else:
+                vals_enc = b""
+            rows["term"].append(term)
+            rows["salt"].append(salt)
+            rows["chunk_seq"].append(seq)
+            rows["n_docs"].append(ce - cs)
+            rows["doc_ids_enc"].append(encode_doc_ids(ids))
+            rows["tfs_enc"].append(pack_f64(tf))
+            rows["pos_lens_enc"].append(varbyte_encode(lens))
+            rows["pos_vals_enc"].append(vals_enc)
+            rows["max_tf"].append(float(tf.max()))
+            rows["min_doc_id"].append(int(ids[0]))
+            rows["max_doc_id"].append(int(ids[-1]))
+            rows["term_part"].append(term_part)
+            seq += 1
     return pa.table(rows, schema=CHUNK_SCHEMA)
-
-
-def hot_terms_from_stats(term_stats_ds, threshold: int) -> dict[str, int]:
-    """Collect {term: S} for terms whose df exceeds the salting threshold.
-    The result is tiny (only Zipf-head terms) and safe to broadcast."""
-    hot_tbl = (
-        term_stats_ds.filter(expr=f"df > {int(threshold)}")
-        .select_columns(["term", "df"])
-        .to_pandas()
-    )
-    if hot_tbl.empty or "term" not in hot_tbl.columns:
-        return {}
-    return {
-        t: int(math.ceil(df / threshold))
-        for t, df in zip(hot_tbl["term"], hot_tbl["df"])
-    }
-
-
-def build_segment_rows(postings_ds, hot: dict[str, int], cfg):
-    """postings -> chunk-row Dataset (pre-write)."""
-    import ray
-
-    hot_ref = ray.put(hot) if hot else None
-    with_keys = postings_ds.map_batches(
-        AddSaltAndPartition,
-        batch_format="pyarrow",
-        fn_constructor_kwargs={
-            "hot_ref": hot_ref,
-            "num_partitions": cfg.num_term_partitions,
-        },
-        concurrency=(1, 8),
-    )
-    return with_keys.groupby(["term", "salt"]).map_groups(
-        build_chunks,
-        batch_format="pyarrow",
-        fn_kwargs={"postings_per_chunk": cfg.postings_per_chunk},
-    )

@@ -63,34 +63,32 @@ def _sha256_file(path: str) -> str:
 
 
 class SegmentPartitionWriter:
-    """map_groups UDF over term_part: write one segment file, return its
-    manifest row."""
+    """map_groups UDF over term_part: chunk-build the partition's postings
+    (vectorized, stages/postings.py) and write one segment file atomically;
+    returns the partition's manifest row.  Fusing build+write here keeps
+    the pipeline at ONE wide shuffle (the groupby on term_part)."""
 
-    def __init__(self, segments_dir: str):
+    def __init__(self, segments_dir: str, postings_per_chunk: int):
         self.segments_dir = segments_dir
+        self.postings_per_chunk = postings_per_chunk
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        from .postings import build_partition_chunks
+
         t0 = time.monotonic()
         part = int(group["term_part"][0].as_py())
-        order = pc.sort_indices(
-            group,
-            sort_keys=[
-                ("term", "ascending"),
-                ("salt", "ascending"),
-                ("chunk_seq", "ascending"),
-            ],
-        )
-        group = group.take(order)
-        # pin the schema so file bytes never depend on upstream inference
-        group = group.select(CHUNK_SCHEMA.names).cast(CHUNK_SCHEMA)
+        chunks = build_partition_chunks(group, self.postings_per_chunk)
+        # rows come out (term, salt, chunk_seq)-ordered by construction;
+        # schema is pinned so file bytes never depend on upstream inference
+        chunks = chunks.select(CHUNK_SCHEMA.names).cast(CHUNK_SCHEMA)
         path = partition_file(self.segments_dir, part)
-        _atomic_write(group, path)
+        _atomic_write(chunks, path)
         return manifest_row_table(
             part=part,
             path=path,
-            n_chunks=group.num_rows,
-            n_terms=len(pc.unique(group["term"])),
-            n_postings=int(pc.sum(group["n_docs"]).as_py() or 0),
+            n_chunks=chunks.num_rows,
+            n_terms=len(pc.unique(chunks["term"])),
+            n_postings=int(pc.sum(chunks["n_docs"]).as_py() or 0),
             file_sha256=_sha256_file(path),
             duration_s=time.monotonic() - t0,
         )
