@@ -58,13 +58,14 @@ def aggregate_query_log(queries_ds, hours: float = 12.0):
     ``queries_ds`` needs columns (query: string, ts: timestamp).
     Returns a Dataset (query, n).
     """
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     max_ts = queries_ds.max("ts")
 
     def recent(batch):
         cutoff = max_ts - __import__("datetime").timedelta(hours=hours)
-        return batch.filter(pc.greater_equal(batch["ts"], pc.scalar(cutoff)))
+        return batch.filter(pc.greater_equal(batch["ts"], pa.scalar(cutoff)))
 
     recent_ds = queries_ds.map_batches(recent, batch_format="pyarrow")
     return recent_ds.groupby("query").count()

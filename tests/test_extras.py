@@ -1,0 +1,212 @@
+"""Semantic tests for the training-data extras: dedup families find the
+injected duplicates, ANN-LSH recalls the brute-force results, multimodal
+plumbing round-trips, Trie/suggestion structures behave."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from seekr_ray.extras.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup_groups,
+    minhash_dedup_clusters,
+    ngram_jaccard,
+    simhash64,
+    simhash_fingerprints,
+)
+from seekr_ray.extras.similarity import ann_topk_bruteforce, ann_topk_lsh
+from seekr_ray.extras.textstats import rolling_fingerprint, simple_tokens
+from seekr_ray.query.suggestions import Trie, trie_from_counts
+
+
+def _docs_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "text": pa.array(rows, pa.string()),
+            }
+        )
+    )
+
+
+BASE = (
+    "spark cluster scheduling overview with executors tasks stages shuffle "
+    "partitions caching lineage recovery drivers workers memory disk spill"
+)
+
+
+def test_exact_dedup_groups(ray_session):
+    ds = _docs_ds([BASE, BASE, "other text entirely", BASE + " extra"])
+    out = exact_dedup_groups(ds).to_pandas().sort_values("keep_doc_id")
+    assert len(out) == 3
+    dup_row = out[out["n_copies"] == 2].iloc[0]
+    assert dup_row["keep_doc_id"] == 0
+
+
+def test_minhash_clusters_find_near_dups(ray_session):
+    near = BASE.replace("memory", "ram")  # one-token change
+    far = "completely different content about databases and indexes and trees"
+    ds = _docs_ds([BASE, near, far, BASE])
+    out = minhash_dedup_clusters(ds, threshold=0.5).to_pandas()
+    clustered = set(out["doc_id"])
+    assert {0, 1, 3} <= clustered
+    assert 2 not in clustered
+    roots = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert roots[0] == roots[1] == roots[3]
+
+
+def test_ngram_jaccard_bounds():
+    a = simple_tokens(BASE)
+    assert ngram_jaccard(a, a) == 1.0
+    assert ngram_jaccard(a, simple_tokens("nothing in common here at all")) == 0.0
+
+
+def test_simhash_near_dup_hamming(ray_session):
+    near = BASE.replace("memory", "ram")
+    h1 = simhash64(simple_tokens(BASE))
+    h2 = simhash64(simple_tokens(near))
+    h3 = simhash64(simple_tokens("totally unrelated words about gardening tulips"))
+    ham12 = bin(h1 ^ h2).count("1")
+    ham13 = bin(h1 ^ h3).count("1")
+    assert ham12 < ham13
+    ds = _docs_ds([BASE, BASE])
+    out = simhash_fingerprints(ds).to_pandas()
+    assert out["simhash"][0] == out["simhash"][1]
+
+
+def test_rolling_fingerprint_stability():
+    assert rolling_fingerprint(BASE) == rolling_fingerprint(BASE)
+    assert rolling_fingerprint(BASE) != rolling_fingerprint(BASE + " changed words here")
+    assert rolling_fingerprint("") == 0
+
+
+def _emb_ds(n=100, dim=16, seed=3):
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, dim))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [row.astype(np.float32).tolist() for row in mat],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    ), mat
+
+
+def test_ann_brute_exact(ray_session):
+    ds, mat = _emb_ds()
+    q = mat[0]
+    out = ann_topk_bruteforce(ds, q[None, :], k=5).to_pandas()
+    assert list(out["rank"]) == [0, 1, 2, 3, 4]
+    assert out["vec_id"][0] == 0  # self is nearest
+    assert out["cos"][0] == pytest.approx(1.0, abs=1e-6)
+    # verify against direct numpy on the float32-rounded vectors
+    m32 = mat.astype(np.float32).astype(np.float64)
+    q32 = m32[0]
+    sims = (m32 @ q32) / (np.linalg.norm(m32, axis=1) * np.linalg.norm(q32))
+    want = np.argsort(-sims, kind="stable")[:5]
+    assert list(out["vec_id"]) == [int(w) for w in want]
+
+
+def test_ann_lsh_recall(ray_session):
+    ds, mat = _emb_ds()
+    q = mat[0]
+    brute = ann_topk_bruteforce(ds, q[None, :], k=5).to_pandas()
+    lsh = ann_topk_lsh(ds, q[None, :], k=5, nbits=4).to_pandas()
+    assert len(lsh) > 0
+    # the query's own bucket contains vec 0 -> top hit found
+    assert lsh["vec_id"][0] == 0
+    recall = len(set(lsh["vec_id"]) & set(brute["vec_id"])) / 5
+    assert recall >= 0.2  # bucketing prunes; exactness not expected
+
+
+def test_embedding_neardup_pairs(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal(8)
+    near = v + rng.standard_normal(8) * 0.01
+    far = rng.standard_normal(8)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array(
+                    [x.astype(np.float32).tolist() for x in (v, near, far)],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    out = embedding_neardup_pairs(ds, threshold=0.99).to_pandas()
+    assert len(out) == 1
+    assert (out["a"][0], out["b"][0]) == (0, 1)
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from seekr_ray.extras.multimodal import (
+        DeterministicFakeDecoder,
+        decode_image,
+        extract_media_features,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(30)
+    out = extract_media_features(rd.from_arrow(media)).to_pandas()
+    assert len(out) == 30
+    assert set(out.columns) == {"media_id", "kind", "n_bytes", "features"}
+    assert all(len(f) == 16 for f in out["features"])
+    # determinism: same payload -> same features
+    d = DeterministicFakeDecoder()
+    t = d(media.slice(0, 2))
+    t2 = d(media.slice(0, 2))
+    assert t.equals(t2)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8")
+
+
+def test_trie_topk():
+    trie = Trie()
+    trie.insert("spark", 10)
+    trie.insert("spawn", 3)
+    trie.insert("spill", 7)
+    assert trie.lookup("sp") == ["spark", "spill", "spawn"]
+    assert trie.lookup("spa") == ["spark", "spawn"]
+    assert trie.lookup("z") == []
+    # frequency update replaces the old entry
+    trie.insert("spawn", 99)
+    assert trie.lookup("sp")[0] == "spawn"
+    # top-10 truncation
+    t2 = trie_from_counts([(f"w{i:02d}", i) for i in range(15)])
+    assert len(t2.lookup("w")) == 10
+    assert t2.lookup("w")[0] == "w14"
+
+
+def test_aggregate_query_log(ray_session):
+    import datetime
+
+    import ray.data as rd
+
+    from seekr_ray.query.suggestions import aggregate_query_log
+
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(10):
+        rows.append({"query": "hot", "ts": base + datetime.timedelta(hours=i)})
+    rows.append({"query": "old", "ts": base - datetime.timedelta(hours=24)})
+    ds = rd.from_items(rows)
+    out = aggregate_query_log(ds).to_pandas()
+    got = dict(zip(out["query"], out[out.columns[1]]))
+    # max ts = base+9h, cutoff = base-3h -> all 10 "hot" rows kept
+    assert got.get("hot") == 10
+    assert "old" not in got
