@@ -280,11 +280,21 @@ class QueryEngine:
     # WAND top-k fast path
     # ------------------------------------------------------------------
 
-    def search_topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        """Top-k for a plain free-text query via block-max WAND; falls back
-        to the faithful path for boolean/phrase/cached queries."""
+    def search_topk(
+        self, query: str, k: int = 10, mode: str = "auto"
+    ) -> list[tuple[int, float]]:
+        """Top-k for a plain free-text query; falls back to the faithful
+        path for boolean/phrase queries.
+
+        ``mode``: "auto" = vectorized term-at-a-time (exact, numpy — wins
+        at in-memory segment scale), "wand" = block-max WAND
+        (document-at-a-time with per-block upper bounds — the pruning
+        path for k << candidate-count over cold segments), "faithful" =
+        the dict-based reference-semantics path.  All three are asserted
+        rank-identical in tests."""
         if (
             not self.use_wand
+            or mode == "faithful"
             or detect_operator(query or "")
             or is_quoted((query or "").strip())
         ):
@@ -298,7 +308,52 @@ class QueryEngine:
                 terms.append(tp)
         if not terms:
             return []
-        return self._wand(terms, k)
+        if mode == "wand":
+            return self._wand(terms, k)
+        return self._taat(terms, k)
+
+    def _pagerank_arrays(self):
+        if not hasattr(self, "_pr_ids"):
+            if self.pagerank:
+                ids = np.fromiter(self.pagerank.keys(), dtype=np.int64)
+                ranks = np.fromiter(self.pagerank.values(), dtype=np.float64)
+                order = np.argsort(ids)
+                self._pr_ids = ids[order]
+                self._pr_ranks = ranks[order]
+            else:
+                self._pr_ids = np.empty(0, dtype=np.int64)
+                self._pr_ranks = np.empty(0, dtype=np.float64)
+        return self._pr_ids, self._pr_ranks
+
+    def _taat(self, terms, k: int) -> list[tuple[int, float]]:
+        """Vectorized exact scoring: accumulate tf·idf per doc with
+        np.add.at (per-doc addition order == query-term order, so the FP
+        sum matches the faithful path bit-for-bit), blend pagerank via
+        searchsorted, top-k via lexsort."""
+        w_tfidf = self.cfg.tfidf_weight
+        w_pr = self.cfg.pagerank_weight
+        all_ids = np.concatenate([t.doc_ids for t in terms])
+        all_contrib = np.concatenate([t.tfs * t.idf for t in terms])
+        uids, inv = np.unique(all_ids, return_inverse=True)
+        acc = np.zeros(len(uids))
+        np.add.at(acc, inv, all_contrib)
+        pr_ids, pr_ranks = self._pagerank_arrays()
+        pr = np.zeros(len(uids))
+        if pr_ids.size:
+            pos = np.searchsorted(pr_ids, uids)
+            pos_c = np.minimum(pos, pr_ids.size - 1)
+            hit = pr_ids[pos_c] == uids
+            pr[hit] = pr_ranks[pos_c[hit]]
+        scores = w_tfidf * acc + w_pr * pr
+        if k < len(uids):
+            # k-th best score, then keep every doc at-or-above it so
+            # boundary ties are resolved by the deterministic lexsort
+            kth = -np.partition(-scores, k - 1)[k - 1]
+            part = np.flatnonzero(scores >= kth)
+        else:
+            part = np.arange(len(uids))
+        order = part[np.lexsort((uids[part], -scores[part]))][:k]
+        return [(int(uids[i]), float(scores[i])) for i in order]
 
     def _wand(self, terms, k: int) -> list[tuple[int, float]]:
         w_tfidf = self.cfg.tfidf_weight

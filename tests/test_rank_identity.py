@@ -89,11 +89,12 @@ def test_rank_identity(engine, oracle, qid, query, k):
     _assert_rank_identical(got, want, context=qid)
 
 
+@pytest.mark.parametrize("mode", ["auto", "wand"])
 @pytest.mark.parametrize("qid,query,k", QUERY_SET, ids=[q[0] for q in QUERY_SET])
-def test_wand_equals_faithful(engine, oracle, qid, query, k):
+def test_topk_modes_equal_oracle(engine, oracle, qid, query, k, mode):
     want = oracle.search(query, k=k)
-    got = engine.search_topk(query, k=k)
-    _assert_rank_identical(got, want, context=f"wand:{qid}")
+    got = engine.search_topk(query, k=k, mode=mode)
+    _assert_rank_identical(got, want, context=f"{mode}:{qid}")
 
 
 def test_pagerank_matches_oracle(built_index, oracle):
