@@ -37,6 +37,8 @@ from .stopwords import STOPWORDS
 WORD_RE = re.compile(r"\b[\w']+\b", re.ASCII)
 ALPHA_RE = re.compile(r"^[a-zA-Z]+$")
 
+_MISS = object()
+
 MIN_WORD_LENGTH = 2
 MAX_WORD_LENGTH = 45
 
@@ -68,19 +70,44 @@ class Tokenizer:
     the mutable state that makes per-token cost a dict lookup.
     """
 
+    _CACHE_MAX = 1_000_000  # bound per-actor memory on open vocabularies
+
     def __init__(self) -> None:
         self._stemmer = CachingStemmer()
+        # token -> (stem | None-if-dropped, stem-passes-validity) — one
+        # dict hit per occurrence (vocabulary is Zipfian, so ~every token
+        # after warmup is a cache hit); the bool is the denominator quirk
+        self._tok_cache: dict[str, tuple[str | None, bool]] = {}
         # validity-of-stem cache for the denominator quirk
         self._valid_stem: dict[str, bool] = {}
 
     def tokenize_string(self, text: str, remove_stopwords: bool = True) -> list[str]:
         """Lowercase, regex-split, validity-filter, stem.  One stem per
         surviving token, in occurrence order (``Tokenizer.java:102-116``)."""
-        stem = self._stemmer.stem
+        if not remove_stopwords:
+            stem = self._stemmer.stem
+            return [
+                stem(w)
+                for w in WORD_RE.findall(text.lower())
+                if is_valid_word(w, False)
+            ]
+        cache = self._tok_cache
         out: list[str] = []
+        append = out.append
+        miss = _MISS
         for word in WORD_RE.findall(text.lower()):
-            if is_valid_word(word, remove_stopwords):
-                out.append(stem(word))
+            e = cache.get(word, miss)
+            if e is miss:
+                if is_valid_word(word, True):
+                    s = self._stemmer.stem(word)
+                    e = (s, self._stem_is_valid(s))
+                else:
+                    e = (None, False)
+                if len(cache) >= self._CACHE_MAX:
+                    cache.clear()
+                cache[word] = e
+            if e[0] is not None:
+                append(e[0])
         return out
 
     def _stem_is_valid(self, s: str) -> bool:
@@ -104,22 +131,44 @@ class Tokenizer:
         normalized weighted count (count / n_valid; 0-division guarded like
         the reference: if n_valid == 0 counts stay unnormalized) and
         ``positions`` are indices into the valid-token stream.
+
+        Single fused pass: each token resolves through one cache entry
+        carrying (stem | None, counts-toward-denominator) so the hot loop
+        is one dict hit + two dict updates per surviving token.
         """
-        stems = self.tokenize_string(text, True)
+        cache = self._tok_cache
         counts: dict[str, float] = {}
         positions: dict[str, list[int]] = {}
-        for i, s in enumerate(stems):
-            counts[s] = counts.get(s, 0.0) + 1.0
-            ps = positions.get(s)
-            if ps is None:
+        total = 0
+        i = 0
+        miss = _MISS
+        for word in WORD_RE.findall(text.lower()):
+            e = cache.get(word, miss)
+            if e is miss:
+                if is_valid_word(word, True):
+                    s = self._stemmer.stem(word)
+                    e = (s, self._stem_is_valid(s))
+                else:
+                    e = (None, False)
+                if len(cache) >= self._CACHE_MAX:
+                    cache.clear()
+                cache[word] = e
+            s = e[0]
+            if s is None:
+                continue
+            if e[1]:
+                total += 1
+            c = counts.get(s)
+            if c is None:
+                counts[s] = 1.0
                 positions[s] = [i]
             else:
-                ps.append(i)
-        total = self.count_valid_stems(stems)
+                counts[s] = c + 1.0
+                positions[s].append(i)
+            i += 1
         if total > 0:
-            inv = 1.0 / total
             return (
-                {s: (c * inv, positions[s]) for s, c in counts.items()},
+                {s: (c / total, positions[s]) for s, c in counts.items()},
                 total,
             )
         return ({s: (c, positions[s]) for s, c in counts.items()}, 0)
@@ -156,9 +205,8 @@ class Tokenizer:
                     best[s] = name
             total += self.count_valid_stems(stems)
         if total > 0:
-            inv = 1.0 / total
             return (
-                {s: (c * inv, positions[s], best[s]) for s, c in counts.items()},
+                {s: (c / total, positions[s], best[s]) for s, c in counts.items()},
                 total,
             )
         return ({s: (c, positions[s], best[s]) for s, c in counts.items()}, 0)
