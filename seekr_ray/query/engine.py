@@ -478,6 +478,21 @@ class QueryEngine:
             )
         return {"results": results, "total_count": len(ranked)}
 
+    def total_hits(self, query: str) -> int:
+        """COUNT(DISTINCT doc_id) over the query stems' postings — the A6
+        analog (``BackendManager.java:96-119``; dead code in the reference
+        serving path, which uses documents.size(), but part of the
+        operator surface)."""
+        stems, _ = tokenize_and_stem(query or "")
+        ids = [
+            tp.doc_ids
+            for tp in (self.store.postings(s) for s in stems)
+            if tp is not None
+        ]
+        if not ids:
+            return 0
+        return int(np.unique(np.concatenate(ids)).size)
+
     # ------------------------------------------------------------------
     # suggestions (BackendManager.java:408-446, K3)
     # ------------------------------------------------------------------
