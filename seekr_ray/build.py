@@ -199,6 +199,7 @@ def build_index(
     if links_ds is not None and not (resume and _done(pr_dir)):
         pr = build_pagerank_table(links_ds, docs, cfg)
         pr.write_parquet(pr_dir, mode="overwrite")
+        os.makedirs(pr_dir, exist_ok=True)  # empty write creates no dir
         _mark(pr_dir)
     metrics["stages"]["pagerank"] = {"seconds": time.monotonic() - t0}
 

@@ -1,0 +1,139 @@
+"""CLI driver — the ``ray job submit`` entrypoint of the north rule.
+
+Examples::
+
+    # full build over a corpus parquet (repo,path,commit,lang,content)
+    ray job submit -- python -m seekr_ray.cli build \
+        --input /data/corpus --index-dir /data/index \
+        --links /data/links --term-partitions 4096
+
+    # resume after a failure: completed partitions are skipped
+    ray job submit -- python -m seekr_ray.cli build --input ... --index-dir ...
+
+    # serve queries / inspect
+    python -m seekr_ray.cli query --index-dir /data/index --q "parse AND buffer"
+    python -m seekr_ray.cli suggest --index-dir /data/index --prefix par
+
+This module is the only place (besides bench.py and tests) that owns the
+Ray session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args) -> int:
+    import ray
+    import ray.data as rd
+
+    from .build import build_index
+    from .config import IndexConfig
+
+    _init_ray(args.num_cpus)
+    cfg = IndexConfig(
+        num_term_partitions=args.term_partitions,
+        num_id_partitions=args.id_partitions,
+        hot_df_threshold=args.hot_df_threshold,
+        postings_per_chunk=args.postings_per_chunk,
+    )
+    docs = rd.read_parquet(args.input)
+    links = rd.read_parquet(args.links) if args.links else None
+    if links is None and args.extract_links:
+        from .stages.links import extract_links
+
+        links = extract_links(rd.read_parquet(args.input))
+    metrics = build_index(
+        docs,
+        args.index_dir,
+        cfg,
+        key_cols=None if args.id_col else args.key_cols.split(","),
+        id_col=args.id_col,
+        content_col=args.content_col,
+        links_ds=links,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(metrics, indent=1, sort_keys=True))
+    ray.shutdown()
+    return 0
+
+
+def cmd_query(args) -> int:
+    from .query.engine import QueryEngine
+
+    engine = QueryEngine(args.index_dir)
+    out = engine.search(args.q, page=args.page, size=args.size)
+    print(json.dumps(out, indent=1, default=str))
+    return 0
+
+
+def cmd_suggest(args) -> int:
+    from .query.engine import QueryEngine
+
+    engine = QueryEngine(args.index_dir)
+    print(json.dumps(engine.suggest(args.prefix)))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="seekr_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--input", required=True, help="corpus parquet path/dir")
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--links", default=None, help="links parquet (optional)")
+    b.add_argument(
+        "--extract-links",
+        action="store_true",
+        help="derive links from code imports when --links is absent",
+    )
+    b.add_argument("--key-cols", default="repo,path,commit")
+    b.add_argument("--id-col", default=None)
+    b.add_argument("--content-col", default="content")
+    b.add_argument("--term-partitions", type=int, default=64)
+    b.add_argument("--id-partitions", type=int, default=64)
+    b.add_argument("--hot-df-threshold", type=int, default=100_000)
+    b.add_argument("--postings-per-chunk", type=int, default=4096)
+    b.add_argument("--num-cpus", type=int, default=None)
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="run a search query")
+    q.add_argument("--index-dir", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("--page", type=int, default=0)
+    q.add_argument("--size", type=int, default=10)
+    q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("suggest", help="prefix suggestions")
+    s.add_argument("--index-dir", required=True)
+    s.add_argument("--prefix", required=True)
+    s.set_defaults(fn=cmd_suggest)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

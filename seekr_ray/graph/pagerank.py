@@ -191,6 +191,14 @@ def _pagerank_distributed(edges_ds, damping: float, epsilon: float):
 def pagerank_from_edges(edges_ds, cfg: IndexConfig):
     """Edge Dataset -> (doc_id, page_rank) pyarrow Table."""
     n_edges = edges_ds.count()
+    if n_edges == 0:
+        # every link dangled: no graph, all docs keep page_rank 0.0
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "page_rank": pa.array([], pa.float64()),
+            }
+        )
     if n_edges <= _DRIVER_EDGE_LIMIT:
         pdf = edges_ds.to_pandas()
         nodes, ranks = _pagerank_numpy(

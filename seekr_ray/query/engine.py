@@ -189,14 +189,19 @@ class QueryEngine:
                     break
             if candidate is not None and candidate.size:
                 max_gap = self.cfg.max_phrase_gap
-                for doc_id in candidate.tolist():
+                # vectorized row lookup: one searchsorted per stem for the
+                # whole candidate set (J4 positions are inline per posting)
+                per_stem_idx = {
+                    s: np.searchsorted(postings[s].doc_ids, candidate)
+                    for s in stems
+                }
+                for ci, doc_id in enumerate(candidate.tolist()):
                     pos_lists = []
                     ok = True
                     for s in stems:
                         tp = postings[s]
-                        idx = int(np.searchsorted(tp.doc_ids, doc_id))
                         pos = (
-                            tp.positions[idx]
+                            tp.positions[per_stem_idx[s][ci]]
                             if tp.positions is not None
                             else np.empty(0, dtype=np.uint64)
                         )
@@ -208,7 +213,7 @@ class QueryEngine:
                         word_info = {}
                         for s in stems:
                             tp = postings[s]
-                            idx = int(np.searchsorted(tp.doc_ids, doc_id))
+                            idx = per_stem_idx[s][ci]
                             word_info[stem_to_original.get(s, s)] = (
                                 float(tp.tfs[idx]),
                                 tp.idf,
