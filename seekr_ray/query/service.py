@@ -1,0 +1,85 @@
+"""Actor-pool query serving (SURVEY.md §2.3 T8, §3.3 rebuild lifecycle c).
+
+``SearchService`` holds a pool of Ray actors, each loading the segment
+store + term stats + pagerank ONCE in its constructor (the "stateful
+stage = actor pool" rule), and round-robins queries across them.  Actors
+cache partition tables and decoded postings independently, so throughput
+scales with the pool while a single query's latency stays that of one
+engine.
+
+This is the serving topology for a real cluster: co-locate actors with
+segment storage, route by query hash for cache affinity (``affinity=True``
+routes repeat queries to the same actor so its LRU query cache — T3 —
+hits).
+"""
+
+from __future__ import annotations
+
+import ray
+
+
+@ray.remote
+class _EngineActor:
+    def __init__(self, index_dir: str):
+        from .engine import QueryEngine
+
+        self.engine = QueryEngine(index_dir)
+
+    def search(self, query: str, page: int, size: int) -> dict:
+        return self.engine.search(query, page=page, size=size)
+
+    def search_topk(self, query: str, k: int, mode: str) -> list:
+        return self.engine.search_topk(query, k, mode=mode)
+
+    def suggest(self, query: str, limit: int) -> list:
+        return self.engine.suggest(query, limit)
+
+    def total_hits(self, query: str) -> int:
+        return self.engine.total_hits(query)
+
+
+class SearchService:
+    def __init__(self, index_dir: str, num_actors: int = 2, affinity: bool = True):
+        self.actors = [
+            _EngineActor.remote(index_dir) for _ in range(num_actors)
+        ]
+        self.affinity = affinity
+        self._rr = 0
+
+    def _pick(self, query: str):
+        if self.affinity:
+            # stable routing -> per-actor query-cache (T3) hits
+            import hashlib
+
+            h = int.from_bytes(
+                hashlib.sha256((query or "").strip().lower().encode()).digest()[:4],
+                "little",
+            )
+            return self.actors[h % len(self.actors)]
+        actor = self.actors[self._rr % len(self.actors)]
+        self._rr += 1
+        return actor
+
+    def search(self, query: str, page: int = 0, size: int = 10) -> dict:
+        return ray.get(self._pick(query).search.remote(query, page, size))
+
+    def search_topk(self, query: str, k: int = 10, mode: str = "auto") -> list:
+        return ray.get(self._pick(query).search_topk.remote(query, k, mode))
+
+    def search_many(self, queries: list[str], k: int = 10) -> list[list]:
+        """Pipelined fan-out: one in-flight call per actor slot."""
+        refs = [
+            self._pick(q).search_topk.remote(q, k, "auto") for q in queries
+        ]
+        return ray.get(refs)
+
+    def suggest(self, query: str, limit: int = 5) -> list:
+        return ray.get(self._pick(query).suggest.remote(query, limit))
+
+    def total_hits(self, query: str) -> int:
+        return ray.get(self._pick(query).total_hits.remote(query))
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
