@@ -46,19 +46,25 @@ def exact_dedup_groups(docs_ds, text_col: str = "text"):
             }
         )
 
-    def per_group(group: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "text_sha256": [group["text_sha256"][0].as_py()],
-                "keep_doc_id": [int(pc.min(group["doc_id"]).as_py())],
-                "n_copies": [group.num_rows],
-            }
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        buckets = [int(s[:8], 16) % 64 for s in batch["text_sha256"].to_pylist()]
+        return batch.append_column("_b", pa.array(buckets, pa.int64()))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        # vectorized group stats within the bucket (one UDF call per
+        # bucket; per-sha map_groups would pay Python overhead per doc)
+        agg = (
+            group.select(["text_sha256", "doc_id"])
+            .group_by("text_sha256")
+            .aggregate([("doc_id", "min"), ("doc_id", "count")])
         )
+        return agg.rename_columns(["text_sha256", "keep_doc_id", "n_copies"])
 
     return (
         docs_ds.map_batches(add_sha, batch_format="pyarrow")
-        .groupby("text_sha256")
-        .map_groups(per_group, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
@@ -138,13 +144,29 @@ class MinHashLSH:
         )
 
 
-def _bucket_pairs(group: pa.Table) -> pa.Table:
-    ids = sorted(set(group["doc_id"].to_pylist()))
+def _band_pairs(group: pa.Table) -> pa.Table:
+    """All candidate pairs of one band (one UDF call per band, not per
+    hash bucket): vectorized sort + run detection, Python only for the
+    rare buckets that actually collide."""
+    order = pc.sort_indices(
+        group, sort_keys=[("band_hash", "ascending"), ("doc_id", "ascending")]
+    )
+    tbl = group.take(order)
+    bh = tbl["band_hash"].to_numpy(zero_copy_only=False)
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
     a_out, b_out = [], []
-    if len(ids) > 1:
-        for x, y in combinations(ids, 2):
-            a_out.append(x)
-            b_out.append(y)
+    if len(bh):
+        change = np.empty(len(bh), dtype=bool)
+        change[0] = True
+        change[1:] = bh[1:] != bh[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], len(bh)]
+        for s, e in zip(starts, ends):
+            if e - s > 1:
+                bucket_ids = sorted(set(ids[s:e].tolist()))
+                for x, y in combinations(bucket_ids, 2):
+                    a_out.append(x)
+                    b_out.append(y)
     return pa.table(
         {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())}
     )
@@ -162,11 +184,34 @@ def minhash_candidate_pairs(docs_ds, num_bands=16, rows_per_band=4, shingle_k=3,
         ),
         concurrency=(1, 4),
     )
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
+    pairs = band_rows.groupby("band").map_groups(
+        _band_pairs, batch_format="pyarrow"
     )
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+
+    # distinct (a, b): bucket by a, vectorized unique within the bucket
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_b", pa.array((a % 64).astype(np.int64), pa.int64())
+        )
+
+    def distinct_bucket(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("a", "ascending"), ("b", "ascending")]
+        )
+        tbl = group.take(order)
+        a = tbl["a"].to_numpy(zero_copy_only=False)
+        b = tbl["b"].to_numpy(zero_copy_only=False)
+        keep = np.empty(len(a), dtype=bool)
+        if len(a):
+            keep[0] = True
+            keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return tbl.filter(pa.array(keep)).drop_columns(["_b"])
+
+    return (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(distinct_bucket, batch_format="pyarrow")
     )
 
 

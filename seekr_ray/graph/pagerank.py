@@ -82,9 +82,35 @@ def resolve_links(links_ds, docs_ds):
         )
 
     edges = links_ds.map_batches(resolve, batch_format="pyarrow")
-    # dedup per (src, dst) — DataBaseManager.java:51-53
-    return edges.groupby(["src", "dst"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+
+    # dedup per (src, dst) — DataBaseManager.java:51-53.  Bucketed by src
+    # hash with a vectorized unique inside each bucket group (a per-pair
+    # map_groups would pay Python overhead per edge).
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_b", pa.array((src % 64).astype(np.int64), pa.int64())
+        )
+
+    def dedup_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("src", "ascending"), ("dst", "ascending")]
+        )
+        tbl = group.take(order)
+        src = tbl["src"].to_numpy(zero_copy_only=False)
+        dst = tbl["dst"].to_numpy(zero_copy_only=False)
+        keep = np.empty(len(src), dtype=bool)
+        if len(src):
+            keep[0] = True
+            keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        return tbl.filter(pa.array(keep)).drop_columns(["_b"])
+
+    return (
+        edges.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(dedup_bucket, batch_format="pyarrow")
     )
 
 

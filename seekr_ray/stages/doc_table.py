@@ -89,15 +89,47 @@ def add_content_sha256(ds, content_col: str = "content"):
     return ds.map_batches(sha_batch, batch_format="pyarrow")
 
 
-def _keep_min_doc_id(group: pa.Table) -> pa.Table:
-    i = pc.index(group["doc_id"], pc.min(group["doc_id"]))
-    return group.slice(int(i.as_py()), 1)
+_DEDUP_BUCKETS = 64
+
+
+def _add_sha_bucket(batch: pa.Table) -> pa.Table:
+    # sha256 is uniform: the first 8 hex chars are a ready-made hash
+    buckets = np.fromiter(
+        (int(s[:8], 16) % _DEDUP_BUCKETS for s in batch["content_sha256"].to_pylist()),
+        dtype=np.int64,
+        count=batch.num_rows,
+    )
+    return batch.append_column("_sha_bucket", pa.array(buckets, pa.int64()))
+
+
+def _dedup_bucket(group: pa.Table) -> pa.Table:
+    """Vectorized first-per-sha within one bucket: sort by (sha, doc_id),
+    keep change points.  One UDF call per bucket, not per sha — a
+    per-group map_groups over a near-unique key would pay Python overhead
+    per ROW (the mistake this replaces)."""
+    order = pc.sort_indices(
+        group,
+        sort_keys=[("content_sha256", "ascending"), ("doc_id", "ascending")],
+    )
+    tbl = group.take(order)
+    shas = np.asarray(tbl["content_sha256"].to_pylist(), dtype=object)
+    keep = np.empty(len(shas), dtype=bool)
+    if len(shas):
+        keep[0] = True
+        keep[1:] = shas[1:] != shas[:-1]
+    return tbl.filter(pa.array(keep)).drop_columns(["_sha_bucket"])
 
 
 def dedup_exact(ds):
-    """Exact content dedup: first (min doc_id) row per sha wins (B6)."""
-    return ds.groupby("content_sha256").map_groups(
-        _keep_min_doc_id, batch_format="pyarrow"
+    """Exact content dedup: first (min doc_id) row per sha wins (B6).
+
+    Bucketed shuffle: rows hash to one of _DEDUP_BUCKETS groups by sha
+    prefix; each group dedups vectorized.  Scale note: bucket count just
+    needs buckets to fit a worker — sha is uniform so there is no skew."""
+    return (
+        ds.map_batches(_add_sha_bucket, batch_format="pyarrow")
+        .groupby("_sha_bucket")
+        .map_groups(_dedup_bucket, batch_format="pyarrow")
     )
 
 
