@@ -61,13 +61,19 @@ def run_bench() -> dict:
     from seekr_ray.fixtures import QUERY_SET, cached_corpus_path, cached_links_path
     from seekr_ray.query.engine import QueryEngine
 
-    n_rows = CORPUS_ROWS.get(_sf_name(sf_dir), 20000)
-    corpus_path = cached_corpus_path(n_rows)  # untimed: input generation
+    n_rows = int(os.environ.get("SEEKR_BENCH_ROWS", 0)) or CORPUS_ROWS.get(
+        _sf_name(sf_dir), 20000
+    )
+    from seekr_ray.fixtures import cached_corpus_dir
+
+    corpus_path = cached_corpus_dir(n_rows)  # untimed: input generation
     links_path = cached_links_path(min(n_rows, 2000))
     # warm the page cache so we measure compute+shuffle, not first disk read
-    with open(corpus_path, "rb") as f:
-        while f.read(1 << 22):
-            pass
+    for root, _dirs, files in os.walk(corpus_path):
+        for fname in files:
+            with open(os.path.join(root, fname), "rb") as f:
+                while f.read(1 << 22):
+                    pass
 
     timings: dict[str, float] = {}
 
@@ -127,18 +133,40 @@ def run_bench() -> dict:
     return result
 
 
-def run_scaling(levels=(8, 32)) -> dict:
-    # pre-generate inputs once so both levels read the same files
-    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from seekr_ray.fixtures import cached_corpus_path, cached_links_path
+SCALING_ROWS = 100_000  # compute-dominated input for the scaling measure
 
-    n_rows = CORPUS_ROWS.get(_sf_name(sf_dir), 20000)
-    cached_corpus_path(n_rows)
-    cached_links_path(min(n_rows, 2000))
+
+def run_scaling(levels=(2, 8)) -> dict:
+    """Same build at N vs 4N CPUs in fresh processes (the sandbox
+    stand-in for N vs 4N nodes).
+
+    Default levels are (2, 8) rather than (8, 32): a pure-python CPU
+    microbenchmark on this box scales 8->32 at only ~2.85x of 4x
+    (all-core turbo/memory ceiling), so 8 vs 32 cannot evidence the
+    pipeline's scaling — see BASELINE.md §3 for both measurements."""
+    # pre-generate inputs once (parallel, untimed) so both levels read
+    # the same files
+    import ray
+
+    from seekr_ray.fixtures import cached_corpus_dir, cached_links_path
+
+    ray.init(
+        address="local",
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    cached_corpus_dir(SCALING_ROWS)
+    cached_links_path(2000)
+    ray.shutdown()
 
     out = {}
     for ncpu in levels:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            SEEKR_BENCH_ROWS=str(SCALING_ROWS),
+        )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -165,7 +193,11 @@ def run_scaling(levels=(8, 32)) -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        levels = (2, 8)
+        if "--levels" in sys.argv:
+            i = sys.argv.index("--levels")
+            levels = tuple(int(x) for x in sys.argv[i + 1].split(","))
+        print(json.dumps(run_scaling(levels)))
     else:
         result = run_bench()
         import ray

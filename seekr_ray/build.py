@@ -23,9 +23,9 @@ import pyarrow as pa
 from .config import IndexConfig
 from .stages.doc_table import prepare_documents
 from .stages.postings import (
-    AddPartitionKeys,
+    add_partition_keys,
     compute_term_stats,
-    hot_terms_from_stats,
+    hot_terms_from_parquet,
 )
 from .stages.segments import (
     SegmentPartitionWriter,
@@ -55,6 +55,30 @@ def _read(path: str):
     import ray.data as rd
 
     return rd.read_parquet(path)
+
+
+def _parquet_count(path: str) -> int:
+    """Row count from parquet footers — no Ray execution needed."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(root, f)).num_rows
+    return total
+
+
+def _pool_size(cap: int | None = None) -> int:
+    """Fixed actor-pool size: full width immediately (an autoscaling
+    (1, n) pool ramps up too slowly for short stages) — but leave 2 CPUs
+    for the pipeline's task stages (read/write), or the pool's actors
+    never all schedule and the pipeline deadlocks."""
+    import ray
+
+    n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    size = max(1, n - 2)
+    return min(size, cap) if cap else size
 
 
 def build_index(
@@ -101,7 +125,7 @@ def build_index(
         prepared.write_parquet(docs_dir, mode="overwrite")
         _mark(docs_dir)
     docs = _read(docs_dir)
-    n_docs = docs.count()
+    n_docs = _parquet_count(docs_dir)
     metrics["stages"]["doc_table"] = {
         "seconds": time.monotonic() - t0,
         "n_docs": n_docs,
@@ -141,16 +165,15 @@ def build_index(
         import ray
 
         os.makedirs(seg_dir, exist_ok=True)
-        hot = hot_terms_from_stats(_read(stats_dir), cfg.hot_df_threshold)
+        hot = hot_terms_from_parquet(stats_dir, cfg.hot_df_threshold)
         hot_ref = ray.put(hot) if hot else None
         keyed = _read(postings_dir).map_batches(
-            AddPartitionKeys,
+            add_partition_keys,
             batch_format="pyarrow",
-            fn_constructor_kwargs={
+            fn_kwargs={
                 "hot_ref": hot_ref,
                 "num_partitions": cfg.num_term_partitions,
             },
-            concurrency=(1, 8),
         )
         if done:
             import pyarrow.compute as pc
@@ -165,7 +188,7 @@ def build_index(
             SegmentPartitionWriter,
             batch_format="pyarrow",
             fn_constructor_args=(seg_dir, cfg.postings_per_chunk),
-            concurrency=(1, 8),
+            concurrency=_pool_size(cap=cfg.num_term_partitions),
         )
         rows = read_manifest(index_dir)
         new_rows = manifest_updates.to_pandas()

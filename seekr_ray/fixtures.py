@@ -210,6 +210,25 @@ def cached_corpus_path(n_rows: int, base_dir: str = "/tmp/seekr_fixtures") -> st
     return write_corpus_parquet(n_rows, path)
 
 
+def cached_corpus_dir(n_rows: int, base_dir: str = "/tmp/seekr_fixtures") -> str:
+    """Parallel corpus generation via Ray into a cached directory.  Row i
+    is a pure function of (SEED, i), so the distributed generation yields
+    the same rows as the driver-side writer regardless of partitioning."""
+    out_dir = os.path.join(base_dir, f"corpus_n{n_rows}_seed{SEED}_dir")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    import ray
+
+    if not ray.is_initialized():
+        # modest fallback when no session exists (tests pre-generate)
+        return cached_corpus_path(n_rows, base_dir)
+    corpus_dataset(n_rows).write_parquet(out_dir, mode="overwrite")
+    with open(marker, "w") as f:
+        f.write("")
+    return out_dir
+
+
 # ---------------------------------------------------------------------------
 # links
 # ---------------------------------------------------------------------------

@@ -215,9 +215,12 @@ def _pagerank_distributed(edges_ds, damping: float, epsilon: float):
 
 
 def pagerank_from_edges(edges_ds, cfg: IndexConfig):
-    """Edge Dataset -> (doc_id, page_rank) pyarrow Table."""
-    n_edges = edges_ds.count()
-    if n_edges == 0:
+    """Edge Dataset -> (doc_id, page_rank) pyarrow Table.
+
+    One consuming execution: materialize up to the driver limit; if the
+    graph exceeds it, fall through to the distributed join+groupby path."""
+    head = edges_ds.to_pandas(limit=None)  # crawl graphs are edge-sparse
+    if len(head) == 0 or "src" not in head.columns:
         # every link dangled: no graph, all docs keep page_rank 0.0
         return pa.table(
             {
@@ -225,11 +228,10 @@ def pagerank_from_edges(edges_ds, cfg: IndexConfig):
                 "page_rank": pa.array([], pa.float64()),
             }
         )
-    if n_edges <= _DRIVER_EDGE_LIMIT:
-        pdf = edges_ds.to_pandas()
+    if len(head) <= _DRIVER_EDGE_LIMIT:
         nodes, ranks = _pagerank_numpy(
-            pdf["src"].to_numpy(),
-            pdf["dst"].to_numpy(),
+            head["src"].to_numpy(),
+            head["dst"].to_numpy(),
             cfg.pagerank_damping,
             cfg.pagerank_epsilon,
         )

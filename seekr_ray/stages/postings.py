@@ -6,7 +6,7 @@ Pipeline shape (ONE all-to-all exchange)::
     postings (doc_id, term, tf, positions)
       ├─ map_batches partial df ── groupby(term).sum ─> term_stats
       │                            (term, df, idf, n_salts, term_part)
-      └─ map_batches AddPartitionKeys (salt, term_part)
+      └─ map_batches add_partition_keys (salt, term_part)
            └─ groupby(term_part).map_groups(BuildAndWritePartition)
                 -> segments/part-K.parquet + manifest row
 
@@ -123,43 +123,68 @@ def hot_terms_from_stats(term_stats_ds, threshold: int) -> dict[str, int]:
     return {t: int(s) for t, s in zip(hot_tbl["term"], hot_tbl["n_salts"])}
 
 
+def hot_terms_from_parquet(stats_dir: str, threshold: int) -> dict[str, int]:
+    """Same result read straight from the written term_stats parquet with
+    a pushed-down row filter — no Ray execution for a tiny lookup."""
+    import pyarrow.dataset as pads
+
+    dataset = pads.dataset(stats_dir, format="parquet", partitioning="hive")
+    tbl = dataset.to_table(
+        columns=["term", "n_salts"], filter=pads.field("df") > threshold
+    )
+    return {
+        t: int(s)
+        for t, s in zip(tbl["term"].to_pylist(), tbl["n_salts"].to_pylist())
+    }
+
+
 # ---------------------------------------------------------------------------
 # partition keys
 # ---------------------------------------------------------------------------
 
 
-class AddPartitionKeys:
-    """Adds (salt, term_part).  ``hot`` maps term -> n_salts; broadcast
-    once via ray.put, read in __init__ (once per actor)."""
+# per-worker-process caches for the stateless partition-key tasks: the
+# broadcast hot dict is fetched once per process (zero-copy plasma get)
+# and term->partition hashes memoize across batches.
+_HOT_CACHE: dict[str, dict] = {}
+_PART_CACHE: dict[str, int] = {}
 
-    def __init__(self, hot_ref, num_partitions: int):
-        import ray
 
-        self.hot = ray.get(hot_ref) if hot_ref is not None else {}
-        self.num_partitions = num_partitions
-        self._part_cache: dict[str, int] = {}
+def add_partition_keys(batch: pa.Table, hot_ref, num_partitions: int) -> pa.Table:
+    """Adds (salt, term_part).  A stateless TASK stage on purpose: tasks
+    are elastic, so this never competes with the writer actor pool for
+    reserved CPUs (a second fixed pool in the same pipeline can deadlock
+    when pools + read tasks oversubscribe the node)."""
+    import ray
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        terms = batch["term"].to_pylist()
-        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        cache = self._part_cache
-        hot = self.hot
-        parts = np.empty(len(terms), dtype=np.int64)
-        salts = np.zeros(len(terms), dtype=np.int32)
-        for i, t in enumerate(terms):
-            s_count = hot.get(t)
-            if s_count:
-                s = int(doc_ids[i] % s_count)
-                salts[i] = s
-                parts[i] = term_partition(t, self.num_partitions, s)
-            else:
-                p = cache.get(t)
-                if p is None:
-                    p = term_partition(t, self.num_partitions)
-                    cache[t] = p
-                parts[i] = p
-        batch = batch.append_column("salt", pa.array(salts, pa.int32()))
-        return batch.append_column("term_part", pa.array(parts, pa.int64()))
+    if hot_ref is None:
+        hot = {}
+    else:
+        key = hot_ref.hex()
+        hot = _HOT_CACHE.get(key)
+        if hot is None:
+            hot = ray.get(hot_ref)
+            _HOT_CACHE.clear()
+            _HOT_CACHE[key] = hot
+    cache = _PART_CACHE
+    terms = batch["term"].to_pylist()
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    parts = np.empty(len(terms), dtype=np.int64)
+    salts = np.zeros(len(terms), dtype=np.int32)
+    for i, t in enumerate(terms):
+        s_count = hot.get(t)
+        if s_count:
+            s = int(doc_ids[i] % s_count)
+            salts[i] = s
+            parts[i] = term_partition(t, num_partitions, s)
+        else:
+            p = cache.get(t)
+            if p is None:
+                p = term_partition(t, num_partitions)
+                cache[t] = p
+            parts[i] = p
+    batch = batch.append_column("salt", pa.array(salts, pa.int32()))
+    return batch.append_column("term_part", pa.array(parts, pa.int64()))
 
 
 # ---------------------------------------------------------------------------

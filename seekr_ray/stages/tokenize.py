@@ -69,14 +69,15 @@ class TokenizeStem:
 
 def tokenize_documents(docs_ds, cfg, content_col: str = "content"):
     """documents Dataset -> postings Dataset via the actor pool."""
-    # class-based UDFs need an actor pool size; (min, max) lets the
-    # streaming executor scale the pool with backpressure
+    # fixed-size actor pool at (almost) full width: an autoscaling (1, n)
+    # pool ramps too slowly for a short stage; the -2 leaves CPUs for the
+    # read/write task stages so the pool can always fully schedule
     concurrency = cfg.tokenize_concurrency
     if concurrency is None:
         import ray
 
         n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (1, max(2, n - 2))
+        concurrency = max(1, n - 2)
     kwargs = {"concurrency": concurrency}
     return docs_ds.map_batches(
         TokenizeStem,
