@@ -138,6 +138,80 @@ def decode_position_lists(
     return out
 
 
+def nbytes_per_value(values: np.ndarray) -> np.ndarray:
+    """Varbyte byte-count per value (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = tmp >= (np.uint64(1) << np.uint64(shift))
+        nbits[mask] += shift
+        tmp[mask] >>= np.uint64(shift)
+    return nbits // 7 + 1
+
+
+def delta_encode_lists(values: np.ndarray, list_offsets: np.ndarray) -> np.ndarray:
+    """Delta-code a flat concatenation of sorted lists: each list's first
+    element stays absolute, later elements become gaps."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    deltas = v.copy()
+    if v.size > 1:
+        deltas[1:] = v[1:] - v[:-1]
+        starts = list_offsets[:-1]
+        starts = starts[starts < v.size]
+        deltas[starts] = v[starts]
+    return deltas
+
+
+def varbyte_encode_concat(
+    deltas: np.ndarray, list_offsets: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Encode the flat delta stream as ONE varbyte buffer; return
+    ``(buffer, byte_length_per_list)`` so callers can rebuild per-list
+    blob boundaries (an Arrow binary column) without re-encoding."""
+    buf = varbyte_encode(deltas)
+    if deltas.size == 0:
+        return buf, np.zeros(max(len(list_offsets) - 1, 0), dtype=np.int64)
+    nb = nbytes_per_value(deltas)
+    byte_offsets = np.zeros(len(nb) + 1, dtype=np.int64)
+    np.cumsum(nb, out=byte_offsets[1:])
+    byte_lens = byte_offsets[list_offsets[1:]] - byte_offsets[list_offsets[:-1]]
+    return buf, byte_lens
+
+
+def decode_position_blobs(
+    blob_lens: np.ndarray, blobs: bytes | memoryview
+) -> list[np.ndarray]:
+    """Decode concatenated per-list varbyte blobs back into position
+    arrays.  Fully vectorized: one pass over the byte stream; per-list
+    value counts come from terminator-bit counting at blob boundaries."""
+    b = np.frombuffer(blobs, dtype=np.uint8)
+    n_lists = len(blob_lens)
+    if b.size == 0:
+        return [np.empty(0, dtype=np.uint64) for _ in range(n_lists)]
+    byte_offsets = np.zeros(n_lists + 1, dtype=np.int64)
+    np.cumsum(blob_lens, out=byte_offsets[1:])
+    is_last = (b & 0x80) == 0
+    # values per list = terminators inside its byte range
+    cum_last = np.zeros(b.size + 1, dtype=np.int64)
+    np.cumsum(is_last, out=cum_last[1:])
+    counts = cum_last[byte_offsets[1:]] - cum_last[byte_offsets[:-1]]
+    deltas = varbyte_decode(b)
+    vals = np.cumsum(deltas, dtype=np.uint64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    out: list[np.ndarray] = []
+    base = np.uint64(0)
+    for s, e in zip(starts, ends):
+        if s == e:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        chunk = vals[s:e] - base
+        base = vals[e - 1]
+        out.append(chunk)
+    return out
+
+
 def pack_f64(values: np.ndarray) -> bytes:
     return np.ascontiguousarray(values, dtype="<f8").tobytes()
 

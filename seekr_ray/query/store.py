@@ -18,7 +18,7 @@ import numpy as np
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..codec import decode_doc_ids, decode_position_lists, unpack_f64
+from ..codec import decode_doc_ids, decode_position_blobs, unpack_f64, varbyte_decode
 from ..stages.postings import term_partition
 from ..stages.segments import partition_file
 
@@ -109,8 +109,8 @@ class SegmentStore:
                             "n_docs": t["n_docs"][i].as_py(),
                             "doc_ids_enc": t["doc_ids_enc"][i].as_py(),
                             "tfs_enc": t["tfs_enc"][i].as_py(),
-                            "pos_lens_enc": t["pos_lens_enc"][i].as_py(),
-                            "pos_vals_enc": t["pos_vals_enc"][i].as_py(),
+                            "pos_blob_lens_enc": t["pos_blob_lens_enc"][i].as_py(),
+                            "pos_blobs": t["pos_blobs"][i].as_py(),
                         }
                     )
             self._seg_cache[part] = cached
@@ -143,7 +143,9 @@ class SegmentStore:
                 )
                 tf_parts.append(unpack_f64(c["tfs_enc"]))
                 pos_parts.extend(
-                    decode_position_lists(c["pos_lens_enc"], c["pos_vals_enc"])
+                    decode_position_blobs(
+                        varbyte_decode(c["pos_blob_lens_enc"]), c["pos_blobs"]
+                    )
                 )
             if ids_parts:
                 ids = np.concatenate(ids_parts)

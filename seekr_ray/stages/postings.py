@@ -50,8 +50,8 @@ CHUNK_SCHEMA = pa.schema(
         ("n_docs", pa.int32()),
         ("doc_ids_enc", pa.binary()),
         ("tfs_enc", pa.binary()),
-        ("pos_lens_enc", pa.binary()),
-        ("pos_vals_enc", pa.binary()),
+        ("pos_blob_lens_enc", pa.binary()),
+        ("pos_blobs", pa.binary()),
         ("max_tf", pa.float64()),
         ("min_doc_id", pa.int64()),
         ("max_doc_id", pa.int64()),
@@ -192,21 +192,13 @@ def add_partition_keys(batch: pa.Table, hot_ref, num_partitions: int) -> pa.Tabl
 # ---------------------------------------------------------------------------
 
 
-def _delta_encode_runs(values: np.ndarray, run_starts: np.ndarray) -> np.ndarray:
-    """Delta-code ``values`` but reset at each index in ``run_starts``
-    (absolute value kept there)."""
-    deltas = values.copy()
-    if len(values) > 1:
-        deltas[1:] = values[1:] - values[:-1]
-        deltas[run_starts] = values[run_starts]
-    return deltas
-
-
 def build_partition_chunks(group: pa.Table, postings_per_chunk: int) -> pa.Table:
     """All postings of one term_part -> chunk rows, vectorized.
 
     One multi-key sort, then numpy run detection per (term, salt); the
-    only Python loop is per chunk (bounded by postings_per_chunk)."""
+    per-posting position blobs arrive pre-encoded from the tokenizer, so
+    a chunk's position payload is a single memcpy slice of the binary
+    column's data buffer."""
     term_part = int(group["term_part"][0].as_py())
     order = pc.sort_indices(
         group,
@@ -217,18 +209,22 @@ def build_partition_chunks(group: pa.Table, postings_per_chunk: int) -> pa.Table
     salts = tbl["salt"].to_numpy(zero_copy_only=False)
     doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
     tfs = tbl["tf"].to_numpy(zero_copy_only=False)
-    pos_col = tbl["positions"].chunk(0) if tbl["positions"].num_chunks else None
-    if pos_col is not None and len(pos_col) > 0:
-        pos_values = pos_col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
-        pos_offsets = pos_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    else:
-        pos_values = np.empty(0, dtype=np.uint64)
-        pos_offsets = np.zeros(len(tbl) + 1, dtype=np.int64)
 
     n = len(tbl)
     rows = {k: [] for k in CHUNK_SCHEMA.names}
     if n == 0:
         return pa.table(rows, schema=CHUNK_SCHEMA)
+
+    pos_col = tbl["positions"].chunk(0)
+    bufs = pos_col.buffers()
+    pos_offs = np.frombuffer(bufs[1], dtype=np.int32)[
+        pos_col.offset : pos_col.offset + len(pos_col) + 1
+    ].astype(np.int64)
+    pos_data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
 
     # run boundaries at (term, salt) changes
     change = np.empty(n, dtype=bool)
@@ -238,8 +234,6 @@ def build_partition_chunks(group: pa.Table, postings_per_chunk: int) -> pa.Table
     run_starts = np.flatnonzero(change)
     run_ends = np.r_[run_starts[1:], n]
 
-    pos_lens = np.diff(pos_offsets)
-
     for rs, re_ in zip(run_starts, run_ends):
         term = terms[rs]
         salt = int(salts[rs])
@@ -248,25 +242,16 @@ def build_partition_chunks(group: pa.Table, postings_per_chunk: int) -> pa.Table
             ce = min(cs + postings_per_chunk, re_)
             ids = doc_ids[cs:ce]
             tf = tfs[cs:ce]
-            # positions: flat slice + per-doc lengths for this chunk
-            v0, v1 = pos_offsets[cs], pos_offsets[ce]
-            lens = pos_lens[cs:ce].astype(np.uint64)
-            vals = pos_values[v0:v1]
-            # delta within each doc's list (absolute at list starts)
-            if vals.size:
-                starts_in_chunk = (pos_offsets[cs:ce] - v0)[lens > 0]
-                deltas = _delta_encode_runs(vals, starts_in_chunk.astype(np.int64))
-                vals_enc = varbyte_encode(deltas)
-            else:
-                vals_enc = b""
+            blob_lens = (pos_offs[cs + 1 : ce + 1] - pos_offs[cs:ce]).astype(np.uint64)
+            blobs = pos_data[pos_offs[cs] : pos_offs[ce]].tobytes()
             rows["term"].append(term)
             rows["salt"].append(salt)
             rows["chunk_seq"].append(seq)
             rows["n_docs"].append(ce - cs)
             rows["doc_ids_enc"].append(encode_doc_ids(ids))
             rows["tfs_enc"].append(pack_f64(tf))
-            rows["pos_lens_enc"].append(varbyte_encode(lens))
-            rows["pos_vals_enc"].append(vals_enc)
+            rows["pos_blob_lens_enc"].append(varbyte_encode(blob_lens))
+            rows["pos_blobs"].append(blobs)
             rows["max_tf"].append(float(tf.max()))
             rows["min_doc_id"].append(int(ids[0]))
             rows["max_doc_id"].append(int(ids[-1]))
