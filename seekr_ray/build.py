@@ -148,9 +148,12 @@ def build_index(
     # -- stage 3: term stats (df, idf) --------------------------------------
     t0 = time.monotonic()
     if not (resume and _done(stats_dir)):
-        stats = compute_term_stats(
-            _read(postings_dir).select_columns(["term"]), n_docs, cfg
-        )
+        import ray.data as rd
+
+        # column pruning AT the read: a post-read select would still
+        # decompress the (heavy) positions column in every read task
+        term_only = rd.read_parquet(postings_dir, columns=["term"])
+        stats = compute_term_stats(term_only, n_docs, cfg)
         stats.write_parquet(
             stats_dir, partition_cols=["term_part"], mode="overwrite"
         )
