@@ -173,6 +173,7 @@ def build_index(
         keyed = _read(postings_dir).map_batches(
             add_partition_keys,
             batch_format="pyarrow",
+            batch_size=None,
             fn_kwargs={
                 "hot_ref": hot_ref,
                 "num_partitions": cfg.num_term_partitions,
@@ -186,7 +187,9 @@ def build_index(
             def keep_missing(batch: pa.Table) -> pa.Table:
                 return batch.filter(pc.is_in(batch["term_part"], missing_arr))
 
-            keyed = keyed.map_batches(keep_missing, batch_format="pyarrow")
+            keyed = keyed.map_batches(
+                keep_missing, batch_format="pyarrow", batch_size=None
+            )
         manifest_updates = keyed.groupby("term_part").map_groups(
             SegmentPartitionWriter,
             batch_format="pyarrow",

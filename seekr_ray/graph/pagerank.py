@@ -81,7 +81,7 @@ def resolve_links(links_ds, docs_ds):
             }
         )
 
-    edges = links_ds.map_batches(resolve, batch_format="pyarrow")
+    edges = links_ds.map_batches(resolve, batch_format="pyarrow", batch_size=None)
 
     # dedup per (src, dst) — DataBaseManager.java:51-53.  Bucketed by src
     # hash with a vectorized unique inside each bucket group (a per-pair
@@ -108,7 +108,7 @@ def resolve_links(links_ds, docs_ds):
         return tbl.filter(pa.array(keep)).drop_columns(["_b"])
 
     return (
-        edges.map_batches(add_bucket, batch_format="pyarrow")
+        edges.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
         .groupby("_b")
         .map_groups(dedup_bucket, batch_format="pyarrow")
     )

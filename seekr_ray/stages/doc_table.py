@@ -83,6 +83,7 @@ def assign_doc_ids(ds, key_cols: list[str], num_partitions: int):
     ds = ds.map_batches(
         _add_pid,
         batch_format="pyarrow",
+        batch_size=None,
         fn_kwargs={"key_cols": key_cols, "num_partitions": num_partitions},
     )
     return ds.groupby("_pid").map_groups(
@@ -126,7 +127,7 @@ def _dedup_drop_ids(pairs_ds) -> set[int]:
 
     drops = (
         pairs_ds.select_columns(["content_sha256", "doc_id"])
-        .map_batches(add_bucket, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
         .groupby("_b")
         .map_groups(drops_in_bucket, batch_format="pyarrow")
     )
@@ -173,7 +174,7 @@ def prepare_documents(
             )
 
         drop_ids = _dedup_drop_ids(
-            ds.map_batches(sha_pairs, batch_format="pyarrow")
+            ds.map_batches(sha_pairs, batch_format="pyarrow", batch_size=None)
         )
         id_map_ref = None
     else:
@@ -186,7 +187,7 @@ def prepare_documents(
             )
             return pa.table(cols)
 
-        pairs = ds.map_batches(key_pairs, batch_format="pyarrow")
+        pairs = ds.map_batches(key_pairs, batch_format="pyarrow", batch_size=None)
         with_ids = assign_doc_ids(pairs, key_cols, num_id_partitions)
         # collect the small (key -> id) table + compute the drop set in
         # the same materialized pass
@@ -244,7 +245,7 @@ def prepare_documents(
         ]
         return batch.filter(pa.array(keep))
 
-    return ds.map_batches(attach, batch_format="pyarrow")
+    return ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
 
 
 # Back-compat vectorized dedup over full rows (used by tests/extras);
@@ -256,7 +257,7 @@ def add_content_sha256(ds, content_col: str = "content"):
             pa.array(_sha_hex(batch[content_col].to_pylist()), pa.string()),
         )
 
-    return ds.map_batches(sha_batch, batch_format="pyarrow")
+    return ds.map_batches(sha_batch, batch_format="pyarrow", batch_size=None)
 
 
 def _add_sha_bucket(batch: pa.Table) -> pa.Table:
@@ -285,7 +286,7 @@ def _dedup_bucket(group: pa.Table) -> pa.Table:
 def dedup_exact(ds):
     """Exact content dedup over full rows: first (min doc_id) per sha."""
     return (
-        ds.map_batches(_add_sha_bucket, batch_format="pyarrow")
+        ds.map_batches(_add_sha_bucket, batch_format="pyarrow", batch_size=None)
         .groupby("_sha_bucket")
         .map_groups(_dedup_bucket, batch_format="pyarrow")
     )

@@ -83,7 +83,9 @@ def compute_term_stats(postings_ds, n_docs: int, cfg):
     """postings -> term_stats Dataset (term, df, idf, n_salts, term_part)."""
     num_partitions = cfg.num_term_partitions
     threshold = cfg.hot_df_threshold
-    partial = postings_ds.map_batches(_partial_df, batch_format="pyarrow")
+    partial = postings_ds.map_batches(
+        _partial_df, batch_format="pyarrow", batch_size=None
+    )
     stats = partial.groupby("term").sum("df_part")
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -107,7 +109,7 @@ def compute_term_stats(postings_ds, n_docs: int, cfg):
             }
         )
 
-    return stats.map_batches(finish, batch_format="pyarrow")
+    return stats.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
 def hot_terms_from_stats(term_stats_ds, threshold: int) -> dict[str, int]:
