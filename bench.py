@@ -84,7 +84,7 @@ def run_bench() -> dict:
     build_index(
         rd.read_parquet(corpus_path),
         index_dir,
-        IndexConfig(num_term_partitions=16, num_id_partitions=32),
+        IndexConfig(num_term_partitions=64, num_id_partitions=32),
         key_cols=["repo", "path", "commit"],
         links_ds=rd.read_parquet(links_path),
     )
@@ -99,7 +99,7 @@ def run_bench() -> dict:
     build_index(
         rd.read_parquet(docs_file),
         docs_index_dir,
-        IndexConfig(num_term_partitions=16, num_id_partitions=32),
+        IndexConfig(num_term_partitions=64, num_id_partitions=32),
         id_col="doc_id",
         content_col="text",
     )

@@ -28,12 +28,12 @@ from .stages.postings import (
     hot_terms_from_parquet,
 )
 from .stages.segments import (
-    SegmentPartitionWriter,
     completed_partitions,
     partition_file,
     read_manifest,
     write_empty_segment,
     write_manifest,
+    write_segment_partition,
 )
 from .stages.tokenize import tokenize_documents
 
@@ -191,10 +191,12 @@ def build_index(
                 keep_missing, batch_format="pyarrow", batch_size=None
             )
         manifest_updates = keyed.groupby("term_part").map_groups(
-            SegmentPartitionWriter,
+            write_segment_partition,
             batch_format="pyarrow",
-            fn_constructor_args=(seg_dir, cfg.postings_per_chunk),
-            concurrency=_pool_size(cap=cfg.num_term_partitions),
+            fn_kwargs={
+                "segments_dir": seg_dir,
+                "postings_per_chunk": cfg.postings_per_chunk,
+            },
         )
         rows = read_manifest(index_dir)
         new_rows = manifest_updates.to_pandas()

@@ -154,9 +154,10 @@ _PART_CACHE: dict[str, int] = {}
 
 def add_partition_keys(batch: pa.Table, hot_ref, num_partitions: int) -> pa.Table:
     """Adds (salt, term_part).  A stateless TASK stage on purpose: tasks
-    are elastic, so this never competes with the writer actor pool for
-    reserved CPUs (a second fixed pool in the same pipeline can deadlock
-    when pools + read tasks oversubscribe the node)."""
+    are elastic, so this never competes with other pools for reserved
+    CPUs.  Vectorized via dictionary encoding: the per-term hash runs
+    once per UNIQUE term per block (memoized per worker process), then
+    fans out with a take."""
     import ray
 
     if hot_ref is None:
@@ -169,22 +170,39 @@ def add_partition_keys(batch: pa.Table, hot_ref, num_partitions: int) -> pa.Tabl
             _HOT_CACHE.clear()
             _HOT_CACHE[key] = hot
     cache = _PART_CACHE
-    terms = batch["term"].to_pylist()
-    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    parts = np.empty(len(terms), dtype=np.int64)
-    salts = np.zeros(len(terms), dtype=np.int32)
-    for i, t in enumerate(terms):
+    n = batch.num_rows
+    enc = pc.dictionary_encode(batch["term"])
+    if enc.num_chunks:
+        enc = enc.combine_chunks()
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    uniq = enc.dictionary.to_pylist()
+    parts_u = np.empty(len(uniq), dtype=np.int64)
+    hot_uniq: list[tuple[int, str, int]] = []
+    for u, t in enumerate(uniq):
         s_count = hot.get(t)
         if s_count:
-            s = int(doc_ids[i] % s_count)
-            salts[i] = s
-            parts[i] = term_partition(t, num_partitions, s)
+            hot_uniq.append((u, t, s_count))
+            parts_u[u] = -1
         else:
             p = cache.get(t)
             if p is None:
                 p = term_partition(t, num_partitions)
                 cache[t] = p
-            parts[i] = p
+            parts_u[u] = p
+    parts = parts_u[idx]
+    salts = np.zeros(n, dtype=np.int32)
+    if hot_uniq:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        for u, t, s_count in hot_uniq:
+            mask = idx == u
+            s = (doc_ids[mask] % s_count).astype(np.int64)
+            salts[mask] = s.astype(np.int32)
+            salt_parts = np.fromiter(
+                (term_partition(t, num_partitions, k) for k in range(s_count)),
+                dtype=np.int64,
+                count=s_count,
+            )
+            parts[mask] = salt_parts[s]
     batch = batch.append_column("salt", pa.array(salts, pa.int32()))
     return batch.append_column("term_part", pa.array(parts, pa.int64()))
 

@@ -62,36 +62,34 @@ def _sha256_file(path: str) -> str:
     return h.hexdigest()
 
 
-class SegmentPartitionWriter:
+def write_segment_partition(
+    group: pa.Table, segments_dir: str, postings_per_chunk: int
+) -> pa.Table:
     """map_groups UDF over term_part: chunk-build the partition's postings
     (vectorized, stages/postings.py) and write one segment file atomically;
     returns the partition's manifest row.  Fusing build+write here keeps
-    the pipeline at ONE wide shuffle (the groupby on term_part)."""
+    the pipeline at ONE wide shuffle (the groupby on term_part).  A plain
+    function, so the reduce side runs as elastic tasks — no pool startup,
+    no CPU reservation contention."""
+    from .postings import build_partition_chunks
 
-    def __init__(self, segments_dir: str, postings_per_chunk: int):
-        self.segments_dir = segments_dir
-        self.postings_per_chunk = postings_per_chunk
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        from .postings import build_partition_chunks
-
-        t0 = time.monotonic()
-        part = int(group["term_part"][0].as_py())
-        chunks = build_partition_chunks(group, self.postings_per_chunk)
-        # rows come out (term, salt, chunk_seq)-ordered by construction;
-        # schema is pinned so file bytes never depend on upstream inference
-        chunks = chunks.select(CHUNK_SCHEMA.names).cast(CHUNK_SCHEMA)
-        path = partition_file(self.segments_dir, part)
-        _atomic_write(chunks, path)
-        return manifest_row_table(
-            part=part,
-            path=path,
-            n_chunks=chunks.num_rows,
-            n_terms=len(pc.unique(chunks["term"])),
-            n_postings=int(pc.sum(chunks["n_docs"]).as_py() or 0),
-            file_sha256=_sha256_file(path),
-            duration_s=time.monotonic() - t0,
-        )
+    t0 = time.monotonic()
+    part = int(group["term_part"][0].as_py())
+    chunks = build_partition_chunks(group, postings_per_chunk)
+    # rows come out (term, salt, chunk_seq)-ordered by construction;
+    # schema is pinned so file bytes never depend on upstream inference
+    chunks = chunks.select(CHUNK_SCHEMA.names).cast(CHUNK_SCHEMA)
+    path = partition_file(segments_dir, part)
+    _atomic_write(chunks, path)
+    return manifest_row_table(
+        part=part,
+        path=path,
+        n_chunks=chunks.num_rows,
+        n_terms=len(pc.unique(chunks["term"])),
+        n_postings=int(pc.sum(chunks["n_docs"]).as_py() or 0),
+        file_sha256=_sha256_file(path),
+        duration_s=time.monotonic() - t0,
+    )
 
 
 MANIFEST_SCHEMA = pa.schema(

@@ -1,0 +1,57 @@
+"""The distributed PageRank path equals the driver-numpy path, and both
+equal the naive reference-math oracle."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from seekr_ray.config import IndexConfig
+from seekr_ray.graph.pagerank import _pagerank_distributed, _pagerank_numpy
+from seekr_ray.oracle.reference import reference_pagerank
+
+
+def _edges():
+    # hubs, a 2-cycle, a clique, dangling nodes
+    e = [
+        (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 3), (6, 7), (7, 6),
+        (8, 9), (9, 10), (10, 8), (11, 3),
+    ]
+    return sorted(set(e))
+
+
+def test_numpy_matches_reference_oracle():
+    edges = _edges()
+    src = np.array([a for a, _ in edges])
+    dst = np.array([b for _, b in edges])
+    nodes, ranks = _pagerank_numpy(src, dst, 0.85, 1e-5)
+    want = reference_pagerank(edges)
+    assert set(nodes.tolist()) == set(want)
+    for n, r in zip(nodes.tolist(), ranks.tolist()):
+        assert math.isclose(r, want[n], abs_tol=1e-12), n
+    assert math.isclose(sum(ranks), 1.0, abs_tol=1e-3)
+
+
+def test_distributed_matches_numpy(ray_session):
+    import ray.data as rd
+
+    edges = _edges()
+    edges_ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    got = _pagerank_distributed(edges_ds, 0.85, 1e-5)
+    src = np.array([a for a, _ in edges])
+    dst = np.array([b for _, b in edges])
+    nodes, ranks = _pagerank_numpy(src, dst, 0.85, 1e-5)
+    got_map = dict(zip(got["doc_id"].to_pylist(), got["page_rank"].to_pylist()))
+    assert set(got_map) == set(nodes.tolist())
+    for n, r in zip(nodes.tolist(), ranks.tolist()):
+        # the distributed path applies identical synchronous updates; only
+        # FP summation order differs (groupby sum vs np.add.at)
+        assert math.isclose(got_map[n], r, abs_tol=1e-9), n
