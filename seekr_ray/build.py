@@ -69,16 +69,19 @@ def _parquet_count(path: str) -> int:
     return total
 
 
-def _pool_size(cap: int | None = None) -> int:
-    """Fixed actor-pool size: full width immediately (an autoscaling
-    (1, n) pool ramps up too slowly for short stages) — but leave 2 CPUs
-    for the pipeline's task stages (read/write), or the pool's actors
-    never all schedule and the pipeline deadlocks."""
+def _ncpus() -> int:
     import ray
 
-    n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    size = max(1, n - 2)
-    return min(size, cap) if cap else size
+    return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+
+
+def _target_blocks() -> int:
+    """Block-count target for shuffle inputs.  Ray's sort-based shuffle
+    materializes ~(#map blocks x #reduce partitions) objects and defaults
+    reduce partitions to the input block count, so feeding a groupby
+    hundreds of 1-MB blocks is quadratic overhead; 4 blocks per CPU keeps
+    both sides linear while leaving scheduling slack."""
+    return 4 * _ncpus()
 
 
 def build_index(
@@ -152,7 +155,9 @@ def build_index(
 
         # column pruning AT the read: a post-read select would still
         # decompress the (heavy) positions column in every read task
-        term_only = rd.read_parquet(postings_dir, columns=["term"])
+        term_only = rd.read_parquet(
+            postings_dir, columns=["term"], override_num_blocks=_target_blocks()
+        )
         stats = compute_term_stats(term_only, n_docs, cfg)
         stats.write_parquet(
             stats_dir, partition_cols=["term_part"], mode="overwrite"
@@ -170,7 +175,12 @@ def build_index(
         os.makedirs(seg_dir, exist_ok=True)
         hot = hot_terms_from_parquet(stats_dir, cfg.hot_df_threshold)
         hot_ref = ray.put(hot) if hot else None
-        keyed = _read(postings_dir).map_batches(
+        import ray.data as rd
+
+        postings_blocks = rd.read_parquet(
+            postings_dir, override_num_blocks=_target_blocks()
+        )
+        keyed = postings_blocks.map_batches(
             add_partition_keys,
             batch_format="pyarrow",
             batch_size=None,

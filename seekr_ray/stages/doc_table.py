@@ -80,12 +80,16 @@ def _assign_ids_in_partition(group: pa.Table, key_cols: list[str]) -> pa.Table:
 def assign_doc_ids(ds, key_cols: list[str], num_partitions: int):
     """Deterministic doc_id assignment (SURVEY.md §7.2 step 1) over a
     KEY-ONLY dataset: one small shuffle (groupby pid)."""
+    from ..build import _target_blocks
+
     ds = ds.map_batches(
         _add_pid,
         batch_format="pyarrow",
         batch_size=None,
         fn_kwargs={"key_cols": key_cols, "num_partitions": num_partitions},
     )
+    # pairs are tiny; coalesce so the groupby shuffle is #blocks-linear
+    ds = ds.repartition(_target_blocks())
     return ds.groupby("_pid").map_groups(
         _assign_ids_in_partition,
         batch_format="pyarrow",
@@ -125,8 +129,11 @@ def _dedup_drop_ids(pairs_ds) -> set[int]:
             drop[1:] = shas[1:] == shas[:-1]
         return pa.table({"doc_id": tbl["doc_id"].filter(pa.array(drop))})
 
+    from ..build import _target_blocks
+
     drops = (
         pairs_ds.select_columns(["content_sha256", "doc_id"])
+        .repartition(_target_blocks())
         .map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
         .groupby("_b")
         .map_groups(drops_in_bucket, batch_format="pyarrow")
