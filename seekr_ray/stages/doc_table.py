@@ -48,28 +48,35 @@ def _key_of(parts) -> str:
     return "\x00".join("" if p is None else str(p) for p in parts)
 
 
-def _add_pid(batch: pa.Table, key_cols: list[str], num_partitions: int) -> pa.Table:
+def key_hashes(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
+    """64-bit stable hash of each row's key tuple.  The key identity used
+    for ids, pids and duplicate-key collapse — two distinct keys colliding
+    in 64 bits is treated as a duplicate key (first wins), the same
+    first-wins rule as B5; expected collisions stay negligible far past
+    10^9 rows."""
     keys = [batch[c].to_pylist() for c in key_cols]
-    pid = np.fromiter(
-        (stable_hash_str(_key_of(parts)) % num_partitions for parts in zip(*keys)),
-        dtype=np.int64,
+    return np.fromiter(
+        (stable_hash_str(_key_of(parts)) for parts in zip(*keys)),
+        dtype=np.uint64,
         count=batch.num_rows,
     )
-    return batch.append_column("_pid", pa.array(pid, pa.int64()))
 
 
-def _assign_ids_in_partition(group: pa.Table, key_cols: list[str]) -> pa.Table:
-    """Sort one pid partition by key, drop duplicate keys (first wins —
-    the visited-set analog, B5), assign rank-based ids."""
+def _assign_ids_in_partition(group: pa.Table) -> pa.Table:
+    """Sort one pid partition by key hash, drop duplicate keys (first wins
+    — the visited-set analog, B5), assign rank-based ids."""
     pid = group["_pid"][0].as_py()
-    order = pc.sort_indices(group, sort_keys=[(c, "ascending") for c in key_cols])
+    sort_keys = [("_khash", "ascending")]
+    if "content_sha256" in group.column_names:
+        # deterministic winner for duplicate keys: min content sha
+        sort_keys.append(("content_sha256", "ascending"))
+    order = pc.sort_indices(group, sort_keys=sort_keys)
     group = group.take(order)
-    keys = list(zip(*[group[c].to_pylist() for c in key_cols]))
-    keep = np.empty(len(keys), dtype=bool)
-    if keys:
+    kh = group["_khash"].to_numpy(zero_copy_only=False)
+    keep = np.empty(len(kh), dtype=bool)
+    if len(kh):
         keep[0] = True
-        for i in range(1, len(keys)):
-            keep[i] = keys[i] != keys[i - 1]
+        keep[1:] = kh[1:] != kh[:-1]
         group = group.filter(pa.array(keep))
     base = np.int64(pid) << DOC_ID_PARTITION_SHIFT
     ids = base + np.arange(group.num_rows, dtype=np.int64)
@@ -79,21 +86,22 @@ def _assign_ids_in_partition(group: pa.Table, key_cols: list[str]) -> pa.Table:
 
 def assign_doc_ids(ds, key_cols: list[str], num_partitions: int):
     """Deterministic doc_id assignment (SURVEY.md §7.2 step 1) over a
-    KEY-ONLY dataset: one small shuffle (groupby pid)."""
+    KEY-ONLY dataset: one small numeric shuffle (groupby pid over key
+    hashes).  Output columns: _khash, doc_id (+ any carried columns)."""
     from ..build import _target_blocks
 
-    ds = ds.map_batches(
-        _add_pid,
-        batch_format="pyarrow",
-        batch_size=None,
-        fn_kwargs={"key_cols": key_cols, "num_partitions": num_partitions},
-    )
+    def add_keys(batch: pa.Table) -> pa.Table:
+        kh = key_hashes(batch, key_cols)
+        batch = batch.append_column("_khash", pa.array(kh, pa.uint64()))
+        return batch.append_column(
+            "_pid", pa.array((kh % num_partitions).astype(np.int64), pa.int64())
+        )
+
+    ds = ds.map_batches(add_keys, batch_format="pyarrow", batch_size=None)
     # pairs are tiny; coalesce so the groupby shuffle is #blocks-linear
     ds = ds.repartition(_target_blocks())
     return ds.groupby("_pid").map_groups(
-        _assign_ids_in_partition,
-        batch_format="pyarrow",
-        fn_kwargs={"key_cols": key_cols},
+        _assign_ids_in_partition, batch_format="pyarrow"
     )
 
 
@@ -165,11 +173,18 @@ def prepare_documents(
     stable ids (e.g. the driver's ``documents.doc_id``).  ``title`` mirrors
     ``DocumentMetaData.title``: for the code corpus it's the path basename;
     ``url`` mirrors the crawler's key (``repo://{repo}/{path}``).
+
+    Driver-side work is all-numpy (sorted key-hash lookup arrays built
+    from the collected pass-1 table; no per-row Python).  The drop-set /
+    lookup arrays are broadcast via ``ray.put`` — at a scale where the
+    unique-key table itself outgrows the driver (>> 10^8 rows), pass 1's
+    outputs stay a Dataset and the attach becomes a hash join on _khash
+    (``_dedup_drop_ids`` remains the dataset-shaped dedup for that path).
     """
     import ray
 
     if id_col is not None:
-        # pass 1: (sha, doc_id) pairs only
+        # single pass-1: (sha, doc_id) pairs, collected vectorized
         def sha_pairs(batch: pa.Table) -> pa.Table:
             return pa.table(
                 {
@@ -180,39 +195,68 @@ def prepare_documents(
                 }
             )
 
-        drop_ids = _dedup_drop_ids(
-            ds.map_batches(sha_pairs, batch_format="pyarrow", batch_size=None)
+        pair_tables = []
+        for batch in ds.map_batches(
+            sha_pairs, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow"):
+            pair_tables.append(batch)
+        pairs_tbl = (
+            pa.concat_tables(pair_tables)
+            if pair_tables
+            else pa.table(
+                {"content_sha256": pa.array([], pa.string()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
         )
-        id_map_ref = None
+        drop_arr = _drop_ids_numpy(
+            np.asarray(pairs_tbl["content_sha256"].to_pylist(), dtype=object),
+            pairs_tbl["doc_id"].to_numpy(zero_copy_only=False),
+        )
+        khash_sorted = ids_by_khash = None
     else:
         assert key_cols, "need key_cols when no id column is given"
 
         def key_pairs(batch: pa.Table) -> pa.Table:
-            cols = {c: batch[c] for c in key_cols}
-            cols["content_sha256"] = pa.array(
-                _sha_hex(batch[content_col].to_pylist()), pa.string()
+            return pa.table(
+                {
+                    c: batch[c]
+                    for c in key_cols
+                }
+                | {
+                    "content_sha256": pa.array(
+                        _sha_hex(batch[content_col].to_pylist()), pa.string()
+                    )
+                }
             )
-            return pa.table(cols)
 
         pairs = ds.map_batches(key_pairs, batch_format="pyarrow", batch_size=None)
         with_ids = assign_doc_ids(pairs, key_cols, num_id_partitions)
-        # collect the small (key -> id) table + compute the drop set in
-        # the same materialized pass
-        id_map: dict[tuple, int] = {}
-        sha_rows: list[pa.Table] = []
-        for batch in with_ids.iter_batches(batch_format="pyarrow"):
-            keys = list(zip(*[batch[c].to_pylist() for c in key_cols]))
-            for k, d in zip(keys, batch["doc_id"].to_pylist()):
-                id_map[k] = d
-            sha_rows.append(batch.select(["content_sha256", "doc_id"]))
-        import ray.data as rd
+        # vectorized driver collection: no per-row Python
+        tables = [
+            b.select(["_khash", "doc_id", "content_sha256"])
+            for b in with_ids.iter_batches(batch_format="pyarrow")
+        ]
+        if tables:
+            all_tbl = pa.concat_tables(tables)
+            kh = all_tbl["_khash"].to_numpy(zero_copy_only=False)
+            ids = all_tbl["doc_id"].to_numpy(zero_copy_only=False)
+            shas = np.asarray(all_tbl["content_sha256"].to_pylist(), dtype=object)
+        else:
+            kh = np.empty(0, dtype=np.uint64)
+            ids = np.empty(0, dtype=np.int64)
+            shas = np.empty(0, dtype=object)
+        order = np.argsort(kh)
+        khash_sorted = kh[order]
+        ids_by_khash = ids[order]
+        sha_by_khash = shas[order]
+        drop_arr = _drop_ids_numpy(shas, ids)
 
-        drop_ids = _dedup_drop_ids(
-            rd.from_arrow(pa.concat_tables(sha_rows)) if sha_rows else rd.from_items([])
-        )
-        id_map_ref = ray.put(id_map)
-
-    drop_ref = ray.put(drop_ids)
+    drop_ref = ray.put(np.sort(drop_arr))
+    lookup_ref = (
+        ray.put((khash_sorted, ids_by_khash, sha_by_khash))
+        if khash_sorted is not None
+        else None
+    )
 
     def attach(batch: pa.Table) -> pa.Table:
         drops = ray.get(drop_ref)
@@ -221,13 +265,22 @@ def prepare_documents(
                 batch = batch.rename_columns(
                     [("doc_id" if c == id_col else c) for c in batch.column_names]
                 )
-            ids = batch["doc_id"].to_pylist()
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            valid = np.ones(len(ids), dtype=bool)
         else:
-            lookup = ray.get(id_map_ref)
-            keys = list(zip(*[batch[c].to_pylist() for c in key_cols]))
-            ids = [lookup.get(k) for k in keys]
+            ksorted, ival, sval = ray.get(lookup_ref)
+            kh = key_hashes(batch, key_cols)
+            pos = np.searchsorted(ksorted, kh)
+            pos_c = np.minimum(pos, max(len(ksorted) - 1, 0))
+            valid = (len(ksorted) > 0) & (ksorted[pos_c] == kh)
+            ids = np.where(valid, ival[pos_c], -1)
             batch = batch.append_column("doc_id", pa.array(ids, pa.int64()))
         shas = _sha_hex(batch[content_col].to_pylist())
+        if id_col is None and len(shas):
+            # duplicate-key rows: only the winner content (min sha per
+            # key, chosen deterministically at id assignment) keeps its id
+            winner = np.asarray(sval[pos_c], dtype=object)
+            valid = valid & (np.asarray(shas, dtype=object) == winner)
         if "content_sha256" not in batch.column_names:
             batch = batch.append_column("content_sha256", pa.array(shas, pa.string()))
         if title_from and title_from in batch.column_names:
@@ -246,13 +299,32 @@ def prepare_documents(
             urls = [f"doc://{d}" for d in batch["doc_id"].to_pylist()]
         batch = batch.append_column("title", pa.array(titles, pa.string()))
         batch = batch.append_column("url", pa.array(urls, pa.string()))
-        # drop duplicate-content rows and (key-dup) rows with no id
-        keep = [
-            (d is not None) and (d not in drops) for d in batch["doc_id"].to_pylist()
-        ]
+        # drop duplicate-content rows and key-dup rows that lost the
+        # winner check above.  (Byte-identical source rows — same key AND
+        # same content — are indistinguishable and would each pass; such
+        # rows cannot occur when (repo,path,commit) is the input's
+        # primary key, which the input contract assumes.)
+        dpos = np.searchsorted(drops, ids)
+        dpos_c = np.minimum(dpos, max(len(drops) - 1, 0))
+        dropped = (len(drops) > 0) & (drops[dpos_c] == ids)
+        keep = valid & ~dropped
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
+
+
+def _drop_ids_numpy(shas: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Vectorized: ids to drop = every id that is not the min of its sha
+    group (first-content-wins, B6)."""
+    if len(shas) == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.lexsort((ids, shas))
+    s = shas[order]
+    i = ids[order]
+    dup = np.empty(len(s), dtype=bool)
+    dup[0] = False
+    dup[1:] = s[1:] == s[:-1]
+    return i[dup].astype(np.int64)
 
 
 # Back-compat vectorized dedup over full rows (used by tests/extras);
