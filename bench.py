@@ -133,7 +133,7 @@ def run_bench() -> dict:
     return result
 
 
-SCALING_ROWS = 100_000  # compute-dominated input for the scaling measure
+SCALING_ROWS = 200_000  # compute-dominated input for the scaling measure
 
 
 def run_scaling(levels=(2, 8)) -> dict:

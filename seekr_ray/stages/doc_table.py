@@ -270,13 +270,18 @@ def prepare_documents(
         else:
             ksorted, ival, sval = ray.get(lookup_ref)
             kh = key_hashes(batch, key_cols)
-            pos = np.searchsorted(ksorted, kh)
-            pos_c = np.minimum(pos, max(len(ksorted) - 1, 0))
-            valid = (len(ksorted) > 0) & (ksorted[pos_c] == kh)
-            ids = np.where(valid, ival[pos_c], -1)
+            if len(ksorted):
+                pos = np.searchsorted(ksorted, kh)
+                pos_c = np.minimum(pos, len(ksorted) - 1)
+                valid = ksorted[pos_c] == kh
+                ids = np.where(valid, ival[pos_c], -1)
+            else:
+                pos_c = np.zeros(len(kh), dtype=np.int64)
+                valid = np.zeros(len(kh), dtype=bool)
+                ids = np.full(len(kh), -1, dtype=np.int64)
             batch = batch.append_column("doc_id", pa.array(ids, pa.int64()))
         shas = _sha_hex(batch[content_col].to_pylist())
-        if id_col is None and len(shas):
+        if id_col is None and len(shas) and len(sval):
             # duplicate-key rows: only the winner content (min sha per
             # key, chosen deterministically at id assignment) keeps its id
             winner = np.asarray(sval[pos_c], dtype=object)
@@ -304,9 +309,11 @@ def prepare_documents(
         # same content — are indistinguishable and would each pass; such
         # rows cannot occur when (repo,path,commit) is the input's
         # primary key, which the input contract assumes.)
-        dpos = np.searchsorted(drops, ids)
-        dpos_c = np.minimum(dpos, max(len(drops) - 1, 0))
-        dropped = (len(drops) > 0) & (drops[dpos_c] == ids)
+        if len(drops):
+            dpos = np.minimum(np.searchsorted(drops, ids), len(drops) - 1)
+            dropped = drops[dpos] == ids
+        else:
+            dropped = np.zeros(len(ids), dtype=bool)
         keep = valid & ~dropped
         return batch.filter(pa.array(keep))
 
