@@ -13,9 +13,10 @@ Prints ONE JSON line:
    "queries": {...per-phase seconds...}, "sf": ..., "num_cpus": N}
 
 ``--scaling`` re-runs the headline build in two fresh processes
-(num_cpus=8 and 32 by default) on the same pre-generated input and
-reports throughputs + scaling efficiency (the sandbox stand-in for the
-north rule's N vs 4N cluster sizes).
+(num_cpus=2 and 8 by default; ``--levels N,4N`` to override) on the same
+pre-generated input and reports throughputs + scaling efficiency (the
+sandbox stand-in for the north rule's N vs 4N cluster sizes — see
+BASELINE.md §3 for why 8 vs 32 cannot work on this box).
 """
 
 from __future__ import annotations
@@ -133,7 +134,9 @@ def run_bench() -> dict:
     return result
 
 
-SCALING_ROWS = 200_000  # compute-dominated input for the scaling measure
+SCALING_ROWS = int(
+    os.environ.get("SEEKR_SCALING_ROWS", "200000")
+)  # compute-dominated input for the scaling measure
 
 
 def run_scaling(levels=(2, 8)) -> dict:
