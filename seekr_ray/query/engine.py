@@ -297,12 +297,19 @@ class QueryEngine:
         path for k << candidate-count over cold segments), "faithful" =
         the dict-based reference-semantics path.  All three are asserted
         rank-identical in tests."""
-        if (
-            not self.use_wand
-            or mode == "faithful"
-            or detect_operator(query or "")
-            or is_quoted((query or "").strip())
-        ):
+        if not self.use_wand or mode == "faithful":
+            result = self.query(query)
+            return self.rank(result.documents, result.query_words)[:k]
+        operator = detect_operator(query or "")
+        if operator:
+            parts = split_query(query)
+            if len(parts) == 2:
+                return self._bool_topk(
+                    operator, parts[0].strip(), parts[1].strip(), k
+                )
+            # malformed boolean falls through to the plain-query path
+            query = query
+        if is_quoted((query or "").strip()):
             result = self.query(query)
             return self.rank(result.documents, result.query_words)[:k]
         stems, stem_to_original = tokenize_and_stem(query or "")
@@ -316,6 +323,116 @@ class QueryEngine:
         if mode == "wand":
             return self._wand(terms, k)
         return self._taat(terms, k)
+
+    # ------------------------------------------------------------------
+    # vectorized boolean top-k (exact: same per-doc FP addition order and
+    # the same B1/B2/B3 wordInfo semantics as the faithful path)
+    # ------------------------------------------------------------------
+
+    def _component_arrays(self, query: str):
+        """One boolean operand as arrays: (query_words,
+        {original_word: (sorted doc_ids, tf*idf contrib)}, candidates)."""
+        if is_quoted(query):
+            clean = strip_quotes(query)
+            original_words = clean.split() or [clean]
+            stems, _ = tokenize_and_stem(clean)
+            docs = (
+                self.query_phrase(stems, list(original_words)).documents
+                if stems
+                else []
+            )
+            per_word: dict[str, tuple[list[int], list[float]]] = {}
+            for d in sorted(docs, key=lambda x: x.doc_id):
+                for w, (tf, idf) in d.word_info.items():
+                    ids, contribs = per_word.setdefault(w, ([], []))
+                    ids.append(d.doc_id)
+                    contribs.append(tf * idf)
+            word_arrays = {
+                w: (np.asarray(ids, dtype=np.int64), np.asarray(c))
+                for w, (ids, c) in per_word.items()
+            }
+            cand = np.array(sorted(d.doc_id for d in docs), dtype=np.int64)
+            return list(original_words), word_arrays, cand
+        stems, stem_to_original = tokenize_and_stem(query)
+        words = list(stem_to_original.values())
+        word_arrays = {}
+        cand_parts = []
+        for s in stems:
+            tp = self.store.postings(s)
+            if tp is None:
+                continue
+            orig = stem_to_original.get(s, s)
+            word_arrays[orig] = (tp.doc_ids, tp.tfs * tp.idf)
+            cand_parts.append(tp.doc_ids)
+        cand = (
+            np.unique(np.concatenate(cand_parts))
+            if cand_parts
+            else np.empty(0, dtype=np.int64)
+        )
+        return words, word_arrays, cand
+
+    @staticmethod
+    def _merge_overwrite(left, right):
+        """OR-merge one word's arrays: right's rows win for shared docs
+        (the putAll overwrite, B2)."""
+        lids, lc = left
+        rids, rc = right
+        if lids.size == 0:
+            return right
+        pos = np.searchsorted(rids, lids)
+        pos_c = np.minimum(pos, max(rids.size - 1, 0))
+        in_right = (rids.size > 0) & (rids[pos_c] == lids)
+        keep = ~in_right
+        ids = np.concatenate([lids[keep], rids])
+        c = np.concatenate([lc[keep], rc])
+        order = np.argsort(ids, kind="stable")
+        return ids[order], c[order]
+
+    def _bool_topk(self, operator, left_q, right_q, k):
+        lwords, larr, lcand = self._component_arrays(left_q)
+        rwords, rarr, rcand = self._component_arrays(right_q)
+        words = lwords + rwords
+        if operator == "AND":
+            cand = np.intersect1d(lcand, rcand)
+            sources = larr  # left wordInfo only (B1)
+        elif operator == "NOT":
+            cand = np.setdiff1d(lcand, rcand)
+            sources = larr
+        else:  # OR
+            cand = np.union1d(lcand, rcand)
+            sources = dict(larr)
+            for w, arr in rarr.items():
+                sources[w] = (
+                    self._merge_overwrite(sources[w], arr)
+                    if w in sources
+                    else arr
+                )
+        if cand.size == 0:
+            return []
+        acc = np.zeros(cand.size)
+        for w in words:  # multiplicity and order preserved (Ranker.java:26-35)
+            arr = sources.get(w)
+            if arr is None:
+                continue
+            ids, contrib = arr
+            pos = np.searchsorted(cand, ids)
+            pos_c = np.minimum(pos, cand.size - 1)
+            hit = cand[pos_c] == ids
+            acc[pos_c[hit]] += contrib[hit]
+        pr_ids, pr_ranks = self._pagerank_arrays()
+        pr = np.zeros(cand.size)
+        if pr_ids.size:
+            pos = np.minimum(np.searchsorted(pr_ids, cand), pr_ids.size - 1)
+            hit = pr_ids[pos] == cand
+            pr[hit] = pr_ranks[pos[hit]]
+        scores = self.cfg.tfidf_weight * acc + self.cfg.pagerank_weight * pr
+        if k < cand.size:
+            kth = -np.partition(-scores, k - 1)[k - 1]
+            part = np.flatnonzero(scores >= kth)
+        else:
+            part = np.arange(cand.size)
+        order = part[np.lexsort((cand[part], -scores[part]))][:k]
+        return [(int(cand[i]), float(scores[i])) for i in order]
 
     def _pagerank_arrays(self):
         if not hasattr(self, "_pr_ids"):
