@@ -135,19 +135,6 @@ def compute_term_stats(postings_ds, n_docs: int, cfg):
     )
 
 
-def hot_terms_from_stats(term_stats_ds, threshold: int) -> dict[str, int]:
-    """{term: n_salts} for salted terms — tiny (Zipf head only), safe to
-    broadcast via ray.put."""
-    hot_tbl = (
-        term_stats_ds.filter(expr=f"df > {int(threshold)}")
-        .select_columns(["term", "n_salts"])
-        .to_pandas()
-    )
-    if hot_tbl.empty or "term" not in hot_tbl.columns:
-        return {}
-    return {t: int(s) for t, s in zip(hot_tbl["term"], hot_tbl["n_salts"])}
-
-
 def hot_terms_from_parquet(stats_dir: str, threshold: int) -> dict[str, int]:
     """Same result read straight from the written term_stats parquet with
     a pushed-down row filter — no Ray execution for a tiny lookup."""
