@@ -22,6 +22,7 @@ import pyarrow as pa
 
 from .extras.textstats import (
     LANGID_THRESHOLD,
+    round6,
     doc_fingerprints,
     doc_token_counts,
     langid_heuristic,
@@ -122,7 +123,7 @@ def q_term_df_idf(sf_dir: str):
             "term": pa.array(terms, pa.string()),
             "df": pa.array([int(dfs[t]) for t in terms], pa.int64()),
             "idf": pa.array(
-                [round(math.log10(n / dfs[t]), 6) for t in terms], pa.float64()
+                [round6(math.log10(n / dfs[t])) for t in terms], pa.float64()
             ),
         }
     )
@@ -145,7 +146,7 @@ def q_term_tf(sf_dir: str):
                 if c:
                     out_d.append(d)
                     out_t.append(term)
-                    out_f.append(round(c / n, 6))
+                    out_f.append(round6(c / n))
         return pa.table(
             {
                 "doc_id": pa.array(out_d, pa.int64()),
@@ -201,7 +202,7 @@ def q_search_tfidf_topk(sf_dir: str):
         {
             "doc_id": pa.array(tbl["doc_id"], pa.int64()),
             "score": pa.array(
-                [round(s, 6) for s in tbl["score_raw"]], pa.float64()
+                [round6(s) for s in tbl["score_raw"]], pa.float64()
             ),
         }
     )

@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .textstats import simple_tokens
+from .textstats import round6, simple_tokens
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -359,7 +359,7 @@ def embedding_neardup_pairs(emb_ds, threshold: float = 0.9, id_limit: int | None
             if c >= threshold:
                 a_out.append(int(ids[i]))
                 b_out.append(int(ids[j]))
-                cos_out.append(round(float(c), 6))
+                cos_out.append(round6(float(c)))
     return pa.table(
         {
             "a": pa.array(a_out, pa.int64()),

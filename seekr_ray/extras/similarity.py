@@ -18,6 +18,8 @@ import heapq
 import numpy as np
 import pyarrow as pa
 
+from .textstats import round6
+
 
 def _to_matrix(col) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
@@ -106,7 +108,7 @@ def ann_topk_bruteforce(emb_ds, queries: np.ndarray, k: int = 10) -> pa.Table:
             rows_q.append(qi)
             rows_rank.append(rank)
             rows_id.append(-nvid)
-            rows_cos.append(round(cos, 6))
+            rows_cos.append(round6(cos))
     return pa.table(
         {
             "query_i": pa.array(rows_q, pa.int32()),
@@ -187,7 +189,7 @@ def ann_topk_lsh(
                 out_q.append(qi)
                 out_rank.append(rank)
                 out_id.append(int(cids[j]))
-                out_cos.append(round(float(sims[j]), 6))
+                out_cos.append(round6(float(sims[j])))
     return pa.table(
         {
             "query_i": pa.array(out_q, pa.int32()),

@@ -24,6 +24,15 @@ TOKEN_RE = re.compile(r"[a-z]+")
 MIN_LEN, MAX_LEN = 2, 45
 
 
+def round6(x: float) -> float:
+    """Half-away-from-zero rounding to 6dp — matches SQL ROUND(x, 6).
+    Python's round() is banker's rounding and disagrees with DuckDB on
+    exact halves (e.g. 0.8203125), which broke value-hash compares."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+
 def simple_tokens(text: str) -> list[str]:
     return [
         t
@@ -91,15 +100,15 @@ def quality_stats(docs_ds, text_col: str = "text"):
             ]
             n_tokens.append(len(kept))
             mean_len.append(
-                round(sum(len(w) for w in kept) / len(kept), 6) if kept else 0.0
+                round6(sum(len(w) for w in kept) / len(kept)) if kept else 0.0
             )
             stop_ratio.append(
-                round(sum(1 for w in raw if w in STOPWORDS) / len(raw), 6)
+                round6(sum(1 for w in raw if w in STOPWORDS) / len(raw))
                 if raw
                 else 0.0
             )
             n_alpha = sum(1 for c in t if c.isalpha())
-            alpha_ratio.append(round(n_alpha / len(t), 6) if t else 0.0)
+            alpha_ratio.append(round6(n_alpha / len(t)) if t else 0.0)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
