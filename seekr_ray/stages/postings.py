@@ -79,7 +79,7 @@ def _partial_df(batch: pa.Table, num_partitions: int) -> pa.Table:
     unique term, memoized per worker process)."""
     g = batch.select(["term"]).group_by("term").aggregate([("term", "count")])
     g = g.rename_columns(["term", "df_part"])
-    cache = _PART_CACHE
+    cache = _part_cache(num_partitions)
     parts = np.empty(g.num_rows, dtype=np.int64)
     for i, t in enumerate(g["term"].to_pylist()):
         p = cache.get(t)
@@ -157,9 +157,20 @@ def hot_terms_from_parquet(stats_dir: str, threshold: int) -> dict[str, int]:
 
 # per-worker-process caches for the stateless partition-key tasks: the
 # broadcast hot dict is fetched once per process (zero-copy plasma get)
-# and term->partition hashes memoize across batches.
+# and term->partition hashes memoize across batches.  The partition memo
+# MUST be keyed by num_partitions: worker processes outlive a single
+# build, and a cache warmed under P=8 silently mis-partitions a later
+# P=4 build (hot terms vanish from their expected partitions).
 _HOT_CACHE: dict[str, dict] = {}
-_PART_CACHE: dict[str, int] = {}
+_PART_CACHES: dict[int, dict[str, int]] = {}
+
+
+def _part_cache(num_partitions: int) -> dict[str, int]:
+    cache = _PART_CACHES.get(num_partitions)
+    if cache is None:
+        _PART_CACHES.clear()
+        cache = _PART_CACHES.setdefault(num_partitions, {})
+    return cache
 
 
 def add_partition_keys(batch: pa.Table, hot_ref, num_partitions: int) -> pa.Table:
@@ -179,7 +190,7 @@ def add_partition_keys(batch: pa.Table, hot_ref, num_partitions: int) -> pa.Tabl
             hot = ray.get(hot_ref)
             _HOT_CACHE.clear()
             _HOT_CACHE[key] = hot
-    cache = _PART_CACHE
+    cache = _part_cache(num_partitions)
     n = batch.num_rows
     enc = pc.dictionary_encode(batch["term"])
     if enc.num_chunks:
