@@ -6,7 +6,22 @@ its output under ``index_dir`` with a ``_SUCCESS`` marker, records metrics
 in ``metrics.json``, and is skipped on resume when already complete.  The
 segment stage additionally checkpoints per term-partition via
 ``manifest.jsonl`` (stages/segments.py), so a build killed mid-shuffle
-resumes by rebuilding only the missing partitions.
+resumes by rebuilding only the missing partitions.  A config checkpoint
+(``config.json``) is validated on resume: partition-affecting knobs may
+not change across a resume (they would silently mis-route lookups).
+
+Content is touched exactly ONCE end-to-end (v2 layout):
+
+    pass 0   key columns only          -> khash -> dense doc_id map
+    pass 1   THE full corpus read      -> docs/ (sha + ids + title/url,
+                                          doc_id-sorted row groups)
+    pass 2   narrow (doc_id,sha) read  -> drops/ (dedup losers)
+    pass 3   docs/ (doc_id,content)    -> postings/term_part=K/ hive write
+                                          (write-side shuffle)
+    pass 4   per-partition local read  -> segments/ + term_stats/ fused
+
+Duplicate rows stay physically in docs/ masked by drops/ — storage cost
+is the duplicate fraction; the win is a full corpus decode + sha pass.
 
 No function here calls ``ray.init``; the caller owns the session
 (driver contract in ``__ray_entry__.py``).
@@ -19,15 +34,22 @@ import os
 import time
 
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 from .config import IndexConfig
-from .stages.doc_table import prepare_documents
+from .stages.doc_table import (
+    DropFilter,
+    DROPS_SCHEMA,
+    assign_ids_from_keys,
+    attach_documents,
+)
 from .stages.postings import (
     add_partition_keys,
     compute_term_stats,
     hot_terms_from_parquet,
 )
 from .stages.segments import (
+    build_partition_fused,
     completed_partitions,
     partition_file,
     read_manifest,
@@ -51,16 +73,21 @@ def _mark(path: str) -> None:
         f.write("")
 
 
-def _read(path: str):
+def _read(path: str, columns: list[str] | None = None, blocks: int | None = None):
     import ray.data as rd
 
-    return rd.read_parquet(path)
+    kwargs = {}
+    if columns is not None:
+        kwargs["columns"] = columns
+    if blocks is not None:
+        kwargs["override_num_blocks"] = blocks
+    return rd.read_parquet(path, **kwargs)
 
 
 def _parquet_count(path: str) -> int:
     """Row count from parquet footers — no Ray execution needed."""
-    import pyarrow.parquet as pq
-
+    if os.path.isfile(path):
+        return pq.read_metadata(path).num_rows
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
@@ -84,6 +111,121 @@ def _target_blocks() -> int:
     return 4 * _ncpus()
 
 
+def _bytes_of(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _blocks_for(path: str, per_block_bytes: int = 32 << 20, cap: int | None = None) -> int:
+    """Input block count for a stage that fans out per block (e.g. the
+    hive-partitioned postings write creates ~blocks x P files): enough
+    blocks to keep every CPU busy, no more than the data supports —
+    excess blocks here are pure per-file overhead, not parallelism."""
+    n = _ncpus()
+    by_bytes = max(1, _bytes_of(path) // per_block_bytes)
+    return max(n, min(_target_blocks(), by_bytes))
+
+
+# partition-affecting knobs: changing any across a resume would mis-route
+# hash(term) % P lookups into files partitioned under the old value
+# (silently-empty query results) — hard-fail instead.
+_RESUME_PINNED_FIELDS = (
+    "num_term_partitions",
+    "num_id_partitions",
+    "hot_df_threshold",
+    "postings_per_chunk",
+    "store_positions",
+    "shuffle_strategy",
+)
+
+
+def _check_config(index_dir: str, cfg: IndexConfig, resume: bool) -> None:
+    path = os.path.join(index_dir, "config.json")
+    if resume and os.path.exists(path):
+        with open(path) as f:
+            old = json.load(f)
+        diffs = {
+            f: (old.get(f), getattr(cfg, f))
+            for f in _RESUME_PINNED_FIELDS
+            if old.get(f) != getattr(cfg, f)
+        }
+        if diffs:
+            raise ValueError(
+                f"resume with changed partition-affecting config for {index_dir}: "
+                f"{diffs}; pass resume=False (full rebuild) or restore the "
+                "original values"
+            )
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cfg.to_dict(), f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+# ---------------------------------------------------------------------------
+# drops helpers
+# ---------------------------------------------------------------------------
+
+
+def drops_file(index_dir: str) -> str:
+    return os.path.join(index_dir, "drops", "drops.parquet")
+
+
+def load_drops(index_dir: str) -> pa.Table:
+    path = drops_file(index_dir)
+    if os.path.exists(path):
+        return pq.read_table(path)
+    return DROPS_SCHEMA.empty_table()
+
+
+def read_docs_table(
+    index_dir: str, columns: list[str] | None = None
+) -> pa.Table:
+    """Dedup-filtered docs table as one pyarrow Table (test/oracle/export
+    helper — small-scale convenience; pipelines use the Dataset form)."""
+    cols = columns
+    if cols is not None:
+        need = set(cols) | {"doc_id", "content_sha256"}
+        cols = sorted(need)
+    tbl = pq.read_table(os.path.join(index_dir, "docs"), columns=cols)
+    dropf = DropFilter(load_drops(index_dir))
+    if not dropf.empty:
+        import numpy as np
+
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        shas = tbl["content_sha256"].to_pylist()
+        tbl = tbl.filter(pa.array(dropf.keep_mask(ids, shas)))
+    if columns is not None:
+        tbl = tbl.select(columns)
+    return tbl
+
+
+def _filtered_docs_ds(docs_dir: str, index_dir: str, columns: list[str], blocks: int):
+    """Dataset over docs/ with dedup losers masked out."""
+    import ray
+
+    dropf = DropFilter(load_drops(index_dir))
+    need = list(dict.fromkeys(columns + ["doc_id", "content_sha256"]))
+    ds = _read(docs_dir, columns=need, blocks=blocks)
+    if dropf.empty:
+        return ds.select_columns(columns) if set(columns) != set(need) else ds
+    ref = ray.put(dropf)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        f: DropFilter = ray.get(ref)
+        return f.filter_batch(batch).select(columns)
+
+    return ds.map_batches(apply, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# build
+# ---------------------------------------------------------------------------
+
+
 def build_index(
     docs_ds,
     index_dir: str,
@@ -94,56 +236,240 @@ def build_index(
     content_col: str = "content",
     links_ds=None,
     resume: bool = True,
+    input_path: str | None = None,
 ) -> dict:
     """Build the full inverted index under ``index_dir``.
 
     ``docs_ds`` — Ray Dataset with either ``id_col`` (pre-assigned stable
     ids) or ``key_cols`` (e.g. ["repo", "path", "commit"]) plus
     ``content_col``.  ``links_ds`` (optional) — link rows for PageRank
-    (src key columns + ``dst_url``).  Returns the metrics dict.
+    (src key columns + ``dst_url``).  ``input_path`` (optional) — the
+    source parquet path; when given, the key-only id pass prunes its read
+    to ``key_cols`` at the parquet layer (Ray 2.49 has no projection
+    pushdown for ``select_columns``).  Returns the metrics dict.
     """
     from .graph.pagerank import build_pagerank_table
 
     cfg = cfg or IndexConfig()
     os.makedirs(index_dir, exist_ok=True)
+    _check_config(index_dir, cfg, resume)
     metrics: dict = {"stages": {}}
     t_all = time.monotonic()
 
     docs_dir = os.path.join(index_dir, "docs")
+    drops_dir = os.path.join(index_dir, "drops")
     postings_dir = os.path.join(index_dir, "postings")
     stats_dir = os.path.join(index_dir, "term_stats")
     seg_dir = os.path.join(index_dir, "segments")
     pr_dir = os.path.join(index_dir, "pagerank")
 
-    # -- stage 1: doc table (ids + sha256 + exact dedup) --------------------
+    # -- stage 1: doc table — THE single full content pass ------------------
     t0 = time.monotonic()
     if not (resume and _done(docs_dir)):
-        prepared = prepare_documents(
-            docs_ds,
-            key_cols=key_cols,
-            content_col=content_col,
-            num_id_partitions=cfg.num_id_partitions,
-            id_col=id_col,
+        if id_col is None:
+            assert key_cols, "need key_cols when no id column is given"
+            from .stages.doc_table import DRIVER_TABLE_LIMIT, assign_ids_driver
+
+            if input_path and _parquet_count(input_path) <= DRIVER_TABLE_LIMIT:
+                # key columns only, straight off the parquet footers —
+                # no Ray execution for the id bookkeeping at this scale
+                id_map = assign_ids_driver(
+                    pq.read_table(input_path, columns=key_cols),
+                    key_cols,
+                    cfg.num_id_partitions,
+                )
+            else:
+                keys_src = (
+                    _read(input_path, columns=key_cols, blocks=_target_blocks())
+                    if input_path
+                    else docs_ds.select_columns(key_cols)
+                )
+                id_map = assign_ids_from_keys(
+                    keys_src, key_cols, cfg.num_id_partitions
+                )
+        else:
+            id_map = None
+        # when the source path is known, re-read it with size-targeted
+        # blocks: the docs write emits ~one file per read task, and a
+        # fragmented docs/ (hundreds of tiny files) taxes every
+        # downstream read with per-fragment blocks
+        src = (
+            _read(input_path, blocks=_blocks_for(input_path))
+            if input_path
+            else docs_ds
         )
-        prepared.write_parquet(docs_dir, mode="overwrite")
+        prepared = attach_documents(
+            src, key_cols, content_col, id_map, id_col=id_col
+        )
+        prepared.write_parquet(
+            docs_dir,
+            mode="overwrite",
+            compression="zstd",
+            row_group_size=2048,
+        )
         _mark(docs_dir)
-    docs = _read(docs_dir)
-    n_docs = _parquet_count(docs_dir)
-    metrics["stages"]["doc_table"] = {
+    metrics["stages"]["doc_table"] = {"seconds": time.monotonic() - t0}
+
+    # -- stage 1b: dedup drops (narrow (doc_id, sha) pass) ------------------
+    t0 = time.monotonic()
+    if not (resume and _done(drops_dir)):
+        from .stages.doc_table import compute_drops
+
+        drops = compute_drops(docs_dir)
+        os.makedirs(drops_dir, exist_ok=True)
+        tmp = drops_file(index_dir) + ".tmp"
+        pq.write_table(drops, tmp)
+        os.replace(tmp, drops_file(index_dir))
+        _mark(drops_dir)
+    n_docs = _parquet_count(docs_dir) - _parquet_count(drops_dir)
+    metrics["stages"]["doc_table"]["n_docs"] = n_docs
+    metrics["stages"]["dedup"] = {
         "seconds": time.monotonic() - t0,
-        "n_docs": n_docs,
+        "n_dropped": _parquet_count(drops_dir),
     }
 
-    # -- stage 2: tokenize -> postings intermediate -------------------------
-    # Materialized to parquet on purpose: it is (a) the tokenize-stage
-    # checkpoint and (b) read twice (stats pass + segment pass) without
-    # re-running the actor pool.  Scale: columnar + dictionary encoding
-    # keeps this well under the raw-text input size.
+    # fine-grained blocks for the tokenize fan-out: this stage is pure
+    # CPU, so blocks are sized to ~2k docs (8 MB) for load balance, not
+    # to IO-efficient 32 MB reads
+    docs_in = _filtered_docs_ds(
+        docs_dir, index_dir, ["doc_id", content_col],
+        _blocks_for(docs_dir, per_block_bytes=8 << 20),
+    )
+
+    if cfg.shuffle_strategy == "partitioned_write":
+        _build_segments_partitioned(
+            docs_in, index_dir, cfg, content_col, n_docs, resume, metrics
+        )
+    else:
+        _build_segments_salted(
+            docs_in, index_dir, cfg, content_col, n_docs, resume, metrics
+        )
+
+    # -- stage 5: pagerank ---------------------------------------------------
+    t0 = time.monotonic()
+    if links_ds is not None and not (resume and _done(pr_dir)):
+        from .stages.doc_table import DRIVER_TABLE_LIMIT
+
+        # lazy dataset for the distributed path; a pyarrow table for the
+        # driver fast path when the doc count allows it
+        docs_for_links = _filtered_docs_ds(
+            docs_dir, index_dir, ["url", "doc_id"], _blocks_for(docs_dir)
+        )
+        docs_table = (
+            read_docs_table(index_dir, columns=["url", "doc_id"])
+            if n_docs <= DRIVER_TABLE_LIMIT
+            else None
+        )
+        pr = build_pagerank_table(
+            links_ds, docs_for_links, cfg, docs_table=docs_table
+        )
+        import shutil
+
+        shutil.rmtree(pr_dir, ignore_errors=True)
+        os.makedirs(pr_dir, exist_ok=True)
+        tmp = os.path.join(pr_dir, "part-00000.parquet.tmp")
+        pq.write_table(pr, tmp)
+        os.replace(tmp, tmp[: -len(".tmp")])
+        _mark(pr_dir)
+    metrics["stages"]["pagerank"] = {"seconds": time.monotonic() - t0}
+
+    # -- meta ----------------------------------------------------------------
+    meta = {
+        "n_docs": n_docs,
+        "config": cfg.to_dict(),
+        "version": 2,
+        "has_pagerank": _done(pr_dir) if links_ds is not None else os.path.exists(_success(pr_dir)),
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    metrics["total_seconds"] = time.monotonic() - t_all
+    metrics["n_docs"] = n_docs
+    with open(os.path.join(index_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1, sort_keys=True)
+    return metrics
+
+
+def _build_segments_partitioned(
+    docs_in, index_dir, cfg, content_col, n_docs, resume, metrics
+):
+    """Stages 2-4, partitioned-write strategy: hive-partitioned postings
+    write (write-side shuffle), then one fused local task per partition
+    building segment + stats — no object-store all-to-all anywhere."""
+    import ray.data as rd
+
+    postings_dir = os.path.join(index_dir, "postings")
+    stats_dir = os.path.join(index_dir, "term_stats")
+    seg_dir = os.path.join(index_dir, "segments")
+
+    # -- stage 2: tokenize -> hive-partitioned postings (write shuffle) -----
     t0 = time.monotonic()
     if not (resume and _done(postings_dir)):
-        postings = tokenize_documents(
-            docs.select_columns(["doc_id", content_col]), cfg, content_col
+        import shutil
+
+        from .stages.tokenize import write_postings_partitioned
+
+        shutil.rmtree(postings_dir, ignore_errors=True)
+        write_postings_partitioned(docs_in, cfg, content_col, postings_dir)
+        _mark(postings_dir)
+    metrics["stages"]["tokenize"] = {"seconds": time.monotonic() - t0}
+
+    # -- stages 3+4 fused: per-partition segment + stats --------------------
+    t0 = time.monotonic()
+    done = completed_partitions(index_dir, require_stats=True) if resume else set()
+    missing = sorted(set(range(cfg.num_term_partitions)) - done)
+    if missing:
+        os.makedirs(seg_dir, exist_ok=True)
+        os.makedirs(stats_dir, exist_ok=True)
+        ppc = cfg.postings_per_chunk
+
+        def run_parts(batch: pa.Table) -> pa.Table:
+            rows = [
+                build_partition_fused(
+                    int(p), postings_dir, seg_dir, stats_dir, ppc, n_docs
+                )
+                for p in batch["part"].to_pylist()
+            ]
+            return pa.concat_tables(rows)
+
+        parts_ds = rd.from_items(
+            [{"part": int(p)} for p in missing],
+            override_num_blocks=len(missing),
         )
+        manifest_updates = parts_ds.map_batches(
+            run_parts, batch_format="pyarrow", batch_size=None
+        )
+        rows = read_manifest(index_dir)
+        new_rows = manifest_updates.to_pandas()
+        for _, r in new_rows.iterrows():
+            rows[int(r["partition"])] = {
+                k: (v.item() if hasattr(v, "item") else v) for k, v in r.items()
+            }
+        write_manifest(index_dir, rows)
+    metrics["stages"]["term_stats"] = {"seconds": 0.0, "fused": True}
+    metrics["stages"]["segments"] = {
+        "seconds": time.monotonic() - t0,
+        "partitions_built": len(missing),
+        "partitions_skipped": len(done),
+    }
+
+
+def _build_segments_salted(
+    docs_in, index_dir, cfg, content_col, n_docs, resume, metrics
+):
+    """Stages 2-4, round-1 strategy: flat postings intermediate, partial-df
+    stats groupby, hot-term salting, groupby(term_part) shuffle into the
+    partition writer.  Kept for corpora with df ~ N terms."""
+    import ray
+    import ray.data as rd
+
+    postings_dir = os.path.join(index_dir, "postings")
+    stats_dir = os.path.join(index_dir, "term_stats")
+    seg_dir = os.path.join(index_dir, "segments")
+
+    # -- stage 2: tokenize -> postings intermediate -------------------------
+    t0 = time.monotonic()
+    if not (resume and _done(postings_dir)):
+        postings = tokenize_documents(docs_in, cfg, content_col)
         postings.write_parquet(postings_dir, mode="overwrite")
         _mark(postings_dir)
     metrics["stages"]["tokenize"] = {"seconds": time.monotonic() - t0}
@@ -151,10 +477,6 @@ def build_index(
     # -- stage 3: term stats (df, idf) --------------------------------------
     t0 = time.monotonic()
     if not (resume and _done(stats_dir)):
-        import ray.data as rd
-
-        # column pruning AT the read: a post-read select would still
-        # decompress the (heavy) positions column in every read task
         term_only = rd.read_parquet(
             postings_dir, columns=["term"], override_num_blocks=_target_blocks()
         )
@@ -170,13 +492,9 @@ def build_index(
     done = completed_partitions(index_dir) if resume else set()
     missing = sorted(set(range(cfg.num_term_partitions)) - done)
     if missing:
-        import ray
-
         os.makedirs(seg_dir, exist_ok=True)
         hot = hot_terms_from_parquet(stats_dir, cfg.hot_df_threshold)
         hot_ref = ray.put(hot) if hot else None
-        import ray.data as rd
-
         postings_blocks = rd.read_parquet(
             postings_dir, override_num_blocks=_target_blocks()
         )
@@ -212,8 +530,7 @@ def build_index(
         new_rows = manifest_updates.to_pandas()
         for _, r in new_rows.iterrows():
             rows[int(r["partition"])] = {
-                k: (v.item() if hasattr(v, "item") else v)
-                for k, v in r.items()
+                k: (v.item() if hasattr(v, "item") else v) for k, v in r.items()
             }
         # partitions with no terms at all: write empty markers
         for part in missing:
@@ -234,30 +551,6 @@ def build_index(
             "partitions_built": 0,
             "partitions_skipped": len(done),
         }
-
-    # -- stage 5: pagerank ---------------------------------------------------
-    t0 = time.monotonic()
-    if links_ds is not None and not (resume and _done(pr_dir)):
-        pr = build_pagerank_table(links_ds, docs, cfg)
-        pr.write_parquet(pr_dir, mode="overwrite")
-        os.makedirs(pr_dir, exist_ok=True)  # empty write creates no dir
-        _mark(pr_dir)
-    metrics["stages"]["pagerank"] = {"seconds": time.monotonic() - t0}
-
-    # -- meta ----------------------------------------------------------------
-    meta = {
-        "n_docs": n_docs,
-        "config": cfg.to_dict(),
-        "version": 1,
-        "has_pagerank": _done(pr_dir) if links_ds is not None else os.path.exists(_success(pr_dir)),
-    }
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=1, sort_keys=True)
-    metrics["total_seconds"] = time.monotonic() - t_all
-    metrics["n_docs"] = n_docs
-    with open(os.path.join(index_dir, "metrics.json"), "w") as f:
-        json.dump(metrics, f, indent=1, sort_keys=True)
-    return metrics
 
 
 def load_meta(index_dir: str) -> dict:

@@ -56,6 +56,7 @@ def cmd_build(args) -> int:
         num_id_partitions=args.id_partitions,
         hot_df_threshold=args.hot_df_threshold,
         postings_per_chunk=args.postings_per_chunk,
+        shuffle_strategy=args.shuffle_strategy,
     )
     docs = rd.read_parquet(args.input)
     links = rd.read_parquet(args.links) if args.links else None
@@ -72,6 +73,7 @@ def cmd_build(args) -> int:
         content_col=args.content_col,
         links_ds=links,
         resume=not args.no_resume,
+        input_path=args.input,
     )
     print(json.dumps(metrics, indent=1, sort_keys=True))
     ray.shutdown()
@@ -115,6 +117,11 @@ def main(argv=None) -> int:
     b.add_argument("--id-partitions", type=int, default=64)
     b.add_argument("--hot-df-threshold", type=int, default=100_000)
     b.add_argument("--postings-per-chunk", type=int, default=4096)
+    b.add_argument(
+        "--shuffle-strategy",
+        choices=["partitioned_write", "salted_groupby"],
+        default="partitioned_write",
+    )
     b.add_argument("--num-cpus", type=int, default=None)
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=cmd_build)

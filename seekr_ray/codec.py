@@ -26,19 +26,18 @@ import numpy as np
 _MAX_BYTES = 10  # 64 bits / 7
 
 
+# varbyte group-width thresholds: value v needs k bytes iff
+# v >= 2^(7(k-1)); searchsorted over these beats bit-twiddling passes
+_WIDTH_THRESHOLDS = (np.uint64(1) << (np.uint64(7) * np.arange(1, 10, dtype=np.uint64)))
+
+
 def varbyte_encode(values: np.ndarray) -> bytes:
     """Encode a uint64 array.  Vectorized: one pass per byte-level."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # bytes needed per value: position of highest set bit / 7, min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    for shift in (32, 16, 8, 4, 2, 1):
-        mask = tmp >= (np.uint64(1) << np.uint64(shift))
-        nbits[mask] += shift
-        tmp[mask] >>= np.uint64(shift)
-    nbytes = nbits // 7 + 1
+    # bytes needed per value: one searchsorted over the 9 width thresholds
+    nbytes = np.searchsorted(_WIDTH_THRESHOLDS, v, side="right") + 1
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
     # offset of each value's first byte
@@ -141,13 +140,7 @@ def decode_position_lists(
 def nbytes_per_value(values: np.ndarray) -> np.ndarray:
     """Varbyte byte-count per value (vectorized)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    for shift in (32, 16, 8, 4, 2, 1):
-        mask = tmp >= (np.uint64(1) << np.uint64(shift))
-        nbits[mask] += shift
-        tmp[mask] >>= np.uint64(shift)
-    return nbits // 7 + 1
+    return np.searchsorted(_WIDTH_THRESHOLDS, v, side="right") + 1
 
 
 def delta_encode_lists(values: np.ndarray, list_offsets: np.ndarray) -> np.ndarray:

@@ -39,6 +39,17 @@ class IndexConfig:
 
     store_positions: bool = True
 
+    # how postings reach their term partition (see stages/segments.py):
+    # "partitioned_write" — tokenize hive-partitions its output by
+    #   hash(term) % P at write time; each partition then builds segment +
+    #   stats in one local task (no object-store all-to-all; the default
+    #   and the scaling path);
+    # "salted_groupby" — round-1 path: flat postings intermediate, stats
+    #   groupby, hot-term salting, groupby(term_part) shuffle.  Kept for
+    #   corpora with known df ~ N terms where write-time partitioning
+    #   would concentrate a partition.
+    shuffle_strategy: str = "partitioned_write"
+
     # scoring blend (Ranker.java:18-19)
     tfidf_weight: float = 0.7
     pagerank_weight: float = 0.3
@@ -49,6 +60,10 @@ class IndexConfig:
     # PageRank (PageRank.java:14-15)
     pagerank_damping: float = 0.85
     pagerank_epsilon: float = 1e-5
+    # graphs with at most this many edges (and docs, for the resolve fast
+    # path) iterate as numpy on the driver; larger graphs run the
+    # distributed join+groupby power iteration (graph/pagerank.py)
+    pagerank_driver_edge_limit: int = 2_000_000
 
     def to_dict(self) -> dict:
         return asdict(self)

@@ -346,15 +346,23 @@ def _corpus_index(sf_dir: str) -> str:
     from .fixtures import cached_corpus_path, cached_links_path
 
     n = _corpus_rows_for(sf_dir)
-    index_dir = f"/tmp/seekr_entry_index_n{n}"
+    # v2 suffix: the on-disk layout changed (drops/ + hive postings) —
+    # never resume onto a stale round-1 index left in /tmp
+    index_dir = f"/tmp/seekr_entry_index_n{n}_v2"
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
-        docs = rd.read_parquet(cached_corpus_path(n))
+        corpus_path = cached_corpus_path(n)
+        docs = rd.read_parquet(corpus_path)
         links = rd.read_parquet(cached_links_path(n))
         cfg = IndexConfig(
             num_term_partitions=8, num_id_partitions=8, hot_df_threshold=2000
         )
         build_index(
-            docs, index_dir, cfg, key_cols=["repo", "path", "commit"], links_ds=links
+            docs,
+            index_dir,
+            cfg,
+            key_cols=["repo", "path", "commit"],
+            links_ds=links,
+            input_path=corpus_path,
         )
     return index_dir
 

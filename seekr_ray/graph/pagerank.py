@@ -14,16 +14,21 @@ Reference semantics reproduced exactly (``Ranker/PageRank.java:12-105``,
 * documents outside the graph keep page_rank 0.0 (default column value,
   ``Crawler.java:400``).
 
-Two execution paths, equal-by-test on the fixture graph:
+Path selection is gated on CHEAP COUNTS (never a collect-then-check):
 
-* ``_pagerank_numpy`` — edge arrays on the driver (vectorized
-  ``np.add.at`` scatter), used when the resolved edge count is modest.
-  This replaces the reference's O(V^2) "who links to i" inner scan
-  (``PageRank.java:79-84``) with O(E) per iteration.
-* ``_pagerank_distributed`` — per-iteration ``edges ⋈ ranks`` hash join +
-  ``groupby(dst).sum()`` over Ray Datasets, for graphs whose edge list
-  cannot sit on one node.  The rank table is the only per-iteration
-  materialization (it is O(V) rows of 16 bytes).
+* driver path — when both the edge count and the doc count fit
+  ``cfg.pagerank_driver_edge_limit``, everything (resolve, dedup, power
+  iteration) runs as numpy on the driver with ZERO Ray executions beyond
+  materializing the two small inputs.  O(E) per iteration via
+  ``np.add.at`` scatter (the reference's inner loop is O(V^2),
+  ``PageRank.java:79-84``).
+* distributed path — edges stay a materialized Dataset.  Per iteration
+  ONE broadcast of three sorted numpy arrays (nodes, rank/outdeg value,
+  nothing per-row-Python), a vectorized ``searchsorted``+``take`` contrib
+  kernel with per-batch partial aggregation, and a ``groupby(dst).sum``
+  whose output is the O(V) aggregated rank table — the only per-iteration
+  driver materialization (16 B/node; the edge set never returns to the
+  driver).  Both paths are equal-by-test on the same graphs.
 """
 
 from __future__ import annotations
@@ -32,8 +37,6 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import IndexConfig
-
-_DRIVER_EDGE_LIMIT = 2_000_000
 
 
 def resolve_links(links_ds, docs_ds):
@@ -114,6 +117,33 @@ def resolve_links(links_ds, docs_ds):
     )
 
 
+def resolve_links_driver(links_tbl: pa.Table, docs_tbl: pa.Table):
+    """Driver-side resolve + dedup over pyarrow tables (small-graph fast
+    path; same inner-join + per-(src,dst)-dedup semantics as
+    ``resolve_links``).  Returns (src, dst) int64 arrays."""
+    url_to_id = dict(
+        zip(docs_tbl["url"].to_pylist(), docs_tbl["doc_id"].to_pylist())
+    )
+    if "src_doc_id" in links_tbl.column_names:
+        src_ids = links_tbl["src_doc_id"].to_pylist()
+    else:
+        src_ids = [
+            url_to_id.get(f"repo://{r}/{p}")
+            for r, p in zip(
+                links_tbl["src_repo"].to_pylist(),
+                links_tbl["src_path"].to_pylist(),
+            )
+        ]
+    dst_ids = [url_to_id.get(u) for u in links_tbl["dst_url"].to_pylist()]
+    pairs = np.array(
+        [(s, d) for s, d in zip(src_ids, dst_ids) if s is not None and d is not None],
+        dtype=np.int64,
+    ).reshape(-1, 2)
+    if len(pairs):
+        pairs = np.unique(pairs, axis=0)
+    return pairs[:, 0], pairs[:, 1]
+
+
 def _pagerank_numpy(
     src: np.ndarray, dst: np.ndarray, damping: float, epsilon: float
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -143,64 +173,114 @@ def _pagerank_numpy(
     return nodes, p
 
 
-def _pagerank_distributed(edges_ds, damping: float, epsilon: float):
-    """Join+groupby power iteration over Datasets.
+def _graph_metadata(edges_ds) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted node ids, aligned outdeg) from the edge Dataset via
+    per-batch partials + one small bucketed groupby — the edge set itself
+    never reaches the driver."""
 
-    Per iteration: contribs = edges ⋈ ranks (hash join on src) →
-    groupby(dst).sum → apply damping + dangling.  The driver only sees the
-    per-iteration max-delta scalar and the O(V) rank table boundaries."""
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        usrc, counts = np.unique(src, return_counts=True)
+        udst = np.unique(dst)
+        nodes = np.concatenate([usrc, udst])
+        deg = np.concatenate([counts, np.zeros(len(udst), dtype=np.int64)])
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "deg": pa.array(deg, pa.int64()),
+                "_b": pa.array((nodes % 64).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        nodes = group["node"].to_numpy(zero_copy_only=False)
+        deg = group["deg"].to_numpy(zero_copy_only=False)
+        unodes, inv = np.unique(nodes, return_inverse=True)
+        udeg = np.zeros(len(unodes), dtype=np.int64)
+        np.add.at(udeg, inv, deg)
+        return pa.table(
+            {
+                "node": pa.array(unodes, pa.int64()),
+                "deg": pa.array(udeg, pa.int64()),
+            }
+        )
+
+    parts_n, parts_d = [], []
+    combined = (
+        edges_ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+    for b in combined.iter_batches(batch_format="pyarrow"):
+        parts_n.append(b["node"].to_numpy(zero_copy_only=False))
+        parts_d.append(b["deg"].to_numpy(zero_copy_only=False))
+    if not parts_n:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    nodes = np.concatenate(parts_n)
+    deg = np.concatenate(parts_d)
+    order = np.argsort(nodes)
+    return nodes[order], deg[order]
+
+
+def _pagerank_distributed(edges_ds, damping: float, epsilon: float):
+    """Distributed power iteration: edges stay a Dataset; the driver holds
+    only O(V) numpy arrays (8 B/node — ranks), broadcast once per
+    iteration; contribs are vectorized searchsorted+take with per-batch
+    partial sums before the ``groupby(dst).sum`` exchange."""
+    import ray
     import ray.data as rd
 
-    # node table + outdeg
-    srcs = edges_ds.select_columns(["src"]).rename_columns({"src": "node"})
-    dsts = edges_ds.select_columns(["dst"]).rename_columns({"dst": "node"})
-    node_list = sorted(srcs.union(dsts).unique("node"))
-    outdeg_pdf = (
-        edges_ds.groupby("src").count().to_pandas()
-    )  # columns: src, count()
-    outdeg_map = dict(zip(outdeg_pdf["src"], outdeg_pdf[outdeg_pdf.columns[1]]))
-    n = len(node_list)
+    nodes_arr, outdeg_arr = _graph_metadata(edges_ds)
+    n = len(nodes_arr)
     if n == 0:
-        return pa.table({"doc_id": pa.array([], pa.int64()), "page_rank": pa.array([], pa.float64())})
-
-    nodes_arr = np.array(node_list, dtype=np.int64)
-    outdeg_arr = np.array([outdeg_map.get(x, 0) for x in node_list], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "page_rank": pa.array([], pa.float64()),
+            }
+        )
+    inv_out = np.zeros(n)
+    nz = outdeg_arr > 0
+    inv_out[nz] = 1.0 / outdeg_arr[nz]
+    dangling_mask = ~nz
     ranks = np.full(n, 1.0 / n)
 
     edges = edges_ds.materialize()
 
     while True:
-        import ray
-
-        rank_ref = ray.put({int(x): float(r) for x, r in zip(nodes_arr, ranks)})
-        deg_ref = ray.put({int(x): int(d) for x, d in zip(nodes_arr, outdeg_arr)})
+        # one object per iteration: (sorted nodes, rank/outdeg per node)
+        bcast = ray.put((nodes_arr, ranks * inv_out))
 
         def contribs(batch: pa.Table) -> pa.Table:
-            rmap = ray.get(rank_ref)
-            dmap = ray.get(deg_ref)
-            src = batch["src"].to_pylist()
-            dst = batch["dst"].to_pylist()
+            bnodes, bval = ray.get(bcast)
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            c = bval[np.searchsorted(bnodes, src)]
+            # partial-aggregate inside the batch: the exchange moves one
+            # row per distinct dst per block, not one per edge
+            udst, inv = np.unique(dst, return_inverse=True)
+            sums = np.zeros(len(udst))
+            np.add.at(sums, inv, c)
             return pa.table(
                 {
-                    "dst": pa.array(dst, pa.int64()),
-                    "c": pa.array(
-                        [rmap[s] / dmap[s] for s in src], pa.float64()
-                    ),
+                    "dst": pa.array(udst, pa.int64()),
+                    "c": pa.array(sums, pa.float64()),
                 }
             )
 
         summed = (
-            edges.map_batches(contribs, batch_format="pyarrow")
+            edges.map_batches(contribs, batch_format="pyarrow", batch_size=None)
             .groupby("dst")
             .sum("c")
-            .to_pandas()
         )
-        cmap = dict(zip(summed["dst"], summed["sum(c)"]))
-        dangling = ranks[outdeg_arr == 0].sum()
+        contrib = np.zeros(n)
+        for b in summed.iter_batches(batch_format="pyarrow"):
+            di = np.searchsorted(nodes_arr, b["dst"].to_numpy(zero_copy_only=False))
+            contrib[di] = b["sum(c)"].to_numpy(zero_copy_only=False)
+        dangling = ranks[dangling_mask].sum()
         new_ranks = (
-            (1 - damping) / n
-            + damping * np.array([cmap.get(int(x), 0.0) for x in nodes_arr])
-            + damping * dangling / n
+            (1 - damping) / n + damping * contrib + damping * dangling / n
         )
         delta = np.max(np.abs(new_ranks - ranks))
         ranks = new_ranks
@@ -217,18 +297,19 @@ def _pagerank_distributed(edges_ds, damping: float, epsilon: float):
 def pagerank_from_edges(edges_ds, cfg: IndexConfig):
     """Edge Dataset -> (doc_id, page_rank) pyarrow Table.
 
-    One consuming execution: materialize up to the driver limit; if the
-    graph exceeds it, fall through to the distributed join+groupby path."""
-    head = edges_ds.to_pandas(limit=None)  # crawl graphs are edge-sparse
-    if len(head) == 0 or "src" not in head.columns:
-        # every link dangled: no graph, all docs keep page_rank 0.0
+    Path selection by ``edges_ds.count()`` BEFORE any collect: the
+    distributed fallback is reachable without ever materializing the edge
+    set on the driver."""
+    n_edges = edges_ds.count()
+    if n_edges == 0:
         return pa.table(
             {
                 "doc_id": pa.array([], pa.int64()),
                 "page_rank": pa.array([], pa.float64()),
             }
         )
-    if len(head) <= _DRIVER_EDGE_LIMIT:
+    if n_edges <= cfg.pagerank_driver_edge_limit:
+        head = edges_ds.to_pandas(limit=None)
         nodes, ranks = _pagerank_numpy(
             head["src"].to_numpy(),
             head["dst"].to_numpy(),
@@ -246,10 +327,39 @@ def pagerank_from_edges(edges_ds, cfg: IndexConfig):
     )
 
 
-def build_pagerank_table(links_ds, docs_ds, cfg: IndexConfig):
-    """links + docs -> pagerank Dataset (build stage 5)."""
-    import ray.data as rd
+_EMPTY_PR = pa.table(
+    {"doc_id": pa.array([], pa.int64()), "page_rank": pa.array([], pa.float64())}
+)
 
+
+def build_pagerank_table(links_ds, docs_ds, cfg: IndexConfig, docs_table=None):
+    """links + docs -> (doc_id, page_rank) pyarrow Table (build stage 5).
+
+    ``docs_table`` (optional pyarrow Table of (url, doc_id)): the driver
+    fast path — when the link count and doc count both fit the driver
+    limit, resolve + dedup + iterate run as pure numpy with a single Ray
+    execution (materializing links), instead of four (url-map collect,
+    resolve+dedup shuffle, count, iterate); the caller writes the small
+    result table directly."""
+    n_links = links_ds.count()
+    if (
+        docs_table is not None
+        and n_links <= cfg.pagerank_driver_edge_limit
+        and docs_table.num_rows <= cfg.pagerank_driver_edge_limit
+    ):
+        batches = list(links_ds.iter_batches(batch_format="pyarrow"))
+        links_tbl = pa.concat_tables(batches) if batches else None
+        if links_tbl is None or links_tbl.num_rows == 0:
+            return _EMPTY_PR
+        src, dst = resolve_links_driver(links_tbl, docs_table)
+        nodes, ranks = _pagerank_numpy(
+            src, dst, cfg.pagerank_damping, cfg.pagerank_epsilon
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(nodes, pa.int64()),
+                "page_rank": pa.array(ranks, pa.float64()),
+            }
+        )
     edges = resolve_links(links_ds, docs_ds)
-    table = pagerank_from_edges(edges, cfg)
-    return rd.from_arrow(table)
+    return pagerank_from_edges(edges, cfg)

@@ -233,6 +233,37 @@ def add_partition_keys(batch: pa.Table, hot_ref, num_partitions: int) -> pa.Tabl
 # ---------------------------------------------------------------------------
 
 
+def _flat_binary_views(col) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64, data uint8) views over ALL chunks of a
+    (large_)binary column — no combine_chunks (which would re-overflow the
+    2 GiB ceiling this exists to avoid)."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    off_parts = [np.zeros(1, dtype=np.int64)]
+    data_parts = []
+    base = 0
+    for ch in chunks:
+        if len(ch) == 0:
+            continue
+        bufs = ch.buffers()
+        odt = np.int64 if pa.types.is_large_binary(ch.type) else np.int32
+        offs = np.frombuffer(bufs[1], dtype=odt)[
+            ch.offset : ch.offset + len(ch) + 1
+        ].astype(np.int64)
+        data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]]
+            if bufs[2] is not None
+            else np.empty(0, dtype=np.uint8)
+        )
+        off_parts.append(offs[1:] - offs[0] + base)
+        base += int(offs[-1] - offs[0])
+        data_parts.append(data)
+    pos_offs = np.concatenate(off_parts)
+    pos_data = (
+        np.concatenate(data_parts) if data_parts else np.empty(0, dtype=np.uint8)
+    )
+    return pos_offs, pos_data
+
+
 def build_partition_chunks(group: pa.Table, postings_per_chunk: int) -> pa.Table:
     """All postings of one term_part -> chunk rows, vectorized.
 
@@ -241,11 +272,18 @@ def build_partition_chunks(group: pa.Table, postings_per_chunk: int) -> pa.Table
     a chunk's position payload is a single memcpy slice of the binary
     column's data buffer."""
     term_part = int(group["term_part"][0].as_py())
+    # large_binary end-to-end for the position payload: int64 offsets keep
+    # a partition whose positions exceed 2 GiB from overflowing (the
+    # int32-offset `binary` type caps a single array at 2 GiB)
+    pos_idx = group.schema.get_field_index("positions")
+    group = group.set_column(
+        pos_idx, "positions", pc.cast(group["positions"], pa.large_binary())
+    )
     order = pc.sort_indices(
         group,
         sort_keys=[("term", "ascending"), ("salt", "ascending"), ("doc_id", "ascending")],
     )
-    tbl = group.take(order).combine_chunks()
+    tbl = group.take(order)
     terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
     salts = tbl["salt"].to_numpy(zero_copy_only=False)
     doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -256,16 +294,7 @@ def build_partition_chunks(group: pa.Table, postings_per_chunk: int) -> pa.Table
     if n == 0:
         return pa.table(rows, schema=CHUNK_SCHEMA)
 
-    pos_col = tbl["positions"].chunk(0)
-    bufs = pos_col.buffers()
-    pos_offs = np.frombuffer(bufs[1], dtype=np.int32)[
-        pos_col.offset : pos_col.offset + len(pos_col) + 1
-    ].astype(np.int64)
-    pos_data = (
-        np.frombuffer(bufs[2], dtype=np.uint8)
-        if bufs[2] is not None
-        else np.empty(0, dtype=np.uint8)
-    )
+    pos_offs, pos_data = _flat_binary_views(tbl["positions"])
 
     # run boundaries at (term, salt) changes
     change = np.empty(n, dtype=bool)

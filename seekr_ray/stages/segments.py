@@ -146,6 +146,123 @@ def write_empty_segment(segments_dir: str, part: int) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# fused per-partition build (partitioned-write shuffle strategy)
+#
+# The tokenize stage hive-partitions its output by hash(term) % P at WRITE
+# time (write-side shuffle, like a sort-based external shuffle's map-side
+# files), so every posting of a term already sits under
+# ``postings/term_part=K/``.  Each partition then builds independently:
+# one elastic task reads ITS files (a local/shared-FS columnar read — no
+# object-store all-to-all), chunk-encodes the segment AND derives the
+# term stats (df = posting rows per term, since postings are one row per
+# (doc, term)) in the same pass, eliminating the separate stats read +
+# groupby of the round-1 design.  idf needs only the scalar N.
+#
+# Skew: hot terms are NOT salted on this path (df is unknown at write
+# time).  The bounds instead are (a) P >> cores so one hot partition is a
+# straggler, not a stall, (b) chunk rows cap any Arrow row at
+# postings_per_chunk postings, (c) the manifest records per-partition
+# n_postings so stragglers are observable, (d) the salted groupby path
+# (shuffle_strategy="salted_groupby") remains available when a corpus is
+# known to carry df ~ N terms.
+# ---------------------------------------------------------------------------
+
+STATS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("idf", pa.float64()),
+        ("n_salts", pa.int32()),
+    ]
+)
+
+
+def stats_partition_file(stats_dir: str, part: int) -> str:
+    return os.path.join(stats_dir, f"term_part={part}", f"part-{part:05d}.parquet")
+
+
+def _write_stats_partition(stats_dir: str, part: int, stats: pa.Table) -> None:
+    path = stats_partition_file(stats_dir, part)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    _atomic_write(stats, path)
+
+
+def build_partition_fused(
+    part: int,
+    postings_dir: str,
+    seg_dir: str,
+    stats_dir: str,
+    postings_per_chunk: int,
+    n_docs: int,
+) -> pa.Table:
+    """One task: read postings/term_part=K/ locally, write the segment
+    file AND its term-stats partition, return the manifest row."""
+    import glob
+
+    import numpy as np
+
+    from .postings import build_partition_chunks
+
+    t0 = time.monotonic()
+    part_dir = os.path.join(postings_dir, f"term_part={part}")
+    files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+    tbl = (
+        pq.read_table(files, columns=["doc_id", "term", "tf", "positions"])
+        if files
+        else None
+    )
+    if tbl is None or tbl.num_rows == 0:
+        _write_stats_partition(stats_dir, part, STATS_SCHEMA.empty_table())
+        row = write_empty_segment(seg_dir, part)
+        return manifest_row_table(
+            part=row["partition"],
+            path=row["path"],
+            n_chunks=0,
+            n_terms=0,
+            n_postings=0,
+            file_sha256=row["file_sha256"],
+            duration_s=time.monotonic() - t0,
+        )
+    n = tbl.num_rows
+    tbl = tbl.append_column(
+        "salt", pa.array(np.zeros(n, dtype=np.int32), pa.int32())
+    ).append_column(
+        "term_part", pa.array(np.full(n, part, dtype=np.int64), pa.int64())
+    )
+    chunks = build_partition_chunks(tbl, postings_per_chunk)
+    chunks = chunks.select(CHUNK_SCHEMA.names).cast(CHUNK_SCHEMA)
+    seg_path = partition_file(seg_dir, part)
+    _atomic_write(chunks, seg_path)
+
+    # term stats from the in-hand postings (sorted for determinism)
+    agg = tbl.select(["term"]).group_by("term").aggregate([("term", "count")])
+    agg = agg.rename_columns(["term", "df"]).sort_by("term")
+    df = pc.cast(agg["df"], pa.int64())
+    idf = pc.log10(pc.divide(float(n_docs), pc.cast(df, pa.float64())))
+    stats = pa.table(
+        {
+            "term": agg["term"],
+            "df": df,
+            "idf": idf,
+            "n_salts": pa.array(
+                np.ones(agg.num_rows, dtype=np.int32), pa.int32()
+            ),
+        },
+        schema=STATS_SCHEMA,
+    )
+    _write_stats_partition(stats_dir, part, stats)
+    return manifest_row_table(
+        part=part,
+        path=seg_path,
+        n_chunks=chunks.num_rows,
+        n_terms=agg.num_rows,
+        n_postings=n,
+        file_sha256=_sha256_file(seg_path),
+        duration_s=time.monotonic() - t0,
+    )
+
+
+# ---------------------------------------------------------------------------
 # manifest io
 # ---------------------------------------------------------------------------
 
@@ -176,12 +293,19 @@ def write_manifest(index_dir: str, rows: dict[int, dict]) -> None:
     os.replace(tmp, path)
 
 
-def completed_partitions(index_dir: str) -> set[int]:
+def completed_partitions(index_dir: str, require_stats: bool = False) -> set[int]:
     """A partition counts as complete only if both its manifest line and
-    its file exist (a crash between write and manifest flush re-runs it)."""
+    its file exist (a crash between write and manifest flush re-runs it).
+    The fused path additionally requires the partition's stats file."""
     seg_dir = os.path.join(index_dir, "segments")
+    stats_dir = os.path.join(index_dir, "term_stats")
     done = set()
     for part, row in read_manifest(index_dir).items():
-        if os.path.exists(partition_file(seg_dir, part)):
-            done.add(part)
+        if not os.path.exists(partition_file(seg_dir, part)):
+            continue
+        if require_stats and not os.path.isdir(
+            os.path.join(stats_dir, f"term_part={part}")
+        ):
+            continue
+        done.add(part)
     return done

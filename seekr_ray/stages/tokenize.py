@@ -71,8 +71,27 @@ def _positions_binary(pos_lists: list[list[int]]) -> pa.Array:
     )
 
 
+def _term_part_column(terms: list[str], num_partitions: int) -> pa.Array:
+    """hash(term) % P per posting row, memoized per worker process (the
+    same cache the stats path uses)."""
+    from .postings import _part_cache, term_partition
+
+    cache = _part_cache(num_partitions)
+    out = np.empty(len(terms), dtype=np.int64)
+    for i, t in enumerate(terms):
+        p = cache.get(t)
+        if p is None:
+            p = term_partition(t, num_partitions)
+            cache[t] = p
+        out[i] = p
+    return pa.array(out, pa.int64())
+
+
 def tokenize_batch(
-    batch: pa.Table, content_col: str = "content", store_positions: bool = True
+    batch: pa.Table,
+    content_col: str = "content",
+    store_positions: bool = True,
+    num_partitions: int | None = None,
 ) -> pa.Table:
     tokenizer = _shared_tokenizer()
     doc_ids = batch["doc_id"].to_pylist()
@@ -91,7 +110,7 @@ def tokenize_batch(
             out_term.append(term)
             out_tf.append(tf)
             out_pos.append(positions if store_positions else [])
-    return pa.Table.from_arrays(
+    tbl = pa.Table.from_arrays(
         [
             pa.array(out_doc, pa.int64()),
             pa.array(out_term, pa.string()),
@@ -100,25 +119,112 @@ def tokenize_batch(
         ],
         schema=POSTINGS_SCHEMA,
     )
+    if num_partitions is not None:
+        # write-side shuffle key: the hive-partitioned postings write
+        # replaces the object-store all-to-all (stages/segments.py)
+        tbl = tbl.append_column(
+            "term_part", _term_part_column(out_term, num_partitions)
+        )
+    return tbl
 
 
 class TokenizeStem:
     """Actor-pool form of the same stage (kept for callers that want an
     explicit pool, e.g. when the tokenizer grows heavy model state)."""
 
-    def __init__(self, content_col: str = "content", store_positions: bool = True):
+    def __init__(
+        self,
+        content_col: str = "content",
+        store_positions: bool = True,
+        num_partitions: int | None = None,
+    ):
         self.tokenizer = Tokenizer()
         self.content_col = content_col
         self.store_positions = store_positions
+        self.num_partitions = num_partitions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         global _TOKENIZER
         _TOKENIZER = self.tokenizer  # reuse the batch path
-        return tokenize_batch(batch, self.content_col, self.store_positions)
+        return tokenize_batch(
+            batch, self.content_col, self.store_positions, self.num_partitions
+        )
 
 
-def tokenize_documents(docs_ds, cfg, content_col: str = "content"):
-    """documents Dataset -> postings Dataset."""
+def write_postings_partitioned(
+    docs_ds, cfg, content_col: str, postings_dir: str
+) -> None:
+    """Tokenize then write-side shuffle: postings land hive-partitioned
+    by ``hash(term) % P`` with NO object-store all-to-all.
+
+    Two map stages on purpose:
+
+    * tokenize runs at small batches (cfg.tokenize_batch_size, default
+      128 docs) — the per-doc Python/numpy working set stays
+      CPU-cache-resident (measured 1.3 ms/doc at 128 vs 9 ms/doc at
+      8192: list/str churn at millions of live objects thrashes the
+      allocator);
+    * the writer runs at ``batch_size=None`` over the re-aggregated
+      output blocks Ray builds between operators (~target block size),
+      so each write call sorts one LARGE block by term_part and emits
+      one parquet slice per non-empty partition (zero-copy slices,
+      tmp+rename).  File count stays ~blocks x live partitions without
+      paying Ray's generic ``partition_cols=`` sink, which re-filters
+      every block once per partition value.
+    """
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    P = cfg.num_term_partitions
+    os.makedirs(postings_dir, exist_ok=True)
+    for p in range(P):
+        os.makedirs(os.path.join(postings_dir, f"term_part={p}"), exist_ok=True)
+
+    def write_block(tbl: pa.Table) -> pa.Table:
+        parts = tbl["term_part"].to_numpy(zero_copy_only=False)
+        order = np.argsort(parts, kind="stable")
+        tbl = tbl.take(order).drop_columns(["term_part"])
+        sorted_parts = parts[order]
+        bounds = np.searchsorted(sorted_parts, np.arange(P + 1))
+        task_id = uuid.uuid4().hex[:16]
+        out_parts, out_rows = [], []
+        for p in range(P):
+            lo, hi = int(bounds[p]), int(bounds[p + 1])
+            if lo == hi:
+                continue
+            path = os.path.join(
+                postings_dir, f"term_part={p}", f"{task_id}.parquet"
+            )
+            tmp = path + ".tmp"
+            pq.write_table(tbl.slice(lo, hi - lo), tmp)
+            os.replace(tmp, path)
+            out_parts.append(p)
+            out_rows.append(hi - lo)
+        return pa.table(
+            {
+                "term_part": pa.array(out_parts, pa.int64()),
+                "rows": pa.array(out_rows, pa.int64()),
+            }
+        )
+
+    postings = tokenize_documents(docs_ds, cfg, content_col, num_partitions=P)
+    written = postings.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    )
+    # consume the tiny per-task manifests on the driver to drive
+    # execution; an Aggregate op here would RESERVE a CPU slot and starve
+    # the map stage at low cluster sizes
+    for _ in written.iter_batches(batch_format="pyarrow"):
+        pass
+
+
+def tokenize_documents(
+    docs_ds, cfg, content_col: str = "content", num_partitions: int | None = None
+):
+    """documents Dataset -> postings Dataset (+ term_part column when
+    ``num_partitions`` is given, for the partitioned write)."""
     if cfg.tokenize_concurrency is not None:
         return docs_ds.map_batches(
             TokenizeStem,
@@ -127,6 +233,7 @@ def tokenize_documents(docs_ds, cfg, content_col: str = "content"):
             fn_constructor_kwargs={
                 "content_col": content_col,
                 "store_positions": cfg.store_positions,
+                "num_partitions": num_partitions,
             },
             concurrency=cfg.tokenize_concurrency,
         )
@@ -137,5 +244,6 @@ def tokenize_documents(docs_ds, cfg, content_col: str = "content"):
         fn_kwargs={
             "content_col": content_col,
             "store_positions": cfg.store_positions,
+            "num_partitions": num_partitions,
         },
     )

@@ -33,6 +33,43 @@ def test_numpy_matches_reference_oracle():
     assert math.isclose(sum(ranks), 1.0, abs_tol=1e-3)
 
 
+def test_over_limit_graph_routes_to_distributed_path(ray_session, monkeypatch):
+    """pagerank_from_edges gates on count() BEFORE any collect: with the
+    driver limit forced below the edge count, the distributed path runs
+    and produces the same ranks."""
+    import ray.data as rd
+
+    from seekr_ray.graph import pagerank as pr_mod
+
+    edges = _edges()
+    edges_ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    calls = {"driver": 0}
+    real_numpy = pr_mod._pagerank_numpy
+
+    def spy(*a, **k):
+        calls["driver"] += 1
+        return real_numpy(*a, **k)
+
+    monkeypatch.setattr(pr_mod, "_pagerank_numpy", spy)
+    cfg = IndexConfig(pagerank_driver_edge_limit=len(edges) - 1)
+    got = pr_mod.pagerank_from_edges(edges_ds, cfg)
+    assert calls["driver"] == 0, "driver path ran despite count > limit"
+    src = np.array([a for a, _ in edges])
+    dst = np.array([b for _, b in edges])
+    nodes, ranks = real_numpy(src, dst, 0.85, 1e-5)
+    got_map = dict(zip(got["doc_id"].to_pylist(), got["page_rank"].to_pylist()))
+    assert set(got_map) == set(nodes.tolist())
+    for n, r in zip(nodes.tolist(), ranks.tolist()):
+        assert math.isclose(got_map[n], r, abs_tol=1e-9), n
+
+
 def test_distributed_matches_numpy(ray_session):
     import ray.data as rd
 

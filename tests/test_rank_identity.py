@@ -45,8 +45,9 @@ def built_index(ray_session):
 
 @pytest.fixture(scope="session")
 def oracle(built_index):
-    docs_dir = os.path.join(built_index, "docs")
-    tbl = pq.read_table(docs_dir, columns=["doc_id", "content", "url"])
+    from seekr_ray.build import read_docs_table
+
+    tbl = read_docs_table(built_index, columns=["doc_id", "content", "url"])
     doc_rows = list(zip(tbl["doc_id"].to_pylist(), tbl["content"].to_pylist()))
     url_to_id = dict(zip(tbl["url"].to_pylist(), tbl["doc_id"].to_pylist()))
     # resolve fixture links exactly like the build does
@@ -114,10 +115,9 @@ def test_content_sha256_invariant(built_index):
     sha256 of the stored content, and matches the source row's content."""
     import hashlib
 
-    tbl = pq.read_table(
-        os.path.join(built_index, "docs"),
-        columns=["content", "content_sha256"],
-    )
+    from seekr_ray.build import read_docs_table
+
+    tbl = read_docs_table(built_index, columns=["content", "content_sha256"])
     for content, sha in zip(
         tbl["content"].to_pylist(), tbl["content_sha256"].to_pylist()
     ):
@@ -125,9 +125,9 @@ def test_content_sha256_invariant(built_index):
 
 
 def test_dedup_kept_min_doc_id(built_index):
-    tbl = pq.read_table(
-        os.path.join(built_index, "docs"), columns=["doc_id", "content_sha256"]
-    )
+    from seekr_ray.build import read_docs_table
+
+    tbl = read_docs_table(built_index, columns=["doc_id", "content_sha256"])
     shas = tbl["content_sha256"].to_pylist()
     assert len(shas) == len(set(shas)), "duplicate content survived dedup"
     # source corpus had N_DOCS rows with ~2% duplicate pairs

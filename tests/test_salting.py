@@ -15,9 +15,9 @@ from seekr_ray.text.porter import stem
 
 @pytest.fixture(scope="module")
 def store(ray_session):
-    # reuse (or build) the shared rank-identity index: hot_df_threshold=40
-    # makes the fixture HOT_TERMS salted
-    index_dir = "/tmp/seekr_test_index"
+    # the salted shuffle path is opt-in (shuffle_strategy="salted_groupby");
+    # hot_df_threshold=40 makes the fixture HOT_TERMS salted
+    index_dir = "/tmp/seekr_salted_index"
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
         import ray.data as rd
 
@@ -33,6 +33,7 @@ def store(ray_session):
                 num_id_partitions=4,
                 hot_df_threshold=40,
                 postings_per_chunk=16,
+                shuffle_strategy="salted_groupby",
             ),
             key_cols=["repo", "path", "commit"],
         )
