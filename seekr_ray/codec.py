@@ -57,6 +57,12 @@ def varbyte_decode(buf: bytes | memoryview, count: int | None = None) -> np.ndar
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
+    # fast path: every value fits 7 bits (no continuation bytes) — the
+    # overwhelmingly common shape for dense position gaps
+    if b.max() < 0x80:
+        if count is not None and b.size != count:
+            raise ValueError(f"varbyte stream has {b.size} values, expected {count}")
+        return b.astype(np.uint64)
     is_last = (b & 0x80) == 0
     # group id per byte = number of completed groups before it
     group = np.zeros(b.size, dtype=np.int64)

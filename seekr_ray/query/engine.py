@@ -35,7 +35,6 @@ import os
 from collections import OrderedDict
 
 import numpy as np
-import pyarrow.parquet as pq
 
 from ..build import load_meta
 from ..config import IndexConfig
@@ -82,7 +81,9 @@ class QueryEngine:
         self._query_cache: OrderedDict[str, QueryResult] = OrderedDict()
         self._query_cache_max = 1000  # QP.java:26
         self._phrase_cache: dict[str, QueryResult] = {}
-        self._docs_table = None
+        self._docs_dataset = None
+        self._doc_cache: OrderedDict[int, tuple[str, str, str]] = OrderedDict()
+        self._doc_cache_max = 4096
 
     # ------------------------------------------------------------------
     # QP.search / processQuery
@@ -190,26 +191,55 @@ class QueryEngine:
             if candidate is not None and candidate.size:
                 max_gap = self.cfg.max_phrase_gap
                 # vectorized row lookup: one searchsorted per stem for the
-                # whole candidate set (J4 positions are inline per posting)
+                # whole candidate set (J4 positions are inline per posting);
+                # positions decode ONLY for candidate postings (store
+                # positions_for — never the term's full payload)
                 per_stem_idx = {
                     s: np.searchsorted(postings[s].doc_ids, candidate)
                     for s in stems
                 }
+                if len(stems) == 1:
+                    # single-word phrase: every posting trivially passes the
+                    # walk (checkSequentialPositions with one word) — no
+                    # position decode needed
+                    per_stem_pos = None
+                else:
+                    per_stem_pos = {
+                        s: postings[s].positions_for(per_stem_idx[s])
+                        for s in stems
+                    }
                 for ci, doc_id in enumerate(candidate.tolist()):
-                    pos_lists = []
-                    ok = True
-                    for s in stems:
-                        tp = postings[s]
-                        pos = (
-                            tp.positions[per_stem_idx[s][ci]]
-                            if tp.positions is not None
-                            else np.empty(0, dtype=np.uint64)
-                        )
-                        if pos.size == 0:
-                            ok = False
-                            break
-                        pos_lists.append(pos)
-                    if ok and _check_sequential_positions(pos_lists, max_gap):
+                    if per_stem_pos is None:
+                        ok = True
+                    else:
+                        pos_lists = []
+                        ok = True
+                        for s in stems:
+                            pos = per_stem_pos[s][ci]
+                            if pos.size == 0:
+                                ok = False
+                                break
+                            pos_lists.append(pos)
+                        if ok:
+                            if len(pos_lists) == 2:
+                                # two-word phrase: the in-range slide cannot
+                                # change the outcome, so the walk reduces to
+                                # "exists a in p1, b in p2 with a < b <= a+gap"
+                                # — one searchsorted instead of the python walk
+                                p1, p2 = pos_lists
+                                idx = np.searchsorted(p2, p1, side="right")
+                                idx_c = np.minimum(idx, p2.size - 1)
+                                ok = bool(
+                                    (
+                                        (idx < p2.size)
+                                        & (p2[idx_c] <= p1 + np.uint64(max_gap))
+                                    ).any()
+                                )
+                            else:
+                                ok = _check_sequential_positions(
+                                    pos_lists, max_gap
+                                )
+                    if ok:
                         word_info = {}
                         for s in stems:
                             tp = postings[s]
@@ -545,27 +575,45 @@ class QueryEngine:
     # serving (BackendManager.search analog)
     # ------------------------------------------------------------------
 
-    def _docs(self):
-        if self._docs_table is None:
-            docs_dir = os.path.join(self.index_dir, "docs")
-            files = [
-                os.path.join(docs_dir, f)
-                for f in sorted(os.listdir(docs_dir))
-                if f.endswith(".parquet")
-            ]
-            tbl = pq.read_table(
-                files, columns=["doc_id", "url", "title", "content"]
+    def _doc_meta(self, doc_ids: list[int]) -> dict[int, tuple[str, str, str]]:
+        """Point lookups against the doc_id-sorted docs parquet: the
+        ``isin`` filter prunes row groups via statistics (docs are
+        written in doc_id-sorted 2048-row groups), so a page of results
+        decodes a handful of row groups — never the whole corpus
+        (round-1's ``_docs`` dict held every document in the serving
+        process).  Fetched rows live in a bounded LRU.
+
+        Key-dup rows share a doc_id; the winner is the min-sha row (the
+        same deterministic rule the build's drop table applies)."""
+        import pyarrow.dataset as pads
+
+        if self._docs_dataset is None:
+            self._docs_dataset = pads.dataset(
+                os.path.join(self.index_dir, "docs")
             )
-            self._docs_table = {
-                d: (u, t, c)
-                for d, u, t, c in zip(
-                    tbl["doc_id"].to_pylist(),
-                    tbl["url"].to_pylist(),
-                    tbl["title"].to_pylist(),
-                    tbl["content"].to_pylist(),
-                )
-            }
-        return self._docs_table
+        missing = [d for d in doc_ids if d not in self._doc_cache]
+        if missing:
+            tbl = self._docs_dataset.to_table(
+                filter=pads.field("doc_id").isin(missing),
+                columns=["doc_id", "url", "title", "content", "content_sha256"],
+            )
+            best: dict[int, tuple[str, tuple[str, str, str]]] = {}
+            for d, u, t, c, s in zip(
+                tbl["doc_id"].to_pylist(),
+                tbl["url"].to_pylist(),
+                tbl["title"].to_pylist(),
+                tbl["content"].to_pylist(),
+                tbl["content_sha256"].to_pylist(),
+            ):
+                prev = best.get(d)
+                if prev is None or s < prev[0]:
+                    best[d] = (s, (u, t, c))
+            for d, (_s, row) in best.items():
+                self._doc_cache[d] = row
+                self._doc_cache.move_to_end(d)
+            while len(self._doc_cache) > self._doc_cache_max:
+                self._doc_cache.popitem(last=False)
+        return {d: self._doc_cache.get(d, ("", "", "")) for d in doc_ids}
 
     def search(self, query: str, page: int = 0, size: int = 10) -> dict:
         """Full serving flow (``BackendManager.java:278-406``): query ->
@@ -580,7 +628,8 @@ class QueryEngine:
         end = min(start + size, len(ranked))
         if start >= len(ranked):
             return {"results": [], "total_count": len(ranked)}
-        docs_meta = self._docs()
+        page_ids = [doc_id for doc_id, _ in ranked[start:end]]
+        docs_meta = self._doc_meta(page_ids)
         doc_data = {d.doc_id: d for d in documents}
         results = []
         query_words_set = set(result.query_words)
@@ -623,7 +672,9 @@ class QueryEngine:
         if query is None or not query.strip():
             return []
         term = query.strip().lower()
-        matches = [t for t in self.store.all_terms() if t.startswith(term)]
+        # O(log V + matches) bisect over the sorted vocabulary (round 1
+        # linearly scanned every term per call)
+        matches = self.store.prefix_terms(term)
 
         def rank_key(w: str):
             if w == term:

@@ -1,11 +1,22 @@
-"""Segment store: partition-pruned posting lookup (SURVEY.md §2.6 J2).
+"""Segment store: partition-pruned, row-group-pruned posting lookup
+(SURVEY.md §2.6 J2).
 
 The query-side replacement for the SQLite B-tree probe
-(``QP/QueryIndex.java:121-166``): each stem routes to its
-``hash(term) % P`` partition; only those partition files are touched, and
-term-level row filtering rides parquet predicate pushdown.  Partition
-tables and decoded term postings are cached per store instance — the
-"loaded once per actor" state of SURVEY.md §2.3 T8.
+(``QP/QueryIndex.java:121-166``), two levels of pruning:
+
+* partition level — each stem routes to its ``hash(term) % P`` partition
+  file; only those files are opened;
+* row-group level — segment files are (term, salt, chunk_seq)-sorted, so
+  a term's chunk rows are one contiguous range.  ``_PartitionIndex``
+  reads ONLY the term column once per partition (dictionary-encoded,
+  cheap), locates the range by binary search, and decodes just the row
+  groups covering it (``ParquetFile.read_row_groups``) — a single-term
+  lookup never decodes unrelated terms' posting payloads.
+
+Term stats are held as sorted parallel arrays per partition (binary
+search lookups), not per-term Python dicts; decoded postings are cached
+in a bounded LRU per store instance — the "loaded once per actor" state
+of SURVEY.md §2.3 T8.
 """
 
 from __future__ import annotations
@@ -15,12 +26,19 @@ from collections import OrderedDict
 from dataclasses import dataclass
 
 import numpy as np
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..codec import decode_doc_ids, decode_position_blobs, unpack_f64, varbyte_decode
 from ..stages.postings import term_partition
 from ..stages.segments import partition_file
+
+_CHUNK_COLUMNS = [
+    "n_docs",
+    "doc_ids_enc",
+    "tfs_enc",
+    "pos_blob_lens_enc",
+    "pos_blobs",
+]
 
 
 @dataclass
@@ -30,6 +48,11 @@ class TermPostings:
     ``doc_ids`` is globally sorted (salted chunks are merged at decode
     time); ``block_starts``/``block_max_tf`` are re-derived block-max
     metadata over the merged order for WAND.
+
+    Positions decode LAZILY: top-k scoring (TAAT/WAND/boolean) never
+    touches them, and a hot term's position payload is an order of
+    magnitude more varbyte bytes than its ids+tfs — only the phrase path
+    pays for it, once, cached on the instance.
     """
 
     term: str
@@ -37,13 +60,132 @@ class TermPostings:
     idf: float
     doc_ids: np.ndarray  # int64, sorted
     tfs: np.ndarray  # float64, aligned
-    positions: list[np.ndarray] | None  # aligned, or None if not stored
+    pos_chunks: list[tuple[bytes, bytes]]  # (lens_enc, blobs) per chunk row
+    chunk_counts: np.ndarray  # postings per chunk row (decode order)
+    order: np.ndarray | None  # merge order: sorted idx -> decode idx
     block_starts: np.ndarray  # int64 offsets of block boundaries
     block_max_tf: np.ndarray  # float64 per block
+    _positions: list | None = None
+
+    @property
+    def positions(self) -> list[np.ndarray]:
+        if self._positions is None:
+            parts: list[np.ndarray] = []
+            for lens_enc, blobs in self.pos_chunks:
+                parts.extend(
+                    decode_position_blobs(varbyte_decode(lens_enc), blobs)
+                )
+            if self.order is not None:
+                parts = [parts[i] for i in self.order]
+            self._positions = parts
+        return self._positions
+
+    def positions_for(self, sorted_indices) -> list[np.ndarray]:
+        """Positions of SELECTED postings only (indices into the sorted
+        doc_id order) — the phrase path's candidate set is usually tiny,
+        so slicing each candidate's varbyte blob out of its chunk beats
+        decoding the term's full position payload."""
+        if self._positions is not None:
+            return [self._positions[int(i)] for i in sorted_indices]
+        dec_idx = (
+            self.order[sorted_indices]
+            if self.order is not None
+            else np.asarray(sorted_indices, dtype=np.int64)
+        )
+        dec_idx = np.asarray(dec_idx, dtype=np.int64)
+        chunk_starts = np.concatenate(
+            [np.zeros(1, dtype=np.int64), np.cumsum(self.chunk_counts)]
+        )
+        chunk_of = np.searchsorted(chunk_starts, dec_idx, side="right") - 1
+        # chunks where the candidate set is dense decode whole-chunk
+        # vectorized; sparse chunks slice per-posting blobs
+        per_chunk_hits: dict[int, int] = {}
+        for c in chunk_of.tolist():
+            per_chunk_hits[c] = per_chunk_hits.get(c, 0) + 1
+        full_cache: dict[int, list[np.ndarray]] = {}
+        boffs_cache: dict[int, np.ndarray] = {}
+        out: list[np.ndarray] = []
+        for di, c in zip(dec_idx.tolist(), chunk_of.tolist()):
+            local = int(di - chunk_starts[c])
+            lens_enc, blob = self.pos_chunks[c]
+            if per_chunk_hits[c] * 4 >= int(self.chunk_counts[c]):
+                lists = full_cache.get(c)
+                if lists is None:
+                    lists = decode_position_blobs(
+                        varbyte_decode(lens_enc), blob
+                    )
+                    full_cache[c] = lists
+                out.append(lists[local])
+                continue
+            boffs = boffs_cache.get(c)
+            if boffs is None:
+                byte_lens = varbyte_decode(lens_enc).astype(np.int64)
+                boffs = np.concatenate(
+                    [np.zeros(1, dtype=np.int64), np.cumsum(byte_lens)]
+                )
+                boffs_cache[c] = boffs
+            s, e = int(boffs[local]), int(boffs[local + 1])
+            deltas = varbyte_decode(memoryview(blob)[s:e])
+            out.append(np.cumsum(deltas, dtype=np.uint64))
+        return out
 
     @property
     def max_tf(self) -> float:
         return float(self.block_max_tf.max()) if self.block_max_tf.size else 0.0
+
+
+class _PartitionIndex:
+    """Row-group-pruned access to one (term, salt, chunk_seq)-sorted
+    segment partition file."""
+
+    def __init__(self, path: str):
+        self.pf = pq.ParquetFile(path)
+        md = self.pf.metadata
+        rows = np.array(
+            [md.row_group(i).num_rows for i in range(md.num_row_groups)],
+            dtype=np.int64,
+        )
+        self.rg_starts = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(rows)])
+        tcol = self.pf.read(columns=["term"])["term"]
+        self.terms = np.asarray(tcol.to_pylist(), dtype=object)
+
+    def term_range(self, term: str) -> tuple[int, int]:
+        lo = int(np.searchsorted(self.terms, term, side="left"))
+        hi = int(np.searchsorted(self.terms, term, side="right"))
+        return lo, hi
+
+    def read_rows(self, lo: int, hi: int):
+        """Chunk rows [lo, hi) — decodes only the covering row groups."""
+        g0 = int(np.searchsorted(self.rg_starts, lo, side="right")) - 1
+        g1 = int(np.searchsorted(self.rg_starts, hi - 1, side="right")) - 1
+        t = self.pf.read_row_groups(list(range(g0, g1 + 1)), columns=_CHUNK_COLUMNS)
+        return t.slice(lo - int(self.rg_starts[g0]), hi - lo)
+
+
+class _StatsPartition:
+    """One term_stats partition as sorted parallel arrays."""
+
+    __slots__ = ("terms", "df", "idf", "n_salts")
+
+    def __init__(self, path: str | None):
+        if path is None:
+            self.terms = np.empty(0, dtype=object)
+            self.df = self.idf = self.n_salts = np.empty(0)
+            return
+        t = pq.read_table(path, columns=["term", "df", "idf", "n_salts"])
+        terms = np.asarray(t["term"].to_pylist(), dtype=object)
+        # the salted-groupby path writes stats in groupby order; sort once
+        order = np.argsort(terms)
+        self.terms = terms[order]
+        self.df = t["df"].to_numpy(zero_copy_only=False)[order]
+        self.idf = t["idf"].to_numpy(zero_copy_only=False)[order]
+        self.n_salts = t["n_salts"].to_numpy(zero_copy_only=False)[order]
+
+    def get(self, term: str) -> tuple[int, float, int] | None:
+        i = int(np.searchsorted(self.terms, term, side="left"))
+        if i < len(self.terms) and self.terms[i] == term:
+            return int(self.df[i]), float(self.idf[i]), int(self.n_salts[i])
+        return None
 
 
 class SegmentStore:
@@ -53,28 +195,19 @@ class SegmentStore:
         self.stats_dir = os.path.join(index_dir, "term_stats")
         self.P = num_term_partitions
         self.block_size = block_size
-        self._stats_cache: dict[int, dict[str, tuple[int, float]]] = {}
-        self._seg_cache: dict[int, dict] = {}
+        self._stats_cache: dict[int, _StatsPartition] = {}
+        self._pindex_cache: dict[int, _PartitionIndex | None] = {}
         self._postings_cache: OrderedDict[str, TermPostings | None] = OrderedDict()
         self._postings_cache_max = 4096
-        self._all_terms: list[str] | None = None
+        self._all_terms: np.ndarray | None = None
 
     # -- term stats ---------------------------------------------------------
 
-    def _stats_partition(self, part: int) -> dict[str, tuple[int, float, int]]:
+    def _stats_partition(self, part: int) -> _StatsPartition:
         cached = self._stats_cache.get(part)
         if cached is None:
             path = os.path.join(self.stats_dir, f"term_part={part}")
-            cached = {}
-            if os.path.isdir(path):
-                t = pq.read_table(path, columns=["term", "df", "idf", "n_salts"])
-                for term, df, idf, n_salts in zip(
-                    t["term"].to_pylist(),
-                    t["df"].to_pylist(),
-                    t["idf"].to_pylist(),
-                    t["n_salts"].to_pylist(),
-                ):
-                    cached[term] = (df, idf, n_salts)
+            cached = _StatsPartition(path if os.path.isdir(path) else None)
             self._stats_cache[part] = cached
         return cached
 
@@ -83,38 +216,35 @@ class SegmentStore:
         partition hash(term) % P."""
         return self._stats_partition(term_partition(term, self.P)).get(term)
 
-    def all_terms(self) -> list[str]:
-        """Sorted distinct term list (suggestion path K3)."""
+    def all_terms_array(self) -> np.ndarray:
+        """Sorted distinct term vocabulary (suggestion path K3) as an
+        object ndarray — prefix ranges bisect in O(log V)."""
         if self._all_terms is None:
-            terms: list[str] = []
-            for part in range(self.P):
-                terms.extend(self._stats_partition(part).keys())
-            self._all_terms = sorted(terms)
+            parts = [self._stats_partition(p).terms for p in range(self.P)]
+            allv = np.concatenate(parts) if parts else np.empty(0, dtype=object)
+            self._all_terms = np.sort(allv)
         return self._all_terms
+
+    def all_terms(self) -> list[str]:
+        return self.all_terms_array().tolist()
+
+    def prefix_terms(self, prefix: str) -> list[str]:
+        """Terms with the given prefix via bisect over the sorted vocab
+        (O(log V + matches); replaces the round-1 full linear scan)."""
+        terms = self.all_terms_array()
+        lo = int(np.searchsorted(terms, prefix, side="left"))
+        hi = int(np.searchsorted(terms, prefix + "\U0010FFFF", side="left"))
+        return terms[lo:hi].tolist()
 
     # -- postings -----------------------------------------------------------
 
-    def _segment_partition(self, part: int) -> dict:
-        """term -> list of raw chunk rows for one partition (cached)."""
-        cached = self._seg_cache.get(part)
-        if cached is None:
+    def _partition_index(self, part: int) -> _PartitionIndex | None:
+        if part not in self._pindex_cache:
             path = partition_file(self.seg_dir, part)
-            cached = {}
-            if os.path.exists(path):
-                t = pq.read_table(path)
-                terms = t["term"].to_pylist()
-                for i, term in enumerate(terms):
-                    cached.setdefault(term, []).append(
-                        {
-                            "n_docs": t["n_docs"][i].as_py(),
-                            "doc_ids_enc": t["doc_ids_enc"][i].as_py(),
-                            "tfs_enc": t["tfs_enc"][i].as_py(),
-                            "pos_blob_lens_enc": t["pos_blob_lens_enc"][i].as_py(),
-                            "pos_blobs": t["pos_blobs"][i].as_py(),
-                        }
-                    )
-            self._seg_cache[part] = cached
-        return cached
+            self._pindex_cache[part] = (
+                _PartitionIndex(path) if os.path.exists(path) else None
+            )
+        return self._pindex_cache[part]
 
     def postings(self, term: str) -> TermPostings | None:
         if term in self._postings_cache:
@@ -129,37 +259,43 @@ class SegmentStore:
             # Each distinct partition file already holds ALL of the term's
             # chunks routed to it, so visit each partition once even when
             # several salts hash to it.
-            chunks = []
+            ids_parts, tf_parts, pos_chunks = [], [], []
+            chunk_counts: list[int] = []
             visited: set[int] = set()
             for salt in range(n_salts):
                 part = term_partition(term, self.P, salt)
-                if part not in visited:
-                    visited.add(part)
-                    chunks.extend(self._segment_partition(part).get(term, []))
-            ids_parts, tf_parts, pos_parts = [], [], []
-            for c in chunks:
-                ids_parts.append(
-                    decode_doc_ids(c["doc_ids_enc"], c["n_docs"]).astype(np.int64)
-                )
-                tf_parts.append(unpack_f64(c["tfs_enc"]))
-                pos_parts.extend(
-                    decode_position_blobs(
-                        varbyte_decode(c["pos_blob_lens_enc"]), c["pos_blobs"]
+                if part in visited:
+                    continue
+                visited.add(part)
+                pidx = self._partition_index(part)
+                if pidx is None:
+                    continue
+                lo, hi = pidx.term_range(term)
+                if hi <= lo:
+                    continue
+                rows = pidx.read_rows(lo, hi)
+                n_docs_col = rows["n_docs"].to_pylist()
+                ids_enc = rows["doc_ids_enc"].to_pylist()
+                tfs_enc = rows["tfs_enc"].to_pylist()
+                lens_enc = rows["pos_blob_lens_enc"].to_pylist()
+                blobs = rows["pos_blobs"].to_pylist()
+                for i in range(rows.num_rows):
+                    ids_parts.append(
+                        decode_doc_ids(ids_enc[i], n_docs_col[i]).astype(np.int64)
                     )
-                )
+                    tf_parts.append(unpack_f64(tfs_enc[i]))
+                    pos_chunks.append((lens_enc[i], blobs[i]))
+                    chunk_counts.append(n_docs_col[i])
             if ids_parts:
                 ids = np.concatenate(ids_parts)
                 tfs = np.concatenate(tf_parts)
                 order = np.argsort(ids, kind="stable")
+                already_sorted = bool((order == np.arange(len(order))).all())
                 ids = ids[order]
                 tfs = tfs[order]
-                positions = [pos_parts[i] for i in order]
                 starts = np.arange(0, len(ids), self.block_size, dtype=np.int64)
                 block_max = np.array(
-                    [
-                        tfs[s : s + self.block_size].max()
-                        for s in starts
-                    ]
+                    [tfs[s : s + self.block_size].max() for s in starts]
                 )
                 result = TermPostings(
                     term=term,
@@ -167,7 +303,9 @@ class SegmentStore:
                     idf=idf,
                     doc_ids=ids,
                     tfs=tfs,
-                    positions=positions,
+                    pos_chunks=pos_chunks,
+                    chunk_counts=np.asarray(chunk_counts, dtype=np.int64),
+                    order=None if already_sorted else order,
                     block_starts=starts,
                     block_max_tf=block_max,
                 )
@@ -179,17 +317,19 @@ class SegmentStore:
 
 def load_pagerank(index_dir: str) -> dict[int, float]:
     """doc_id -> page_rank; docs outside the graph default to 0.0 at
-    lookup (Crawler.java:400 column default)."""
+    lookup (Crawler.java:400 column default).  Columns load vectorized;
+    the dict view serves the per-doc faithful ranking path."""
     pr_dir = os.path.join(index_dir, "pagerank")
-    out: dict[int, float] = {}
-    if os.path.isdir(pr_dir):
-        files = [
-            os.path.join(pr_dir, f)
-            for f in os.listdir(pr_dir)
-            if f.endswith(".parquet")
-        ]
-        for f in files:
-            t = pq.read_table(f)
-            for d, r in zip(t["doc_id"].to_pylist(), t["page_rank"].to_pylist()):
-                out[d] = r
-    return out
+    if not os.path.isdir(pr_dir):
+        return {}
+    files = [
+        os.path.join(pr_dir, f)
+        for f in sorted(os.listdir(pr_dir))
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        return {}
+    t = pq.read_table(files, columns=["doc_id", "page_rank"])
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    ranks = t["page_rank"].to_numpy(zero_copy_only=False)
+    return dict(zip(ids.tolist(), ranks.tolist()))

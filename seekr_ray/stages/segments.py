@@ -41,7 +41,10 @@ import pyarrow.parquet as pq
 
 from .postings import CHUNK_SCHEMA
 
-_PARQUET_OPTS = dict(compression="zstd", use_dictionary=True)
+# row_group_size bounds how much a query-side row-group-pruned read must
+# decode around one term's chunk rows (query/store.py _PartitionIndex);
+# 128 chunk rows ~ 0.5M postings per group
+_PARQUET_OPTS = dict(compression="zstd", use_dictionary=True, row_group_size=128)
 
 
 def partition_file(dir_: str, part: int) -> str:
