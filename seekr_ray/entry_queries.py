@@ -37,7 +37,12 @@ BOOL_TERM_A, BOOL_TERM_B = "spark", "window"
 PHRASE_W1, PHRASE_W2 = "batch", "stream"
 ANN_K = 10
 NEARDUP_LIMIT = 300
-NEARDUP_THRESHOLD = 0.9
+# calibrated to the driver's random-embedding fixture so the entry is
+# NON-trivial (41-97 pairs at sf0.01/sf0.001; round 1 used 0.9 and
+# green-checked an empty result).  Both sides compare on the 6dp-rounded
+# cosine, and the nearest pair sits >2e-4 from the boundary at sf0.01, so
+# matmul-vs-sequential FP order cannot flip membership.
+NEARDUP_THRESHOLD = 0.38
 
 
 def _docs(sf_dir: str):
@@ -454,6 +459,19 @@ def q_ann_lsh(sf_dir: str):
     return ann_topk_lsh(ds, q[None, :], k=ANN_K)
 
 
+def q_embedding_neardup_lsh(sf_dir: str):
+    """Sub-quadratic scale path of q_embedding_neardup: hyperplane-LSH
+    buckets + intra-bucket exact cosine (rows-only; recall vs the exact
+    operator is pytest-asserted)."""
+    import ray.data as rd
+    from .extras.dedup import embedding_neardup_lsh
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_neardup_lsh(
+        ds, NEARDUP_THRESHOLD, id_limit=NEARDUP_LIMIT, nbits=2
+    )
+
+
 def q_multimodal_features(sf_dir: str):
     import ray.data as rd
     from .extras.multimodal import extract_media_features, synthesize_media_table
@@ -641,6 +659,6 @@ WHERE rank <= {ANN_K}"""
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE a.vec_id < {NEARDUP_LIMIT} AND b.vec_id < {NEARDUP_LIMIT}
-  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {NEARDUP_THRESHOLD}"""
+  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {NEARDUP_THRESHOLD}"""
 
     return sql

@@ -21,6 +21,7 @@ import pyarrow as pa
 from ..text.stopwords import STOPWORDS
 
 TOKEN_RE = re.compile(r"[a-z]+")
+_ASCII_ALPHA_RE = re.compile(r"[a-zA-Z]")
 MIN_LEN, MAX_LEN = 2, 45
 
 
@@ -107,7 +108,10 @@ def quality_stats(docs_ds, text_col: str = "text"):
                 if raw
                 else 0.0
             )
-            n_alpha = sum(1 for c in t if c.isalpha())
+            # ASCII letters ONLY — the DuckDB oracle counts
+            # regexp_replace(text,'[^a-zA-Z]','','g'); str.isalpha() is
+            # Unicode-wide and would diverge on any non-ASCII letter
+            n_alpha = len(_ASCII_ALPHA_RE.findall(t))
             alpha_ratio.append(round6(n_alpha / len(t)) if t else 0.0)
         return pa.table(
             {
@@ -156,25 +160,47 @@ _FNV_OFFSET = np.uint64(14695981039346656037)
 
 def _fnv1a(data: bytes) -> np.uint64:
     h = _FNV_OFFSET
-    for b in data:
-        h = np.uint64(h ^ np.uint64(b)) * _FNV_PRIME
+    with np.errstate(over="ignore"):
+        for b in data:
+            h = np.uint64(h ^ np.uint64(b)) * _FNV_PRIME
     return h
 
 
+_ROLL_BASE = np.uint64(1099511628211)  # FNV prime reused as the poly base
+
+
 def rolling_fingerprint(text: str, window: int = 8) -> int:
-    """Winnowing-style fingerprint: FNV-1a over each ``window``-token
-    shingle, xor-folded min over the document.  Deterministic and
-    platform-stable (no python hash())."""
+    """Winnowing-style fingerprint: min over the document of a polynomial
+    rolling hash of each ``window``-token shingle (token hashes combined
+    as Σ h_i · base^(w-1-i), uint64 wraparound).  Deterministic and
+    platform-stable (no python hash()); fully vectorized — round 1 ran
+    byte-at-a-time FNV per shingle in python."""
     toks = simple_tokens(text)
     if not toks:
         return 0
     if len(toks) < window:
         return int(_fnv1a(" ".join(toks).encode()))
-    best = None
-    for i in range(len(toks) - window + 1):
-        h = _fnv1a(" ".join(toks[i : i + window]).encode())
-        best = h if best is None or h < best else best
-    return int(best)
+    th = np.fromiter(
+        (
+            int.from_bytes(
+                __import__("hashlib").blake2b(t.encode(), digest_size=8).digest(),
+                "little",
+            )
+            for t in toks
+        ),
+        dtype=np.uint64,
+        count=len(toks),
+    )
+    with np.errstate(over="ignore"):
+        powers = np.empty(window, dtype=np.uint64)
+        powers[window - 1] = np.uint64(1)
+        for i in range(window - 2, -1, -1):
+            powers[i] = powers[i + 1] * _ROLL_BASE
+        n_sh = len(toks) - window + 1
+        acc = np.zeros(n_sh, dtype=np.uint64)
+        for w in range(window):
+            acc += th[w : w + n_sh] * powers[w]
+    return int(acc.min())
 
 
 def doc_fingerprints(docs_ds, text_col: str = "text", window: int = 8):

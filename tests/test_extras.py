@@ -79,7 +79,13 @@ def test_simhash_near_dup_hamming(ray_session):
 
 def test_rolling_fingerprint_stability():
     assert rolling_fingerprint(BASE) == rolling_fingerprint(BASE)
-    assert rolling_fingerprint(BASE) != rolling_fingerprint(BASE + " changed words here")
+    # a MIDDLE token appears in every window, so changing it must change
+    # the min-shingle fingerprint (appending text may legitimately keep
+    # the same minimum window)
+    toks = BASE.split()
+    toks[2] = "zzreplaced"  # early token: disturbs the leading windows
+    toks[-3] = "qqreplaced"  # late token: disturbs the trailing windows
+    assert rolling_fingerprint(BASE) != rolling_fingerprint(" ".join(toks))
     assert rolling_fingerprint("") == 0
 
 
@@ -210,3 +216,72 @@ def test_aggregate_query_log(ray_session):
     # max ts = base+9h, cutoff = base-3h -> all 10 "hot" rows kept
     assert got.get("hot") == 10
     assert "old" not in got
+
+
+def test_minhash_kernel_golden_vs_object_dtype():
+    """The vectorized uint64 mulmod kernel reproduces the round-1
+    object-dtype modular arithmetic exactly."""
+    from seekr_ray.extras.dedup import (
+        _MERSENNE,
+        _minhash_params,
+        _shingle_hashes,
+        minhash_signature,
+    )
+
+    a, b = _minhash_params(64)
+    rng = np.random.default_rng(5)
+    for trial in range(3):
+        toks = [f"w{int(x)}" for x in rng.integers(0, 50, size=40)]
+        sig = minhash_signature(toks, a, b, 3)
+        h = _shingle_hashes(toks, 3)
+        want = (
+            h[None, :].astype(object) * a[:, None].astype(object)
+            + b[:, None].astype(object)
+        ) % _MERSENNE
+        want = np.array([int(min(row)) for row in want], dtype=np.uint64)
+        assert np.array_equal(sig, want), trial
+
+
+def test_mulmod61_golden_random():
+    from seekr_ray.extras.dedup import _MERSENNE, _fold61, _mulmod61
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, _MERSENNE, size=1000, dtype=np.uint64)
+    h = rng.integers(0, 2**63, size=1000, dtype=np.uint64)
+    h61 = _fold61(h)
+    got = _mulmod61(a, h61)
+    want = np.array(
+        [(int(x) * int(y)) % _MERSENNE for x, y in zip(a, h)], dtype=np.uint64
+    )
+    assert np.array_equal(got, want)
+
+
+def test_min_label_paths_agree(ray_session):
+    import pyarrow as pa
+
+    from seekr_ray.extras.dedup import _min_label_dataset, _min_label_numpy
+
+    rng = np.random.default_rng(4)
+    a = rng.integers(0, 60, size=120).astype(np.int64)
+    b = rng.integers(0, 60, size=120).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    n1, l1 = _min_label_numpy(a, b)
+    n2, l2 = _min_label_dataset(
+        pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    )
+    assert np.array_equal(n1, n2) and np.array_equal(l1, l2)
+
+
+def test_embedding_neardup_lsh_recall(ray_session):
+    from seekr_ray.extras.dedup import embedding_neardup_lsh, embedding_neardup_pairs
+
+    ds, _mat = _emb_ds(n=150, dim=16, seed=9)
+    exact = embedding_neardup_pairs(ds, threshold=0.6)
+    approx = embedding_neardup_lsh(ds, threshold=0.6, nbits=2)
+    exact_pairs = set(zip(exact["a"].to_pylist(), exact["b"].to_pylist()))
+    approx_pairs = set(zip(approx["a"].to_pylist(), approx["b"].to_pylist()))
+    assert approx_pairs <= exact_pairs, "LSH must not invent pairs"
+    if exact_pairs:
+        recall = len(approx_pairs) / len(exact_pairs)
+        assert recall >= 0.3, recall
