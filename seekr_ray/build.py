@@ -40,7 +40,6 @@ from .config import IndexConfig
 from .stages.doc_table import (
     DropFilter,
     DROPS_SCHEMA,
-    assign_ids_from_keys,
     attach_documents,
 )
 from .stages.postings import (
@@ -268,12 +267,14 @@ def build_index(
     if not (resume and _done(docs_dir)):
         if id_col is None:
             assert key_cols, "need key_cols when no id column is given"
-            from .stages.doc_table import DRIVER_TABLE_LIMIT, assign_ids_driver
+            from .stages import doc_table as dt
 
-            if input_path and _parquet_count(input_path) <= DRIVER_TABLE_LIMIT:
+            id_map = None
+            id_map_ds = None
+            if input_path and _parquet_count(input_path) <= dt.DRIVER_TABLE_LIMIT:
                 # key columns only, straight off the parquet footers —
                 # no Ray execution for the id bookkeeping at this scale
-                id_map = assign_ids_driver(
+                id_map = dt.assign_ids_driver(
                     pq.read_table(input_path, columns=key_cols),
                     key_cols,
                     cfg.num_id_partitions,
@@ -284,11 +285,28 @@ def build_index(
                     if input_path
                     else docs_ds.select_columns(key_cols)
                 )
-                id_map = assign_ids_from_keys(
+                id_map_ds = dt.assign_ids_dataset(
                     keys_src, key_cols, cfg.num_id_partitions
-                )
+                ).materialize()
+                if id_map_ds.count() <= dt.DRIVER_TABLE_LIMIT:
+                    kh_parts, id_parts = [], []
+                    for b in id_map_ds.iter_batches(batch_format="pyarrow"):
+                        kh_parts.append(
+                            b["_khash"].to_numpy(zero_copy_only=False)
+                        )
+                        id_parts.append(
+                            b["doc_id"].to_numpy(zero_copy_only=False)
+                        )
+                    import numpy as np
+
+                    kh = np.concatenate(kh_parts)
+                    ids = np.concatenate(id_parts)
+                    order = np.argsort(kh)
+                    id_map = (kh[order], ids[order])
+                    id_map_ds = None
         else:
             id_map = None
+            id_map_ds = None
         # when the source path is known, re-read it with size-targeted
         # blocks: the docs write emits ~one file per read task, and a
         # fragmented docs/ (hundreds of tiny files) taxes every
@@ -298,9 +316,18 @@ def build_index(
             if input_path
             else docs_ds
         )
-        prepared = attach_documents(
-            src, key_cols, content_col, id_map, id_col=id_col
-        )
+        if id_map_ds is not None:
+            # unique-key table too large for a broadcast: ids attach via
+            # an inner hash join on the 8-byte key hash
+            from .stages.doc_table import attach_documents_via_join
+
+            prepared = attach_documents_via_join(
+                src, key_cols, content_col, id_map_ds, _target_blocks()
+            )
+        else:
+            prepared = attach_documents(
+                src, key_cols, content_col, id_map, id_col=id_col
+            )
         prepared.write_parquet(
             docs_dir,
             mode="overwrite",

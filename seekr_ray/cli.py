@@ -97,6 +97,13 @@ def cmd_suggest(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from .query.http_api import serve
+
+    serve(args.index_dir, host=args.host, port=args.port)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="seekr_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -137,6 +144,14 @@ def main(argv=None) -> int:
     s.add_argument("--index-dir", required=True)
     s.add_argument("--prefix", required=True)
     s.set_defaults(fn=cmd_suggest)
+
+    v = sub.add_parser(
+        "serve", help="REST API (/api/search, /api/suggestions)"
+    )
+    v.add_argument("--index-dir", required=True)
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8080)
+    v.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1,22 +1,26 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed by actor-pool ``map_batches`` stages.
 
-The image/audio decode libraries are not available in this environment, so
-the *decode kernels* are stubbed (``DeterministicFakeDecoder`` — a seeded,
-content-derived fake; ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` where a real libjpeg/ffmpeg call would go).  The
-Ray-side plumbing — schema, small batch sizes for wide binary rows, actor
-signature, output layout — is real and tested (tests/test_extras.py).
+Round 2: the image and audio decode kernels are REAL for the formats a
+pure-python decoder can parse — binary PPM (P6) images and PCM16 WAV
+audio — so ``multimodal_features`` measures an actual decode + feature
+extraction, not a hash fake.  Compressed formats (JPEG/FLAC/H.264) would
+need libjpeg/ffmpeg, which this container does not ship: those payloads
+raise ``NotImplementedError`` with the format named, and the *video*
+modality keeps the clearly-marked deterministic fake (frame-sampling a
+real container needs a demuxer).  The Ray-side plumbing — schema, small
+batch sizes for wide binary rows, actor pool with per-actor state,
+output layout — is identical for all three.
 
 Scale notes baked into the defaults: binary payloads make rows wide, so
 ``batch_size`` stays small (64) and the stage is an actor pool whose
-``__init__`` would hold the decoder context (model weights / codec
-state).
+``__init__`` holds the decoder state.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -32,43 +36,160 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
+FEATURE_DIM = 16
+
+
+# ---------------------------------------------------------------------------
+# real codecs (pure python/numpy)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6)."""
+    h, w, c = pixels.shape
+    assert c == 3
+    header = f"P6\n{w} {h}\n255\n".encode()
+    return header + np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8.  Handles comments and
+    arbitrary whitespace in the header per the netpbm spec."""
+    if not payload.startswith(b"P6"):
+        raise NotImplementedError(
+            "only binary PPM (P6) images decode in this container; "
+            "JPEG/PNG need libjpeg/libpng"
+        )
+    # header = magic, width, height, maxval tokens (comments start '#')
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return data.reshape(h, w, 3)
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples -> RIFF/WAVE PCM16 bytes."""
+    pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    n = len(pcm)
+    hdr = b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", n) + pcm
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 -> (int16 samples, sample_rate).  Walks RIFF
+    chunks; rejects compressed codecs by audio format tag."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only RIFF/WAVE PCM decodes in this container; "
+            "FLAC/MP3/OGG need their codec libraries"
+        )
+    i = 12
+    rate = None
+    samples = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+            if fmt_tag != 1:
+                raise NotImplementedError(f"WAV format tag {fmt_tag} (not PCM)")
+            if channels != 1:
+                raise NotImplementedError("only mono WAV supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        i += 8 + size + (size & 1)
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return samples, rate
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch: P6 PPM decodes for real; compressed formats raise."""
+    return decode_ppm(payload)
+
+
+def decode_audio(payload: bytes) -> np.ndarray:
+    """Dispatch: PCM16 WAV decodes for real; compressed codecs raise."""
+    samples, _rate = decode_wav_pcm16(payload)
+    return samples
+
+
+# ---------------------------------------------------------------------------
+# synthetic media corpus
+# ---------------------------------------------------------------------------
+
 
 def synthesize_media_table(n_rows: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus (binary payload = seeded bytes)."""
+    """Deterministic media corpus: REAL P6/WAV payloads for image/audio
+    rows (decodable end-to-end), seeded bytes for the video stub rows."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for i in range(n_rows):
         kind = kinds[i % 3]
-        payload = rng.integers(0, 256, size=int(rng.integers(256, 2048)), dtype=np.uint8).tobytes()
+        if kind == "image":
+            w = int(rng.integers(8, 48))
+            h = int(rng.integers(8, 48))
+            pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = encode_ppm(pixels)
+            sr = 0
+        elif kind == "audio":
+            sr = 16000
+            n = int(rng.integers(256, 2048))
+            t = np.arange(n) / sr
+            freq = float(rng.integers(100, 2000))
+            wave = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n)
+            payload = encode_wav_pcm16(
+                np.clip(wave * 32767, -32768, 32767).astype(np.int16), sr
+            )
+            w = h = 0
+        else:
+            payload = rng.integers(
+                0, 256, size=int(rng.integers(256, 2048)), dtype=np.uint8
+            ).tobytes()
+            w = int(rng.integers(16, 512))
+            h = int(rng.integers(16, 512))
+            sr = 0
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)
-        rows["width"].append(int(rng.integers(16, 512)) if kind != "audio" else 0)
-        rows["height"].append(int(rng.integers(16, 512)) if kind != "audio" else 0)
-        rows["sample_rate"].append(16000 if kind != "image" else 0)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["sample_rate"].append(sr)
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
-def decode_image(payload: bytes) -> np.ndarray:
-    """Real decode would call PIL/libjpeg here."""
-    raise NotImplementedError("image decode library not available in this container")
-
-
-def decode_audio(payload: bytes) -> np.ndarray:
-    """Real decode would call soundfile/ffmpeg here."""
-    raise NotImplementedError("audio decode library not available in this container")
+# ---------------------------------------------------------------------------
+# feature extraction stages
+# ---------------------------------------------------------------------------
 
 
 class DeterministicFakeDecoder:
-    """Actor-pool stage: payload -> fixed-size feature vector.
+    """Clearly-marked STUB decoder (video path; also kept for callers
+    that want pipeline tests without any decodable payloads): feature =
+    content-derived hash embedding, deterministic and testable."""
 
-    Stands in for decode + feature-extract (resize / frame-sample /
-    mel-spectrogram); the fake feature is a content-derived hash embedding
-    so outputs are deterministic and testable.  Swap ``_features`` for the
-    real kernel without touching the Ray plumbing."""
-
-    def __init__(self, feature_dim: int = 16):
+    def __init__(self, feature_dim: int = FEATURE_DIM):
         self.feature_dim = feature_dim
 
     def _features(self, payload: bytes) -> np.ndarray:
@@ -77,9 +198,7 @@ class DeterministicFakeDecoder:
         return arr / 65535.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [
-            self._features(p) for p in batch["payload"].to_pylist()
-        ]
+        feats = [self._features(p) for p in batch["payload"].to_pylist()]
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -94,11 +213,87 @@ class DeterministicFakeDecoder:
         )
 
 
-def extract_media_features(media_ds, feature_dim: int = 16, batch_size: int = 64):
-    """media table -> (media_id, kind, n_bytes, features) via the stubbed
-    decoder actor pool.  Small batch_size on purpose: payloads are wide."""
+class MediaFeatureExtractor:
+    """Actor-pool stage: payload -> FEATURE_DIM feature vector.
+
+    * image: REAL P6 decode -> per-channel mean/std, luma stats, dims
+    * audio: REAL WAV PCM16 decode -> rms, zero-crossing rate, band
+      energies from a coarse DFT, duration
+    * video: stub features (demuxing needs ffmpeg; honestly labeled)
+
+    Per-actor state (__init__): the DFT bin matrix — the "model load"
+    analog that justifies the actor pool over plain tasks.
+    """
+
+    _N_FFT = 256
+
+    def __init__(self, feature_dim: int = FEATURE_DIM):
+        self.feature_dim = feature_dim
+        k = np.arange(self._N_FFT)
+        # 4 coarse frequency bins over a 256-sample window
+        self._dft = np.exp(
+            -2j * np.pi * np.outer([1, 4, 16, 64], k) / self._N_FFT
+        )
+        self._fake = DeterministicFakeDecoder(feature_dim)
+
+    def _image_features(self, payload: bytes) -> np.ndarray:
+        px = decode_ppm(payload).astype(np.float64)
+        h, w, _ = px.shape
+        luma = px @ np.array([0.299, 0.587, 0.114])
+        f = np.zeros(self.feature_dim)
+        f[0], f[1] = w, h
+        f[2] = w / h
+        f[3:6] = px.mean(axis=(0, 1)) / 255.0
+        f[6:9] = px.std(axis=(0, 1)) / 255.0
+        f[9] = luma.mean() / 255.0
+        f[10] = luma.std() / 255.0
+        f[11] = np.abs(np.diff(luma, axis=1)).mean() / 255.0  # edge energy
+        return f
+
+    def _audio_features(self, payload: bytes) -> np.ndarray:
+        samples, rate = decode_wav_pcm16(payload)
+        x = samples.astype(np.float64) / 32768.0
+        f = np.zeros(self.feature_dim)
+        f[0] = rate
+        f[1] = len(x)
+        f[2] = len(x) / rate
+        f[3] = float(np.sqrt((x**2).mean())) if len(x) else 0.0
+        if len(x) > 1:
+            f[4] = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean())
+        win = x[: self._N_FFT]
+        if len(win) < self._N_FFT:
+            win = np.pad(win, (0, self._N_FFT - len(win)))
+        f[5:9] = np.abs(self._dft @ win) / self._N_FFT
+        return f
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        feats = []
+        for kind, p in zip(kinds, payloads):
+            if kind == "image":
+                feats.append(self._image_features(p))
+            elif kind == "audio":
+                feats.append(self._audio_features(p))
+            else:
+                feats.append(self._fake._features(p))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+                "features": pa.array(
+                    [f.tolist() for f in feats], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+
+def extract_media_features(media_ds, feature_dim: int = FEATURE_DIM, batch_size: int = 64):
+    """media table -> (media_id, kind, n_bytes, features) via the decoder
+    actor pool.  Small batch_size on purpose: payloads are wide."""
     return media_ds.map_batches(
-        DeterministicFakeDecoder,
+        MediaFeatureExtractor,
         batch_format="pyarrow",
         batch_size=batch_size,
         fn_constructor_kwargs={"feature_dim": feature_dim},

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import IndexConfig
 
@@ -115,6 +116,92 @@ def resolve_links(links_ds, docs_ds):
         .groupby("_b")
         .map_groups(dedup_bucket, batch_format="pyarrow")
     )
+
+
+def resolve_links_join(links_ds, docs_ds, num_partitions: int = 32):
+    """Join-form of ``resolve_links`` for doc tables that outgrow a
+    broadcast url->id map (the reference's J1 is literally this SQL
+    inner join, ``DataBaseManager.java:39-42``): two ``Dataset.join``s
+    on the url key — src side then dst side — followed by the same
+    bucketed (src, dst) dedup.  Identical edge set (equal-by-test)."""
+
+    def add_src_url(batch: pa.Table) -> pa.Table:
+        if "src_doc_id" in batch.column_names:
+            return pa.table(
+                {
+                    "src": pc.cast(batch["src_doc_id"], pa.int64()),
+                    "dst_url": batch["dst_url"],
+                }
+            )
+        urls = [
+            f"repo://{r}/{p}"
+            for r, p in zip(
+                batch["src_repo"].to_pylist(), batch["src_path"].to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "src_url": pa.array(urls, pa.string()),
+                "dst_url": batch["dst_url"],
+            }
+        )
+
+    links2 = links_ds.map_batches(
+        add_src_url, batch_format="pyarrow", batch_size=None
+    )
+    url_ids = docs_ds.select_columns(["url", "doc_id"])
+    schema_names = links2.schema().names
+    if "src" not in schema_names:
+        src_side = url_ids.map_batches(
+            lambda b: b.rename_columns(["src_url", "src"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        links2 = links2.join(
+            src_side,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src_url",),
+        )
+    dst_side = url_ids.map_batches(
+        lambda b: b.rename_columns(["dst_url", "dst"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    edges = links2.join(
+        dst_side,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("dst_url",),
+    ).select_columns(["src", "dst"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_b", pa.array((src % 64).astype(np.int64), pa.int64())
+        )
+
+    return (
+        edges.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_b")
+        .map_groups(_dedup_edges_bucket, batch_format="pyarrow")
+    )
+
+
+def _dedup_edges_bucket(group: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc2
+
+    order = pc2.sort_indices(
+        group, sort_keys=[("src", "ascending"), ("dst", "ascending")]
+    )
+    tbl = group.take(order)
+    src = tbl["src"].to_numpy(zero_copy_only=False)
+    dst = tbl["dst"].to_numpy(zero_copy_only=False)
+    keep = np.empty(len(src), dtype=bool)
+    if len(src):
+        keep[0] = True
+        keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+    return tbl.filter(pa.array(keep)).drop_columns(["_b"])
 
 
 def resolve_links_driver(links_tbl: pa.Table, docs_tbl: pa.Table):
@@ -361,5 +448,11 @@ def build_pagerank_table(links_ds, docs_ds, cfg: IndexConfig, docs_table=None):
                 "page_rank": pa.array(ranks, pa.float64()),
             }
         )
-    edges = resolve_links(links_ds, docs_ds)
+    # docs_table is None when the doc table exceeds the broadcast limit:
+    # resolution becomes the two-sided url join (J1's literal SQL form)
+    edges = (
+        resolve_links(links_ds, docs_ds)
+        if docs_table is not None
+        else resolve_links_join(links_ds, docs_ds)
+    )
     return pagerank_from_edges(edges, cfg)

@@ -1,0 +1,121 @@
+"""REST façade over the query engine — response-shape parity with the
+reference's Spring controllers:
+
+* ``GET /api/search?query=...&page=0&size=10`` ->
+  ``{"results": [{"url", "title", "score", "snippet"}], "totalCount": N}``
+  (``SearchController.java:27-51``: 400 on blank query, 400 +
+  empty-response body on negative page, size clamped to 10 outside
+  (0, 100]);
+* ``GET /api/suggestions?q=...`` -> JSON list of strings
+  (``SearchSuggestionsController.java:21-33``: 400 on blank q).
+
+Stdlib ``ThreadingHTTPServer`` on purpose — no web framework ships in
+this environment, and the serving state (segment store, caches) already
+lives in ``QueryEngine`` / the ``SearchService`` actor pool; the HTTP
+layer is a thin adapter over either.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+class SearchHTTPServer:
+    """Serves one QueryEngine (or any object with ``search``/``suggest``
+    of the same signatures, e.g. a SearchService pool)."""
+
+    def __init__(self, backend, host: str = "127.0.0.1", port: int = 0):
+        self.backend = backend
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _json(self, code: int, obj=None) -> None:
+                body = b"" if obj is None else json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802 (stdlib API)
+                url = urlparse(self.path)
+                qs = parse_qs(url.query)
+                try:
+                    if url.path == "/api/search":
+                        return self._search(qs)
+                    if url.path == "/api/suggestions":
+                        return self._suggestions(qs)
+                    return self._json(404, {"error": "not found"})
+                except Exception:  # 500 parity (SearchController catch-all)
+                    return self._json(500)
+
+            def _search(self, qs) -> None:
+                query = (qs.get("query") or [""])[0]
+                if not query.strip():
+                    return self._json(400)
+                try:
+                    page = int((qs.get("page") or ["0"])[0])
+                    size = int((qs.get("size") or ["10"])[0])
+                except ValueError:
+                    return self._json(400)
+                if page < 0:
+                    return self._json(400, {"results": [], "totalCount": 0})
+                if size <= 0 or size > 100:
+                    size = 10
+                out = outer.backend.search(query, page=page, size=size)
+                return self._json(
+                    200,
+                    {
+                        "results": [
+                            {
+                                "url": r["url"],
+                                "title": r["title"],
+                                "score": r["score"],
+                                "snippet": r["snippet"],
+                            }
+                            for r in out["results"]
+                        ],
+                        "totalCount": out["total_count"],
+                    },
+                )
+
+            def _suggestions(self, qs) -> None:
+                q = (qs.get("q") or [""])[0]
+                if not q.strip():
+                    return self._json(400)
+                return self._json(200, outer.backend.suggest(q))
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "SearchHTTPServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def serve(index_dir: str, host: str = "127.0.0.1", port: int = 8080):
+    """Blocking entry point (CLI ``serve`` command)."""
+    from .engine import QueryEngine
+
+    server = SearchHTTPServer(QueryEngine(index_dir), host=host, port=port)
+    print(f"serving {index_dir} on http://{server.host}:{server.port}/api/search")
+    try:
+        server._httpd.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()

@@ -421,11 +421,10 @@ def _unique_rank_partition(group: pa.Table) -> pa.Table:
     )
 
 
-def assign_ids_from_keys(keys_ds, key_cols: list[str], num_partitions: int):
-    """Key-only id assignment: Dataset[key_cols] -> driver-side sorted
-    (khash, doc_id) arrays.  The shuffle moves 8-byte hashes only; the
-    collected map is 16 B/doc (join-based attach takes over past the
-    broadcast limit — see ``attach_ids_via_join``)."""
+def assign_ids_dataset(keys_ds, key_cols: list[str], num_partitions: int):
+    """Key-only id assignment as a DATASET (khash uint64, doc_id int64)
+    — the form that stays distributed for the join-based attach when the
+    unique-key table outgrows a broadcast."""
     from ..build import _target_blocks
 
     def add_keys(batch: pa.Table) -> pa.Table:
@@ -439,12 +438,20 @@ def assign_ids_from_keys(keys_ds, key_cols: list[str], num_partitions: int):
             }
         )
 
-    ranked = (
+    return (
         keys_ds.map_batches(add_keys, batch_format="pyarrow", batch_size=None)
         .repartition(_target_blocks())
         .groupby("_pid")
         .map_groups(_unique_rank_partition, batch_format="pyarrow")
     )
+
+
+def assign_ids_from_keys(keys_ds, key_cols: list[str], num_partitions: int):
+    """Key-only id assignment: Dataset[key_cols] -> driver-side sorted
+    (khash, doc_id) arrays.  The shuffle moves 8-byte hashes only; the
+    collected map is 16 B/doc (join-based attach takes over past the
+    broadcast limit — see ``attach_documents_via_join``)."""
+    ranked = assign_ids_dataset(keys_ds, key_cols, num_partitions)
     kh_parts, id_parts = [], []
     for b in ranked.iter_batches(batch_format="pyarrow"):
         kh_parts.append(b["_khash"].to_numpy(zero_copy_only=False))
@@ -509,27 +516,71 @@ def attach_documents(
             batch = batch.append_column(
                 "doc_id", pa.array(ids[pos], pa.int64())
             )
-        shas = _sha_hex(batch[content_col].to_pylist())
-        batch = batch.append_column("content_sha256", pa.array(shas, pa.string()))
-        if title_from and title_from in batch.column_names:
-            titles = [
-                (p.rsplit("/", 1)[-1] if p is not None else "")
-                for p in batch[title_from].to_pylist()
-            ]
-        else:
-            titles = [""] * batch.num_rows
-        if "repo" in batch.column_names and "path" in batch.column_names:
-            urls = [
-                f"repo://{r}/{p}"
-                for r, p in zip(batch["repo"].to_pylist(), batch["path"].to_pylist())
-            ]
-        else:
-            urls = [f"doc://{d}" for d in batch["doc_id"].to_pylist()]
-        batch = batch.append_column("title", pa.array(titles, pa.string()))
-        batch = batch.append_column("url", pa.array(urls, pa.string()))
+        batch = _decorate_batch(batch, content_col, title_from)
         return batch.take(pc.sort_indices(batch["doc_id"]))
 
     return ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
+
+
+def _decorate_batch(
+    batch: pa.Table, content_col: str, title_from: str | None
+) -> pa.Table:
+    """sha256 + title + url columns (shared by both attach forms)."""
+    shas = _sha_hex(batch[content_col].to_pylist())
+    batch = batch.append_column("content_sha256", pa.array(shas, pa.string()))
+    if title_from and title_from in batch.column_names:
+        titles = [
+            (p.rsplit("/", 1)[-1] if p is not None else "")
+            for p in batch[title_from].to_pylist()
+        ]
+    else:
+        titles = [""] * batch.num_rows
+    if "repo" in batch.column_names and "path" in batch.column_names:
+        urls = [
+            f"repo://{r}/{p}"
+            for r, p in zip(batch["repo"].to_pylist(), batch["path"].to_pylist())
+        ]
+    elif "doc_id" in batch.column_names:
+        urls = [f"doc://{d}" for d in batch["doc_id"].to_pylist()]
+    else:
+        urls = [""] * batch.num_rows
+    batch = batch.append_column("title", pa.array(titles, pa.string()))
+    return batch.append_column("url", pa.array(urls, pa.string()))
+
+
+def attach_documents_via_join(
+    ds,
+    key_cols: list[str],
+    content_col: str,
+    id_map_ds,
+    num_partitions: int,
+    title_from: str | None = "path",
+):
+    """Join-form of ``attach_documents`` for corpora whose unique-key
+    table outgrows a driver broadcast (>> DRIVER_TABLE_LIMIT rows): the
+    (khash, doc_id) map STAYS a Dataset and ids attach via an inner hash
+    join on the 8-byte key hash.  Unlike the broadcast form this moves
+    the content through the join exchange — the price of not holding the
+    id map anywhere whole; identical output rows (equal-by-test)."""
+
+    def add_khash(batch: pa.Table) -> pa.Table:
+        kh = key_hashes(batch, key_cols)
+        batch = batch.append_column("_khash", pa.array(kh, pa.uint64()))
+        return _decorate_batch(batch, content_col, title_from)
+
+    decorated = ds.map_batches(add_khash, batch_format="pyarrow", batch_size=None)
+    joined = decorated.join(
+        id_map_ds,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("_khash",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_columns(["_khash"])
+        return batch.take(pc.sort_indices(batch["doc_id"]))
+
+    return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
 DROPS_SCHEMA = pa.schema(

@@ -285,3 +285,49 @@ def test_embedding_neardup_lsh_recall(ray_session):
     if exact_pairs:
         recall = len(approx_pairs) / len(exact_pairs)
         assert recall >= 0.3, recall
+
+
+def test_ppm_and_wav_roundtrip():
+    from seekr_ray.extras.multimodal import (
+        decode_ppm,
+        decode_wav_pcm16,
+        encode_ppm,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, size=(12, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+    # header comments per netpbm spec
+    with_comment = b"P6\n# a comment\n7 12\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), px)
+
+    s = (rng.standard_normal(500) * 1000).astype(np.int16)
+    got, rate = decode_wav_pcm16(encode_wav_pcm16(s, 16000))
+    assert rate == 16000 and np.array_equal(got, s)
+
+
+def test_media_features_real_decode(ray_session):
+    import ray.data as rd
+
+    from seekr_ray.extras.multimodal import (
+        MediaFeatureExtractor,
+        extract_media_features,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(30)
+    out = extract_media_features(rd.from_arrow(media)).to_pandas()
+    assert len(out) == 30
+    by_kind = dict(zip(media["media_id"].to_pylist(), media["kind"].to_pylist()))
+    for _, row in out.iterrows():
+        f = row["features"]
+        assert len(f) == 16
+        if by_kind[row["media_id"]] == "image":
+            assert f[0] > 0 and f[1] > 0  # real decoded dimensions
+            assert 0.3 < f[3] < 0.7  # uniform-random pixels: mean ~0.5
+        elif by_kind[row["media_id"]] == "audio":
+            assert f[0] == 16000 and f[3] > 0.1  # rate + sine rms
+    # determinism
+    d = MediaFeatureExtractor()
+    assert d(media.slice(0, 3)).equals(d(media.slice(0, 3)))

@@ -1,0 +1,96 @@
+"""REST parity: /api/search and /api/suggestions mirror the reference
+controllers' response shapes and status-code behavior
+(SearchController.java:27-51, SearchSuggestionsController.java:21-33)."""
+
+import json
+import os
+import urllib.error
+import urllib.request
+
+import pytest
+
+INDEX_DIR = "/tmp/seekr_test_index"
+
+
+@pytest.fixture(scope="module")
+def server(ray_session):
+    import ray.data as rd
+
+    from seekr_ray.build import build_index
+    from seekr_ray.config import IndexConfig
+    from seekr_ray.fixtures import cached_corpus_path, cached_links_path
+    from seekr_ray.query.engine import QueryEngine
+    from seekr_ray.query.http_api import SearchHTTPServer
+
+    if not os.path.exists(os.path.join(INDEX_DIR, "meta.json")):
+        build_index(
+            rd.read_parquet(cached_corpus_path(120)),
+            INDEX_DIR,
+            IndexConfig(
+                num_term_partitions=4,
+                num_id_partitions=4,
+                hot_df_threshold=40,
+                postings_per_chunk=16,
+            ),
+            key_cols=["repo", "path", "commit"],
+            links_ds=rd.read_parquet(cached_links_path(120)),
+        )
+    srv = SearchHTTPServer(QueryEngine(INDEX_DIR)).start()
+    yield srv
+    srv.shutdown()
+
+
+def _get(server, path):
+    return urllib.request.urlopen(
+        f"http://{server.host}:{server.port}{path}", timeout=10
+    )
+
+
+def test_search_endpoint_shape(server):
+    with _get(server, "/api/search?query=parse&size=3") as r:
+        assert r.status == 200
+        out = json.loads(r.read())
+    assert set(out) == {"results", "totalCount"}
+    assert out["totalCount"] > 0
+    assert 0 < len(out["results"]) <= 3
+    for res in out["results"]:
+        assert set(res) == {"url", "title", "score", "snippet"}
+        assert res["url"].startswith("repo://")
+
+
+def test_search_pagination_and_clamps(server):
+    with _get(server, "/api/search?query=parse&page=0&size=5") as r:
+        p0 = json.loads(r.read())
+    with _get(server, "/api/search?query=parse&page=1&size=5") as r:
+        p1 = json.loads(r.read())
+    assert p0["results"] != p1["results"]
+    # size outside (0, 100] falls back to 10 (SearchController.java:42-44)
+    with _get(server, "/api/search?query=parse&size=1000") as r:
+        big = json.loads(r.read())
+    assert len(big["results"]) <= 10
+    # negative page: 400 with an empty-response body
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server, "/api/search?query=parse&page=-1")
+    assert ei.value.code == 400
+    assert json.loads(ei.value.read()) == {"results": [], "totalCount": 0}
+
+
+def test_blank_query_is_400(server):
+    for path in ("/api/search?query=+", "/api/search", "/api/suggestions?q=+"):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(server, path)
+        assert ei.value.code == 400
+
+
+def test_suggestions_endpoint(server):
+    with _get(server, "/api/suggestions?q=par") as r:
+        assert r.status == 200
+        out = json.loads(r.read())
+    assert isinstance(out, list) and out
+    assert all(isinstance(s, str) and s.startswith("par") for s in out)
+
+
+def test_unknown_path_404(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server, "/api/nope")
+    assert ei.value.code == 404
