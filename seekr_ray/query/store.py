@@ -38,6 +38,8 @@ _CHUNK_COLUMNS = [
     "tfs_enc",
     "pos_blob_lens_enc",
     "pos_blobs",
+    # nullable; absent entirely in round-1 segment files
+    "importance_enc",
 ]
 
 
@@ -65,7 +67,34 @@ class TermPostings:
     order: np.ndarray | None  # merge order: sorted idx -> decode idx
     block_starts: np.ndarray  # int64 offsets of block boundaries
     block_max_tf: np.ndarray  # float64 per block
+    imp_chunks: list | None = None  # importance_enc per chunk row (None = all 1.0)
     _positions: list | None = None
+    _importances: np.ndarray | None = None
+
+    @property
+    def importances(self) -> np.ndarray:
+        """Per-posting importance aligned with ``doc_ids`` (best-section
+        weight; 1.0 everywhere for single-section corpora and round-1
+        segments).  Decodes lazily — scoring never reads it (§2.9:
+        wordInfo carries [frequency, IDF] only)."""
+        if self._importances is None:
+            n = int(self.chunk_counts.sum())
+            if self.imp_chunks is None or all(
+                e is None for e in self.imp_chunks
+            ):
+                self._importances = np.ones(n, dtype=np.float64)
+            else:
+                parts = [
+                    unpack_f64(e)
+                    if e is not None
+                    else np.ones(int(c), dtype=np.float64)
+                    for e, c in zip(self.imp_chunks, self.chunk_counts)
+                ]
+                imp = np.concatenate(parts)
+                self._importances = (
+                    imp[self.order] if self.order is not None else imp
+                )
+        return self._importances
 
     @property
     def positions(self) -> list[np.ndarray]:
@@ -146,6 +175,8 @@ class _PartitionIndex:
             dtype=np.int64,
         )
         self.rg_starts = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(rows)])
+        file_cols = set(self.pf.schema_arrow.names)
+        self.columns = [c for c in _CHUNK_COLUMNS if c in file_cols]
         tcol = self.pf.read(columns=["term"])["term"]
         self.terms = np.asarray(tcol.to_pylist(), dtype=object)
 
@@ -158,7 +189,7 @@ class _PartitionIndex:
         """Chunk rows [lo, hi) — decodes only the covering row groups."""
         g0 = int(np.searchsorted(self.rg_starts, lo, side="right")) - 1
         g1 = int(np.searchsorted(self.rg_starts, hi - 1, side="right")) - 1
-        t = self.pf.read_row_groups(list(range(g0, g1 + 1)), columns=_CHUNK_COLUMNS)
+        t = self.pf.read_row_groups(list(range(g0, g1 + 1)), columns=self.columns)
         return t.slice(lo - int(self.rg_starts[g0]), hi - lo)
 
 
@@ -260,6 +291,7 @@ class SegmentStore:
             # chunks routed to it, so visit each partition once even when
             # several salts hash to it.
             ids_parts, tf_parts, pos_chunks = [], [], []
+            imp_chunks: list = []
             chunk_counts: list[int] = []
             visited: set[int] = set()
             for salt in range(n_salts):
@@ -279,12 +311,18 @@ class SegmentStore:
                 tfs_enc = rows["tfs_enc"].to_pylist()
                 lens_enc = rows["pos_blob_lens_enc"].to_pylist()
                 blobs = rows["pos_blobs"].to_pylist()
+                imp_enc = (
+                    rows["importance_enc"].to_pylist()
+                    if "importance_enc" in rows.column_names
+                    else [None] * rows.num_rows
+                )
                 for i in range(rows.num_rows):
                     ids_parts.append(
                         decode_doc_ids(ids_enc[i], n_docs_col[i]).astype(np.int64)
                     )
                     tf_parts.append(unpack_f64(tfs_enc[i]))
                     pos_chunks.append((lens_enc[i], blobs[i]))
+                    imp_chunks.append(imp_enc[i])
                     chunk_counts.append(n_docs_col[i])
             if ids_parts:
                 ids = np.concatenate(ids_parts)
@@ -308,6 +346,7 @@ class SegmentStore:
                     order=None if already_sorted else order,
                     block_starts=starts,
                     block_max_tf=block_max,
+                    imp_chunks=imp_chunks,
                 )
         self._postings_cache[term] = result
         if len(self._postings_cache) > self._postings_cache_max:

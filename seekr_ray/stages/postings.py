@@ -52,6 +52,9 @@ CHUNK_SCHEMA = pa.schema(
         ("tfs_enc", pa.binary()),
         ("pos_blob_lens_enc", pa.binary()),
         ("pos_blobs", pa.binary()),
+        # per-posting importance (best-section weight, SQLiteSearcher.java:69);
+        # NULL means "all 1.0" so single-section corpora store zero bytes
+        ("importance_enc", pa.binary()),
         ("max_tf", pa.float64()),
         ("min_doc_id", pa.int64()),
         ("max_doc_id", pa.int64()),
@@ -288,6 +291,11 @@ def build_partition_chunks(group: pa.Table, postings_per_chunk: int) -> pa.Table
     salts = tbl["salt"].to_numpy(zero_copy_only=False)
     doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
     tfs = tbl["tf"].to_numpy(zero_copy_only=False)
+    imps = (
+        tbl["importance"].to_numpy(zero_copy_only=False)
+        if "importance" in tbl.column_names
+        else None
+    )
 
     n = len(tbl)
     rows = {k: [] for k in CHUNK_SCHEMA.names}
@@ -322,6 +330,13 @@ def build_partition_chunks(group: pa.Table, postings_per_chunk: int) -> pa.Table
             rows["tfs_enc"].append(pack_f64(tf))
             rows["pos_blob_lens_enc"].append(varbyte_encode(blob_lens))
             rows["pos_blobs"].append(blobs)
+            if imps is None:
+                rows["importance_enc"].append(None)
+            else:
+                imp = imps[cs:ce]
+                rows["importance_enc"].append(
+                    None if (imp == 1.0).all() else pack_f64(imp)
+                )
             rows["max_tf"].append(float(tf.max()))
             rows["min_doc_id"].append(int(ids[0]))
             rows["max_doc_id"].append(int(ids[-1]))

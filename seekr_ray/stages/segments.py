@@ -209,11 +209,13 @@ def build_partition_fused(
     t0 = time.monotonic()
     part_dir = os.path.join(postings_dir, f"term_part={part}")
     files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
-    tbl = (
-        pq.read_table(files, columns=["doc_id", "term", "tf", "positions"])
-        if files
-        else None
-    )
+    tbl = None
+    if files:
+        cols = ["doc_id", "term", "tf", "positions"]
+        # round-1 postings intermediates lack the importance column
+        if "importance" in pq.read_schema(files[0]).names:
+            cols.append("importance")
+        tbl = pq.read_table(files, columns=cols)
     if tbl is None or tbl.num_rows == 0:
         _write_stats_partition(stats_dir, part, STATS_SCHEMA.empty_table())
         row = write_empty_segment(seg_dir, part)

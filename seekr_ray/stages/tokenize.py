@@ -40,6 +40,13 @@ POSTINGS_SCHEMA = pa.schema(
         ("term", pa.string()),
         ("tf", pa.float64()),
         ("positions", pa.binary()),
+        # per-posting importance = weight of the term's best section
+        # (``Indexer/SQLiteSearcher.java:69,273`` stores
+        # ``getPositionWeight(token.getPosition())`` per InvertedIndex
+        # row).  Single-section corpus -> constant 1.0; parquet
+        # dictionary-encodes the constant to ~nothing, and the segment
+        # chunk encoder stores null for all-1.0 chunks.
+        ("importance", pa.float64()),
     ]
 )
 
@@ -116,6 +123,8 @@ def tokenize_batch(
             pa.array(out_term, pa.string()),
             pa.array(out_tf, pa.float64()),
             _positions_binary(out_pos),
+            # single-section mode: best section == content, weight 1.0
+            pa.array(np.ones(len(out_doc)), pa.float64()),
         ],
         schema=POSTINGS_SCHEMA,
     )
@@ -126,6 +135,34 @@ def tokenize_batch(
             "term_part", _term_part_column(out_term, num_partitions)
         )
     return tbl
+
+
+def postings_from_sections(
+    doc_id: int, sections: list[tuple[str, str]]
+) -> pa.Table:
+    """POSTINGS_SCHEMA rows for one multi-section document: tf/positions
+    from the weighted section walk and ``importance`` = the best
+    section's weight — the multi-section analog of ``tokenize_batch``
+    (HTML-shaped inputs; the code corpus runs single-section)."""
+    from ..text.tokenizer import SECTION_WEIGHTS
+
+    tokenizer = _shared_tokenizer()
+    info, _total = tokenizer.tokenize_sections(sections)
+    terms = sorted(info)
+    pos_lists = [info[t][1] for t in terms]
+    return pa.Table.from_arrays(
+        [
+            pa.array([doc_id] * len(terms), pa.int64()),
+            pa.array(terms, pa.string()),
+            pa.array([info[t][0] for t in terms], pa.float64()),
+            _positions_binary(pos_lists),
+            pa.array(
+                [SECTION_WEIGHTS.get(info[t][2], 1.0) for t in terms],
+                pa.float64(),
+            ),
+        ],
+        schema=POSTINGS_SCHEMA,
+    )
 
 
 class TokenizeStem:
