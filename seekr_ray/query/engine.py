@@ -69,7 +69,12 @@ class QueryResult:
 
 
 class QueryEngine:
-    def __init__(self, index_dir: str, use_wand: bool = True):
+    def __init__(
+        self,
+        index_dir: str,
+        use_wand: bool = True,
+        query_log_dir: str | None = None,
+    ):
         self.index_dir = index_dir
         meta = load_meta(index_dir)
         self.cfg = IndexConfig.from_dict(meta["config"])
@@ -78,6 +83,13 @@ class QueryEngine:
         self.pagerank = load_pagerank(index_dir)
         self.max_pagerank = max(self.pagerank.values()) if self.pagerank else 0.0
         self.use_wand = use_wand
+        # optional search_queries write side (query_log.py): every search
+        # appends (query, ts); suggestions can aggregate from the log
+        self.query_log = None
+        if query_log_dir:
+            from .query_log import QueryLogWriter
+
+            self.query_log = QueryLogWriter(query_log_dir)
         self._query_cache: OrderedDict[str, QueryResult] = OrderedDict()
         self._query_cache_max = 1000  # QP.java:26
         self._phrase_cache: dict[str, QueryResult] = {}
@@ -618,6 +630,8 @@ class QueryEngine:
     def search(self, query: str, page: int = 0, size: int = 10) -> dict:
         """Full serving flow (``BackendManager.java:278-406``): query ->
         rank -> paginate -> metadata fetch in rank order -> snippets."""
+        if self.query_log is not None:
+            self.query_log.record(query)
         result = self.query(query)
         documents = result.documents
         total_count = len(documents)

@@ -20,10 +20,10 @@ import ray
 
 @ray.remote
 class _EngineActor:
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, query_log_dir: str | None = None):
         from .engine import QueryEngine
 
-        self.engine = QueryEngine(index_dir)
+        self.engine = QueryEngine(index_dir, query_log_dir=query_log_dir)
 
     def search(self, query: str, page: int, size: int) -> dict:
         return self.engine.search(query, page=page, size=size)
@@ -37,11 +37,24 @@ class _EngineActor:
     def total_hits(self, query: str) -> int:
         return self.engine.total_hits(query)
 
+    def flush_query_log(self) -> None:
+        if self.engine.query_log is not None:
+            self.engine.query_log.flush()
+
 
 class SearchService:
-    def __init__(self, index_dir: str, num_actors: int = 2, affinity: bool = True):
+    def __init__(
+        self,
+        index_dir: str,
+        num_actors: int = 2,
+        affinity: bool = True,
+        query_log_dir: str | None = None,
+    ):
+        # each actor appends to its own part files (query_log.py), so one
+        # shared log_dir needs no cross-actor coordination
         self.actors = [
-            _EngineActor.remote(index_dir) for _ in range(num_actors)
+            _EngineActor.remote(index_dir, query_log_dir)
+            for _ in range(num_actors)
         ]
         self.affinity = affinity
         self._rr = 0
@@ -79,7 +92,11 @@ class SearchService:
     def total_hits(self, query: str) -> int:
         return ray.get(self._pick(query).total_hits.remote(query))
 
+    def flush_query_log(self) -> None:
+        ray.get([a.flush_query_log.remote() for a in self.actors])
+
     def shutdown(self) -> None:
+        self.flush_query_log()
         for a in self.actors:
             ray.kill(a)
         self.actors = []
