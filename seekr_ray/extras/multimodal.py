@@ -1,16 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed by actor-pool ``map_batches`` stages.
 
-Round 2: the image and audio decode kernels are REAL for the formats a
-pure-python decoder can parse — binary PPM (P6) images and PCM16 WAV
-audio — so ``multimodal_features`` measures an actual decode + feature
-extraction, not a hash fake.  Compressed formats (JPEG/FLAC/H.264) would
-need libjpeg/ffmpeg, which this container does not ship: those payloads
-raise ``NotImplementedError`` with the format named, and the *video*
-modality keeps the clearly-marked deterministic fake (frame-sampling a
-real container needs a demuxer).  The Ray-side plumbing — schema, small
-batch sizes for wide binary rows, actor pool with per-actor state,
-output layout — is identical for all three.
+Round 2: all three decode kernels are REAL for the formats a
+pure-python decoder can parse — binary PPM (P6) images, PCM16 WAV
+audio, and PV01 animated-PPM video (demux walks frame headers only;
+frame sampling decodes exactly the k sampled frames) — so
+``multimodal_features`` measures actual decode + feature extraction,
+not a hash fake.  Compressed formats (JPEG/FLAC/H.264/MP4) would need
+libjpeg/ffmpeg, which this container does not ship: those payloads
+raise ``NotImplementedError`` with the format named.  The Ray-side
+plumbing — schema, small batch sizes for wide binary rows, actor pool
+with per-actor state, output layout — is identical for all three.
 
 Scale notes baked into the defaults: binary payloads make rows wide, so
 ``batch_size`` stays small (64) and the stage is an actor pool whose
@@ -83,6 +83,69 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return data.reshape(h, w, 3)
 
 
+def _ppm_frame_extent(payload: bytes, off: int) -> int:
+    """Byte length of the P6 frame starting at ``off`` (header parse
+    only — pixel data is skipped, not decoded)."""
+    if payload[off : off + 2] != b"P6":
+        raise NotImplementedError("PV01 frame is not binary PPM")
+    tokens: list[int] = []
+    i = off + 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, _maxval = tokens
+    return (i - off) + w * h * 3
+
+
+def encode_ppmv(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
+    """Animated-PPM video container ("PV01"): magic, frame count, fps
+    (millihertz), then concatenated self-describing P6 frames.  A real —
+    if minimal — multi-frame format a pure-python demuxer can walk."""
+    head = b"PV01" + struct.pack("<II", len(frames), int(round(fps * 1000)))
+    return head + b"".join(encode_ppm(f) for f in frames)
+
+
+def demux_ppmv(payload: bytes) -> tuple[int, float, list[tuple[int, int]]]:
+    """(n_frames, fps, [(offset, length) per frame]) — walks frame
+    HEADERS only; pixel payloads are never touched, so sampling k of N
+    frames decodes exactly k frames."""
+    if payload[:4] != b"PV01":
+        raise NotImplementedError(
+            "only the PV01 animated-PPM container demuxes in this "
+            "container; MP4/H.264/WebM need ffmpeg"
+        )
+    n, fps_m = struct.unpack("<II", payload[4:12])
+    spans: list[tuple[int, int]] = []
+    off = 12
+    for _ in range(n):
+        ln = _ppm_frame_extent(payload, off)
+        spans.append((off, ln))
+        off += ln
+    return n, fps_m / 1000.0, spans
+
+
+def sample_ppmv_frames(payload: bytes, k: int) -> list[np.ndarray]:
+    """Evenly-spaced k-frame sample, decoding only the sampled frames."""
+    n, _fps, spans = demux_ppmv(payload)
+    if n == 0:
+        return []
+    idx = np.unique(np.linspace(0, n - 1, num=min(k, n)).astype(np.int64))
+    return [
+        decode_ppm(payload[spans[i][0] : spans[i][0] + spans[i][1]])
+        for i in idx
+    ]
+
+
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
     """int16 mono samples -> RIFF/WAVE PCM16 bytes."""
     pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
@@ -140,8 +203,8 @@ def decode_audio(payload: bytes) -> np.ndarray:
 
 
 def synthesize_media_table(n_rows: int, seed: int = 42) -> pa.Table:
-    """Deterministic media corpus: REAL P6/WAV payloads for image/audio
-    rows (decodable end-to-end), seeded bytes for the video stub rows."""
+    """Deterministic media corpus: REAL P6/WAV/PV01 payloads for
+    image/audio/video rows — every modality decodes end-to-end."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = {k: [] for k in MEDIA_SCHEMA.names}
@@ -164,11 +227,14 @@ def synthesize_media_table(n_rows: int, seed: int = 42) -> pa.Table:
             )
             w = h = 0
         else:
-            payload = rng.integers(
-                0, 256, size=int(rng.integers(256, 2048)), dtype=np.uint8
-            ).tobytes()
-            w = int(rng.integers(16, 512))
-            h = int(rng.integers(16, 512))
+            w = int(rng.integers(6, 20))
+            h = int(rng.integers(6, 20))
+            n_frames = int(rng.integers(4, 16))
+            frames = [
+                rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                for _ in range(n_frames)
+            ]
+            payload = encode_ppmv(frames, fps=float(rng.integers(5, 30)))
             sr = 0
         rows["media_id"].append(i)
         rows["kind"].append(kind)
@@ -185,9 +251,10 @@ def synthesize_media_table(n_rows: int, seed: int = 42) -> pa.Table:
 
 
 class DeterministicFakeDecoder:
-    """Clearly-marked STUB decoder (video path; also kept for callers
-    that want pipeline tests without any decodable payloads): feature =
-    content-derived hash embedding, deterministic and testable."""
+    """Clearly-marked STUB decoder kept for callers that want pipeline
+    tests without any decodable payloads: feature = content-derived hash
+    embedding, deterministic and testable.  No production path uses it —
+    image/audio/video all decode for real above."""
 
     def __init__(self, feature_dim: int = FEATURE_DIM):
         self.feature_dim = feature_dim
@@ -219,7 +286,10 @@ class MediaFeatureExtractor:
     * image: REAL P6 decode -> per-channel mean/std, luma stats, dims
     * audio: REAL WAV PCM16 decode -> rms, zero-crossing rate, band
       energies from a coarse DFT, duration
-    * video: stub features (demuxing needs ffmpeg; honestly labeled)
+    * video: REAL PV01 demux -> evenly-sampled frame decode (k of N,
+      headers-only walk for the rest) -> dims, luma stats, temporal
+      motion energy.  Compressed containers (MP4/WebM) raise — they need
+      ffmpeg, which this environment does not ship.
 
     Per-actor state (__init__): the DFT bin matrix — the "model load"
     analog that justifies the actor pool over plain tasks.
@@ -234,7 +304,6 @@ class MediaFeatureExtractor:
         self._dft = np.exp(
             -2j * np.pi * np.outer([1, 4, 16, 64], k) / self._N_FFT
         )
-        self._fake = DeterministicFakeDecoder(feature_dim)
 
     def _image_features(self, payload: bytes) -> np.ndarray:
         px = decode_ppm(payload).astype(np.float64)
@@ -266,6 +335,37 @@ class MediaFeatureExtractor:
         f[5:9] = np.abs(self._dft @ win) / self._N_FFT
         return f
 
+    _VIDEO_SAMPLE_K = 4
+
+    def _video_features(self, payload: bytes) -> np.ndarray:
+        n, fps, _spans = demux_ppmv(payload)
+        frames = sample_ppmv_frames(payload, self._VIDEO_SAMPLE_K)
+        f = np.zeros(self.feature_dim)
+        f[0], f[1] = n, fps
+        if not frames:
+            return f
+        h, w, _ = frames[0].shape
+        f[2], f[3] = w, h
+        f[4] = n / fps if fps else 0.0
+        lumas = [
+            fr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+            for fr in frames
+        ]
+        f[5] = float(np.mean([lu.mean() for lu in lumas])) / 255.0
+        f[6] = float(np.mean([lu.std() for lu in lumas])) / 255.0
+        if len(lumas) > 1:
+            # temporal motion energy over the sampled frames
+            f[7] = float(
+                np.mean(
+                    [
+                        np.abs(b - a).mean()
+                        for a, b in zip(lumas, lumas[1:])
+                    ]
+                )
+            ) / 255.0
+        f[8] = len(frames)
+        return f
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch["kind"].to_pylist()
         payloads = batch["payload"].to_pylist()
@@ -276,7 +376,7 @@ class MediaFeatureExtractor:
             elif kind == "audio":
                 feats.append(self._audio_features(p))
             else:
-                feats.append(self._fake._features(p))
+                feats.append(self._video_features(p))
         return pa.table(
             {
                 "media_id": batch["media_id"],

@@ -307,6 +307,34 @@ def test_ppm_and_wav_roundtrip():
     assert rate == 16000 and np.array_equal(got, s)
 
 
+def test_ppmv_demux_and_frame_sampling():
+    from seekr_ray.extras.multimodal import (
+        demux_ppmv,
+        encode_ppmv,
+        sample_ppmv_frames,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = [
+        rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8) for _ in range(9)
+    ]
+    payload = encode_ppmv(frames, fps=12.5)
+    n, fps, spans = demux_ppmv(payload)
+    assert n == 9 and fps == 12.5 and len(spans) == 9
+    # spans tile the payload exactly after the 12-byte container header
+    assert spans[0][0] == 12
+    assert spans[-1][0] + spans[-1][1] == len(payload)
+    # sampling k of N decodes the evenly-spaced subset, first/last included
+    got = sample_ppmv_frames(payload, 3)
+    assert len(got) == 3
+    assert np.array_equal(got[0], frames[0])
+    assert np.array_equal(got[-1], frames[8])
+    # k >= N decodes every frame
+    assert len(sample_ppmv_frames(payload, 99)) == 9
+    with pytest.raises(NotImplementedError):
+        demux_ppmv(b"\x00\x00\x00\x00mp4?")
+
+
 def test_media_features_real_decode(ray_session):
     import ray.data as rd
 
@@ -328,6 +356,11 @@ def test_media_features_real_decode(ray_session):
             assert 0.3 < f[3] < 0.7  # uniform-random pixels: mean ~0.5
         elif by_kind[row["media_id"]] == "audio":
             assert f[0] == 16000 and f[3] > 0.1  # rate + sine rms
+        else:  # video: real demux + sampled decode
+            assert f[0] >= 4 and f[1] >= 5  # frame count, fps
+            assert f[2] > 0 and f[3] > 0  # frame dims
+            assert 0.3 < f[5] < 0.7  # uniform-random luma mean
+            assert f[7] > 0.1  # motion energy between random frames
     # determinism
     d = MediaFeatureExtractor()
     assert d(media.slice(0, 3)).equals(d(media.slice(0, 3)))
