@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": eq.q_simhash,
         "fingerprints": eq.q_fingerprints,
         "ann_lsh": eq.q_ann_lsh,
+        "ann_ivf": eq.q_ann_ivf,
         "embedding_neardup_lsh": eq.q_embedding_neardup_lsh,
         "multimodal_features": eq.q_multimodal_features,
     }

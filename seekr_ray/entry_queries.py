@@ -459,6 +459,23 @@ def q_ann_lsh(sf_dir: str):
     return ann_topk_lsh(ds, q[None, :], k=ANN_K)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF-probed approximate ANN (the other scale path of q_ann_topk):
+    sampled spherical-kmeans centroids, distributed list assignment,
+    nprobe-pruned exact re-scoring with distributed partial top-k."""
+    import ray.data as rd
+    from .extras.similarity import ann_topk_ivf
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = None
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        ids = b["vec_id"].to_pylist()
+        if 0 in ids:
+            q = np.asarray(b["embedding"][ids.index(0)].as_py(), dtype=np.float64)
+            break
+    return ann_topk_ivf(ds, q[None, :], k=ANN_K, n_lists=8, nprobe=3)
+
+
 def q_embedding_neardup_lsh(sf_dir: str):
     """Sub-quadratic scale path of q_embedding_neardup: hyperplane-LSH
     buckets + intra-bucket exact cosine (rows-only; recall vs the exact

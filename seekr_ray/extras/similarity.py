@@ -5,10 +5,19 @@
   top-k per batch, heap-merged to global top-k on the driver.  This is
   the canonical "broadcast small side, stream the big side" shape: the
   query matrix rides ``ray.put`` once, batches stay zero-copy Arrow.
-* ``ann_topk_lsh`` — the scale path: random-hyperplane signature buckets
+* ``ann_topk_lsh`` — a scale path: random-hyperplane signature buckets
   (signs of Q·v) prune the candidate set; exact re-scoring inside the
   matching buckets.  Recall < 1 by construction; tests assert recall
   against the brute-force baseline on the fixture table.
+* ``ann_topk_ivf`` — the other classic scale path: spherical k-means
+  centroids trained on a deterministic sample (driver Lloyd over a
+  bounded sample; the corpus itself never collects), every vector
+  assigned to its nearest-centroid list in one ``map_batches`` pass,
+  queries probed against their ``nprobe`` nearest lists with exact
+  cosine re-scoring — scoring stays DISTRIBUTED (per-batch partial
+  top-k, driver heap-merge), unlike the LSH path's collected buckets.
+  ``nprobe == n_lists`` degenerates to exact brute force (asserted by
+  test), which pins the probe machinery's correctness.
 """
 
 from __future__ import annotations
@@ -88,6 +97,178 @@ def ann_topk_bruteforce(emb_ds, queries: np.ndarray, k: int = 10) -> pa.Table:
         concurrency=(1, 4),
     )
     # heap-merge partial top-ks on the driver (k * n_batches rows, tiny)
+    heaps: dict[int, list] = {}
+    for batch in partials.iter_batches(batch_format="pyarrow"):
+        for qi, vid, cos in zip(
+            batch["query_i"].to_pylist(),
+            batch["vec_id"].to_pylist(),
+            batch["cos"].to_pylist(),
+        ):
+            h = heaps.setdefault(qi, [])
+            item = (cos, -vid)
+            if len(h) < k:
+                heapq.heappush(h, item)
+            elif item > h[0]:
+                heapq.heapreplace(h, item)
+    rows_q, rows_rank, rows_id, rows_cos = [], [], [], []
+    for qi in sorted(heaps):
+        best = sorted(heaps[qi], key=lambda t: (-t[0], -t[1]))
+        for rank, (cos, nvid) in enumerate(best):
+            rows_q.append(qi)
+            rows_rank.append(rank)
+            rows_id.append(-nvid)
+            rows_cos.append(round6(cos))
+    return pa.table(
+        {
+            "query_i": pa.array(rows_q, pa.int32()),
+            "rank": pa.array(rows_rank, pa.int32()),
+            "vec_id": pa.array(rows_id, pa.int64()),
+            "cos": pa.array(rows_cos, pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) path
+# ---------------------------------------------------------------------------
+
+
+def ivf_train(
+    emb_ds,
+    n_lists: int = 16,
+    sample_mod: int = 1,
+    iters: int = 5,
+    seed: int = 13,
+) -> np.ndarray:
+    """Spherical k-means centroids from a deterministic sample.
+
+    The sample (``vec_id % sample_mod == 0``) collects to the driver —
+    at 100 TB pick ``sample_mod`` so the sample stays ~1e5-1e6 rows;
+    training never touches the full corpus.  Lloyd iterations are
+    driver numpy over the sample only.  Returns unit-norm centroids
+    ``(n_lists, dim)``."""
+
+    def keep_sample(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % sample_mod == 0))
+
+    sample_parts = [
+        _unit(_to_matrix(b["embedding"]))
+        for b in emb_ds.map_batches(
+            keep_sample, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    sample = np.concatenate(sample_parts)
+    n_lists = min(n_lists, len(sample))
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=n_lists, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(n_lists):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _unit(centroids)
+    return centroids
+
+
+class _IvfAssigner:
+    """Adds ``list_id`` = nearest centroid (max cosine) per vector."""
+
+    def __init__(self, centroids_ref):
+        import ray
+
+        self.centroids = ray.get(centroids_ref)  # (n_lists, dim), unit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _unit(_to_matrix(batch["embedding"]))
+        lists = np.argmax(mat @ self.centroids.T, axis=1).astype(np.int32)
+        return batch.append_column("list_id", pa.array(lists, pa.int32()))
+
+
+def ivf_assign(emb_ds, centroids: np.ndarray):
+    """The IVF "index build": one pass attaching each vector's list id.
+    At scale, follow with a ``write_parquet(partition_cols=["list_id"])``
+    so a probe reads only its lists' files."""
+    import ray
+
+    return emb_ds.map_batches(
+        _IvfAssigner,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"centroids_ref": ray.put(centroids)},
+        concurrency=(1, 4),
+    )
+
+
+class _IvfProbeScorer:
+    """Per-batch exact scoring of each query against ITS probed lists
+    only; emits partial top-k rows (same merge shape as _BruteScorer)."""
+
+    def __init__(self, query_ref, probes_ref, k: int):
+        import ray
+
+        self.q = np.asarray(ray.get(query_ref), dtype=np.float64)
+        self.probes = ray.get(probes_ref)  # (nq, nprobe) int32
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        lists = batch["list_id"].to_numpy(zero_copy_only=False)
+        mat = _to_matrix(batch["embedding"])
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(len(self.q)):
+            mask = np.isin(lists, self.probes[qi])
+            if not mask.any():
+                continue
+            sims = _cosine(self.q[qi : qi + 1], mat[mask])[0]
+            cids = ids[mask]
+            order = np.lexsort((cids, -sims))[: self.k]
+            out_q.extend([qi] * len(order))
+            out_id.extend(int(cids[j]) for j in order)
+            out_cos.extend(float(sims[j]) for j in order)
+        return pa.table(
+            {
+                "query_i": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cos": pa.array(out_cos, pa.float64()),
+            }
+        )
+
+
+def ann_topk_ivf(
+    emb_ds,
+    queries: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    sample_mod: int = 1,
+    seed: int = 13,
+) -> pa.Table:
+    """Approximate top-k via IVF probe: train -> assign -> score the
+    ``nprobe`` nearest lists per query, distributed partial top-k +
+    driver heap-merge.  Output schema matches ``ann_topk_bruteforce``;
+    ``nprobe >= n_lists`` returns exactly the brute-force result."""
+    import ray
+
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    centroids = ivf_train(emb_ds, n_lists, sample_mod=sample_mod, seed=seed)
+    assigned = ivf_assign(emb_ds, centroids)
+    q_unit = _unit(queries)
+    nprobe = min(nprobe, len(centroids))
+    probes = np.argsort(-(q_unit @ centroids.T), axis=1)[:, :nprobe].astype(
+        np.int32
+    )
+    partials = assigned.map_batches(
+        _IvfProbeScorer,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={
+            "query_ref": ray.put(queries),
+            "probes_ref": ray.put(probes),
+            "k": k,
+        },
+        concurrency=(1, 4),
+    )
     heaps: dict[int, list] = {}
     for batch in partials.iter_batches(batch_format="pyarrow"):
         for qi, vid, cos in zip(

@@ -134,6 +134,33 @@ def test_ann_lsh_recall(ray_session):
     assert recall >= 0.2  # bucketing prunes; exactness not expected
 
 
+def test_ann_ivf_full_probe_equals_brute(ray_session):
+    from seekr_ray.extras.similarity import ann_topk_ivf
+
+    ds, mat = _emb_ds()
+    q = mat[:2]
+    brute = ann_topk_bruteforce(ds, q, k=5).to_pandas()
+    ivf = ann_topk_ivf(ds, q, k=5, n_lists=8, nprobe=8).to_pandas()
+    # probing every list degenerates to exact brute force
+    assert ivf.equals(brute)
+
+
+def test_ann_ivf_pruned_probe_recall(ray_session):
+    from seekr_ray.extras.similarity import ann_topk_ivf
+
+    ds, mat = _emb_ds()
+    q = mat[0]
+    brute = ann_topk_bruteforce(ds, q[None, :], k=5).to_pandas()
+    ivf = ann_topk_ivf(ds, q[None, :], k=5, n_lists=8, nprobe=2).to_pandas()
+    assert len(ivf) > 0
+    assert ivf["vec_id"][0] == 0  # self lands in the query's own list
+    recall = len(set(ivf["vec_id"]) & set(brute["vec_id"])) / 5
+    assert recall >= 0.4
+    # determinism: identical second run
+    again = ann_topk_ivf(ds, q[None, :], k=5, n_lists=8, nprobe=2).to_pandas()
+    assert again.equals(ivf)
+
+
 def test_embedding_neardup_pairs(ray_session):
     import ray.data as rd
 
