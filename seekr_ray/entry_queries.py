@@ -418,12 +418,13 @@ def q_corpus_search(sf_dir: str):
 def q_corpus_pagerank(sf_dir: str):
     from .query.store import load_pagerank
 
-    pr = load_pagerank(_corpus_index(sf_dir))
-    ids = sorted(pr)
+    ids, ranks = load_pagerank(_corpus_index(sf_dir))  # already id-sorted
     return pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
-            "page_rank": pa.array([round(pr[d], 9) for d in ids], pa.float64()),
+            "page_rank": pa.array(
+                [round(float(r), 9) for r in ranks], pa.float64()
+            ),
         }
     )
 

@@ -80,8 +80,12 @@ class QueryEngine:
         self.cfg = IndexConfig.from_dict(meta["config"])
         self.n_docs = meta["n_docs"]
         self.store = SegmentStore(index_dir, self.cfg.num_term_partitions)
-        self.pagerank = load_pagerank(index_dir)
-        self.max_pagerank = max(self.pagerank.values()) if self.pagerank else 0.0
+        # sorted parallel arrays, not a dict: 16 B/graph-doc and shared
+        # zero-copy by the vectorized scorers (store.load_pagerank)
+        self.pr_ids, self.pr_ranks = load_pagerank(index_dir)
+        self.max_pagerank = (
+            float(self.pr_ranks.max()) if self.pr_ranks.size else 0.0
+        )
         self.use_wand = use_wand
         # optional search_queries write side (query_log.py): every search
         # appends (query, ts); suggestions can aggregate from the log
@@ -309,10 +313,12 @@ class QueryEngine:
     ) -> list[tuple[int, float]]:
         w_tfidf = self.cfg.tfidf_weight
         w_pr = self.cfg.pagerank_weight
-        pr = self.pagerank
+        prs = self._pr_lookup(
+            np.fromiter((d.doc_id for d in documents), dtype=np.int64)
+        )
         out = []
-        for doc in documents:
-            doc.page_rank = pr.get(doc.doc_id, 0.0)
+        for doc, doc_pr in zip(documents, prs):
+            doc.page_rank = float(doc_pr)
             tfidf = 0.0
             wi = doc.word_info
             for w in query_words:
@@ -477,17 +483,18 @@ class QueryEngine:
         return [(int(cand[i]), float(scores[i])) for i in order]
 
     def _pagerank_arrays(self):
-        if not hasattr(self, "_pr_ids"):
-            if self.pagerank:
-                ids = np.fromiter(self.pagerank.keys(), dtype=np.int64)
-                ranks = np.fromiter(self.pagerank.values(), dtype=np.float64)
-                order = np.argsort(ids)
-                self._pr_ids = ids[order]
-                self._pr_ranks = ranks[order]
-            else:
-                self._pr_ids = np.empty(0, dtype=np.int64)
-                self._pr_ranks = np.empty(0, dtype=np.float64)
-        return self._pr_ids, self._pr_ranks
+        return self.pr_ids, self.pr_ranks
+
+    def _pr_lookup(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Vectorized pagerank lookup (0.0 for docs outside the graph)."""
+        out = np.zeros(len(doc_ids))
+        if self.pr_ids.size and len(doc_ids):
+            pos = np.minimum(
+                np.searchsorted(self.pr_ids, doc_ids), self.pr_ids.size - 1
+            )
+            hit = self.pr_ids[pos] == doc_ids
+            out[hit] = self.pr_ranks[pos[hit]]
+        return out
 
     def _taat(self, terms, k: int) -> list[tuple[int, float]]:
         """Vectorized exact scoring: accumulate tf·idf per doc with
@@ -523,7 +530,13 @@ class QueryEngine:
         w_tfidf = self.cfg.tfidf_weight
         w_pr = self.cfg.pagerank_weight
         static_ub = w_pr * self.max_pagerank
-        pr = self.pagerank
+        pr_ids, pr_ranks = self.pr_ids, self.pr_ranks
+
+        def pr_of(doc_id: int) -> float:
+            i = int(np.searchsorted(pr_ids, doc_id))
+            if i < pr_ids.size and pr_ids[i] == doc_id:
+                return float(pr_ranks[i])
+            return 0.0
 
         n = len(terms)
         pos = [0] * n  # cursor per term
@@ -564,7 +577,7 @@ class QueryEngine:
                     if p < len(t.doc_ids) and int(t.doc_ids[p]) == pivot_doc:
                         score += t.tfs[p] * t.idf
                         pos[i] += 1
-                score = w_tfidf * score + w_pr * pr.get(pivot_doc, 0.0)
+                score = w_tfidf * score + w_pr * pr_of(pivot_doc)
                 item = (score, -pivot_doc)
                 if len(heap) < k:
                     heapq.heappush(heap, item)

@@ -354,21 +354,25 @@ class SegmentStore:
         return result
 
 
-def load_pagerank(index_dir: str) -> dict[int, float]:
-    """doc_id -> page_rank; docs outside the graph default to 0.0 at
-    lookup (Crawler.java:400 column default).  Columns load vectorized;
-    the dict view serves the per-doc faithful ranking path."""
+def load_pagerank(index_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted ``(doc_ids int64, ranks float64)`` parallel arrays; docs
+    outside the graph default to 0.0 at lookup (Crawler.java:400 column
+    default).  Arrays, not a dict: 16 B/graph-doc in the serving
+    process, shared zero-copy by the vectorized scorers; the per-doc
+    faithful path bisects (``searchsorted``)."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     pr_dir = os.path.join(index_dir, "pagerank")
     if not os.path.isdir(pr_dir):
-        return {}
+        return empty
     files = [
         os.path.join(pr_dir, f)
         for f in sorted(os.listdir(pr_dir))
         if f.endswith(".parquet")
     ]
     if not files:
-        return {}
+        return empty
     t = pq.read_table(files, columns=["doc_id", "page_rank"])
-    ids = t["doc_id"].to_numpy(zero_copy_only=False)
-    ranks = t["page_rank"].to_numpy(zero_copy_only=False)
-    return dict(zip(ids.tolist(), ranks.tolist()))
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ranks = t["page_rank"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(ids)
+    return ids[order], ranks[order]

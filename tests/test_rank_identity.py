@@ -101,7 +101,8 @@ def test_topk_modes_equal_oracle(engine, oracle, qid, query, k, mode):
 def test_pagerank_matches_oracle(built_index, oracle):
     from seekr_ray.query.store import load_pagerank
 
-    got = load_pagerank(built_index)
+    ids, ranks = load_pagerank(built_index)
+    got = dict(zip(ids.tolist(), ranks.tolist()))
     want = oracle.pagerank
     assert set(got) == set(want)
     for node, r in want.items():
