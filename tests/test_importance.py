@@ -121,6 +121,40 @@ def test_store_roundtrip_importances(tmp_path):
     np.testing.assert_array_equal(bb.importances, [1.0, 1.0])
 
 
+def test_full_build_serves_constant_importance(ray_session):
+    """End-to-end: a standard (single-section) build stores NO importance
+    bytes yet serves all-1.0 importances for every term."""
+    import os
+
+    import ray.data as rd
+
+    from seekr_ray.build import build_index
+    from seekr_ray.config import IndexConfig
+    from seekr_ray.fixtures import cached_corpus_path
+    from seekr_ray.query.store import SegmentStore
+
+    d = "/tmp/seekr_importance_idx"
+    if not os.path.exists(os.path.join(d, "meta.json")):
+        build_index(
+            rd.read_parquet(cached_corpus_path(80)),
+            d,
+            IndexConfig(
+                num_term_partitions=4,
+                num_id_partitions=2,
+                hot_df_threshold=40,
+                postings_per_chunk=16,
+            ),
+            key_cols=["repo", "path", "commit"],
+        )
+    store = SegmentStore(d, num_term_partitions=4)
+    tp = store.postings("pars")
+    assert tp is not None and tp.df > 0
+    assert tp.importances.shape == tp.doc_ids.shape
+    assert (tp.importances == 1.0).all()
+    # null-encoded: the chunk rows carry no importance bytes
+    assert tp.imp_chunks is not None and all(e is None for e in tp.imp_chunks)
+
+
 def test_store_reads_legacy_segment_without_importance(tmp_path):
     """Round-1 segment files (no importance_enc column) still serve."""
     from seekr_ray.query.store import SegmentStore
