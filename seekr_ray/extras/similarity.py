@@ -14,10 +14,13 @@
   bounded sample; the corpus itself never collects), every vector
   assigned to its nearest-centroid list in one ``map_batches`` pass,
   queries probed against their ``nprobe`` nearest lists with exact
-  cosine re-scoring — scoring stays DISTRIBUTED (per-batch partial
-  top-k, driver heap-merge), unlike the LSH path's collected buckets.
-  ``nprobe == n_lists`` degenerates to exact brute force (asserted by
-  test), which pins the probe machinery's correctness.
+  cosine re-scoring.  ``nprobe == n_lists`` degenerates to exact brute
+  force (asserted by test), which pins the probe machinery's
+  correctness.
+
+All three paths share one distributed shape: per-batch partial top-k in
+``map_batches``, ``_merge_topk`` heap-merging k × n_batches rows on the
+driver — nothing corpus-sized ever collects.
 """
 
 from __future__ import annotations
@@ -82,21 +85,10 @@ class _BruteScorer:
         )
 
 
-def ann_topk_bruteforce(emb_ds, queries: np.ndarray, k: int = 10) -> pa.Table:
-    """Exact top-k cosine for each query row.  Returns
-    (query_i, rank, vec_id, cos) with cos rounded to 6dp and ties broken
-    by vec_id asc — deterministic and oracle-comparable."""
-    import ray
-
-    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
-    query_ref = ray.put(queries)
-    partials = emb_ds.map_batches(
-        _BruteScorer,
-        batch_format="pyarrow",
-        fn_constructor_kwargs={"query_ref": query_ref, "k": k},
-        concurrency=(1, 4),
-    )
-    # heap-merge partial top-ks on the driver (k * n_batches rows, tiny)
+def _merge_topk(partials, k: int) -> pa.Table:
+    """Driver heap-merge of per-batch partial top-k rows (k × n_batches
+    rows — tiny regardless of corpus size).  Final order: cos desc,
+    vec_id asc; cos rounded to 6dp."""
     heaps: dict[int, list] = {}
     for batch in partials.iter_batches(batch_format="pyarrow"):
         for qi, vid, cos in zip(
@@ -126,6 +118,23 @@ def ann_topk_bruteforce(emb_ds, queries: np.ndarray, k: int = 10) -> pa.Table:
             "cos": pa.array(rows_cos, pa.float64()),
         }
     )
+
+
+def ann_topk_bruteforce(emb_ds, queries: np.ndarray, k: int = 10) -> pa.Table:
+    """Exact top-k cosine for each query row.  Returns
+    (query_i, rank, vec_id, cos) with cos rounded to 6dp and ties broken
+    by vec_id asc — deterministic and oracle-comparable."""
+    import ray
+
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    query_ref = ray.put(queries)
+    partials = emb_ds.map_batches(
+        _BruteScorer,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"query_ref": query_ref, "k": k},
+        concurrency=(1, 4),
+    )
+    return _merge_topk(partials, k)
 
 
 # ---------------------------------------------------------------------------
@@ -269,35 +278,7 @@ def ann_topk_ivf(
         },
         concurrency=(1, 4),
     )
-    heaps: dict[int, list] = {}
-    for batch in partials.iter_batches(batch_format="pyarrow"):
-        for qi, vid, cos in zip(
-            batch["query_i"].to_pylist(),
-            batch["vec_id"].to_pylist(),
-            batch["cos"].to_pylist(),
-        ):
-            h = heaps.setdefault(qi, [])
-            item = (cos, -vid)
-            if len(h) < k:
-                heapq.heappush(h, item)
-            elif item > h[0]:
-                heapq.heapreplace(h, item)
-    rows_q, rows_rank, rows_id, rows_cos = [], [], [], []
-    for qi in sorted(heaps):
-        best = sorted(heaps[qi], key=lambda t: (-t[0], -t[1]))
-        for rank, (cos, nvid) in enumerate(best):
-            rows_q.append(qi)
-            rows_rank.append(rank)
-            rows_id.append(-nvid)
-            rows_cos.append(round6(cos))
-    return pa.table(
-        {
-            "query_i": pa.array(rows_q, pa.int32()),
-            "rank": pa.array(rows_rank, pa.int32()),
-            "vec_id": pa.array(rows_id, pa.int64()),
-            "cos": pa.array(rows_cos, pa.float64()),
-        }
-    )
+    return _merge_topk(partials, k)
 
 
 class _LshBucketer:
@@ -322,12 +303,51 @@ class _LshBucketer:
         )
 
 
+class _LshProbeScorer:
+    """Per-batch exact scoring of each query against ITS bucket only;
+    partial top-k rows, merged by ``_merge_topk`` — the same distributed
+    shape as the brute/IVF scorers (no driver collection of matches)."""
+
+    def __init__(self, q_unit_ref, sigs_ref, k: int):
+        import ray
+
+        self.q_unit = ray.get(q_unit_ref)  # (nq, dim) unit rows
+        self.sigs = ray.get(sigs_ref)  # (nq,) int64 bucket per query
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        buckets = batch["bucket"].to_numpy(zero_copy_only=False)
+        mat = None
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(len(self.q_unit)):
+            mask = buckets == int(self.sigs[qi])
+            if not mask.any():
+                continue
+            if mat is None:
+                mat = _unit(_to_matrix(batch["embedding"]))
+            sims = mat[mask] @ self.q_unit[qi]
+            cids = ids[mask]
+            order = np.lexsort((cids, -sims))[: self.k]
+            out_q.extend([qi] * len(order))
+            out_id.extend(int(cids[j]) for j in order)
+            out_cos.extend(float(sims[j]) for j in order)
+        return pa.table(
+            {
+                "query_i": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cos": pa.array(out_cos, pa.float64()),
+            }
+        )
+
+
 def ann_topk_lsh(
     emb_ds, queries: np.ndarray, k: int = 10, nbits: int = 8, seed: int = 13
 ) -> pa.Table:
     """Approximate top-k: hyperplane-LSH bucket the corpus, score only the
-    buckets the query lands in (exact cosine within bucket).  Output schema
-    matches ``ann_topk_bruteforce``."""
+    buckets the query lands in (exact cosine within bucket), distributed
+    partial top-k + driver heap-merge.  Output schema matches
+    ``ann_topk_bruteforce``."""
     import ray
 
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
@@ -344,38 +364,14 @@ def ann_topk_lsh(
     )
     q_unit = _unit(queries)
     q_sigs = ((q_unit @ planes.T) >= 0).dot(1 << np.arange(nbits, dtype=np.int64))
-    wanted = set(int(s) for s in q_sigs)
-
-    rows = {"vec_id": [], "embedding": [], "bucket": []}
-    for batch in bucketed.iter_batches(batch_format="pyarrow"):
-        mask = np.isin(batch["bucket"].to_numpy(zero_copy_only=False), list(wanted))
-        if mask.any():
-            sel = batch.filter(pa.array(mask))
-            rows["vec_id"].extend(sel["vec_id"].to_pylist())
-            rows["embedding"].extend(sel["embedding"].to_pylist())
-            rows["bucket"].extend(sel["bucket"].to_pylist())
-    out_q, out_rank, out_id, out_cos = [], [], [], []
-    if rows["vec_id"]:
-        ids = np.array(rows["vec_id"], dtype=np.int64)
-        mat = _unit(np.stack([np.asarray(v, dtype=np.float64) for v in rows["embedding"]]))
-        buckets = np.array(rows["bucket"], dtype=np.int64)
-        for qi in range(len(queries)):
-            cand = buckets == int(q_sigs[qi])
-            if not cand.any():
-                continue
-            sims = mat[cand] @ q_unit[qi]
-            cids = ids[cand]
-            order = np.lexsort((cids, -sims))[:k]
-            for rank, j in enumerate(order):
-                out_q.append(qi)
-                out_rank.append(rank)
-                out_id.append(int(cids[j]))
-                out_cos.append(round6(float(sims[j])))
-    return pa.table(
-        {
-            "query_i": pa.array(out_q, pa.int32()),
-            "rank": pa.array(out_rank, pa.int32()),
-            "vec_id": pa.array(out_id, pa.int64()),
-            "cos": pa.array(out_cos, pa.float64()),
-        }
+    partials = bucketed.map_batches(
+        _LshProbeScorer,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={
+            "q_unit_ref": ray.put(q_unit),
+            "sigs_ref": ray.put(q_sigs.astype(np.int64)),
+            "k": k,
+        },
+        concurrency=(1, 4),
     )
+    return _merge_topk(partials, k)
