@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_tf": eq.q_term_tf,
         "search_tfidf_topk": eq.q_search_tfidf_topk,
         "exact_dedup": eq.q_exact_dedup,
+        "ngram_jaccard": eq.q_ngram_jaccard,
         "bool_and": eq.q_bool_and,
         "bool_or": eq.q_bool_or,
         "bool_not": eq.q_bool_not,
@@ -83,6 +84,7 @@ def oracle_sql() -> dict[str, str]:
         "term_tf": m["term_tf"],
         "search_tfidf_topk": m["search_tfidf_topk"],
         "exact_dedup": m["exact_dedup"],
+        "ngram_jaccard": m["ngram_jaccard"],
         "bool_and": m["bool_and"],
         "bool_or": m["bool_or"],
         "bool_not": m["bool_not"],

@@ -43,6 +43,11 @@ NEARDUP_LIMIT = 300
 # cosine, and the nearest pair sits >2e-4 from the boundary at sf0.01, so
 # matmul-vs-sequential FP order cannot flip membership.
 NEARDUP_THRESHOLD = 0.38
+# n-gram Jaccard near-dup: trigram shingles; at 0.5 the entry catches the
+# fixture's built-in near-dup band (~25 pairs at sf0.01, jaccard ≥ 0.9)
+# while the unrelated-doc background (≤ 0.09) stays far from the boundary.
+NGRAM_K = 3
+NGRAM_JACCARD_THRESHOLD = 0.5
 
 
 def _docs(sf_dir: str):
@@ -217,6 +222,17 @@ def q_exact_dedup(sf_dir: str):
     from .extras.dedup import exact_dedup_groups
 
     return exact_dedup_groups(_docs_text(sf_dir))
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact trigram-shingle Jaccard near-dup pairs over documents
+    (distributed block-pair; the verify kernel of the MinHash pipeline as
+    a first-class operator)."""
+    from .extras.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs_text(sf_dir), k=NGRAM_K, threshold=NGRAM_JACCARD_THRESHOLD
+    )
 
 
 def _doc_ids_with_term(sf_dir: str, term: str) -> set[int]:
@@ -619,6 +635,24 @@ SELECT doc_id, round(score_raw, 6) AS score FROM (
        min(doc_id)::BIGINT AS keep_doc_id,
        count(*)::BIGINT AS n_copies
 FROM documents GROUP BY text"""
+
+    sql["ngram_jaccard"] = f"""{toks}
+, sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) = 0 THEN []::VARCHAR[]
+              WHEN len(tokens) < {NGRAM_K} THEN [array_to_string(tokens, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(tokens) - {NGRAM_K - 2}),
+                   i -> array_to_string(list_slice(tokens, i, i + {NGRAM_K - 1}), ' ')))
+         END AS shingles
+  FROM toks
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+      >= {NGRAM_JACCARD_THRESHOLD}"""
 
     sql["bool_and"] = f"""{toks}
 SELECT doc_id FROM toks WHERE list_contains(tokens, '{BOOL_TERM_A}')

@@ -291,6 +291,156 @@ def ngram_jaccard(tokens_a: list[str], tokens_b: list[str], k: int = 3) -> float
     return inter / union if union else 0.0
 
 
+def ngram_jaccard_pairs(
+    docs_ds,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_limit: int | None = None,
+    text_col: str = "text",
+    chunk_rows: int = 2048,
+) -> pa.Table:
+    """Jaccard >= threshold pairs (a < b) over k-shingle sets of the
+    documents table — EXACT, distributed block-pair form (the n-gram
+    analog of ``embedding_neardup_pairs``).
+
+    Shingling (``simple_tokens`` + ``_shingle_hashes``) runs distributed
+    in ``map_batches``; the driver buffers only (doc_id, shingle-hash)
+    chunks into the object store, one Ray task per (i <= j) chunk pair
+    intersects the sorted unique hash arrays, and only the >= threshold
+    pairs return.  The 6dp-rounded Jaccard is compared on BOTH sides so
+    the result matches the string-set SQL oracle exactly (hashed shingles
+    equal string shingles up to a ~2^-64 collision).  O(n^2) pairs total
+    but embarrassingly parallel; the sub-quadratic scale path is MinHash
+    LSH candidates (``minhash_dedup_clusters``) verified by this same
+    Jaccard.  Pairs whose shingle union is empty (both docs token-free)
+    are omitted, matching the oracle's NULL-division semantics.
+    """
+    import ray
+
+    def to_shingles(batch: pa.Table) -> pa.Table:
+        if id_limit is not None:
+            batch = batch.filter(pc.less(batch["doc_id"], id_limit))
+        ids = batch["doc_id"].to_pylist()
+        offsets = [0]
+        flats: list[np.ndarray] = []
+        for text in batch[text_col].to_pylist():
+            h = _shingle_hashes(simple_tokens(text or ""), k)
+            flats.append(h)
+            offsets.append(offsets[-1] + len(h))
+        flat = (
+            np.concatenate(flats) if flats else np.empty(0, dtype=np.uint64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shingles": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(flat, pa.uint64())
+                ),
+            }
+        )
+
+    chunks: list = []
+    buf_ids: list[np.ndarray] = []
+    buf_off: list[np.ndarray] = []
+    buf_flat: list[np.ndarray] = []
+    buffered = 0
+    for batch in docs_ds.map_batches(
+        to_shingles, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        if batch.num_rows == 0:
+            continue
+        col = batch["shingles"].combine_chunks()
+        lengths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+        buf_ids.append(batch["doc_id"].to_numpy(zero_copy_only=False))
+        buf_off.append(lengths)
+        buf_flat.append(col.flatten().to_numpy(zero_copy_only=False))
+        buffered += batch.num_rows
+        if buffered >= chunk_rows:
+            chunks.append(
+                ray.put(
+                    (
+                        np.concatenate(buf_ids),
+                        np.concatenate(buf_off),
+                        np.concatenate(buf_flat),
+                    )
+                )
+            )
+            buf_ids, buf_off, buf_flat, buffered = [], [], [], 0
+    if buffered:
+        chunks.append(
+            ray.put(
+                (
+                    np.concatenate(buf_ids),
+                    np.concatenate(buf_off),
+                    np.concatenate(buf_flat),
+                )
+            )
+        )
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if not chunks:
+        return empty
+
+    @ray.remote
+    def pair_task(ref_i, ref_j, same: bool):
+        ids_i, len_i, flat_i = ref_i
+        ids_j, len_j, flat_j = ref_j
+        starts_i = np.concatenate([[0], np.cumsum(len_i)])
+        starts_j = np.concatenate([[0], np.cumsum(len_j)])
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_jc: list[float] = []
+        for x in range(len(ids_i)):
+            sa = flat_i[starts_i[x] : starts_i[x + 1]]
+            y0 = x + 1 if same else 0
+            for y in range(y0, len(ids_j)):
+                ia, ib = int(ids_i[x]), int(ids_j[y])
+                if ia == ib:
+                    continue
+                sb = flat_j[starts_j[y] : starts_j[y + 1]]
+                union_base = len(sa) + len(sb)
+                if union_base == 0:
+                    continue
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                jc = round6(inter / (union_base - inter))
+                if jc >= threshold:
+                    lo, hi = (ia, ib) if ia < ib else (ib, ia)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                    out_jc.append(jc)
+        return (
+            np.array(out_a, dtype=np.int64),
+            np.array(out_b, dtype=np.int64),
+            np.array(out_jc, dtype=np.float64),
+        )
+
+    futures = []
+    for i in range(len(chunks)):
+        for j in range(i, len(chunks)):
+            futures.append(pair_task.remote(chunks[i], chunks[j], i == j))
+    a_out, b_out, j_out = [], [], []
+    for a_ids, b_ids, jcs in ray.get(futures):
+        a_out.append(a_ids)
+        b_out.append(b_ids)
+        j_out.append(jcs)
+    a_all = np.concatenate(a_out) if a_out else np.empty(0, dtype=np.int64)
+    b_all = np.concatenate(b_out) if b_out else np.empty(0, dtype=np.int64)
+    j_all = np.concatenate(j_out) if j_out else np.empty(0)
+    order = np.lexsort((b_all, a_all))
+    return pa.table(
+        {
+            "a": pa.array(a_all[order], pa.int64()),
+            "b": pa.array(b_all[order], pa.int64()),
+            "jaccard": pa.array(j_all[order], pa.float64()),
+        }
+    )
+
+
 def _min_label_numpy(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Connected components over edge arrays by iterated min-label
     propagation with pointer jumping — vectorized; the label that each

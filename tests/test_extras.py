@@ -64,6 +64,31 @@ def test_ngram_jaccard_bounds():
     assert ngram_jaccard(a, simple_tokens("nothing in common here at all")) == 0.0
 
 
+def test_ngram_jaccard_pairs_distributed(ray_session):
+    from seekr_ray.extras.dedup import ngram_jaccard_pairs
+
+    near = BASE.replace("memory", "ram")
+    far = "completely different content about databases and indexes and trees"
+    ds = _docs_ds([BASE, near, far, BASE])
+    out = ngram_jaccard_pairs(ds, k=3, threshold=0.5).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (0, 3) in pairs  # exact copies
+    assert (0, 1) in pairs and (1, 3) in pairs  # one-token change
+    assert not any(2 in p for p in pairs)  # unrelated doc excluded
+    # hashed-shingle jaccard equals the string-set scalar kernel
+    row03 = out[(out["a"] == 0) & (out["b"] == 3)].iloc[0]
+    assert row03["jaccard"] == 1.0
+    row01 = out[(out["a"] == 0) & (out["b"] == 1)].iloc[0]
+    expect = ngram_jaccard(simple_tokens(BASE), simple_tokens(near), k=3)
+    assert abs(row01["jaccard"] - expect) < 1e-6
+    # multi-chunk block-pair path emits each pair exactly once
+    out2 = ngram_jaccard_pairs(
+        ds.repartition(4), k=3, threshold=0.5, chunk_rows=1
+    ).to_pandas()
+    assert set(zip(out2["a"], out2["b"])) == pairs
+    assert len(out2) == len(out)
+
+
 def test_simhash_near_dup_hamming(ray_session):
     near = BASE.replace("memory", "ram")
     h1 = simhash64(simple_tokens(BASE))
