@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_tfidf_topk": eq.q_search_tfidf_topk,
         "exact_dedup": eq.q_exact_dedup,
         "ngram_jaccard": eq.q_ngram_jaccard,
+        "jaccard_clusters": eq.q_jaccard_clusters,
         "bool_and": eq.q_bool_and,
         "bool_or": eq.q_bool_or,
         "bool_not": eq.q_bool_not,
@@ -85,6 +86,7 @@ def oracle_sql() -> dict[str, str]:
         "search_tfidf_topk": m["search_tfidf_topk"],
         "exact_dedup": m["exact_dedup"],
         "ngram_jaccard": m["ngram_jaccard"],
+        "jaccard_clusters": m["jaccard_clusters"],
         "bool_and": m["bool_and"],
         "bool_or": m["bool_or"],
         "bool_not": m["bool_not"],

@@ -235,6 +235,18 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+def q_jaccard_clusters(sf_dir: str):
+    """Connected components over the exact trigram-Jaccard pair graph
+    (min-label propagation; cluster_id = min doc_id in component) —
+    the clustering stage of the dedup family with a recursive-CTE SQL
+    oracle."""
+    from .extras.dedup import jaccard_clusters
+
+    return jaccard_clusters(
+        _docs_text(sf_dir), k=NGRAM_K, threshold=NGRAM_JACCARD_THRESHOLD
+    )
+
+
 def _doc_ids_with_term(sf_dir: str, term: str) -> set[int]:
     out = set()
     for b in _docs_text(sf_dir).iter_batches(batch_format="pyarrow"):
@@ -653,6 +665,32 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
         / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
       >= {NGRAM_JACCARD_THRESHOLD}"""
+
+    sql["jaccard_clusters"] = f"""{toks.replace("WITH toks", "WITH RECURSIVE toks")}
+, sh AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(tokens) = 0 THEN []::VARCHAR[]
+              WHEN len(tokens) < {NGRAM_K} THEN [array_to_string(tokens, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(tokens) - {NGRAM_K - 2}),
+                   i -> array_to_string(list_slice(tokens, i, i + {NGRAM_K - 1}), ' ')))
+         END AS shingles
+  FROM toks
+),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+        >= {NGRAM_JACCARD_THRESHOLD}
+),
+edges AS (SELECT a AS s, b AS t FROM pairs UNION ALL SELECT b AS s, a AS t FROM pairs),
+reach(node, label) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.t, r.label FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT node AS doc_id, min(label)::BIGINT AS cluster_id
+FROM reach GROUP BY node"""
 
     sql["bool_and"] = f"""{toks}
 SELECT doc_id FROM toks WHERE list_contains(tokens, '{BOOL_TERM_A}')

@@ -441,6 +441,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_clusters(
+    docs_ds,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_limit: int | None = None,
+) -> pa.Table:
+    """(doc_id, cluster_id) connected components over the EXACT n-gram
+    Jaccard >= threshold pair graph — ``ngram_jaccard_pairs`` edges +
+    the same min-label propagation the MinHash pipeline uses
+    (``cluster_id`` = min doc_id in the component, so the result is
+    SQL-oracle-comparable via a recursive-CTE transitive closure).
+    Every emitted node has degree >= 1, so all clusters are
+    non-singleton by construction."""
+    pairs = ngram_jaccard_pairs(docs_ds, k=k, threshold=threshold, id_limit=id_limit)
+    if pairs.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64()),
+            }
+        )
+    a = pairs["a"].to_numpy(zero_copy_only=False)
+    b = pairs["b"].to_numpy(zero_copy_only=False)
+    if pairs.num_rows <= _CLUSTER_DRIVER_LIMIT:
+        nodes, labels = _min_label_numpy(a, b)
+    else:
+        nodes, labels = _min_label_dataset(pairs)
+    rows = sorted(zip(nodes.tolist(), labels.tolist()))
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "cluster_id": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
 def _min_label_numpy(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Connected components over edge arrays by iterated min-label
     propagation with pointer jumping — vectorized; the label that each

@@ -89,6 +89,20 @@ def test_ngram_jaccard_pairs_distributed(ray_session):
     assert len(out2) == len(out)
 
 
+def test_jaccard_clusters_transitive(ray_session):
+    from seekr_ray.extras.dedup import jaccard_clusters
+
+    # chain: 0 ~ 1 and 1 ~ 2 but 0 !~ 2 — transitive closure puts all
+    # three in one cluster labeled by the min doc_id
+    mid = BASE.replace("memory", "ram")
+    end = mid.replace("tokens", "words")
+    far = "completely different content about databases and indexes and trees"
+    ds = _docs_ds([BASE, mid, end, far])
+    out = jaccard_clusters(ds, k=3, threshold=0.5).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {0: 0, 1: 0, 2: 0}  # 3 excluded (no edges)
+
+
 def test_simhash_near_dup_hamming(ray_session):
     near = BASE.replace("memory", "ram")
     h1 = simhash64(simple_tokens(BASE))
