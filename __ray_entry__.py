@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": eq.q_exact_dedup,
         "ngram_jaccard": eq.q_ngram_jaccard,
         "jaccard_clusters": eq.q_jaccard_clusters,
+        "pagerank_lineitem": eq.q_pagerank_lineitem,
         "bool_and": eq.q_bool_and,
         "bool_or": eq.q_bool_or,
         "bool_not": eq.q_bool_not,
@@ -87,6 +88,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": m["exact_dedup"],
         "ngram_jaccard": m["ngram_jaccard"],
         "jaccard_clusters": m["jaccard_clusters"],
+        "pagerank_lineitem": m["pagerank_lineitem"],
         "bool_and": m["bool_and"],
         "bool_or": m["bool_or"],
         "bool_not": m["bool_not"],

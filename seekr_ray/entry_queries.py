@@ -235,6 +235,77 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+PAGERANK_FIXED_ITERS = 4
+PAGERANK_FIXED_DAMPING = 0.85
+
+
+def q_pagerank_lineitem(sf_dir: str):
+    """Fixed-iteration PageRank (A5's oracle-comparable form: exactly K
+    synchronous steps instead of ε-convergence) over the lineitem
+    order→part bipartite graph.  Node ids: 2·l_orderkey for orders,
+    2·l_partkey+1 for parts (disjoint id spaces)."""
+    import ray.data as rd
+
+    from .graph.pagerank import dedup_edges, pagerank_fixed_iters
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(ok * 2, pa.int64()),
+                "dst": pa.array(pk * 2 + 1, pa.int64()),
+            }
+        )
+
+    edges = dedup_edges(ds.map_batches(to_edges, batch_format="pyarrow"))
+    tbl = pagerank_fixed_iters(
+        edges, damping=PAGERANK_FIXED_DAMPING, n_iters=PAGERANK_FIXED_ITERS
+    )
+    pr = tbl["page_rank"].to_numpy(zero_copy_only=False)
+    pr6 = np.copysign(np.floor(np.abs(pr) * 1e6 + 0.5), pr) / 1e6
+    return pa.table(
+        {"node": tbl["node"], "page_rank": pa.array(pr6, pa.float64())}
+    )
+
+
+def _pagerank_lineitem_sql(k: int, d: float) -> str:
+    """Unrolled K-iteration PageRank in plain SQL (MATERIALIZED per step
+    so CTE inlining stays linear in K)."""
+    parts = [
+        """WITH edges AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outdeg AS MATERIALIZED (SELECT src AS node, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+nc AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nc) AS pr FROM nodes)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+d{i - 1} AS (SELECT coalesce(sum(r.pr), 0) AS dm
+  FROM r{i - 1} r LEFT JOIN outdeg o ON r.node = o.node WHERE o.node IS NULL),
+r{i} AS MATERIALIZED (
+  SELECT n.node,
+         (1 - {d}) / (SELECT n FROM nc)
+         + {d} * coalesce(c.contrib, 0)
+         + {d} * (SELECT dm FROM d{i - 1}) / (SELECT n FROM nc) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.pr / o.deg) AS contrib
+    FROM edges e JOIN r{i - 1} r ON r.node = e.src JOIN outdeg o ON o.node = e.src
+    GROUP BY e.dst) c ON c.node = n.node
+)"""
+        )
+    parts.append(f"\nSELECT node, round(pr, 6) AS page_rank FROM r{k}")
+    return "".join(parts)
+
+
 def q_jaccard_clusters(sf_dir: str):
     """Connected components over the exact trigram-Jaccard pair graph
     (min-label propagation; cluster_id = min doc_id in component) —
@@ -691,6 +762,10 @@ reach(node, label) AS (
 )
 SELECT node AS doc_id, min(label)::BIGINT AS cluster_id
 FROM reach GROUP BY node"""
+
+    sql["pagerank_lineitem"] = _pagerank_lineitem_sql(
+        PAGERANK_FIXED_ITERS, PAGERANK_FIXED_DAMPING
+    )
 
     sql["bool_and"] = f"""{toks}
 SELECT doc_id FROM toks WHERE list_contains(tokens, '{BOOL_TERM_A}')

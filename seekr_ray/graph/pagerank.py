@@ -87,9 +87,15 @@ def resolve_links(links_ds, docs_ds):
 
     edges = links_ds.map_batches(resolve, batch_format="pyarrow", batch_size=None)
 
-    # dedup per (src, dst) — DataBaseManager.java:51-53.  Bucketed by src
-    # hash with a vectorized unique inside each bucket group (a per-pair
-    # map_groups would pay Python overhead per edge).
+    # dedup per (src, dst) — DataBaseManager.java:51-53.
+    return dedup_edges(edges)
+
+
+def dedup_edges(edges_ds):
+    """Distinct (src, dst) over an edge Dataset — bucketed by src hash
+    with a vectorized unique inside each bucket group (a per-pair
+    map_groups would pay Python overhead per edge)."""
+
     def add_bucket(batch: pa.Table) -> pa.Table:
         src = batch["src"].to_numpy(zero_copy_only=False)
         return batch.append_column(
@@ -112,7 +118,7 @@ def resolve_links(links_ds, docs_ds):
         return tbl.filter(pa.array(keep)).drop_columns(["_b"])
 
     return (
-        edges.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        edges_ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
         .groupby("_b")
         .map_groups(dedup_bucket, batch_format="pyarrow")
     )
@@ -232,9 +238,15 @@ def resolve_links_driver(links_tbl: pa.Table, docs_tbl: pa.Table):
 
 
 def _pagerank_numpy(
-    src: np.ndarray, dst: np.ndarray, damping: float, epsilon: float
+    src: np.ndarray,
+    dst: np.ndarray,
+    damping: float,
+    epsilon: float,
+    n_iters: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact reference math over edge arrays.  Returns (node_ids, ranks)."""
+    """Exact reference math over edge arrays.  Returns (node_ids, ranks).
+    ``n_iters`` switches from ε-convergence to exactly that many
+    synchronous iterations (the SQL-oracle-comparable form)."""
     nodes = np.union1d(src, dst)
     n = len(nodes)
     if n == 0:
@@ -248,15 +260,21 @@ def _pagerank_numpy(
     inv_out = np.zeros(n)
     nz = outdeg > 0
     inv_out[nz] = 1.0 / outdeg[nz]
+    done = 0
     while True:
         dangling = p[dangling_nodes].sum()
         contrib = np.zeros(n)
         np.add.at(contrib, di, p[si] * inv_out[si])
         new_p = (1 - damping) / n + damping * contrib + damping * dangling / n
-        if np.max(np.abs(new_p - p)) <= epsilon:
-            p = new_p
-            break
+        converged = (
+            done + 1 >= n_iters
+            if n_iters is not None
+            else np.max(np.abs(new_p - p)) <= epsilon
+        )
         p = new_p
+        done += 1
+        if converged:
+            break
     return nodes, p
 
 
@@ -310,7 +328,9 @@ def _graph_metadata(edges_ds) -> tuple[np.ndarray, np.ndarray]:
     return nodes[order], deg[order]
 
 
-def _pagerank_distributed(edges_ds, damping: float, epsilon: float):
+def _pagerank_distributed(
+    edges_ds, damping: float, epsilon: float, n_iters: int | None = None
+):
     """Distributed power iteration: edges stay a Dataset; the driver holds
     only O(V) numpy arrays (8 B/node — ranks), broadcast once per
     iteration; contribs are vectorized searchsorted+take with per-batch
@@ -335,6 +355,7 @@ def _pagerank_distributed(edges_ds, damping: float, epsilon: float):
 
     edges = edges_ds.materialize()
 
+    done = 0
     while True:
         # one object per iteration: (sorted nodes, rank/outdeg per node)
         bcast = ray.put((nodes_arr, ranks * inv_out))
@@ -371,7 +392,8 @@ def _pagerank_distributed(edges_ds, damping: float, epsilon: float):
         )
         delta = np.max(np.abs(new_ranks - ranks))
         ranks = new_ranks
-        if delta <= epsilon:
+        done += 1
+        if (done >= n_iters) if n_iters is not None else (delta <= epsilon):
             break
     return pa.table(
         {
@@ -412,6 +434,49 @@ def pagerank_from_edges(edges_ds, cfg: IndexConfig):
     return _pagerank_distributed(
         edges_ds, cfg.pagerank_damping, cfg.pagerank_epsilon
     )
+
+
+def pagerank_fixed_iters(
+    edges_ds,
+    damping: float = 0.85,
+    n_iters: int = 4,
+    driver_edge_limit: int = 50_000_000,
+):
+    """Exactly ``n_iters`` synchronous power iterations over a deduped
+    edge Dataset -> (node, page_rank) — the SQL-oracle-comparable form of
+    A5 (an unrolled K-step recursion is expressible in plain SQL while
+    ε-convergence is not).  Path selection mirrors
+    ``pagerank_from_edges``: count()-gated driver numpy below the limit,
+    the broadcast-arrays distributed iteration above it; both run the
+    identical formula (incl. dangling mass), asserted equal by test."""
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "page_rank": pa.array([], pa.float64()),
+            }
+        )
+    if n_edges <= driver_edge_limit:
+        head = edges_ds.to_pandas(limit=None)
+        nodes, ranks = _pagerank_numpy(
+            head["src"].to_numpy(),
+            head["dst"].to_numpy(),
+            damping,
+            0.0,
+            n_iters=n_iters,
+        )
+        tbl = pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "page_rank": pa.array(ranks, pa.float64()),
+            }
+        )
+    else:
+        tbl = _pagerank_distributed(
+            edges_ds, damping, 0.0, n_iters=n_iters
+        ).rename_columns(["node", "page_rank"])
+    return tbl
 
 
 _EMPTY_PR = pa.table(

@@ -92,3 +92,31 @@ def test_distributed_matches_numpy(ray_session):
         # the distributed path applies identical synchronous updates; only
         # FP summation order differs (groupby sum vs np.add.at)
         assert math.isclose(got_map[n], r, abs_tol=1e-9), n
+
+
+def test_fixed_iters_paths_agree(ray_session):
+    import ray.data as rd
+
+    from seekr_ray.graph.pagerank import pagerank_fixed_iters
+
+    edges = _edges()
+    edges_ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    via_driver = pagerank_fixed_iters(edges_ds, n_iters=4)
+    # driver_edge_limit below the edge count forces the distributed path
+    via_dist = pagerank_fixed_iters(edges_ds, n_iters=4, driver_edge_limit=1)
+    d1 = dict(zip(via_driver["node"].to_pylist(), via_driver["page_rank"].to_pylist()))
+    d2 = dict(zip(via_dist["node"].to_pylist(), via_dist["page_rank"].to_pylist()))
+    assert set(d1) == set(d2)
+    for n in d1:
+        assert math.isclose(d1[n], d2[n], abs_tol=1e-9), n
+    # exactly K iterations: one fewer step gives a different vector
+    via_3 = pagerank_fixed_iters(edges_ds, n_iters=3)
+    d3 = dict(zip(via_3["node"].to_pylist(), via_3["page_rank"].to_pylist()))
+    assert any(not math.isclose(d1[n], d3[n], abs_tol=1e-12) for n in d1)
