@@ -312,6 +312,7 @@ QUERY_SET: list[tuple[str, str, int]] = [
     ("dup_words", "parse parse buffer", 10),
     ("phrase_adjacent", '"travel connect"', 10),
     ("phrase_gap", '"parse buffer"', 10),
+    ("phrase_three", '"parse buffer index"', 10),
     ("phrase_absent", '"zzqqx yyzz"', 10),
     ("quoted_single", '"parse"', 10),
     ("bool_and", "parse AND buffer", 10),

@@ -75,6 +75,9 @@ class QueryEngine:
         use_wand: bool = True,
         query_log_dir: str | None = None,
     ):
+        from ..memtune import tune_allocator
+
+        tune_allocator()  # once per process; see memtune.py
         self.index_dir = index_dir
         meta = load_meta(index_dir)
         self.cfg = IndexConfig.from_dict(meta["config"])
@@ -97,6 +100,12 @@ class QueryEngine:
         self._query_cache: OrderedDict[str, QueryResult] = OrderedDict()
         self._query_cache_max = 1000  # QP.java:26
         self._phrase_cache: dict[str, QueryResult] = {}
+        # phrase match set as arrays (matched doc_ids, per-original-word
+        # (tf array, idf)) — written by query_phrase, read by the
+        # vectorized _phrase_topk scorer
+        self._phrase_arrays_cache: dict[
+            str, tuple[np.ndarray, dict[str, tuple[np.ndarray, float]]]
+        ] = {}
         self._docs_dataset = None
         self._doc_cache: OrderedDict[int, tuple[str, str, str]] = OrderedDict()
         self._doc_cache_max = 4096
@@ -218,53 +227,72 @@ class QueryEngine:
                     # single-word phrase: every posting trivially passes the
                     # walk (checkSequentialPositions with one word) — no
                     # position decode needed
-                    per_stem_pos = None
+                    matched_ci = np.arange(candidate.size, dtype=np.int64)
+                elif len(stems) == 2:
+                    # two-word phrase: the in-range slide cannot change
+                    # the outcome, so the walk reduces to the vectorized
+                    # pair predicate (_phrase_pair_match), slab by slab
+                    parts = []
+                    for lo in range(0, candidate.size, _PHRASE_SLAB):
+                        hi = min(lo + _PHRASE_SLAB, candidate.size)
+                        f1, o1 = postings[stems[0]].positions_flat_for(
+                            per_stem_idx[stems[0]][lo:hi]
+                        )
+                        f2, o2 = postings[stems[1]].positions_flat_for(
+                            per_stem_idx[stems[1]][lo:hi]
+                        )
+                        m = _phrase_pair_match(f1, o1, f2, o2, max_gap)
+                        if m.size:
+                            parts.append(m + lo)
+                    matched_ci = (
+                        np.concatenate(parts)
+                        if parts
+                        else np.empty(0, dtype=np.int64)
+                    )
                 else:
-                    per_stem_pos = {
-                        s: postings[s].positions_for(per_stem_idx[s])
-                        for s in stems
-                    }
-                for ci, doc_id in enumerate(candidate.tolist()):
-                    if per_stem_pos is None:
-                        ok = True
-                    else:
-                        pos_lists = []
-                        ok = True
-                        for s in stems:
-                            pos = per_stem_pos[s][ci]
-                            if pos.size == 0:
-                                ok = False
-                                break
-                            pos_lists.append(pos)
-                        if ok:
-                            if len(pos_lists) == 2:
-                                # two-word phrase: the in-range slide cannot
-                                # change the outcome, so the walk reduces to
-                                # "exists a in p1, b in p2 with a < b <= a+gap"
-                                # — one searchsorted instead of the python walk
-                                p1, p2 = pos_lists
-                                idx = np.searchsorted(p2, p1, side="right")
-                                idx_c = np.minimum(idx, p2.size - 1)
-                                ok = bool(
-                                    (
-                                        (idx < p2.size)
-                                        & (p2[idx_c] <= p1 + np.uint64(max_gap))
-                                    ).any()
-                                )
-                            else:
-                                ok = _check_sequential_positions(
-                                    pos_lists, max_gap
-                                )
-                    if ok:
-                        word_info = {}
-                        for s in stems:
-                            tp = postings[s]
-                            idx = per_stem_idx[s][ci]
-                            word_info[stem_to_original.get(s, s)] = (
-                                float(tp.tfs[idx]),
-                                tp.idf,
+                    # >= 3 words: the sequential walk (incl. the
+                    # cursor-slide quirk) vectorized across every start
+                    # position of every candidate at once
+                    # (_phrase_walk_vectorized; golden-tested equal to
+                    # _check_sequential_positions), slab by slab
+                    parts = []
+                    for lo in range(0, candidate.size, _PHRASE_SLAB):
+                        hi = min(lo + _PHRASE_SLAB, candidate.size)
+                        flats = [
+                            postings[s].positions_flat_for(
+                                per_stem_idx[s][lo:hi]
                             )
-                        documents.append(DocumentData(doc_id, word_info))
+                            for s in stems
+                        ]
+                        m = _phrase_walk_vectorized(flats, max_gap)
+                        if m.size:
+                            parts.append(m + lo)
+                    matched_ci = (
+                        np.concatenate(parts)
+                        if parts
+                        else np.empty(0, dtype=np.int64)
+                    )
+                matched_ids = candidate[matched_ci]
+                # per-original-word arrays over the matched set (later
+                # stems overwrite the same original word — the word_info
+                # putAll semantics, vectorized)
+                word_arrays: dict[str, tuple[np.ndarray, float]] = {}
+                for s in stems:
+                    tp = postings[s]
+                    word_arrays[stem_to_original.get(s, s)] = (
+                        tp.tfs[per_stem_idx[s][matched_ci]],
+                        tp.idf,
+                    )
+                self._phrase_arrays_cache[cache_key] = (
+                    matched_ids,
+                    word_arrays,
+                )
+                for row, doc_id in enumerate(matched_ids.tolist()):
+                    word_info = {
+                        w: (float(arr[row]), idf)
+                        for w, (arr, idf) in word_arrays.items()
+                    }
+                    documents.append(DocumentData(doc_id, word_info))
         result = QueryResult(documents, list(original_words))
         self._phrase_cache[cache_key] = result
         return result
@@ -358,8 +386,7 @@ class QueryEngine:
             # malformed boolean falls through to the plain-query path
             query = query
         if is_quoted((query or "").strip()):
-            result = self.query(query)
-            return self.rank(result.documents, result.query_words)[:k]
+            return self._phrase_topk((query or "").strip(), k)
         stems, stem_to_original = tokenize_and_stem(query or "")
         terms = []
         for s in stems:
@@ -371,6 +398,39 @@ class QueryEngine:
         if mode == "wand":
             return self._wand(terms, k)
         return self._taat(terms, k)
+
+    def _phrase_topk(self, query: str, k: int) -> list[tuple[int, float]]:
+        """Vectorized top-k for a pure quoted-phrase query: the match set
+        comes from query_phrase's arrays cache and scoring runs as array
+        ops with the SAME per-word FP addition order as rank() — asserted
+        rank-identical in tests."""
+        clean = strip_quotes(query)
+        original_words = clean.split() or [clean]
+        stems, _ = tokenize_and_stem(clean)
+        if not stems:
+            result = self.query(query)
+            return self.rank(result.documents, result.query_words)[:k]
+        cache_key = repr(stems)
+        if cache_key not in self._phrase_arrays_cache:
+            self.query_phrase(stems, list(original_words))
+        entry = self._phrase_arrays_cache.get(cache_key)
+        if entry is None:
+            # no-postings/no-candidate phrase: nothing matched
+            return []
+        ids, word_arrays = entry
+        if ids.size == 0:
+            return []
+        tfidf = np.zeros(ids.size)
+        for w in original_words:  # rank() iterates query_words in order
+            wa = word_arrays.get(w)
+            if wa is not None:
+                tfidf = tfidf + wa[0] * wa[1]
+        scores = (
+            self.cfg.tfidf_weight * tfidf
+            + self.cfg.pagerank_weight * self._pr_lookup(ids)
+        )
+        order = np.lexsort((ids, -scores))[:k]
+        return [(int(ids[i]), float(scores[i])) for i in order]
 
     # ------------------------------------------------------------------
     # vectorized boolean top-k (exact: same per-doc FP addition order and
@@ -717,6 +777,98 @@ class QueryEngine:
 
 
 _MAX_DOC = 1 << 62
+
+# candidate docs per phrase-walk slab: bounds every temporary array to
+# ~slab × positions-per-doc values, so walking a hot term never allocates
+# corpus-sized buffers (large first-touch allocations stall hard on
+# overcommitted VMs, and at index scale the full flat array may not fit)
+_PHRASE_SLAB = 4096
+
+
+def _phrase_pair_match(
+    f1: np.ndarray,
+    o1: np.ndarray,
+    f2: np.ndarray,
+    o2: np.ndarray,
+    max_gap: int,
+) -> np.ndarray:
+    """Local candidate indices with an in-gap (a, b) occurrence pair —
+    the two-word phrase predicate "exists a in p1, b in p2 with
+    a < b <= a+gap", fully vectorized across candidates.
+
+    Positions are word offsets < 2^32, so candidate_rank * 2^32 windows
+    every candidate into ONE globally sorted array per stem — a single
+    searchsorted replaces the per-candidate loop, and a cross-candidate
+    neighbor can never satisfy <= +gap (window bases differ by >= 2^32).
+    The probe runs from the SMALLER side (cost ∝ probes); +gap on both
+    windows keeps the b-side's p2-gap probe from underflowing uint64."""
+    n = len(o1) - 1
+    base = np.uint64(1) << np.uint64(32)
+    gap = np.uint64(max_gap)
+    r1 = np.repeat(np.arange(n, dtype=np.uint64), np.diff(o1))
+    r2 = np.repeat(np.arange(n, dtype=np.uint64), np.diff(o2))
+    p1 = f1 + r1 * base + gap
+    p2 = f2 + r2 * base + gap
+    if p1.size <= p2.size:
+        nxt = np.searchsorted(p2, p1, side="right")
+        hit = np.zeros(p1.size, dtype=bool)
+        valid = nxt < p2.size
+        if p1.size:
+            hit[valid] = p2[nxt[valid]] <= p1[valid] + gap
+        return np.unique(r1[hit]).astype(np.int64)
+    prev = np.searchsorted(p1, p2 - gap, side="left")
+    hit = np.zeros(p2.size, dtype=bool)
+    valid = prev < p1.size
+    if p2.size:
+        hit[valid] = p1[prev[valid]] < p2[valid]
+    return np.unique(r2[hit]).astype(np.int64)
+
+
+def _phrase_walk_vectorized(
+    flats: list[tuple[np.ndarray, np.ndarray]], max_gap: int
+) -> np.ndarray:
+    """Local candidate indices passing the full sequential walk — the
+    exact ``checkSequentialPositions`` semantics (incl. the in-range
+    slide quirk) vectorized across every start position of every
+    candidate at once.  Golden-tested equal to
+    ``_check_sequential_positions``.
+
+    Model: per word, the scan's cursor behavior is (1) ENTER at the first
+    position > cursor, required <= cursor+gap (non-strict), then
+    (2) SLIDE along consecutive positions while each is STRICTLY within
+    gap of the previously accepted one; sorted positions mean the slide
+    is exactly the maximal strict-delta chain from the entry index, so a
+    precomputed per-run chain-end array answers it in O(1).  Candidate
+    windows (rank * 2^32, positions < 2^32) make all of word wi's
+    positions ONE sorted array, so each word costs a single searchsorted
+    over every surviving start simultaneously; a cursor can never slide
+    or enter across windows (bases differ by 2^32 > gap)."""
+    base = np.uint64(1) << np.uint64(32)
+    gap = np.uint64(max_gap)
+    windowed: list[np.ndarray] = []
+    ranks0: np.ndarray | None = None
+    for wi, (f, o) in enumerate(flats):
+        r = np.repeat(
+            np.arange(len(o) - 1, dtype=np.uint64), np.diff(o)
+        )
+        if wi == 0:
+            ranks0 = r
+        windowed.append(f + r * base)
+    cur = windowed[0]
+    ok = np.ones(cur.size, dtype=bool)
+    for q in windowed[1:]:
+        if q.size == 0 or not ok.any():
+            return np.empty(0, dtype=np.int64)
+        # chain ends: runs split where the strict-slide delta fails
+        run_id = np.zeros(q.size, dtype=np.int64)
+        np.cumsum(q[1:] >= q[:-1] + gap, out=run_id[1:])
+        chain_end = np.searchsorted(run_id, run_id, side="right") - 1
+        j = np.searchsorted(q, cur, side="right")
+        valid = j < q.size
+        jc = np.minimum(j, q.size - 1)
+        ok &= valid & (q[jc] <= cur + gap)
+        cur = q[chain_end[jc]]
+    return np.unique(ranks0[ok]).astype(np.int64)
 
 
 def _check_sequential_positions(

@@ -158,6 +158,79 @@ class TermPostings:
             out.append(np.cumsum(deltas, dtype=np.uint64))
         return out
 
+    def positions_flat_for(
+        self, sorted_indices
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Positions of SELECTED postings as ``(flat_values, offsets)``
+        (offsets has n_sel+1 entries) — the vectorized-walk form of
+        ``positions_for``: each touched chunk decodes ONCE fully
+        vectorized and the per-posting segments gather by index ranges,
+        with no per-posting Python materialization."""
+        dec_idx = (
+            self.order[sorted_indices]
+            if self.order is not None
+            else np.asarray(sorted_indices, dtype=np.int64)
+        )
+        dec_idx = np.asarray(dec_idx, dtype=np.int64)
+        n_sel = len(dec_idx)
+        sel_lens = np.zeros(n_sel, dtype=np.int64)
+        if n_sel == 0:
+            return np.empty(0, dtype=np.uint64), np.zeros(1, dtype=np.int64)
+        chunk_starts = np.concatenate(
+            [np.zeros(1, dtype=np.int64), np.cumsum(self.chunk_counts)]
+        )
+        chunk_of = np.searchsorted(chunk_starts, dec_idx, side="right") - 1
+        locals_ = dec_idx - chunk_starts[chunk_of]
+        grp = np.argsort(chunk_of, kind="stable")
+        gch = chunk_of[grp]
+        bounds = np.flatnonzero(
+            np.concatenate([[True], gch[1:] != gch[:-1]])
+        )
+        bounds = np.concatenate([bounds, [n_sel]])
+        per_group: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        for bi in range(len(bounds) - 1):
+            sel = grp[bounds[bi] : bounds[bi + 1]]
+            c = int(gch[bounds[bi]])
+            lens_enc, blob = self.pos_chunks[c]
+            b = np.frombuffer(blob, dtype=np.uint8)
+            if b.size == 0:
+                continue
+            byte_lens = varbyte_decode(lens_enc).astype(np.int64)
+            boffs = np.concatenate(
+                [np.zeros(1, dtype=np.int64), np.cumsum(byte_lens)]
+            )
+            is_last = (b & 0x80) == 0
+            cum_last = np.zeros(b.size + 1, dtype=np.int64)
+            np.cumsum(is_last, out=cum_last[1:])
+            counts = cum_last[boffs[1:]] - cum_last[boffs[:-1]]
+            vals = np.cumsum(varbyte_decode(b), dtype=np.uint64)
+            ends = np.cumsum(counts)
+            starts = ends - counts
+            ls = starts[locals_[sel]]
+            ln = counts[locals_[sel]]
+            sel_lens[sel] = ln
+            total = int(ln.sum())
+            if total == 0:
+                continue
+            po = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(ln)])
+            gi = np.repeat(ls - po[:-1], ln) + np.arange(total, dtype=np.int64)
+            seg = vals[gi]
+            base = np.where(
+                ls > 0, vals[np.maximum(ls - 1, 0)], np.uint64(0)
+            ).astype(np.uint64)
+            seg = seg - np.repeat(base, ln)
+            per_group.append((sel, ln, seg))
+        offsets = np.zeros(n_sel + 1, dtype=np.int64)
+        np.cumsum(sel_lens, out=offsets[1:])
+        flat = np.zeros(int(offsets[-1]), dtype=np.uint64)
+        for sel, ln, seg in per_group:
+            po = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(ln)])
+            tgt = np.repeat(offsets[sel] - po[:-1], ln) + np.arange(
+                len(seg), dtype=np.int64
+            )
+            flat[tgt] = seg
+        return flat, offsets
+
     @property
     def max_tf(self) -> float:
         return float(self.block_max_tf.max()) if self.block_max_tf.size else 0.0

@@ -91,3 +91,47 @@ def test_snippet_ellipses():
     text = "word " * 200
     snip = generate_snippet(text, {}, {"word"})
     assert snip.endswith("...")
+
+
+def test_phrase_walk_vectorized_golden():
+    """_phrase_walk_vectorized == _check_sequential_positions on random
+    position lists (incl. the cursor-slide quirk cases)."""
+    import numpy as np
+
+    from seekr_ray.query.engine import (
+        _check_sequential_positions,
+        _phrase_walk_vectorized,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(200):
+        n_words = int(rng.integers(3, 6))
+        n_docs = int(rng.integers(1, 8))
+        gap = int(rng.integers(1, 5))
+        per_doc: list[list[np.ndarray]] = []
+        flats = []
+        for wi in range(n_words):
+            doc_lists = []
+            for d in range(n_docs):
+                n = int(rng.integers(0, 12))
+                pos = np.unique(rng.integers(0, 30, size=n).astype(np.uint64))
+                doc_lists.append(pos)
+            doc_lists_arr = doc_lists
+            flat = (
+                np.concatenate(doc_lists_arr)
+                if doc_lists_arr
+                else np.empty(0, np.uint64)
+            )
+            offs = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum([len(x) for x in doc_lists_arr], out=offs[1:])
+            flats.append((flat, offs))
+            per_doc.append(doc_lists_arr)
+        got = set(_phrase_walk_vectorized(flats, gap).tolist())
+        want = set()
+        for d in range(n_docs):
+            lists = [per_doc[wi][d] for wi in range(n_words)]
+            if any(x.size == 0 for x in lists):
+                continue
+            if _check_sequential_positions(lists, gap):
+                want.add(d)
+        assert got == want, (trial, got, want)
