@@ -444,23 +444,22 @@ class QueryEngine:
             clean = strip_quotes(query)
             original_words = clean.split() or [clean]
             stems, _ = tokenize_and_stem(clean)
-            docs = (
-                self.query_phrase(stems, list(original_words)).documents
-                if stems
-                else []
-            )
-            per_word: dict[str, tuple[list[int], list[float]]] = {}
-            for d in sorted(docs, key=lambda x: x.doc_id):
-                for w, (tf, idf) in d.word_info.items():
-                    ids, contribs = per_word.setdefault(w, ([], []))
-                    ids.append(d.doc_id)
-                    contribs.append(tf * idf)
+            if not stems:
+                return list(original_words), {}, np.empty(0, dtype=np.int64)
+            cache_key = repr(stems)
+            if cache_key not in self._phrase_arrays_cache:
+                self.query_phrase(stems, list(original_words))
+            entry = self._phrase_arrays_cache.get(cache_key)
+            if entry is None:
+                return list(original_words), {}, np.empty(0, dtype=np.int64)
+            # matched ids are already sorted (candidate asc ∩ matched_ci
+            # asc); every matched doc carries every phrase word, so the
+            # per-word id arrays are all the matched set
+            ids, arrays = entry
             word_arrays = {
-                w: (np.asarray(ids, dtype=np.int64), np.asarray(c))
-                for w, (ids, c) in per_word.items()
+                w: (ids, arr * idf) for w, (arr, idf) in arrays.items()
             }
-            cand = np.array(sorted(d.doc_id for d in docs), dtype=np.int64)
-            return list(original_words), word_arrays, cand
+            return list(original_words), word_arrays, ids
         stems, stem_to_original = tokenize_and_stem(query)
         words = list(stem_to_original.values())
         word_arrays = {}
