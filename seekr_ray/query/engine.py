@@ -287,6 +287,10 @@ class QueryEngine:
                     matched_ids,
                     word_arrays,
                 )
+                if len(self._phrase_arrays_cache) > 256:
+                    self._phrase_arrays_cache.pop(
+                        next(iter(self._phrase_arrays_cache))
+                    )
                 for row, doc_id in enumerate(matched_ids.tolist()):
                     word_info = {
                         w: (float(arr[row]), idf)
