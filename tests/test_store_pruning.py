@@ -104,3 +104,16 @@ def test_prefix_terms_bisect_matches_linear(pruned_index):
     for prefix in ("pa", "tok", "zz", "s"):
         want = [t for t in allt if t.startswith(prefix)]
         assert store.prefix_terms(prefix) == want
+
+
+def test_memtune_idempotent():
+    """tune_allocator applies once per process and reports success on
+    glibc (the sandbox); the second call is a cheap no-op."""
+    import time
+
+    from seekr_ray.memtune import tune_allocator
+
+    assert tune_allocator(prefault_mb=1) is True
+    t0 = time.monotonic()
+    assert tune_allocator(prefault_mb=1024) is True  # no second prefault
+    assert time.monotonic() - t0 < 0.1
