@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match": eq.q_phrase_match,
         "suggestions": eq.q_suggestions,
         "events_recent_counts": eq.q_events_recent_counts,
+        "events_hourly": eq.q_events_hourly,
         "ann_topk": eq.q_ann_topk,
         "embedding_neardup": eq.q_embedding_neardup,
         # rows-only (non-SQL-expressible; pytest oracle covers semantics)
@@ -95,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_match": m["phrase_match"],
         "suggestions": m["suggestions"],
         "events_recent_counts": m["events_recent_counts"],
+        "events_hourly": m["events_hourly"],
         "ann_topk": m["ann_topk"],
         "embedding_neardup": m["embedding_neardup"],
     }

@@ -406,6 +406,21 @@ def q_events_recent_counts(sf_dir: str):
     )
 
 
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate (hourly count + value sum per event
+    type) — the S10/A7 aggregation generalized to time windows, partial-
+    aggregated per block before the O(groups) exchange."""
+    import ray.data as rd
+
+    from .extras.windows import tumbling_agg
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+    return tumbling_agg(ds, unit="hour")
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-k vs the vec_id=0 embedding (exact ANN
     baseline)."""
@@ -803,6 +818,10 @@ ORDER BY CASE WHEN term = '{SUGGEST_PREFIX}' THEN 1
               ELSE 3 END,
          term
 LIMIT 5"""
+
+    sql["events_hourly"] = """SELECT date_trunc('hour', ts) AS window,
+       event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS value_sum
+FROM events GROUP BY 1, 2"""
 
     sql["events_recent_counts"] = """SELECT event_type, count(*)::BIGINT AS n
 FROM events

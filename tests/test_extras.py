@@ -430,3 +430,37 @@ def test_media_features_real_decode(ray_session):
     # determinism
     d = MediaFeatureExtractor()
     assert d(media.slice(0, 3)).equals(d(media.slice(0, 3)))
+
+
+def test_tumbling_agg_window_boundaries(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from seekr_ray.extras.windows import tumbling_agg
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 10, 59, 59), "a", 1.0),
+        (dt.datetime(2024, 1, 1, 11, 0, 0), "a", 2.0),  # next window
+        (dt.datetime(2024, 1, 1, 11, 30, 0), "a", 3.0),
+        (dt.datetime(2024, 1, 1, 11, 30, 0), "b", 4.0),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[1] for r in rows]),
+                "value": pa.array([r[2] for r in rows]),
+            }
+        )
+    )
+    out = tumbling_agg(ds, unit="hour").to_pandas()
+    key = {
+        (str(w), t): (n, v)
+        for w, t, n, v in zip(
+            out["window"], out["event_type"], out["n"], out["value_sum"]
+        )
+    }
+    assert key[("2024-01-01 10:00:00", "a")] == (1, 1.0)
+    assert key[("2024-01-01 11:00:00", "a")] == (2, 5.0)
+    assert key[("2024-01-01 11:00:00", "b")] == (1, 4.0)
