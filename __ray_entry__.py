@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggestions": eq.q_suggestions,
         "events_recent_counts": eq.q_events_recent_counts,
         "events_hourly": eq.q_events_hourly,
+        "orders_by_nation": eq.q_orders_by_nation,
         "ann_topk": eq.q_ann_topk,
         "embedding_neardup": eq.q_embedding_neardup,
         # rows-only (non-SQL-expressible; pytest oracle covers semantics)
@@ -97,6 +98,7 @@ def oracle_sql() -> dict[str, str]:
         "suggestions": m["suggestions"],
         "events_recent_counts": m["events_recent_counts"],
         "events_hourly": m["events_hourly"],
+        "orders_by_nation": m["orders_by_nation"],
         "ann_topk": m["ann_topk"],
         "embedding_neardup": m["embedding_neardup"],
     }

@@ -19,6 +19,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .extras.textstats import (
     LANGID_THRESHOLD,
@@ -403,6 +404,72 @@ def q_events_recent_counts(sf_dir: str):
     )
     return out.map_batches(
         lambda b: b.rename_columns(["event_type", "n"]), batch_format="pyarrow"
+    )
+
+
+def q_orders_by_nation(sf_dir: str):
+    """Broadcast hash join (the J1 pattern over relational tables):
+    customer's (custkey → nationkey) side is ``ray.put`` ONCE as sorted
+    parallel arrays; each orders block resolves via ``searchsorted``
+    inside ``map_batches`` and partial-aggregates per nation before the
+    O(nations) exchange — no all-to-all shuffle of the big side."""
+    import ray
+    import ray.data as rd
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    keys_parts, nat_parts = [], []
+    for b in cust.iter_batches(batch_format="pyarrow"):
+        keys_parts.append(b["c_custkey"].to_numpy(zero_copy_only=False))
+        nat_parts.append(b["c_nationkey"].to_numpy(zero_copy_only=False))
+    keys = np.concatenate(keys_parts) if keys_parts else np.empty(0, np.int64)
+    nats = np.concatenate(nat_parts) if nat_parts else np.empty(0, np.int64)
+    order = np.argsort(keys)
+    side_ref = ray.put((keys[order], nats[order]))
+
+    def join_partial(batch: pa.Table) -> pa.Table:
+        skeys, snats = ray.get(side_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skeys, ck)
+        pos_c = np.minimum(pos, max(len(skeys) - 1, 0))
+        found = (len(skeys) > 0) & (skeys[pos_c] == ck)
+        nation = snats[pos_c[found]]
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)[found]
+        un, inv = np.unique(nation, return_inverse=True)
+        n_part = np.bincount(inv)
+        sum_part = np.bincount(inv, weights=price)
+        return pa.table(
+            {
+                "nation": pa.array(un, pa.int64()),
+                "n_part": pa.array(n_part, pa.int64()),
+                "sum_part": pa.array(sum_part, pa.float64()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "nation": batch["nation"],
+                "n": pc.cast(batch["sum(n_part)"], pa.int64()),
+                "total": pa.array(
+                    [round6(v) for v in batch["sum(sum_part)"].to_pylist()],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        orders.map_batches(join_partial, batch_format="pyarrow")
+        .groupby("nation")
+        .sum(["n_part", "sum_part"])
+        .map_batches(finalize, batch_format="pyarrow")
     )
 
 
@@ -818,6 +885,11 @@ ORDER BY CASE WHEN term = '{SUGGEST_PREFIX}' THEN 1
               ELSE 3 END,
          term
 LIMIT 5"""
+
+    sql["orders_by_nation"] = """SELECT c_nationkey AS nation,
+       count(*)::BIGINT AS n, round(sum(o_totalprice), 6) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1"""
 
     sql["events_hourly"] = """SELECT date_trunc('hour', ts) AS window,
        event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS value_sum
