@@ -94,12 +94,15 @@ def _term_part_column(terms: list[str], num_partitions: int) -> pa.Array:
     return pa.array(out, pa.int64())
 
 
-def tokenize_batch(
+def tokenize_batch_scalar(
     batch: pa.Table,
     content_col: str = "content",
     store_positions: bool = True,
     num_partitions: int | None = None,
 ) -> pa.Table:
+    """Per-doc python-loop kernel (round-1 form) — kept as the golden
+    reference for ``tokenize_batch``; both paths are asserted
+    value-identical in tests."""
     tokenizer = _shared_tokenizer()
     doc_ids = batch["doc_id"].to_pylist()
     contents = batch[content_col].to_pylist()
@@ -133,6 +136,143 @@ def tokenize_batch(
         # replaces the object-store all-to-all (stages/segments.py)
         tbl = tbl.append_column(
             "term_part", _term_part_column(out_term, num_partitions)
+        )
+    return tbl
+
+
+def tokenize_batch(
+    batch: pa.Table,
+    content_col: str = "content",
+    store_positions: bool = True,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Vectorized tokenize kernel: Arrow regex split + dictionary-encode,
+    per-DISTINCT-token stemming through the worker cache, numpy grouping.
+
+    Identical output values to ``tokenize_batch_scalar`` (asserted by
+    golden test; only row order differs, and every downstream consumer
+    fully sorts — stages/postings.py:30).  Token identity rides on
+    ``split('[^\\w']+') + strip("'") == findall(r"\\b[\\w']+\\b")``: a
+    maximal [\\w']+ run yields exactly one \\b-delimited match, the run
+    minus its leading/trailing apostrophes (interior apostrophes and
+    underscores kept, all-apostrophe runs vanish) — RE2's \\w is ASCII
+    like the scalar kernel's re.ASCII."""
+    import pyarrow.compute as pc
+
+    tokenizer = _shared_tokenizer()
+    n_docs = batch.num_rows
+    content = pc.coalesce(
+        batch[content_col].combine_chunks(), pa.scalar("", pa.string())
+    )
+    toks = pc.split_pattern_regex(pc.utf8_lower(content), pattern=r"[^\w']+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.utf8_trim(toks.flatten(), "'")
+    doc_lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+    dict_arr = flat.dictionary_encode()
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = dict_arr.dictionary.to_pylist()
+
+    # resolve each DISTINCT token once (worker-cached across batches)
+    resolve = tokenizer.resolve
+    stem_ids: dict[str, int] = {}
+    stems_list: list[str] = []
+    stem_of = np.empty(len(vocab), dtype=np.int64)
+    valid_of = np.zeros(len(vocab), dtype=bool)
+    for vi, w in enumerate(vocab):
+        s, valid = resolve(w)
+        if s is None:
+            stem_of[vi] = -1
+        else:
+            sid = stem_ids.get(s)
+            if sid is None:
+                sid = len(stems_list)
+                stem_ids[s] = sid
+                stems_list.append(s)
+            stem_of[vi] = sid
+            valid_of[vi] = valid
+
+    s_codes = stem_of[codes]
+    keep = s_codes >= 0
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), doc_lens)
+    # position = index within the doc's SURVIVING token stream
+    kc = np.cumsum(keep, dtype=np.int64)
+    doc_starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(doc_lens[:-1], out=doc_starts[1:])
+    kc0 = np.concatenate([np.zeros(1, dtype=np.int64), kc])
+    pos = (kc - keep) - kc0[doc_starts][doc_idx]
+    # denominator: kept tokens whose STEM re-passes validity, per doc
+    tvalid = keep & valid_of[codes]
+    totals = np.bincount(doc_idx[tvalid], minlength=n_docs).astype(np.float64)
+
+    d = doc_idx[keep]
+    sc = s_codes[keep]
+    p = pos[keep].astype(np.uint64)
+    # one stable argsort of a composite (doc, stem) key — positions stay
+    # ascending within each group because stable preserves stream order
+    order = np.argsort(d * np.int64(len(stems_list) + 1) + sc, kind="stable")
+    d, sc, p = d[order], sc[order], p[order]
+    # run boundaries per (doc, stem)
+    if d.size:
+        new_grp = np.empty(d.size, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (d[1:] != d[:-1]) | (sc[1:] != sc[:-1])
+        grp_starts = np.flatnonzero(new_grp)
+        grp_counts = np.diff(np.concatenate([grp_starts, [d.size]]))
+        g_doc = d[grp_starts]
+        g_stem = sc[grp_starts]
+        g_tot = totals[g_doc]
+        tf = np.where(
+            g_tot > 0, grp_counts / np.where(g_tot > 0, g_tot, 1.0),
+            grp_counts.astype(np.float64),
+        )
+        offsets = np.zeros(len(grp_starts) + 1, dtype=np.int64)
+        np.cumsum(grp_counts, out=offsets[1:])
+        if store_positions:
+            deltas = delta_encode_lists(p, offsets)
+            buf, byte_lens = varbyte_encode_concat(deltas, offsets)
+        else:
+            buf = b""
+            byte_lens = np.zeros(len(grp_starts), dtype=np.int64)
+        boffs = np.zeros(len(grp_starts) + 1, dtype=np.int32)
+        np.cumsum(byte_lens, out=boffs[1:])
+        pos_col = pa.BinaryArray.from_buffers(
+            pa.binary(),
+            len(grp_starts),
+            [None, pa.py_buffer(boffs.tobytes()), pa.py_buffer(buf)],
+        )
+        stems_pa = pa.array(stems_list, pa.string())
+        term_col = pc.take(stems_pa, pa.array(g_stem, pa.int64()))
+        doc_col = batch["doc_id"].combine_chunks().take(
+            pa.array(g_doc, pa.int64())
+        )
+        tbl = pa.Table.from_arrays(
+            [
+                doc_col,
+                term_col,
+                pa.array(tf, pa.float64()),
+                pos_col,
+                pa.array(np.ones(len(grp_starts)), pa.float64()),
+            ],
+            schema=POSTINGS_SCHEMA,
+        )
+    else:
+        tbl = POSTINGS_SCHEMA.empty_table()
+        g_stem = np.empty(0, dtype=np.int64)
+        stems_list = []
+    if num_partitions is not None:
+        from .postings import _part_cache, term_partition
+
+        cache = _part_cache(num_partitions)
+        stem_parts = np.empty(len(stems_list), dtype=np.int64)
+        for i, t in enumerate(stems_list):
+            pt = cache.get(t)
+            if pt is None:
+                pt = term_partition(t, num_partitions)
+                cache[t] = pt
+            stem_parts[i] = pt
+        tbl = tbl.append_column(
+            "term_part", pa.array(stem_parts[g_stem], pa.int64())
         )
     return tbl
 

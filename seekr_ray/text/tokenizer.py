@@ -110,6 +110,24 @@ class Tokenizer:
                 append(e[0])
         return out
 
+    def resolve(self, word: str) -> tuple[str | None, bool]:
+        """(stem | None-if-dropped, counts-toward-denominator) for one
+        lowercased token through the per-worker cache — the fused
+        per-token step of ``tokenize_document``, exposed for the
+        vocabulary-at-a-time vectorized batch kernel (one call per
+        DISTINCT token per batch instead of per occurrence)."""
+        e = self._tok_cache.get(word, _MISS)
+        if e is _MISS:
+            if is_valid_word(word, True):
+                s = self._stemmer.stem(word)
+                e = (s, self._stem_is_valid(s))
+            else:
+                e = (None, False)
+            if len(self._tok_cache) >= self._CACHE_MAX:
+                self._tok_cache.clear()
+            self._tok_cache[word] = e
+        return e
+
     def _stem_is_valid(self, s: str) -> bool:
         v = self._valid_stem.get(s)
         if v is None:

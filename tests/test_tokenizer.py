@@ -96,3 +96,58 @@ def test_section_weight_table():
     assert SECTION_WEIGHTS["title"] == 5.0
     assert SECTION_WEIGHTS["h6"] == 1.5
     assert SECTION_WEIGHTS["content"] == 1.0
+
+
+def test_tokenize_batch_vectorized_golden_vs_scalar():
+    """The Arrow/numpy vectorized tokenize kernel emits value-identical
+    postings to the per-doc scalar kernel (order-insensitive), including
+    the apostrophe/underscore/stopword/denominator edge cases."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from seekr_ray.stages.tokenize import (
+        tokenize_batch,
+        tokenize_batch_scalar,
+    )
+
+    docs = [
+        "'abc' don't '' x_y the THE Parse",  # quote-strip, drops, case
+        "",  # empty content
+        None,  # null content
+        "'''",  # all-apostrophe run
+        "a " * 30,  # all below MIN_WORD_LENGTH
+        "the of and",  # all stopwords (denominator 0)
+        "parsing parsed parser traveling'",  # stemming + trailing quote
+        "buffer buffer buffer index",  # tf normalization
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(100, 100 + len(docs)), pa.int64()),
+            "content": pa.array(docs, pa.string()),
+        }
+    )
+
+    def norm(tbl):
+        return (
+            tbl.to_pandas()
+            .sort_values(["doc_id", "term"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(
+        norm(tokenize_batch_scalar(batch, num_partitions=8)),
+        norm(tokenize_batch(batch, num_partitions=8)),
+    )
+    # fixture corpus slab
+    from seekr_ray.fixtures import cached_corpus_path
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(cached_corpus_path(2000))
+    if "doc_id" not in tbl.column_names:
+        tbl = tbl.append_column(
+            "doc_id", pa.array(range(tbl.num_rows), pa.int64())
+        )
+    tbl = tbl.slice(0, 500)
+    pd.testing.assert_frame_equal(
+        norm(tokenize_batch_scalar(tbl)), norm(tokenize_batch(tbl))
+    )
