@@ -172,6 +172,7 @@ class QueryEngine:
         self, stems: list[str], stem_to_original: dict[str, str]
     ) -> list[DocumentData]:
         doc_word_info: dict[int, dict[str, tuple[float, float]]] = {}
+        self.store.postings_many(stems)
         for stem in stems:
             tp = self.store.postings(stem)
             if tp is None:
@@ -197,6 +198,7 @@ class QueryEngine:
             stem_to_original[stems[i]] = original_words[i]
 
         postings = {}
+        self.store.postings_many(stems)
         for s in stems:
             tp = self.store.postings(s)
             if tp is None:
@@ -392,6 +394,7 @@ class QueryEngine:
         if is_quoted((query or "").strip()):
             return self._phrase_topk((query or "").strip(), k)
         stems, stem_to_original = tokenize_and_stem(query or "")
+        self.store.postings_many(stems)
         terms = []
         for s in stems:
             tp = self.store.postings(s)
@@ -468,6 +471,7 @@ class QueryEngine:
         words = list(stem_to_original.values())
         word_arrays = {}
         cand_parts = []
+        self.store.postings_many(stems)
         for s in stems:
             tp = self.store.postings(s)
             if tp is None:

@@ -354,7 +354,24 @@ class SegmentStore:
         if term in self._postings_cache:
             self._postings_cache.move_to_end(term)
             return self._postings_cache[term]
-        stat = self.term_stat(term)
+        return self._postings_load(term, self.term_stat(term))
+
+    def postings_many(self, terms) -> None:
+        """Warm the postings cache for several terms with the cold loads
+        in parallel — each uncached term reads different partition files
+        and ``pq.read_table`` releases the GIL, so a k-term cold query
+        pays ~one load instead of k.  Results land in the same LRU the
+        serial path uses; callers then fetch via ``postings``."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        missing = [
+            t for t in dict.fromkeys(terms) if t not in self._postings_cache
+        ]
+        if len(missing) > 1:
+            with ThreadPoolExecutor(min(4, len(missing))) as ex:
+                list(ex.map(self.postings, missing))
+
+    def _postings_load(self, term, stat) -> TermPostings | None:
         result: TermPostings | None = None
         if stat is not None:
             df, idf, n_salts = stat
