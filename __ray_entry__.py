@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": eq.q_orders_by_nation,
         "ann_topk": eq.q_ann_topk,
         "embedding_neardup": eq.q_embedding_neardup,
+        "asof_prev_purchase": eq.q_asof_prev_purchase,
+        "lookback_24h": eq.q_lookback_24h,
         # rows-only (non-SQL-expressible; pytest oracle covers semantics)
         "corpus_index_manifest": eq.q_corpus_index_manifest,
         "corpus_search": eq.q_corpus_search,
@@ -101,4 +103,6 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_nation": m["orders_by_nation"],
         "ann_topk": m["ann_topk"],
         "embedding_neardup": m["embedding_neardup"],
+        "asof_prev_purchase": m["asof_prev_purchase"],
+        "lookback_24h": m["lookback_24h"],
     }

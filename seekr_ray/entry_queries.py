@@ -513,6 +513,56 @@ def q_embedding_neardup(sf_dir: str):
     return embedding_neardup_pairs(ds, NEARDUP_THRESHOLD, id_limit=NEARDUP_LIMIT)
 
 
+ASOF_BUILD_TYPE = "purchase"  # the feature event looked up as-of each event
+LOOKBACK_HOURS = 24  # sliding lookback window before each label event
+
+
+def q_asof_prev_purchase(sf_dir: str):
+    """Point-in-time (as-of) join: every event gets its user's most
+    recent '{purchase}' event strictly before it (ties broken by max
+    event_id) — the feature-at-label-time join of a training pipeline."""
+    import ray.data as rd
+
+    from .extras.joins import asof_join_prev
+
+    cols = ["event_id", "user_id", "ts"]
+    left = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=cols)
+    build = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=cols + ["event_type"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b["event_type"], ASOF_BUILD_TYPE)
+        ).select(cols),
+        batch_format="pyarrow",
+    )
+    return asof_join_prev(left, build)
+
+
+def q_lookback_24h(sf_dir: str):
+    """Sliding lookback-window range join: per 'purchase' label event,
+    count + value sum of the same user's events in the prior 24 h."""
+    import ray.data as rd
+
+    from .extras.joins import range_lookback_agg
+
+    path = os.path.join(sf_dir, "events.parquet")
+    build = rd.read_parquet(
+        path, columns=["event_id", "user_id", "ts", "value"]
+    )
+    labels = rd.read_parquet(
+        path, columns=["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], ASOF_BUILD_TYPE)).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    return range_lookback_agg(
+        labels, build, window_us=LOOKBACK_HOURS * 3_600_000_000
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only operators (non-SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -894,6 +944,23 @@ GROUP BY 1"""
     sql["events_hourly"] = """SELECT date_trunc('hour', ts) AS window,
        event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS value_sum
 FROM events GROUP BY 1, 2"""
+
+    sql["asof_prev_purchase"] = f"""SELECT event_id, user_id, ts, prev_id, prev_ts FROM (
+  SELECT e.event_id, e.user_id, e.ts, p.event_id AS prev_id, p.ts AS prev_ts,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY p.ts DESC, p.event_id DESC) AS rn
+  FROM events e JOIN events p
+    ON p.user_id = e.user_id AND p.ts < e.ts
+   AND p.event_type = '{ASOF_BUILD_TYPE}'
+) WHERE rn = 1"""
+
+    sql["lookback_24h"] = f"""SELECT l.event_id,
+       count(*)::BIGINT AS n_events, round(sum(r.value), 6) AS value_sum
+FROM events l JOIN events r
+  ON r.user_id = l.user_id
+ AND r.ts >= l.ts - INTERVAL {LOOKBACK_HOURS} HOURS AND r.ts < l.ts
+WHERE l.event_type = '{ASOF_BUILD_TYPE}'
+GROUP BY l.event_id"""
 
     sql["events_recent_counts"] = """SELECT event_type, count(*)::BIGINT AS n
 FROM events

@@ -1,0 +1,365 @@
+"""Temporal joins over keyed event streams, Ray-Data-first.
+
+Two operators a training-data pipeline needs that Ray Data lacks natively
+(the reference engine has no analog either — these extend §2.6's join
+family to time, the way ``extras/windows.py`` extends §2.4 to windows):
+
+* ``asof_join_prev``   — point-in-time lookup: for every left row
+  ``(key, ts)`` attach the build-side row with the greatest ``(ts, id)``
+  strictly before it ("the user's most recent *purchase* at event time",
+  the classic feature-at-label-time join; DuckDB spells it ASOF JOIN).
+* ``range_lookback_agg`` — sliding lookback window: for every label row
+  aggregate build rows of the same key with ``ts ∈ [label_ts - W,
+  label_ts)`` ("activity in the 24 h before each purchase").
+
+Execution plan (both operators, same shape):
+
+* **broadcast path** (build side under ``broadcast_limit`` rows): the
+  build side is collected once to sorted parallel numpy arrays and
+  ``ray.put`` ONCE; every probe block resolves in ``map_batches`` with
+  two global ``searchsorted`` calls — no shuffle at all.  This is the
+  J1/orders_by_nation small-side pattern.
+* **bucketed path** (both sides big): tag each side, hash the key into
+  ``num_buckets`` buckets, one ``groupby(bucket).map_groups`` co-locates
+  every key's rows from both sides in one task and runs the identical
+  vectorized kernel per bucket.  Partitioning assumption: a single
+  *bucket* (not the whole table) fits in a worker — ``num_buckets``
+  scales it out; skewed single keys are bounded by per-key row counts,
+  not table size.  Both paths are asserted equal in
+  ``tests/test_temporal_joins.py``.
+
+The per-probe binary search is fully vectorized with a composite-rank
+monotone key: build rows sorted by ``(key, ts, id)`` map to
+``key_rank * (U + 1) + time_rank`` where ``U = #distinct build
+timestamps`` in scope and ``time_rank = searchsorted(unique_ts, ts)`` —
+dense ranks keep the composite inside int64 for any bucket that fits in
+memory (n·(n+1) ≤ 2^63 up to ~3e9 rows/bucket).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .textstats import round6
+
+# Collected build side at/under this many rows rides the broadcast path.
+BROADCAST_LIMIT = 5_000_000
+DEFAULT_BUCKETS = 64
+
+
+def _ts_i64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """timestamp[us] column → int64 microseconds (zero-copy view)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.to_numpy(zero_copy_only=False).view("int64")
+
+
+def _collect_build(ds, cols: list[str]) -> tuple[np.ndarray, ...]:
+    """Stream a (small) build side to driver numpy arrays, one per col.
+
+    Timestamp columns come back as int64 microseconds.
+    """
+    parts: list[list[np.ndarray]] = [[] for _ in cols]
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        for i, c in enumerate(cols):
+            col = b[c]
+            if pa.types.is_timestamp(col.type):
+                parts[i].append(_ts_i64(col))
+            else:
+                parts[i].append(col.to_numpy(zero_copy_only=False))
+    return tuple(
+        np.concatenate(p) if p else np.empty(0, np.int64) for p in parts
+    )
+
+
+def _asof_kernel(
+    p_key: np.ndarray,
+    p_ts: np.ndarray,
+    b_key: np.ndarray,
+    b_ts: np.ndarray,
+    b_id: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """For each probe (key, ts) return (found mask, build row index of the
+    greatest (ts, id) with same key and build_ts < probe_ts).
+
+    ``b_*`` MUST already be sorted by (key, ts, id) ascending.
+    """
+    if len(b_key) == 0 or len(p_key) == 0:
+        return np.zeros(len(p_key), bool), np.zeros(len(p_key), np.int64)
+    ut = np.unique(b_ts)
+    u = len(ut)
+    b_trank = np.searchsorted(ut, b_ts)  # exact: every b_ts ∈ ut
+    # dense key ranks shared by both sides (probe keys absent from the
+    # build side get an arbitrary rank; masked out via starts below)
+    ukeys = np.unique(b_key)
+    b_krank = np.searchsorted(ukeys, b_key)
+    p_krank = np.searchsorted(ukeys, np.minimum(p_key, ukeys[-1]))
+    mono_b = b_krank * (u + 1) + b_trank
+    # strict "< probe_ts": bound at searchsorted-left of the probe ts
+    p_trank = np.searchsorted(ut, p_ts, side="left")
+    mono_p = p_krank * (u + 1) + p_trank
+    idx = np.searchsorted(mono_b, mono_p, side="left")
+    starts = np.searchsorted(b_key, p_key, side="left")
+    cand = idx - 1
+    found = (idx > starts) & (starts < len(b_key))
+    np.clip(cand, 0, len(b_key) - 1, out=cand)
+    found &= b_key[cand] == p_key
+    return found, cand
+
+
+def _lookback_kernel(
+    p_key: np.ndarray,
+    p_ts: np.ndarray,
+    window_us: int,
+    b_key: np.ndarray,
+    b_ts: np.ndarray,
+    b_val: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per probe: (count, value sum) of build rows with same key and
+    ``ts ∈ [probe_ts - window, probe_ts)``.
+
+    ``b_*`` MUST already be sorted by (key, ts) ascending.  Sums are
+    computed with ``np.add.reduceat`` over the contiguous per-probe slice
+    so the FP accumulation order is the build sort order — identical in
+    the broadcast and bucketed paths.
+    """
+    n = len(p_key)
+    if len(b_key) == 0 or n == 0:
+        return np.zeros(n, np.int64), np.zeros(n, np.float64)
+    ut = np.unique(b_ts)
+    u = len(ut)
+    ukeys = np.unique(b_key)
+    b_krank = np.searchsorted(ukeys, b_key)
+    p_krank = np.searchsorted(ukeys, np.minimum(p_key, ukeys[-1]))
+    key_ok = ukeys[p_krank] == p_key
+    mono_b = b_krank * (u + 1) + np.searchsorted(ut, b_ts)
+    lo = p_krank * (u + 1) + np.searchsorted(ut, p_ts - window_us, side="left")
+    hi = p_krank * (u + 1) + np.searchsorted(ut, p_ts, side="left")
+    j1 = np.searchsorted(mono_b, lo, side="left")
+    j2 = np.searchsorted(mono_b, hi, side="left")
+    counts = np.where(key_ok, j2 - j1, 0).astype(np.int64)
+    # pairwise reduceat: sum b_val[j1:j2] per probe; sentinel guards j==len
+    vals = np.concatenate([b_val, np.zeros(1, np.float64)])
+    bounds = np.empty(2 * n, np.int64)
+    bounds[0::2] = j1
+    bounds[1::2] = np.maximum(j2, j1)  # reduceat needs non-decreasing pairs
+    np.clip(bounds, 0, len(vals) - 1, out=bounds)
+    sums = np.add.reduceat(vals, bounds)[0::2]
+    sums = np.where(counts > 0, sums, 0.0)
+    return counts, sums
+
+
+def _sort_build_asof(key, ts, bid):
+    order = np.lexsort((bid, ts, key))
+    return key[order], ts[order], bid[order]
+
+
+def _sort_build_lookback(key, ts, val, bid):
+    order = np.lexsort((bid, ts, key))
+    return key[order], ts[order], val[order]
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def asof_join_prev(
+    left_ds,
+    build_ds,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    broadcast_limit: int = BROADCAST_LIMIT,
+    num_buckets: int = DEFAULT_BUCKETS,
+):
+    """For every left row attach the build row with the greatest
+    ``(ts, id)`` of the same key strictly before the left row's ts
+    (inner semantics: left rows with no prior build row are dropped).
+
+    Output: ``(event_id, user_id, ts, prev_id, prev_ts)``.
+    """
+    import ray
+
+    n_build = build_ds.count()
+    if n_build <= broadcast_limit:
+        bkey, bts, bid = _collect_build(build_ds, [key, ts, id_col])
+        bkey, bts, bid = _sort_build_asof(bkey, bts, bid)
+        side_ref = ray.put((bkey, bts, bid))
+
+        def probe(batch: pa.Table) -> pa.Table:
+            bk, bt, bi = ray.get(side_ref)
+            pk = batch[key].to_numpy(zero_copy_only=False)
+            pt = _ts_i64(batch[ts])
+            found, cand = _asof_kernel(pk, pt, bk, bt, bi)
+            sel = np.flatnonzero(found)
+            hit = batch.filter(pa.array(found))
+            return pa.table(
+                {
+                    "event_id": hit[id_col],
+                    "user_id": hit[key],
+                    "ts": hit[ts],
+                    "prev_id": pa.array(bi[cand[sel]], pa.int64()),
+                    "prev_ts": pa.array(
+                        bt[cand[sel]].view("datetime64[us]"),
+                        pa.timestamp("us"),
+                    ),
+                }
+            )
+
+        return left_ds.map_batches(probe, batch_format="pyarrow")
+
+    # bucketed path: co-partition both sides by hash(key) % num_buckets
+    def tag(side_id: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch[key].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "_b": pa.array(
+                        (k % num_buckets).astype(np.int32), pa.int32()
+                    ),
+                    "_side": pa.array(
+                        np.full(len(k), side_id, np.int8), pa.int8()
+                    ),
+                    "k": pa.array(k, pa.int64()),
+                    "t": pa.array(_ts_i64(batch[ts]), pa.int64()),
+                    "i": pc.cast(batch[id_col], pa.int64()),
+                }
+            )
+
+        return fn
+
+    tagged = left_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        build_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        side = group["_side"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        i = group["i"].to_numpy(zero_copy_only=False)
+        pm = side == 0
+        bk, bt, bi = _sort_build_asof(k[~pm], t[~pm], i[~pm])
+        found, cand = _asof_kernel(k[pm], t[pm], bk, bt, bi)
+        sel = np.flatnonzero(found)
+        return pa.table(
+            {
+                "event_id": pa.array(i[pm][sel], pa.int64()),
+                "user_id": pa.array(k[pm][sel], pa.int64()),
+                "ts": pa.array(
+                    t[pm][sel].view("datetime64[us]"), pa.timestamp("us")
+                ),
+                "prev_id": pa.array(bi[cand[sel]], pa.int64()),
+                "prev_ts": pa.array(
+                    bt[cand[sel]].view("datetime64[us]"), pa.timestamp("us")
+                ),
+            }
+        )
+
+    return tagged.groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# lookback-window aggregate (range join + aggregate)
+# ---------------------------------------------------------------------------
+
+
+def range_lookback_agg(
+    label_ds,
+    build_ds,
+    *,
+    window_us: int,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    value: str = "value",
+    broadcast_limit: int = BROADCAST_LIMIT,
+    num_buckets: int = DEFAULT_BUCKETS,
+):
+    """Per label row: count + 6dp value sum of build rows with the same
+    key in ``[label_ts - window, label_ts)`` (labels with zero matches
+    are dropped — inner range-join semantics).
+
+    Output: ``(event_id, n_events, value_sum)``.
+    """
+    import ray
+
+    n_build = build_ds.count()
+    if n_build <= broadcast_limit:
+        bkey, bts, bval, bid = _collect_build(
+            build_ds, [key, ts, value, id_col]
+        )
+        bkey, bts, bval = _sort_build_lookback(bkey, bts, bval, bid)
+        side_ref = ray.put((bkey, bts, bval))
+
+        def probe(batch: pa.Table) -> pa.Table:
+            bk, bt, bv = ray.get(side_ref)
+            pk = batch[key].to_numpy(zero_copy_only=False)
+            pt = _ts_i64(batch[ts])
+            counts, sums = _lookback_kernel(pk, pt, window_us, bk, bt, bv)
+            m = counts > 0
+            return pa.table(
+                {
+                    "event_id": batch.filter(pa.array(m))[id_col],
+                    "n_events": pa.array(counts[m], pa.int64()),
+                    "value_sum": pa.array(
+                        [round6(s) for s in sums[m]], pa.float64()
+                    ),
+                }
+            )
+
+        return label_ds.map_batches(probe, batch_format="pyarrow")
+
+    def tag(side_id: int, with_value: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch[key].to_numpy(zero_copy_only=False)
+            v = (
+                batch[value].to_numpy(zero_copy_only=False)
+                if with_value
+                else np.zeros(len(k), np.float64)
+            )
+            return pa.table(
+                {
+                    "_b": pa.array(
+                        (k % num_buckets).astype(np.int32), pa.int32()
+                    ),
+                    "_side": pa.array(
+                        np.full(len(k), side_id, np.int8), pa.int8()
+                    ),
+                    "k": pa.array(k, pa.int64()),
+                    "t": pa.array(_ts_i64(batch[ts]), pa.int64()),
+                    "i": pc.cast(batch[id_col], pa.int64()),
+                    "v": pa.array(v, pa.float64()),
+                }
+            )
+
+        return fn
+
+    tagged = label_ds.map_batches(tag(0, False), batch_format="pyarrow").union(
+        build_ds.map_batches(tag(1, True), batch_format="pyarrow")
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        side = group["_side"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        i = group["i"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        pm = side == 0
+        bk, bt, bv = _sort_build_lookback(k[~pm], t[~pm], v[~pm], i[~pm])
+        counts, sums = _lookback_kernel(k[pm], t[pm], window_us, bk, bt, bv)
+        m = counts > 0
+        return pa.table(
+            {
+                "event_id": pa.array(i[pm][m], pa.int64()),
+                "n_events": pa.array(counts[m], pa.int64()),
+                "value_sum": pa.array(
+                    [round6(s) for s in sums[m]], pa.float64()
+                ),
+            }
+        )
+
+    return tagged.groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
