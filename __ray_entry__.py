@@ -63,12 +63,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": eq.q_embedding_neardup,
         "asof_prev_purchase": eq.q_asof_prev_purchase,
         "lookback_24h": eq.q_lookback_24h,
+        "sessions": eq.q_sessions,
+        "hash_split": eq.q_hash_split,
+        "simhash": eq.q_simhash,
         # rows-only (non-SQL-expressible; pytest oracle covers semantics)
         "corpus_index_manifest": eq.q_corpus_index_manifest,
         "corpus_search": eq.q_corpus_search,
         "corpus_pagerank": eq.q_corpus_pagerank,
         "minhash_clusters": eq.q_minhash_clusters,
-        "simhash": eq.q_simhash,
         "fingerprints": eq.q_fingerprints,
         "ann_lsh": eq.q_ann_lsh,
         "ann_ivf": eq.q_ann_ivf,
@@ -105,4 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": m["embedding_neardup"],
         "asof_prev_purchase": m["asof_prev_purchase"],
         "lookback_24h": m["lookback_24h"],
+        "sessions": m["sessions"],
+        "hash_split": m["hash_split"],
+        "simhash": m["simhash"],
     }

@@ -515,6 +515,7 @@ def q_embedding_neardup(sf_dir: str):
 
 ASOF_BUILD_TYPE = "purchase"  # the feature event looked up as-of each event
 LOOKBACK_HOURS = 24  # sliding lookback window before each label event
+SESSION_GAP_HOURS = 6  # session break when a user pauses longer than this
 
 
 def q_asof_prev_purchase(sf_dir: str):
@@ -561,6 +562,35 @@ def q_lookback_24h(sf_dir: str):
     return range_lookback_agg(
         labels, build, window_us=LOOKBACK_HOURS * 3_600_000_000
     )
+
+
+TRAIN_PCT = 80  # deterministic hash-split train share
+
+
+def q_hash_split(sf_dir: str):
+    """Deterministic md5-keyed train/test split over documents."""
+    import ray.data as rd
+
+    from .extras.split import hash_split
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return hash_split(ds, id_col="doc_id", train_pct=TRAIN_PCT)
+
+
+def q_sessions(sf_dir: str):
+    """Gap-based session windows (6 h inactivity breaks a session):
+    one row per (user, session ordinal) with bounds, count, value sum."""
+    import ray.data as rd
+
+    from .extras.windows import sessionize
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return sessionize(ds, gap_us=SESSION_GAP_HOURS * 3_600_000_000)
 
 
 # ---------------------------------------------------------------------------
@@ -945,6 +975,24 @@ GROUP BY 1"""
        event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS value_sum
 FROM events GROUP BY 1, 2"""
 
+    # simhash: md5_number_upper(t) == int.from_bytes(md5(t)[:8], "little"),
+    # the token hash of extras/dedup._token_hashes — bit-exact replication
+    sql["simhash"] = f"""{toks}
+, dt AS (SELECT doc_id, unnest(list_distinct(tokens)) AS t FROM toks),
+  th AS (SELECT doc_id, md5_number_upper(t) AS h FROM dt),
+  acc AS (SELECT doc_id, j,
+                 sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM th CROSS JOIN range(0, 64) g(j) GROUP BY 1, 2),
+  fp AS (SELECT doc_id,
+                sum(CASE WHEN s > 0 THEN (1::HUGEINT << j::INT)
+                         ELSE 0::HUGEINT END) AS u
+         FROM acc GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(CASE WHEN f.u >= 9223372036854775808::HUGEINT
+                     THEN f.u - 18446744073709551616::HUGEINT
+                     ELSE f.u END, 0)::BIGINT AS simhash
+FROM toks t LEFT JOIN fp f USING (doc_id)"""
+
     sql["asof_prev_purchase"] = f"""SELECT event_id, user_id, ts, prev_id, prev_ts FROM (
   SELECT e.event_id, e.user_id, e.ts, p.event_id AS prev_id, p.ts AS prev_ts,
          row_number() OVER (PARTITION BY e.event_id
@@ -961,6 +1009,28 @@ FROM events l JOIN events r
  AND r.ts >= l.ts - INTERVAL {LOOKBACK_HOURS} HOURS AND r.ts < l.ts
 WHERE l.event_type = '{ASOF_BUILD_TYPE}'
 GROUP BY l.event_id"""
+
+    sql["hash_split"] = f"""SELECT doc_id,
+       CASE WHEN md5_number_upper(doc_id::VARCHAR) % 100 < {TRAIN_PCT}
+            THEN 'train' ELSE 'test' END AS split
+FROM documents"""
+
+    sql["sessions"] = f"""WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_HOURS} HOURS
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, sid::BIGINT AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS value_sum
+FROM s GROUP BY user_id, sid"""
 
     sql["events_recent_counts"] = """SELECT event_type, count(*)::BIGINT AS n
 FROM events

@@ -646,9 +646,10 @@ def minhash_dedup_clusters(docs_ds, threshold: float = 0.8, num_bands=16,
 # ---------------------------------------------------------------------------
 
 
-# per-worker memo: token -> 64-bit blake2b hash (tokens repeat heavily
-# across documents; the hash itself stays blake2b so values are unchanged
-# from round 1)
+# per-worker memo: token -> 64-bit md5 hash (tokens repeat heavily
+# across documents).  md5 little-endian-first-8-bytes is EXACTLY DuckDB's
+# md5_number_upper(), which makes simhash SQL-oracle-able (the blake2b
+# form of rounds 1-2 was not expressible in the oracle dialect).
 _TOKEN_HASH_CACHE: dict[str, int] = {}
 
 
@@ -658,9 +659,7 @@ def _token_hashes(tokens: set[str]) -> np.ndarray:
     for i, t in enumerate(tokens):
         h = cache.get(t)
         if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
-            )
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
             cache[t] = h
         out[i] = h
     return out

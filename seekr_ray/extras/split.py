@@ -1,0 +1,45 @@
+"""Deterministic dataset splitting for training pipelines.
+
+``hash_split`` assigns every row to 'train'/'test' by hashing its id —
+stable across runs, machines and partitionings (no RNG state, no
+coordination), which is the property a 100-TB split needs: any worker
+can compute any row's split independently.  The hash is md5's first 8
+bytes little-endian — exactly DuckDB's ``md5_number_upper()`` — so the
+assignment is SQL-replicable bit-for-bit (oracle entry ``hash_split``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def _bucket100(ids: list, salt: str) -> np.ndarray:
+    out = np.empty(len(ids), np.int64)
+    for i, v in enumerate(ids):
+        h = hashlib.md5((salt + str(v)).encode()).digest()[:8]
+        out[i] = int.from_bytes(h, "little") % 100
+    return out
+
+
+def hash_split(ds, id_col: str = "doc_id", train_pct: int = 80, salt: str = ""):
+    """Label each row 'train' (hash bucket < ``train_pct``) or 'test'.
+
+    Output: ``(id_col, split)``.  Pure per-row map — no shuffle, no
+    state; composes with any downstream filter
+    (``ds.filter(split == 'train')``) without re-reading the input.
+    """
+
+    def label(batch: pa.Table) -> pa.Table:
+        b = _bucket100(batch[id_col].to_pylist(), salt)
+        split = np.where(b < train_pct, "train", "test")
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(label, batch_format="pyarrow")

@@ -55,3 +55,85 @@ def tumbling_agg(events_ds, unit: str = "hour"):
         .sum(["n_part", "sum_part"])
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# gap-based session windows
+# ---------------------------------------------------------------------------
+
+
+def sessionize(events_ds, gap_us: int, num_buckets: int = 64):
+    """Gap-based session windows: per user, consecutive events belong to
+    one session while the time gap stays ≤ ``gap_us``; a strictly larger
+    gap starts a new session.  Output one row per session:
+    ``(user_id, session_id, session_start, session_end, n_events,
+    value_sum)`` with ``session_id`` the 1-based per-user ordinal.
+
+    Plan: hash(user) → bucket, ONE ``groupby(bucket).map_groups``
+    co-locates each user's events; the kernel is a single lexsort +
+    vectorized diff/cumsum (no per-event Python).  Partitioning
+    assumption: a bucket (not the table) fits in a worker —
+    ``num_buckets`` scales out; a single user's events are never split.
+    """
+    import numpy as np
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch["user_id"].to_numpy(zero_copy_only=False)
+        t = batch["ts"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ) if isinstance(batch["ts"], pa.ChunkedArray) else batch[
+            "ts"
+        ].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((k % num_buckets).astype(np.int32), pa.int32()),
+                "k": pa.array(k, pa.int64()),
+                "t": pa.array(t.view("int64"), pa.int64()),
+                "i": batch["event_id"],
+                "v": batch["value"],
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        k = group["k"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        i = group["i"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, t, k))
+        k, t, v = k[order], t[order], v[order]
+        n = len(k)
+        brk = np.ones(n, bool)
+        if n > 1:
+            brk[1:] = (k[1:] != k[:-1]) | (np.diff(t) > gap_us)
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], n]
+        su = k[starts]  # session's user
+        user_new = np.ones(len(starts), bool)
+        if len(starts) > 1:
+            user_new[1:] = su[1:] != su[:-1]
+        idx = np.arange(len(starts))
+        base = np.maximum.accumulate(np.where(user_new, idx, 0))
+        sid = idx - base + 1
+        sums = np.add.reduceat(v, starts) if n else np.empty(0)
+        return pa.table(
+            {
+                "user_id": pa.array(su, pa.int64()),
+                "session_id": pa.array(sid, pa.int64()),
+                "session_start": pa.array(
+                    t[starts].view("datetime64[us]"), pa.timestamp("us")
+                ),
+                "session_end": pa.array(
+                    t[ends - 1].view("datetime64[us]"), pa.timestamp("us")
+                ),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "value_sum": pa.array(
+                    [round6(s) for s in sums], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        events_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -122,3 +122,33 @@ def test_lookback_broadcast_equals_bucketed(ray_session):
     ).to_pandas()
     assert len(bc) > 0
     pd.testing.assert_frame_equal(_norm(bc), _norm(bk))
+
+
+def test_sessionize_golden(ray_session):
+    import ray.data as rd
+
+    from seekr_ray.extras.windows import sessionize
+
+    # user 1: t=0,1h,2h | gap 10h | 12h,13h ; user 2: t=5h
+    h = 3_600 * US
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+            "ts": pa.array(
+                np.array([0, 1, 2, 12, 13, 5], "int64") * h,
+                pa.timestamp("us"),
+            ),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+        }
+    )
+    out = (
+        sessionize(rd.from_arrow(tbl), gap_us=6 * h)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 1, 2]
+    assert out["session_id"].tolist() == [1, 2, 1]
+    assert out["n_events"].tolist() == [3, 2, 1]
+    assert out["value_sum"].tolist() == [6.0, 9.0, 6.0]
