@@ -66,11 +66,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": eq.q_sessions,
         "hash_split": eq.q_hash_split,
         "simhash": eq.q_simhash,
+        "ann_ivf_full": eq.q_ann_ivf_full,
+        "minhash_clusters": eq.q_minhash_clusters,
         # rows-only (non-SQL-expressible; pytest oracle covers semantics)
         "corpus_index_manifest": eq.q_corpus_index_manifest,
         "corpus_search": eq.q_corpus_search,
         "corpus_pagerank": eq.q_corpus_pagerank,
-        "minhash_clusters": eq.q_minhash_clusters,
         "fingerprints": eq.q_fingerprints,
         "ann_lsh": eq.q_ann_lsh,
         "ann_ivf": eq.q_ann_ivf,
@@ -104,6 +105,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": m["events_hourly"],
         "orders_by_nation": m["orders_by_nation"],
         "ann_topk": m["ann_topk"],
+        "ann_ivf_full": m["ann_topk"],  # full probe == exact brute force
+        "minhash_clusters": m["minhash_clusters"],
         "embedding_neardup": m["embedding_neardup"],
         "asof_prev_purchase": m["asof_prev_purchase"],
         "lookback_24h": m["lookback_24h"],

@@ -693,7 +693,13 @@ def q_corpus_pagerank(sf_dir: str):
 def q_minhash_clusters(sf_dir: str):
     from .extras.dedup import minhash_dedup_clusters
 
-    return minhash_dedup_clusters(_docs_text(sf_dir), threshold=0.8)
+    return minhash_dedup_clusters(
+        _docs_text(sf_dir),
+        threshold=MINHASH_THRESHOLD,
+        num_bands=MINHASH_BANDS,
+        rows_per_band=MINHASH_ROWS_PER_BAND,
+        shingle_k=NGRAM_K,
+    )
 
 
 def q_simhash(sf_dir: str):
@@ -736,6 +742,24 @@ def q_ann_ivf(sf_dir: str):
             q = np.asarray(b["embedding"][ids.index(0)].as_py(), dtype=np.float64)
             break
     return ann_topk_ivf(ds, q[None, :], k=ANN_K, n_lists=8, nprobe=3)
+
+
+def q_ann_ivf_full(sf_dir: str):
+    """IVF at nprobe == n_lists: exercises the full IVF machinery
+    (kmeans train, list assignment, per-list pruned scoring) while being
+    exact by construction — shares the brute-force SQL oracle."""
+    import ray.data as rd
+    from .extras.similarity import ann_topk_ivf
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = None
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        ids = b["vec_id"].to_pylist()
+        if 0 in ids:
+            q = np.asarray(b["embedding"][ids.index(0)].as_py(), dtype=np.float64)
+            break
+    out = ann_topk_ivf(ds, q[None, :], k=ANN_K, n_lists=8, nprobe=8)
+    return out.select(["rank", "vec_id", "cos"])
 
 
 def q_embedding_neardup_lsh(sf_dir: str):
@@ -796,6 +820,90 @@ def _toks_cte() -> str:
          text
   FROM documents
 )"""
+
+
+MINHASH_THRESHOLD = 0.8
+MINHASH_BANDS = 16
+MINHASH_ROWS_PER_BAND = 4
+
+
+def _minhash_clusters_sql() -> str:
+    """Bit-exact SQL replication of extras/dedup.minhash_dedup_clusters:
+    md5-LE token hashes (== md5_number_upper), the uint64-wraparound
+    polynomial shingle combine, the (a·h+b) mod 2^61−1 permutations with
+    the ACTUAL seeded constants inlined, banding by exact signature slice
+    (the Ray side buckets by a hash of it — identity modulo blake2b
+    collisions), exact-Jaccard verify, and min-label transitive closure."""
+    from .extras.dedup import _MERSENNE, _SHINGLE_BASE, _minhash_params
+
+    k = NGRAM_K
+    p61 = int(_MERSENNE)
+    m64 = 1 << 64
+    base = int(_SHINGLE_BASE)
+    base2 = (base * base) % m64
+    a, b = _minhash_params(MINHASH_BANDS * MINHASH_ROWS_PER_BAND)
+    perm_vals = ", ".join(
+        f"({j}, {int(a[j])}::UBIGINT, {int(b[j])}::UBIGINT)"
+        for j in range(len(a))
+    )
+    toks = _toks_cte().replace("WITH toks", "WITH RECURSIVE toks")
+    return f"""{toks}
+, sh AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(tokens) = 0 THEN []::VARCHAR[]
+              WHEN len(tokens) < {k} THEN [array_to_string(tokens, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(tokens) - {k - 2}),
+                   i -> array_to_string(list_slice(tokens, i, i + {k - 1}), ' ')))
+         END AS shingles
+  FROM toks
+),
+hsh AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(tokens) = 0 THEN []::UBIGINT[]
+              WHEN len(tokens) < {k} THEN [md5_number_upper(array_to_string(tokens, ' '))]
+              ELSE list_distinct(list_transform(range(1, len(tokens) - {k - 2}),
+                   i -> ((md5_number_upper(tokens[i])::UHUGEINT * {base2}
+                          + md5_number_upper(tokens[i + 1])::UHUGEINT * {base}
+                          + md5_number_upper(tokens[i + 2])::UHUGEINT)
+                         % {m64}::UHUGEINT)::UBIGINT))
+         END AS hshingles
+  FROM toks
+),
+perms(j, a, b) AS (VALUES {perm_vals}),
+sig AS MATERIALIZED (
+  SELECT s.doc_id, p.j,
+         min(((p.a::UHUGEINT * (s.h % {p61}) + p.b) % {p61})::UBIGINT) AS mv
+  FROM (SELECT doc_id, unnest(hshingles) AS h FROM hsh) s CROSS JOIN perms p
+  GROUP BY s.doc_id, p.j
+  UNION ALL
+  SELECT h.doc_id, p.j, 0::UBIGINT AS mv
+  FROM hsh h CROSS JOIN perms p WHERE len(h.hshingles) = 0
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, j // {MINHASH_ROWS_PER_BAND} AS band, list(mv ORDER BY j) AS key
+  FROM sig GROUP BY doc_id, j // {MINHASH_ROWS_PER_BAND}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT c.a, c.b
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+  WHERE CASE WHEN len(sa.shingles) = 0 AND len(sb.shingles) = 0 THEN 1.0
+             ELSE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                  / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+        END >= {MINHASH_THRESHOLD}
+),
+edges AS (SELECT a AS s, b AS t FROM pairs UNION ALL SELECT b AS s, a AS t FROM pairs),
+reach(node, label) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.t, r.label FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT node AS doc_id, min(label)::BIGINT AS cluster_id
+FROM reach GROUP BY node"""
 
 
 def oracle_sql_map() -> dict[str, str]:
@@ -924,6 +1032,8 @@ reach(node, label) AS (
 )
 SELECT node AS doc_id, min(label)::BIGINT AS cluster_id
 FROM reach GROUP BY node"""
+
+    sql["minhash_clusters"] = _minhash_clusters_sql()
 
     sql["pagerank_lineitem"] = _pagerank_lineitem_sql(
         PAGERANK_FIXED_ITERS, PAGERANK_FIXED_DAMPING

@@ -9,9 +9,12 @@ SimHash, n-gram Jaccard, embedding-cosine), expressed Ray-Data-first:
 * ngram      — token-shingle Jaccard verification over candidate pairs
 * embedding  — cosine near-dup pairs over list<float> embeddings
 
-All hashes are blake2b-derived (stable across processes; python ``hash()``
-is salted and banned here).  Determinism: candidate pairs and clusters are
-emitted sorted.
+Token-level hashes are md5-derived (stable across processes — python
+``hash()`` is salted and banned here — and little-endian-first-8-bytes is
+exactly DuckDB ``md5_number_upper``, which keeps simhash and the whole
+minhash pipeline SQL-oracle-able); band bucketing stays blake2b (bucket
+identity only).  Determinism: candidate pairs and clusters are emitted
+sorted.
 """
 
 from __future__ import annotations
@@ -87,10 +90,10 @@ _SHINGLE_TOKEN_CACHE: dict[str, int] = {}
 
 
 def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
-    """64-bit hash per distinct k-shingle, vectorized: blake2b once per
+    """64-bit hash per distinct k-shingle, vectorized: md5 once per
     DISTINCT token (memoized per worker process), then a polynomial
     combine of the k token hashes per window (uint64 wraparound).  The
-    round-1 form ran blake2b per shingle *string*; any stable 64-bit
+    round-1 form ran a full hash per shingle *string*; any stable 64-bit
     shingle hash estimates the same Jaccard, and this one is ~20x
     cheaper."""
     if not tokens:
@@ -98,7 +101,7 @@ def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
     if len(tokens) < k:
         s = " ".join(tokens)
         return np.array(
-            [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")],
+            [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")],
             dtype=np.uint64,
         )
     cache = _SHINGLE_TOKEN_CACHE
@@ -106,9 +109,9 @@ def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
     for i, t in enumerate(tokens):
         h = cache.get(t)
         if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
-            )
+            # md5-LE == DuckDB md5_number_upper — keeps the whole minhash
+            # pipeline SQL-oracle-able (see oracle_sql_map "minhash_clusters")
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
             cache[t] = h
         th[i] = h
     n_sh = len(tokens) - k + 1
