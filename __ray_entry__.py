@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": eq.q_hash_split,
         "simhash": eq.q_simhash,
         "ann_ivf_full": eq.q_ann_ivf_full,
+        "top_events_per_user": eq.q_top_events_per_user,
+        "hll_vocab": eq.q_hll_vocab,
         "minhash_clusters": eq.q_minhash_clusters,
         # rows-only (non-SQL-expressible; pytest oracle covers semantics)
         "corpus_index_manifest": eq.q_corpus_index_manifest,
@@ -113,4 +115,6 @@ def oracle_sql() -> dict[str, str]:
         "sessions": m["sessions"],
         "hash_split": m["hash_split"],
         "simhash": m["simhash"],
+        "top_events_per_user": m["top_events_per_user"],
+        "hll_vocab": m["hll_vocab"],
     }

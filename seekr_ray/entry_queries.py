@@ -565,6 +565,32 @@ def q_lookback_24h(sf_dir: str):
 
 
 TRAIN_PCT = 80  # deterministic hash-split train share
+TOPK_PER_USER = 3  # per-user top-k events
+
+
+def q_top_events_per_user(sf_dir: str):
+    """Exact per-user top-3 events by (value desc, event_id asc) —
+    two-phase partial top-k so the shuffle moves O(users*k) rows."""
+    import ray.data as rd
+
+    from .extras.topk import topk_per_group
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "value"],
+    )
+    return topk_per_group(
+        ds, key="user_id", value="value", id_col="event_id", k=TOPK_PER_USER
+    )
+
+
+def q_hll_vocab(sf_dir: str):
+    """HyperLogLog register table (bucket, max rho) sketching the
+    corpus's distinct-token count — integer sketch state, SQL-replicable
+    bit-for-bit; the float estimate is pytest-asserted separately."""
+    from .extras.sketch import hll_token_registers
+
+    return hll_token_registers(_docs_text(sf_dir))
 
 
 def q_hash_split(sf_dir: str):
@@ -1119,6 +1145,25 @@ FROM events l JOIN events r
  AND r.ts >= l.ts - INTERVAL {LOOKBACK_HOURS} HOURS AND r.ts < l.ts
 WHERE l.event_type = '{ASOF_BUILD_TYPE}'
 GROUP BY l.event_id"""
+
+    sql["top_events_per_user"] = f"""SELECT user_id, event_id, value, rank FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id)::BIGINT AS rank
+  FROM events
+) WHERE rank <= {TOPK_PER_USER}"""
+
+    # HLL: bucket = top 12 bits of md5_number_upper(token); rho = leading
+    # zeros of the low 52 bits + 1 (bin() strips leading zeros, so
+    # rho = 53 - bit_length; w = 0 → 53)
+    sql["hll_vocab"] = f"""{toks}
+, tv AS (SELECT DISTINCT unnest(tokens) AS t FROM toks),
+h AS (SELECT md5_number_upper(t) AS hv FROM tv),
+r AS (SELECT (hv >> 52)::BIGINT AS bucket,
+             CASE WHEN (hv & 4503599627370495) = 0 THEN 53
+                  ELSE 53 - length(bin(hv & 4503599627370495)) END AS rho
+      FROM h)
+SELECT bucket, max(rho)::BIGINT AS rho FROM r GROUP BY bucket"""
 
     sql["hash_split"] = f"""SELECT doc_id,
        CASE WHEN md5_number_upper(doc_id::VARCHAR) % 100 < {TRAIN_PCT}

@@ -1,0 +1,93 @@
+"""Distributed sketches, Ray-Data-first.
+
+``hll_token_registers`` — a HyperLogLog sketch of the corpus vocabulary
+size (distinct-token count).  The sketch state is a table of (bucket,
+max-rho) registers: per block each worker hashes its DISTINCT tokens and
+partial-aggregates to ≤ m rows, so the exchange is O(m)=4096 rows per
+block regardless of corpus size — the canonical mergeable-sketch shape
+(register max is commutative/associative, so block-partial max → global
+max is exact).  The hash is md5-LE (== DuckDB ``md5_number_upper``),
+which makes the REGISTER TABLE bit-exact SQL-replicable — the oracle
+compares integer sketch state, not the float estimate, so no
+transcendental-function ulp risk.
+
+``hll_estimate`` — the classic HLL estimator (raw harmonic mean with
+linear-counting small-range correction) over a register table; accuracy
+vs the true distinct count is pytest-asserted (σ ≈ 1.04/√m ≈ 1.6 %).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _token_hashes
+from .textstats import simple_tokens
+
+HLL_P = 12
+HLL_M = 1 << HLL_P  # 4096 registers
+_MASK52 = (np.uint64(1) << np.uint64(64 - HLL_P)) - np.uint64(1)
+
+
+def _bit_length(w: np.ndarray) -> np.ndarray:
+    """Vectorized int bit_length (floor(log2)+1; 0 for 0) — branchless
+    shift ladder, no float log2 (which rounds 2^k−1 up at k≈52)."""
+    v = w.astype(np.uint64).copy()
+    bl = np.zeros(len(v), np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(s))
+        bl[big] += s
+        v[big] >>= np.uint64(s)
+    bl += (v > 0).astype(np.int64)
+    return bl
+
+
+def hll_token_registers(docs_ds, text_col: str = "text"):
+    """HLL register table (bucket, rho) over the corpus's distinct
+    tokens.  Output ≤ 4096 rows however large the corpus."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks: set[str] = set()
+        for t in batch[text_col].to_pylist():
+            toks.update(simple_tokens(t or ""))
+        if not toks:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()), "rho": pa.array([], pa.int64())}
+            )
+        h = _token_hashes(toks)
+        bucket = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+        w = h & _MASK52
+        rho = (64 - HLL_P + 1) - _bit_length(w)  # w==0 → 53
+        reg = np.zeros(HLL_M, np.int64)
+        np.maximum.at(reg, bucket, rho)
+        nz = np.flatnonzero(reg)
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "rho": pa.array(reg[nz], pa.int64()),
+            }
+        )
+
+    out = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .max("rho")
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["bucket", "rho"]), batch_format="pyarrow"
+    )
+
+
+def hll_estimate(registers: pa.Table | "pa.lib.Table") -> float:
+    """Classic HLL estimate from a (bucket, rho) register table."""
+    rho = np.zeros(HLL_M, np.float64)
+    b = registers["bucket"].to_numpy(zero_copy_only=False)
+    r = registers["rho"].to_numpy(zero_copy_only=False)
+    rho[b] = r
+    m = float(HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.exp2(-rho))
+    zeros = int(np.sum(rho == 0))
+    if raw <= 2.5 * m and zeros > 0:
+        return m * float(np.log(m / zeros))
+    return float(raw)

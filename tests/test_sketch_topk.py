@@ -1,0 +1,95 @@
+"""HLL sketch (extras/sketch.py) and per-group top-k (extras/topk.py)."""
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from seekr_ray.extras.sketch import (
+    HLL_M,
+    _bit_length,
+    hll_estimate,
+    hll_token_registers,
+)
+from seekr_ray.extras.textstats import simple_tokens
+from seekr_ray.extras.topk import _topk_kernel, topk_per_group
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bit_length_matches_python():
+    vals = np.array(
+        [0, 1, 2, 3, 4, (1 << 52) - 1, 1 << 51, 12345678901234], np.uint64
+    )
+    got = _bit_length(vals)
+    want = [int(v).bit_length() for v in vals]
+    assert got.tolist() == want
+
+
+def test_hll_estimate_accuracy(ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    reg = hll_token_registers(ds)
+    tbl = pa.concat_tables(list(reg.iter_batches(batch_format="pyarrow")))
+    assert tbl.num_rows <= HLL_M
+    est = hll_estimate(tbl)
+    docs = pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["text"]
+    )
+    truth = len(
+        {t for x in docs["text"].to_pylist() for t in simple_tokens(x or "")}
+    )
+    assert truth > 0
+    assert abs(est - truth) / truth < 0.08  # 5 sigma at m=4096
+
+
+def test_topk_kernel_golden():
+    key = np.array([1, 1, 1, 2, 2], np.int64)
+    val = np.array([5.0, 9.0, 9.0, 1.0, 2.0])
+    idc = np.array([10, 11, 12, 13, 14], np.int64)
+    keep = _topk_kernel(key, val, idc, 2)
+    # key 1: (9.0, id 11), (9.0, id 12); key 2: (2.0,14), (1.0,13)
+    assert sorted(idc[keep].tolist()) == [11, 12, 13, 14]
+
+
+def test_topk_two_phase_exact(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    tbl = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "value": pa.array(rng.random(n).round(3)),  # forces value ties
+        }
+    )
+    # many small blocks so the partial phase actually prunes
+    ds = rd.from_arrow(tbl).repartition(16)
+    out = (
+        topk_per_group(ds, key="user_id", value="value", id_col="event_id", k=3)
+        .to_pandas()
+        .sort_values(["user_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # reference: plain pandas
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    df = df.sort_values(
+        ["user_id", "value", "event_id"], ascending=[True, False, True]
+    )
+    df["rank"] = df.groupby("user_id").cumcount() + 1
+    want = (
+        df[df["rank"] <= 3]
+        .sort_values(["user_id", "rank"])
+        .reset_index(drop=True)[["user_id", "event_id", "value", "rank"]]
+    )
+    pd.testing.assert_frame_equal(
+        out[["user_id", "event_id", "value", "rank"]], want, check_dtype=False
+    )
