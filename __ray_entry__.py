@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_full": eq.q_ann_ivf_full,
         "top_events_per_user": eq.q_top_events_per_user,
         "hll_vocab": eq.q_hll_vocab,
+        "events_hopping": eq.q_events_hopping,
+        "stratified_sample": eq.q_stratified_sample,
         "minhash_clusters": eq.q_minhash_clusters,
         # rows-only (non-SQL-expressible; pytest oracle covers semantics)
         "corpus_index_manifest": eq.q_corpus_index_manifest,
@@ -117,4 +119,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash": m["simhash"],
         "top_events_per_user": m["top_events_per_user"],
         "hll_vocab": m["hll_vocab"],
+        "events_hopping": m["events_hopping"],
+        "stratified_sample": m["stratified_sample"],
     }

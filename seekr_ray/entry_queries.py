@@ -605,6 +605,46 @@ def q_hash_split(sf_dir: str):
     return hash_split(ds, id_col="doc_id", train_pct=TRAIN_PCT)
 
 
+HOP_WINDOW_HOURS = 2  # hopping-window span
+HOP_HOURS = 1  # hop (slide) interval
+SAMPLE_RATES = {"click": 0.25, "view": 0.5, "purchase": 1.0}
+
+
+def q_events_hopping(sf_dir: str):
+    """Hopping (sliding) window aggregate: 2 h windows every 1 h —
+    each event explodes into exactly 2 windows, partial-aggregated per
+    block before the O(windows×types) exchange."""
+    import ray.data as rd
+
+    from .extras.windows import hopping_agg
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+    return hopping_agg(
+        ds,
+        window_us=HOP_WINDOW_HOURS * 3_600_000_000,
+        hop_us=HOP_HOURS * 3_600_000_000,
+    )
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic class-rebalancing sample: keep 25% of clicks, 50%
+    of views, 100% of purchases (other types dropped), md5-keyed."""
+    import ray.data as rd
+
+    from .extras.split import stratified_sample
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type"],
+    )
+    return stratified_sample(
+        ds, id_col="event_id", group_col="event_type", rates=SAMPLE_RATES
+    )
+
+
 def q_sessions(sf_dir: str):
     """Gap-based session windows (6 h inactivity breaks a session):
     one row per (user, session ordinal) with bounds, count, value sum."""
@@ -1169,6 +1209,23 @@ SELECT bucket, max(rho)::BIGINT AS rho FROM r GROUP BY bucket"""
        CASE WHEN md5_number_upper(doc_id::VARCHAR) % 100 < {TRAIN_PCT}
             THEN 'train' ELSE 'test' END AS split
 FROM documents"""
+
+    hop_us = HOP_HOURS * 3_600_000_000
+    win_us = HOP_WINDOW_HOURS * 3_600_000_000
+    sql["events_hopping"] = f"""SELECT
+  make_timestamp(((epoch_us(ts) // {hop_us}) - s.i) * {hop_us}) AS window,
+  event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS value_sum
+FROM events CROSS JOIN range(0, {win_us // hop_us}) s(i)
+GROUP BY 1, 2"""
+
+    rate_cases = " ".join(
+        f"WHEN event_type = '{g}' THEN {int(round(r * 1000))}"
+        for g, r in SAMPLE_RATES.items()
+    )
+    sql["stratified_sample"] = f"""SELECT event_id, event_type
+FROM events
+WHERE md5_number_upper(event_id::VARCHAR) % 1000
+      < CASE {rate_cases} ELSE 0 END"""
 
     sql["sessions"] = f"""WITH o AS (
   SELECT user_id, event_id, ts, value,

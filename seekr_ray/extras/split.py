@@ -43,3 +43,45 @@ def hash_split(ds, id_col: str = "doc_id", train_pct: int = 80, salt: str = ""):
         )
 
     return ds.map_batches(label, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds,
+    *,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    salt: str = "",
+):
+    """Deterministic per-group downsampling: a row of group g survives
+    iff ``md5(salt + str(id)) % 1000 < rates[g] * 1000`` (groups absent
+    from ``rates`` are dropped).  Same stateless-hash property as
+    ``hash_split`` — any worker decides any row alone, no RNG state, no
+    shuffle; the class-rebalancing primitive of a training pipeline.
+
+    Output: the surviving rows' ``(id_col, group_col)``.
+    """
+    import pyarrow.compute as pc
+
+    mille = {g: int(round(r * 1000)) for g, r in rates.items()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        groups = batch[group_col].to_pylist()
+        sel = []
+        for i, g in enumerate(groups):
+            lim = mille.get(g)
+            sel.append(lim is not None and _mille(ids[i], salt) < lim)
+        return pa.table(
+            {
+                id_col: pc.filter(batch[id_col], pa.array(sel)),
+                group_col: pc.filter(batch[group_col], pa.array(sel)),
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _mille(v, salt: str) -> int:
+    h = hashlib.md5((salt + str(v)).encode()).digest()[:8]
+    return int.from_bytes(h, "little") % 1000

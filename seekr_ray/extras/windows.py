@@ -137,3 +137,71 @@ def sessionize(events_ds, gap_us: int, num_buckets: int = 64):
         .groupby("_b")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# hopping (sliding) windows
+# ---------------------------------------------------------------------------
+
+
+def hopping_agg(events_ds, window_us: int, hop_us: int):
+    """Hopping-window aggregate: per (window_start, event_type) count +
+    6dp value sum for overlapping windows of span ``window_us`` advancing
+    every ``hop_us`` (``window_us`` must be a multiple of ``hop_us``).
+    Each event lands in exactly window/hop windows — the explode factor
+    is a small constant, then the same partial-agg-before-tiny-exchange
+    plan as ``tumbling_agg``: the shuffle stays O(windows × types).
+    """
+    import numpy as np
+
+    if window_us % hop_us:
+        raise ValueError("window_us must be a multiple of hop_us")
+    k = window_us // hop_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks() if isinstance(
+            batch["ts"], pa.ChunkedArray
+        ) else batch["ts"]
+        t = ts.to_numpy(zero_copy_only=False).view("int64")
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        base = t // hop_us
+        parts = []
+        for s in range(k):
+            start = (base - s) * hop_us
+            parts.append(
+                pa.table(
+                    {
+                        "window": pa.array(
+                            start.view("datetime64[us]"), pa.timestamp("us")
+                        ),
+                        "event_type": pa.array(et),
+                        "value": pa.array(v, pa.float64()),
+                    }
+                )
+            )
+        tbl = pa.concat_tables(parts)
+        agg = tbl.group_by(["window", "event_type"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return agg.rename_columns(["window", "event_type", "n_part", "sum_part"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window": batch["window"],
+                "event_type": batch["event_type"],
+                "n": pc.cast(batch["sum(n_part)"], pa.int64()),
+                "value_sum": pa.array(
+                    [round6(v) for v in batch["sum(sum_part)"].to_pylist()],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window", "event_type"])
+        .sum(["n_part", "sum_part"])
+        .map_batches(finalize, batch_format="pyarrow")
+    )

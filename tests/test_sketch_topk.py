@@ -93,3 +93,66 @@ def test_topk_two_phase_exact(ray_session):
     pd.testing.assert_frame_equal(
         out[["user_id", "event_id", "value", "rank"]], want, check_dtype=False
     )
+
+
+def test_hopping_agg_golden(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from seekr_ray.extras.windows import hopping_agg
+
+    h = 3_600 * 1_000_000
+    tbl = pa.table(
+        {
+            "ts": pa.array(
+                np.array([0, h // 2, h, 3 * h], "int64"), pa.timestamp("us")
+            ),
+            "event_type": pa.array(["a", "a", "a", "a"]),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0]),
+        }
+    )
+    out = (
+        hopping_agg(rd.from_arrow(tbl), window_us=2 * h, hop_us=h)
+        .to_pandas()
+        .sort_values("window")
+        .reset_index(drop=True)
+    )
+    # windows (start, members): -1h:{0,.5h}, 0h:{0,.5h,1h}, 1h:{1h}, 2h:{3h}, 3h:{3h}
+    starts = (
+        pd.to_datetime(out["window"]).astype("datetime64[us]").astype("int64")
+        // h
+    )
+    assert starts.tolist() == [-1, 0, 1, 2, 3]
+    assert out["n"].tolist() == [2, 3, 1, 1, 1]
+    assert out["value_sum"].tolist() == [3.0, 7.0, 4.0, 8.0, 8.0]
+
+
+def test_stratified_sample_rates(ray_session):
+    import ray.data as rd
+
+    from seekr_ray.extras.split import stratified_sample
+
+    n = 4000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "event_type": pa.array(["click", "view"] * (n // 2)),
+        }
+    )
+    out = stratified_sample(
+        rd.from_arrow(tbl),
+        id_col="event_id",
+        group_col="event_type",
+        rates={"click": 0.25, "view": 1.0},
+    ).to_pandas()
+    counts = out["event_type"].value_counts()
+    assert counts["view"] == n // 2  # rate 1.0 keeps everything
+    assert abs(counts["click"] / (n // 2) - 0.25) < 0.05
+    # deterministic: same call yields identical rows
+    out2 = stratified_sample(
+        rd.from_arrow(tbl),
+        id_col="event_id",
+        group_col="event_type",
+        rates={"click": 0.25, "view": 1.0},
+    ).to_pandas()
+    assert sorted(out["event_id"]) == sorted(out2["event_id"])
