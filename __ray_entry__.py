@@ -69,14 +69,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_full": eq.q_ann_ivf_full,
         "top_events_per_user": eq.q_top_events_per_user,
         "hll_vocab": eq.q_hll_vocab,
+        "hll_event_ids": eq.q_hll_event_ids,
         "events_hopping": eq.q_events_hopping,
         "stratified_sample": eq.q_stratified_sample,
         "minhash_clusters": eq.q_minhash_clusters,
+        "fingerprints": eq.q_fingerprints,
         # rows-only (non-SQL-expressible; pytest oracle covers semantics)
         "corpus_index_manifest": eq.q_corpus_index_manifest,
         "corpus_search": eq.q_corpus_search,
         "corpus_pagerank": eq.q_corpus_pagerank,
-        "fingerprints": eq.q_fingerprints,
         "ann_lsh": eq.q_ann_lsh,
         "ann_ivf": eq.q_ann_ivf,
         "embedding_neardup_lsh": eq.q_embedding_neardup_lsh,
@@ -119,6 +120,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": m["simhash"],
         "top_events_per_user": m["top_events_per_user"],
         "hll_vocab": m["hll_vocab"],
+        "hll_event_ids": m["hll_event_ids"],
         "events_hopping": m["events_hopping"],
         "stratified_sample": m["stratified_sample"],
+        "fingerprints": m["fingerprints"],
     }

@@ -610,6 +610,20 @@ HOP_HOURS = 1  # hop (slide) interval
 SAMPLE_RATES = {"click": 0.25, "view": 0.5, "purchase": 1.0}
 
 
+def q_hll_event_ids(sf_dir: str):
+    """HLL register table over distinct event ids (the raw-estimate
+    regime, ~10k distincts at sf0.01 — complements q_hll_vocab's tiny
+    linear-counting fixture vocabulary)."""
+    import ray.data as rd
+
+    from .extras.sketch import hll_registers
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
+    )
+    return hll_registers(ds, "event_id")
+
+
 def q_events_hopping(sf_dir: str):
     """Hopping (sliding) window aggregate: 2 h windows every 1 h —
     each event explodes into exactly 2 windows, partial-aggregated per
@@ -972,6 +986,43 @@ SELECT node AS doc_id, min(label)::BIGINT AS cluster_id
 FROM reach GROUP BY node"""
 
 
+FINGERPRINT_WINDOW = 8
+
+
+def _fingerprints_sql() -> str:
+    """Bit-exact SQL replication of extras/textstats.rolling_fingerprint:
+    min over the doc of the uint64-wraparound polynomial combine of the
+    window's md5-LE token hashes (powers of the roll base mod 2^64
+    inlined); short docs fall back to md5 of the joined tokens."""
+    w = FINGERPRINT_WINDOW
+    m64 = 1 << 64
+    base = 1099511628211  # _ROLL_BASE
+    powers = [pow(base, w - 1 - i, m64) for i in range(w)]
+    # mod each product before summing: two raw < 2^128 products would
+    # overflow UINT128 on addition; 8 mod-2^64 terms sum to < 2^67
+    terms = " + ".join(
+        f"((md5_number_upper(tokens[i + {i}])::UHUGEINT * {p}) % {m64}::UHUGEINT)"
+        for i, p in enumerate(powers)
+    )
+    toks = _toks_cte()
+    return f"""{toks}
+, fp AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) = 0 THEN 0::UBIGINT
+              WHEN len(tokens) < {w}
+                   THEN md5_number_upper(array_to_string(tokens, ' '))
+              ELSE list_aggregate(list_transform(range(1, len(tokens) - {w - 2}),
+                   i -> (({terms}) % {m64}::UHUGEINT)::UBIGINT), 'min')
+         END AS u
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN u >= 9223372036854775808::UHUGEINT
+            THEN (u::UHUGEINT::HUGEINT - 18446744073709551616::HUGEINT)
+            ELSE u::HUGEINT END::BIGINT AS fingerprint
+FROM fp"""
+
+
 def oracle_sql_map() -> dict[str, str]:
     toks = _toks_cte()
     stop = _stoplist_sql()
@@ -1101,6 +1152,8 @@ FROM reach GROUP BY node"""
 
     sql["minhash_clusters"] = _minhash_clusters_sql()
 
+    sql["fingerprints"] = _fingerprints_sql()
+
     sql["pagerank_lineitem"] = _pagerank_lineitem_sql(
         PAGERANK_FIXED_ITERS, PAGERANK_FIXED_DAMPING
     )
@@ -1199,6 +1252,16 @@ GROUP BY l.event_id"""
     sql["hll_vocab"] = f"""{toks}
 , tv AS (SELECT DISTINCT unnest(tokens) AS t FROM toks),
 h AS (SELECT md5_number_upper(t) AS hv FROM tv),
+r AS (SELECT (hv >> 52)::BIGINT AS bucket,
+             CASE WHEN (hv & 4503599627370495) = 0 THEN 53
+                  ELSE 53 - length(bin(hv & 4503599627370495)) END AS rho
+      FROM h)
+SELECT bucket, max(rho)::BIGINT AS rho FROM r GROUP BY bucket"""
+
+    sql["hll_event_ids"] = """WITH h AS (
+  SELECT md5_number_upper(event_id::VARCHAR) AS hv
+  FROM (SELECT DISTINCT event_id FROM events)
+),
 r AS (SELECT (hv >> 52)::BIGINT AS bucket,
              CASE WHEN (hv & 4503599627370495) = 0 THEN 53
                   ELSE 53 - length(bin(hv & 4503599627370495)) END AS rho

@@ -91,3 +91,43 @@ def hll_estimate(registers: pa.Table | "pa.lib.Table") -> float:
     if raw <= 2.5 * m and zeros > 0:
         return m * float(np.log(m / zeros))
     return float(raw)
+
+
+def hll_registers(ds, col: str):
+    """HLL register table over the distinct values of an integer/string
+    column (values hashed as md5-LE of their decimal/string form — the
+    form ``md5_number_upper(col::VARCHAR)`` produces in the oracle
+    dialect).  Same mergeable O(m)-per-block partial-agg plan as
+    ``hll_token_registers``."""
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = {str(v) for v in batch[col].to_pylist() if v is not None}
+        if not vals:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()), "rho": pa.array([], pa.int64())}
+            )
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "little")
+                for v in vals
+            ),
+            dtype=np.uint64,
+            count=len(vals),
+        )
+        bucket = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+        rho = (64 - HLL_P + 1) - _bit_length(h & _MASK52)
+        reg = np.zeros(HLL_M, np.int64)
+        np.maximum.at(reg, bucket, rho)
+        nz = np.flatnonzero(reg)
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "rho": pa.array(reg[nz], pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("bucket").max("rho")
+    return out.map_batches(
+        lambda b: b.rename_columns(["bucket", "rho"]), batch_format="pyarrow"
+    )

@@ -154,18 +154,6 @@ def langid_heuristic(docs_ds, text_col: str = "text"):
 
 # -- document fingerprinting -------------------------------------------------
 
-_FNV_PRIME = np.uint64(1099511628211)
-_FNV_OFFSET = np.uint64(14695981039346656037)
-
-
-def _fnv1a(data: bytes) -> np.uint64:
-    h = _FNV_OFFSET
-    with np.errstate(over="ignore"):
-        for b in data:
-            h = np.uint64(h ^ np.uint64(b)) * _FNV_PRIME
-    return h
-
-
 _ROLL_BASE = np.uint64(1099511628211)  # FNV prime reused as the poly base
 
 
@@ -175,17 +163,20 @@ def rolling_fingerprint(text: str, window: int = 8) -> int:
     as Σ h_i · base^(w-1-i), uint64 wraparound).  Deterministic and
     platform-stable (no python hash()); fully vectorized — round 1 ran
     byte-at-a-time FNV per shingle in python."""
+    import hashlib
+
     toks = simple_tokens(text)
     if not toks:
         return 0
     if len(toks) < window:
-        return int(_fnv1a(" ".join(toks).encode()))
+        # md5-LE == DuckDB md5_number_upper — keeps the fingerprint
+        # SQL-oracle-able (oracle_sql_map "fingerprints")
+        return int.from_bytes(
+            hashlib.md5(" ".join(toks).encode()).digest()[:8], "little"
+        )
     th = np.fromiter(
         (
-            int.from_bytes(
-                __import__("hashlib").blake2b(t.encode(), digest_size=8).digest(),
-                "little",
-            )
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
             for t in toks
         ),
         dtype=np.uint64,

@@ -156,3 +156,15 @@ def test_stratified_sample_rates(ray_session):
         rates={"click": 0.25, "view": 1.0},
     ).to_pandas()
     assert sorted(out["event_id"]) == sorted(out2["event_id"])
+
+
+def test_hll_event_ids_estimate(ray_session):
+    import ray.data as rd
+
+    from seekr_ray.extras.sketch import hll_estimate, hll_registers
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/events.parquet")
+    reg = hll_registers(ds, "event_id")
+    tbl = pa.concat_tables(list(reg.iter_batches(batch_format="pyarrow")))
+    est = hll_estimate(tbl)
+    assert abs(est - 10_000) / 10_000 < 0.08  # 5 sigma at m=4096
