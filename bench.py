@@ -100,7 +100,7 @@ def run_bench() -> dict:
         index_dir,
         IndexConfig(num_term_partitions=64, num_id_partitions=32),
         key_cols=["repo", "path", "commit"],
-        links_ds=rd.read_parquet(links_path),
+        links_path=links_path,
         input_path=corpus_path,
     )
     timings["corpus_build_sec"] = time.monotonic() - t0

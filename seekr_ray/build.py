@@ -236,6 +236,7 @@ def build_index(
     links_ds=None,
     resume: bool = True,
     input_path: str | None = None,
+    links_path: str | None = None,
 ) -> dict:
     """Build the full inverted index under ``index_dir``.
 
@@ -374,7 +375,9 @@ def build_index(
 
     # -- stage 5: pagerank ---------------------------------------------------
     t0 = time.monotonic()
-    if links_ds is not None and not (resume and _done(pr_dir)):
+    if (links_ds is not None or links_path is not None) and not (
+        resume and _done(pr_dir)
+    ):
         from .stages.doc_table import DRIVER_TABLE_LIMIT
 
         # lazy dataset for the distributed path; a pyarrow table for the
@@ -387,9 +390,27 @@ def build_index(
             if n_docs <= DRIVER_TABLE_LIMIT
             else None
         )
-        pr = build_pagerank_table(
-            links_ds, docs_for_links, cfg, docs_table=docs_table
-        )
+        # links_path: skip the Dataset round-trip (a fixed 2-3 s of
+        # execution overhead at EVERY parallelism level) when the link
+        # table's parquet footer says the driver path applies anyway
+        if (
+            links_path is not None
+            and docs_table is not None
+            and _parquet_count(links_path) <= cfg.pagerank_driver_edge_limit
+        ):
+            from .graph.pagerank import pagerank_table_from_links_table
+
+            pr = pagerank_table_from_links_table(
+                pq.read_table(links_path), docs_table, cfg
+            )
+        else:
+            if links_ds is None:
+                import ray.data as _rd
+
+                links_ds = _rd.read_parquet(links_path)
+            pr = build_pagerank_table(
+                links_ds, docs_for_links, cfg, docs_table=docs_table
+            )
         import shutil
 
         shutil.rmtree(pr_dir, ignore_errors=True)

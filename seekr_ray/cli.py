@@ -59,8 +59,8 @@ def cmd_build(args) -> int:
         shuffle_strategy=args.shuffle_strategy,
     )
     docs = rd.read_parquet(args.input)
-    links = rd.read_parquet(args.links) if args.links else None
-    if links is None and args.extract_links:
+    links = None
+    if not args.links and args.extract_links:
         from .stages.links import extract_links
 
         links = extract_links(rd.read_parquet(args.input))
@@ -72,6 +72,7 @@ def cmd_build(args) -> int:
         id_col=args.id_col,
         content_col=args.content_col,
         links_ds=links,
+        links_path=args.links or None,
         resume=not args.no_resume,
         input_path=args.input,
     )

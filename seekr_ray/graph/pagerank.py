@@ -214,26 +214,39 @@ def resolve_links_driver(links_tbl: pa.Table, docs_tbl: pa.Table):
     """Driver-side resolve + dedup over pyarrow tables (small-graph fast
     path; same inner-join + per-(src,dst)-dedup semantics as
     ``resolve_links``).  Returns (src, dst) int64 arrays."""
-    url_to_id = dict(
-        zip(docs_tbl["url"].to_pylist(), docs_tbl["doc_id"].to_pylist())
-    )
+    urls = docs_tbl["url"]
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    ids = docs_tbl["doc_id"].to_numpy(zero_copy_only=False)
+
+    def _lookup(url_arr) -> tuple[np.ndarray, np.ndarray]:
+        # hash join at C++ speed: position into the docs url array
+        pos = pc.index_in(url_arr, value_set=urls)
+        valid = pc.is_valid(pos).to_numpy(zero_copy_only=False)
+        posn = pos.to_numpy(zero_copy_only=False).astype(np.int64)
+        posn[~valid] = 0
+        return ids[posn], valid
+
     if "src_doc_id" in links_tbl.column_names:
-        src_ids = links_tbl["src_doc_id"].to_pylist()
+        col = links_tbl["src_doc_id"]
+        src_valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        src_ids = (
+            pc.fill_null(pc.cast(col, pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
     else:
-        src_ids = [
-            url_to_id.get(f"repo://{r}/{p}")
-            for r, p in zip(
-                links_tbl["src_repo"].to_pylist(),
-                links_tbl["src_path"].to_pylist(),
-            )
-        ]
-    dst_ids = [url_to_id.get(u) for u in links_tbl["dst_url"].to_pylist()]
-    pairs = np.array(
-        [(s, d) for s, d in zip(src_ids, dst_ids) if s is not None and d is not None],
-        dtype=np.int64,
-    ).reshape(-1, 2)
+        src_url = pc.binary_join_element_wise(
+            "repo://", links_tbl["src_repo"], "/", links_tbl["src_path"], ""
+        )
+        src_ids, src_valid = _lookup(src_url)
+    dst_ids, dst_valid = _lookup(links_tbl["dst_url"])
+    m = src_valid & dst_valid
+    pairs = np.stack([src_ids[m], dst_ids[m]], axis=1)
     if len(pairs):
         pairs = np.unique(pairs, axis=0)
+    else:
+        pairs = pairs.reshape(-1, 2)
     return pairs[:, 0], pairs[:, 1]
 
 
@@ -482,6 +495,26 @@ def pagerank_fixed_iters(
 _EMPTY_PR = pa.table(
     {"doc_id": pa.array([], pa.int64()), "page_rank": pa.array([], pa.float64())}
 )
+
+
+def pagerank_table_from_links_table(
+    links_tbl: pa.Table, docs_table: pa.Table, cfg: IndexConfig
+) -> pa.Table:
+    """Driver fast path over an already-materialized link table (the
+    caller read the parquet footer and both sides fit the driver limit):
+    vectorized resolve + numpy iteration, zero Dataset executions."""
+    if links_tbl.num_rows == 0:
+        return _EMPTY_PR
+    src, dst = resolve_links_driver(links_tbl, docs_table)
+    nodes, ranks = _pagerank_numpy(
+        src, dst, cfg.pagerank_damping, cfg.pagerank_epsilon
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, pa.int64()),
+            "page_rank": pa.array(ranks, pa.float64()),
+        }
+    )
 
 
 def build_pagerank_table(links_ds, docs_ds, cfg: IndexConfig, docs_table=None):
