@@ -361,7 +361,7 @@ def build_index(
     # to IO-efficient 32 MB reads
     docs_in = _filtered_docs_ds(
         docs_dir, index_dir, ["doc_id", content_col],
-        _blocks_for(docs_dir, per_block_bytes=8 << 20),
+        _blocks_for(docs_dir, per_block_bytes=32 << 20),
     )
 
     if cfg.shuffle_strategy == "partitioned_write":

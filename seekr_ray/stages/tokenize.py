@@ -140,98 +140,6 @@ def tokenize_batch_scalar(
     return tbl
 
 
-# bytes legal inside a token: [0-9A-Za-z_'] — exactly RE2's ASCII [\w']
-_WORD_BYTE_LUT = np.zeros(256, dtype=bool)
-_WORD_BYTE_LUT[48:58] = True  # 0-9
-_WORD_BYTE_LUT[65:91] = True  # A-Z
-_WORD_BYTE_LUT[97:123] = True  # a-z
-_WORD_BYTE_LUT[95] = True  # _
-_WORD_BYTE_LUT[39] = True  # '
-
-
-def _byte_split_tokens(content: pa.Array):
-    """Byte-level vectorized tokenizer split — exact ASCII equivalent of
-    ``split_pattern_regex(utf8_lower(x), "[^\\w']+") + utf8_trim("'")``:
-    tokens are maximal [\\w'] byte runs (never spanning doc boundaries),
-    apostrophes trimmed, ASCII-lowered.  ~3x cheaper than the RE2 split,
-    which dominated the kernel (92 of 195 ms per 312-doc batch).
-
-    Returns (flat token StringArray, token→doc index, first-token index
-    per doc), or None to fall back to the regex path: non-ASCII content
-    (unicode lowering can mint ASCII letters, e.g. U+0130 → 'i'+dot, so
-    byte identity would break), non-string dtype, or ≥2 GiB token bytes.
-    """
-    if content.type == pa.string():
-        odt = np.int32
-    elif content.type == pa.large_string():
-        odt = np.int64
-    else:
-        return None
-    bufs = content.buffers()
-    raw = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
-    offs = np.frombuffer(bufs[1], odt)[
-        content.offset : content.offset + len(content) + 1
-    ].astype(np.int64)
-    lo = offs[0]
-    seg = raw[lo : offs[-1]]
-    if seg.size and int(seg.max()) >= 128:
-        return None
-    offs = offs - lo
-    n = seg.size
-    w = _WORD_BYTE_LUT[seg]
-    prev = np.empty(n, bool)
-    nxt = np.empty(n, bool)
-    if n:
-        prev[0] = False
-        prev[1:] = w[:-1]
-        nxt[-1] = False
-        nxt[:-1] = w[1:]
-    # force run breaks at doc boundaries
-    inner = offs[1:-1]
-    prev[inner[inner < n]] = False
-    last = inner - 1
-    nxt[last[last >= 0]] = False
-    s = np.flatnonzero(w & ~prev)
-    e = np.flatnonzero(w & ~nxt) + 1
-    # doc attribution BEFORE the trim: an all-apostrophe token at a doc's
-    # end would otherwise trim its start onto the next doc's boundary
-    doc_idx = np.searchsorted(offs, s, side="right") - 1
-    # trim leading/trailing apostrophes (loop count = longest run)
-    while True:
-        m = (s < e) & (seg[s] == 39)
-        if not m.any():
-            break
-        s[m] += 1
-    while True:
-        m = (e > s) & (seg[e - 1] == 39)
-        if not m.any():
-            break
-        e[m] -= 1
-    lens = e - s
-    total = int(lens.sum())
-    if total >= (1 << 31):
-        return None
-    voffs = np.zeros(len(s) + 1, np.int64)
-    np.cumsum(lens, out=voffs[1:])
-    idx = np.repeat(s - voffs[:-1], lens) + np.arange(total, dtype=np.int64)
-    vals = seg[idx]  # fancy indexing copies — safe to lower in place
-    upper = (vals >= 65) & (vals <= 90)
-    vals[upper] += 32
-    flat = pa.Array.from_buffers(
-        pa.utf8(),
-        len(s),
-        [
-            None,
-            pa.py_buffer(voffs.astype(np.int32).tobytes()),
-            pa.py_buffer(vals.tobytes()),
-        ],
-    )
-    doc_starts = np.searchsorted(
-        doc_idx, np.arange(len(content), dtype=np.int64), side="left"
-    )
-    return flat, doc_idx, doc_starts
-
-
 def tokenize_batch(
     batch: pa.Table,
     content_col: str = "content",
@@ -256,28 +164,20 @@ def tokenize_batch(
     content = pc.coalesce(
         batch[content_col].combine_chunks(), pa.scalar("", pa.string())
     )
-    if isinstance(content, pa.ChunkedArray):
-        content = (
-            content.chunk(0)
-            if content.num_chunks == 1
-            else pa.concat_arrays(content.chunks)
-            if content.num_chunks
-            else pa.array([], pa.string())
-        )
-    fast = _byte_split_tokens(content)
-    if fast is not None:
-        flat, doc_idx, doc_starts = fast
-    else:
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(content), pattern=r"[^\w']+"
-        )
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = pc.utf8_trim(toks.flatten(), "'")
-        doc_lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
-        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), doc_lens)
-        doc_starts = np.zeros(n_docs, dtype=np.int64)
-        np.cumsum(doc_lens[:-1], out=doc_starts[1:])
+    # RE2 split (not a byte-level LUT splitter): a hand-rolled numpy
+    # splitter measured 1.4x faster SINGLE-threaded but is memory-
+    # bandwidth-bound — at 8 concurrent workers it scaled 0.63 (vs 0.87
+    # for RE2, which burns more compute per byte) and was SLOWER in
+    # absolute terms, so the regex kernel wins at every realistic
+    # per-node concurrency.
+    toks = pc.split_pattern_regex(pc.utf8_lower(content), pattern=r"[^\w']+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.utf8_trim(toks.flatten(), "'")
+    doc_lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), doc_lens)
+    doc_starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(doc_lens[:-1], out=doc_starts[1:])
     dict_arr = flat.dictionary_encode()
     codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     vocab = dict_arr.dictionary.to_pylist()
