@@ -74,6 +74,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": eq.q_stratified_sample,
         "minhash_clusters": eq.q_minhash_clusters,
         "fingerprints": eq.q_fingerprints,
+        "quantiles_price": eq.q_quantiles_price,
+        "lineitem_stats": eq.q_lineitem_stats,
+        "revenue_rollup": eq.q_revenue_rollup,
+        "event_sample": eq.q_event_sample,
+        "inactive_customers": eq.q_inactive_customers,
+        "dup_spans": eq.q_dup_spans,
+        "distinct_users": eq.q_distinct_users,
+        "search_bm25_topk": eq.q_search_bm25_topk,
         # rows-only (non-SQL-expressible; pytest oracle covers semantics)
         "corpus_index_manifest": eq.q_corpus_index_manifest,
         "corpus_search": eq.q_corpus_search,
@@ -124,4 +132,12 @@ def oracle_sql() -> dict[str, str]:
         "events_hopping": m["events_hopping"],
         "stratified_sample": m["stratified_sample"],
         "fingerprints": m["fingerprints"],
+        "quantiles_price": m["quantiles_price"],
+        "lineitem_stats": m["lineitem_stats"],
+        "revenue_rollup": m["revenue_rollup"],
+        "event_sample": m["event_sample"],
+        "inactive_customers": m["inactive_customers"],
+        "dup_spans": m["dup_spans"],
+        "distinct_users": m["distinct_users"],
+        "search_bm25_topk": m["search_bm25_topk"],
     }

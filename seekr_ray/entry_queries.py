@@ -94,18 +94,23 @@ def q_langid(sf_dir: str):
     return langid_heuristic(_docs_text(sf_dir))
 
 
-def _df_and_n(sf_dir: str, terms: list[str] | None = None):
-    """df per term (optionally restricted) + N, via per-batch partials."""
+def _df_and_n(sf_dir: str, terms: list[str] | None = None, with_len: bool = False):
+    """df per term (optionally restricted) + N (+ total token count when
+    ``with_len``, for BM25's avgdl), via per-batch partials."""
 
     def partial(batch: pa.Table) -> pa.Table:
         acc: dict[str, int] = {}
         n = 0
+        total_len = 0
         for t in batch["text"].to_pylist():
             n += 1
-            for term in set(simple_tokens(t or "")):
+            toks = simple_tokens(t or "")
+            total_len += len(toks)
+            for term in set(toks):
                 if terms is None or term in terms:
                     acc[term] = acc.get(term, 0) + 1
         acc["\x00N"] = n
+        acc["\x00L"] = total_len
         return pa.table(
             {
                 "term": pa.array(list(acc.keys()), pa.string()),
@@ -122,6 +127,9 @@ def _df_and_n(sf_dir: str, terms: list[str] | None = None):
     )
     dfs = dict(zip(agg["term"], agg["sum(c)"]))
     n = int(dfs.pop("\x00N"))
+    total_len = int(dfs.pop("\x00L"))
+    if with_len:
+        return dfs, n, total_len
     return dfs, n
 
 
@@ -671,6 +679,181 @@ def q_sessions(sf_dir: str):
         columns=["event_id", "user_id", "ts", "value"],
     )
     return sessionize(ds, gap_us=SESSION_GAP_HOURS * 3_600_000_000)
+
+
+QUANTILE_QS = [0.25, 0.5, 0.9, 0.99]  # fixed grouped-quantile probe points
+KSAMPLE_K = 500  # deterministic uniform sample size
+DUP_SPAN_K = 5  # duplicated-span shingle width (tokens)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_quantiles_price(sf_dir: str):
+    """Exact per-returnflag continuous quantiles of l_extendedprice —
+    the distribution profiler of a curation pipeline.  The oracle SQL
+    replicates the interpolation expression term-for-term (same FP
+    order), so the compare is bit-exact rather than trusting
+    ``quantile_cont``'s unspecified form."""
+    import ray.data as rd
+
+    from .extras.stats import grouped_quantiles
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+    return grouped_quantiles(
+        ds, key_col="l_returnflag", val_col="l_extendedprice", qs=QUANTILE_QS
+    )
+
+
+def q_lineitem_stats(sf_dir: str):
+    """Per-group describe (n, min, max, mean, stddev_pop) via mergeable
+    (n, Σx, Σx², min, max) partials — O(groups) exchange."""
+    import ray.data as rd
+
+    from .extras.stats import grouped_stats
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+    return grouped_stats(ds, key_col="l_returnflag", val_col="l_extendedprice")
+
+
+def q_revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) revenue: detail cells
+    from ONE partial-agg pass; subtotals and the grand total derived from
+    the O(cells) detail rows instead of re-aggregating the input per
+    grouping set."""
+    import ray.data as rd
+
+    from .extras.stats import rollup_agg
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+    return rollup_agg(
+        ds,
+        key_cols=["l_returnflag", "l_linestatus"],
+        val_col="l_extendedprice",
+    )
+
+
+def q_event_sample(sf_dir: str):
+    """Deterministic uniform 500-sample of events: the k smallest
+    md5(event_id) keys, per-block partial top-k (distributed-reservoir
+    analog, no RNG state, SQL-replicable membership)."""
+    import ray.data as rd
+
+    from .extras.stats import hash_ksample
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
+    )
+    return hash_ksample(ds, id_col="event_id", k=KSAMPLE_K)
+
+
+def q_inactive_customers(sf_dir: str):
+    """Anti join (WHERE NOT EXISTS): customers with no event activity —
+    the right side shrinks to distinct user ids where it lives, then
+    broadcasts once; the left side never shuffles."""
+    import ray.data as rd
+
+    from .extras.joins import key_filter_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    return key_filter_join(
+        cust,
+        events,
+        left_key="c_custkey",
+        right_key="user_id",
+        anti=True,
+        columns=["c_custkey"],
+    )
+
+
+def q_dup_spans(sf_dir: str):
+    """Exact duplicated 5-token spans across >= 2 documents (substring-
+    level dedup signal; Lee et al. 2022) with occurrence counts and the
+    canonical (minimum) containing doc."""
+    from .extras.dedup import duplicate_ngram_spans
+
+    return duplicate_ngram_spans(_docs_text(sf_dir), k=DUP_SPAN_K, min_docs=2)
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event type — HLL's exact
+    sibling: per-block distinct pairs, pair-level groupby, O(keys)
+    count."""
+    import ray.data as rd
+
+    from .extras.stats import distinct_count_per_group
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+    return distinct_count_per_group(ds, key_col="event_type", val_col="user_id")
+
+
+def q_search_bm25_topk(sf_dir: str):
+    """Top-20 docs for the fixed query under BM25 (k1=1.2, b=0.75,
+    idf=log10(N/df) to stay on the reference's idf form) — the modern
+    ranking alternative to the reference's tf·idf, same two-phase plan:
+    stats pass (df, N, avgdl partials), then score + partial top-k.
+    Constants appear as literals in the same positions in the oracle SQL
+    so both sides evaluate the identical FP expression."""
+    dfs, n, total_len = _df_and_n(sf_dir, terms=set(SEARCH_TERMS), with_len=True)
+    avgdl = total_len / n
+    idf = {t: math.log10(n / dfs[t]) for t in SEARCH_TERMS if t in dfs}
+    import ray
+
+    idf_ref = ray.put((idf, avgdl))
+
+    def score(batch: pa.Table) -> pa.Table:
+        idf_map, adl = ray.get(idf_ref)
+        out_d, out_s = [], []
+        for d, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = simple_tokens(text or "")
+            if not toks:
+                continue
+            dl = len(toks)
+            s = 0.0
+            hit = False
+            for term in SEARCH_TERMS:
+                idf_t = idf_map.get(term)
+                if idf_t is None:
+                    continue
+                c = toks.count(term)
+                s += idf_t * ((c * 2.2) / (c + 1.2 * (0.25 + 0.75 * dl / adl)))
+                if c:
+                    hit = True
+            if hit:
+                out_d.append(d)
+                out_s.append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score_raw": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    scored = _docs_text(sf_dir).map_batches(score, batch_format="pyarrow")
+    top = scored.sort(["score_raw", "doc_id"], descending=[True, False]).limit(20)
+    tbl = top.to_pandas()
+    return pa.table(
+        {
+            "doc_id": pa.array(tbl["doc_id"], pa.int64()),
+            "score": pa.array([round6(s) for s in tbl["score_raw"]], pa.float64()),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1328,5 +1511,89 @@ WHERE rank <= {ANN_K}"""
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE a.vec_id < {NEARDUP_LIMIT} AND b.vec_id < {NEARDUP_LIMIT}
   AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {NEARDUP_THRESHOLD}"""
+
+    # continuous quantile replicated expression-for-expression (same FP
+    # order as extras/stats.quantile_cont) via 1-based list indexing
+    qs_vals = ", ".join(f"({q}::DOUBLE)" for q in QUANTILE_QS)
+    sql["quantiles_price"] = f"""WITH vals AS (
+  SELECT l_returnflag, list_sort(list(l_extendedprice)) AS arr, count(*)::BIGINT AS n
+  FROM lineitem GROUP BY l_returnflag
+),
+pos AS (
+  SELECT l_returnflag, q, arr, q * (n - 1) AS p
+  FROM vals CROSS JOIN (VALUES {qs_vals}) AS qs(q)
+)
+SELECT l_returnflag, q,
+       round(arr[floor(p)::BIGINT + 1] * (1.0 - (p - floor(p)))
+             + arr[ceil(p)::BIGINT + 1] * (p - floor(p)), 6) AS value
+FROM pos"""
+
+    sql["lineitem_stats"] = """SELECT l_returnflag,
+       count(*)::BIGINT AS n,
+       min(l_extendedprice) AS vmin,
+       max(l_extendedprice) AS vmax,
+       round(avg(l_extendedprice), 6) AS mean,
+       round(stddev_pop(l_extendedprice), 6) AS std_pop
+FROM lineitem GROUP BY l_returnflag"""
+
+    sql["revenue_rollup"] = """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*)::BIGINT AS n,
+       round(sum(l_extendedprice), 6) AS total
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
+    sql["event_sample"] = f"""SELECT event_id FROM events
+ORDER BY md5_number_upper(event_id::VARCHAR), event_id LIMIT {KSAMPLE_K}"""
+
+    sql["inactive_customers"] = """SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)"""
+
+    sql["dup_spans"] = f"""{toks}
+, sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) < {DUP_SPAN_K} THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(tokens) - {DUP_SPAN_K - 2}),
+                   i -> array_to_string(list_slice(tokens, i, i + {DUP_SPAN_K - 1}), ' '))
+         END AS shingles
+  FROM toks
+)
+SELECT shingle, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occ, min(doc_id)::BIGINT AS keep_doc_id
+FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2"""
+
+    sql["distinct_users"] = """SELECT event_type,
+       count(DISTINCT user_id)::BIGINT AS n_distinct
+FROM events GROUP BY event_type"""
+
+    # BM25: constants appear as the SAME literals in the same positions
+    # as q_search_bm25_topk's python expression; fixed term order in the
+    # score sum so both sides add in the same order
+    bm25_exprs = []
+    for t in SEARCH_TERMS:
+        cnt = f"len(list_filter(tokens, x -> x = '{t}'))::DOUBLE"
+        bm25_exprs.append(
+            f"(SELECT idf FROM idfs WHERE term = '{t}') * (({cnt} * 2.2)"
+            f" / ({cnt} + 1.2 * (0.25 + 0.75 * len(tokens)::DOUBLE / adl.a)))"
+        )
+    bm25_chain = bm25_exprs[0]
+    for e in bm25_exprs[1:]:
+        bm25_chain = f"({bm25_chain} + {e})"
+    sql["search_bm25_topk"] = f"""{toks},
+ idfs AS (
+  SELECT term, log10((SELECT count(*) FROM documents)::DOUBLE / count(DISTINCT doc_id)) AS idf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+  WHERE term IN ({terms_in})
+  GROUP BY term
+),
+ adl AS (SELECT sum(len(tokens))::DOUBLE / count(*) AS a FROM toks)
+SELECT doc_id, round(score_raw, 6) AS score FROM (
+  SELECT doc_id, {bm25_chain} AS score_raw
+  FROM toks, adl
+  WHERE len(tokens) > 0
+    AND len(list_filter(tokens, x -> list_contains([{terms_in}], x))) > 0
+  ORDER BY score_raw DESC, doc_id
+  LIMIT 20
+)"""
 
     return sql

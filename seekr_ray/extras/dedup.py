@@ -906,3 +906,81 @@ def embedding_neardup_lsh(
         )
     )
     return tbl.take(order)
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-span detection (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_ngram_spans(docs_ds, *, k: int = 5, min_docs: int = 2,
+                          text_col: str = "text", id_col: str = "doc_id"):
+    """Exact duplicated k-token spans across documents — the
+    substring-level dedup signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a span repeated across
+    >= ``min_docs`` documents marks boilerplate/copied text that
+    document-level dedup (exact sha / MinHash) cannot see.
+
+    Per-block partial: each doc's k-token shingles are counted locally;
+    because a document is exactly one input row, per-shingle DISTINCT-doc
+    counts are additive across blocks, so (n_docs, n_occurrences,
+    min_doc) all merge under sum/sum/min and the exchange carries one row
+    per distinct shingle per block — never one per occurrence.
+
+    Output: ``(shingle, n_docs, n_occ, keep_doc_id)`` for spans seen in
+    >= ``min_docs`` distinct docs; ``keep_doc_id`` is the smallest doc id
+    containing the span (the canonical copy under first-wins dedup,
+    mirroring B6's winner rule).
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc: dict[str, list] = {}
+        for d, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            toks = simple_tokens(text or "")
+            if len(toks) < k:
+                continue
+            counts = Counter(
+                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            )
+            for sh, n in counts.items():
+                e = acc.get(sh)
+                if e is None:
+                    acc[sh] = [1, n, d]
+                else:
+                    e[0] += 1
+                    e[1] += n
+                    if d < e[2]:
+                        e[2] = d
+        return pa.table(
+            {
+                "shingle": pa.array(list(acc.keys()), pa.string()),
+                "nd": pa.array([e[0] for e in acc.values()], pa.int64()),
+                "no": pa.array([e[1] for e in acc.values()], pa.int64()),
+                "md": pa.array([e[2] for e in acc.values()], pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nd = batch["sum(nd)"]
+        keep = pc.greater_equal(nd, pa.scalar(min_docs))
+        tbl = batch.filter(keep)
+        return pa.table(
+            {
+                "shingle": tbl["shingle"],
+                "n_docs": pc.cast(tbl["sum(nd)"], pa.int64()),
+                "n_occ": pc.cast(tbl["sum(no)"], pa.int64()),
+                "keep_doc_id": pc.cast(tbl["min(md)"], pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("shingle")
+        .aggregate(Sum("nd"), Sum("no"), Min("md"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )

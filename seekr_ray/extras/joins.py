@@ -363,3 +363,68 @@ def range_lookback_agg(
         )
 
     return tagged.groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# semi / anti join (existence filtering)
+# ---------------------------------------------------------------------------
+
+
+def key_filter_join(
+    left_ds,
+    right_ds,
+    *,
+    left_key: str,
+    right_key: str,
+    anti: bool = False,
+    columns: list[str] | None = None,
+):
+    """Semi join (``anti=False``: keep left rows whose key EXISTS on the
+    right) / anti join (``anti=True``: keep those whose key does NOT) —
+    SQL's ``WHERE [NOT] EXISTS`` as a broadcast filter.
+
+    The right side is reduced to its DISTINCT keys where it lives
+    (per-block ``unique`` inside ``map_batches``), the shrunk key set is
+    exchanged once, sorted, and ``ray.put`` ONCE; every left block then
+    filters itself with one ``searchsorted`` — the left side never
+    shuffles.  Partitioning assumption: the right side's distinct-key
+    array fits in the object store (keys only — at 8 bytes/key, 10^9
+    keys = 8 GB; beyond that, swap the exact set for a Bloom filter with
+    the same broadcast shape, or co-partition both sides by key hash as
+    in the bucketed temporal-join path above).
+    """
+    import ray
+
+    def block_unique(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch[right_key].to_numpy(zero_copy_only=False))
+        return pa.table({right_key: pa.array(u, batch[right_key].type)})
+
+    key_parts = [
+        b[right_key].to_numpy(zero_copy_only=False)
+        for b in right_ds.select_columns([right_key])
+        .map_batches(block_unique, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    keys = (
+        np.unique(np.concatenate(key_parts))
+        if key_parts
+        else np.empty(0, np.int64)
+    )
+    keys_ref = ray.put(keys)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        v = batch[left_key].to_numpy(zero_copy_only=False)
+        if len(ks):
+            pos = np.searchsorted(ks, v)
+            pos_c = np.minimum(pos, len(ks) - 1)
+            found = ks[pos_c] == v
+        else:
+            found = np.zeros(len(v), bool)
+        mask = ~found if anti else found
+        out = batch.filter(pa.array(mask))
+        return out.select(columns) if columns else out
+
+    src = left_ds.select_columns(columns) if columns else left_ds
+    return src.map_batches(filt, batch_format="pyarrow")

@@ -1,0 +1,361 @@
+"""Distributed numeric/statistical operators for training-data curation.
+
+Everything here is two-phase where the math is mergeable: a vectorized
+partial aggregate INSIDE ``map_batches`` (so the exchange carries
+O(groups) rows, not O(rows)), then a small ``groupby`` finalize.  The
+two inherently non-mergeable members document their co-location
+assumption:
+
+* ``grouped_quantiles`` — EXACT per-group continuous quantiles need the
+  group's values in one place, so it rides ``groupby().map_groups``
+  (sort-based shuffle of just ``(key, value)``).  A group must fit in
+  one worker's heap; for heavy groups use ``histogram_quantiles``, whose
+  fixed-bin partial counts merge like any sum and bound the exchange at
+  O(bins) regardless of input size.
+* ``hash_ksample`` — deterministic uniform k-sample: every block keeps
+  its k smallest md5 keys (a distributive top-k, like
+  ``topk.topk_per_group``), so only O(blocks · k) rows reach the final
+  merge.  The md5-little-endian key equals DuckDB ``md5_number_upper``,
+  making the sample membership SQL-replicable bit-for-bit — the
+  reference sampling discipline of extras/split.py (see split.py:1-9).
+
+Reference anchors: the per-group aggregate family generalizes the
+reference's IDF/per-word statistics pass (Indexer/SQLiteSearcher.java:
+347-383 recomputes per-term corpus statistics in bulk); rollup
+generalizes its per-domain/per-page tallies.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .textstats import round6
+
+_SEP = "\x1f"
+
+
+def _np_col(batch: pa.Table, name: str) -> np.ndarray:
+    return batch[name].to_numpy(zero_copy_only=False)
+
+
+def quantile_cont(sorted_vals: np.ndarray, q: float) -> float:
+    """Continuous (linearly interpolated) quantile over pre-sorted values
+    — ``v[lo]*(1-frac) + v[hi]*frac`` at ``pos = q*(n-1)``.  The oracle
+    SQL replicates this exact expression (same FP operation order) via
+    list indexing instead of relying on ``quantile_cont``'s unspecified
+    interpolation form.
+    """
+    n = len(sorted_vals)
+    if n == 0:
+        raise ValueError("empty group")
+    pos = q * (n - 1)
+    lo = int(math.floor(pos))
+    hi = int(math.ceil(pos))
+    frac = pos - lo
+    return float(sorted_vals[lo] * (1.0 - frac) + sorted_vals[hi] * frac)
+
+
+def grouped_quantiles(ds, *, key_col: str, val_col: str, qs: list[float]):
+    """Exact per-group continuous quantiles.
+
+    Output: one row per (group, q): ``(key_col, q, value)`` with the
+    value rounded to 6dp.  The shuffle moves only the two projected
+    columns; each group's values co-locate on one worker (see module
+    docstring for the bounded-memory alternative).
+    """
+    qs = list(qs)
+
+    def per_group(group: pa.Table) -> pa.Table:
+        v = np.sort(_np_col(group, val_col))
+        key = group[key_col][0].as_py()
+        return pa.table(
+            {
+                key_col: pa.array([key] * len(qs), group[key_col].type),
+                "q": pa.array(qs, pa.float64()),
+                "value": pa.array(
+                    [round6(quantile_cont(v, q)) for q in qs], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, val_col])
+        .groupby(key_col)
+        .map_groups(per_group, batch_format="pyarrow")
+    )
+
+
+def histogram_quantiles(
+    ds,
+    *,
+    val_col: str,
+    qs: list[float],
+    num_bins: int = 4096,
+):
+    """Approximate global quantiles with bounded state: fixed equi-width
+    bins between the global min/max (one cheap pre-pass), per-block
+    vectorized bin counts (``np.bincount``), an O(bins) exchange, then
+    linear interpolation inside the target bin.  Error ≤ one bin width —
+    the 100-TB path when a group is too big to co-locate.
+    """
+    lo = ds.min(val_col)
+    hi = ds.max(val_col)
+    if lo is None or hi is None:
+        raise ValueError("empty dataset")
+    width = (hi - lo) / num_bins or 1.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = _np_col(batch, val_col)
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, num_bins - 1)
+        counts = np.bincount(idx, minlength=num_bins)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "bin": pa.array(nz, pa.int64()),
+                "c": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.select_columns([val_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .sum("c")
+    ).to_pandas()
+    counts = np.zeros(num_bins, np.int64)
+    counts[merged["bin"].to_numpy()] = merged["sum(c)"].to_numpy()
+    cum = np.cumsum(counts)
+    total = cum[-1]
+    out_q, out_v = [], []
+    for q in qs:
+        target = q * (total - 1)
+        b = int(np.searchsorted(cum, target, side="right"))
+        b = min(b, num_bins - 1)
+        prev = cum[b - 1] if b else 0
+        inbin = counts[b] or 1
+        frac = (target - prev) / inbin
+        out_q.append(q)
+        out_v.append(lo + (b + frac) * width)
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.float64())}
+    )
+
+
+def grouped_stats(ds, *, key_col: str, val_col: str):
+    """Per-group describe: ``(key, n, vmin, vmax, mean, std_pop)``.
+
+    Partial (n, Σx, Σx², min, max) per block — all five merge under
+    sum/min/max, so the exchange is O(groups).  ``std_pop`` uses the
+    population form √(Σx²/n − mean²); mean/std round to 6dp so the
+    DuckDB ``avg``/``stddev_pop`` oracle compares despite summation-order
+    differences (output is O(groups) rows, so boundary flips are not a
+    realistic risk at that magnitude).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tbl = batch.select([key_col, val_col])
+        agg = tbl.group_by([key_col]).aggregate(
+            [(val_col, "count"), (val_col, "sum"), (val_col, "min"), (val_col, "max")]
+        )
+        v = _np_col(batch, val_col)
+        keys = batch[key_col]
+        sq = pa.table({key_col: keys, "_sq": pa.array(v * v, pa.float64())})
+        agg_sq = sq.group_by([key_col]).aggregate([("_sq", "sum")])
+        joined = agg.join(agg_sq, keys=[key_col])
+        return pa.table(
+            {
+                key_col: joined[key_col],
+                "n_p": pc.cast(joined[f"{val_col}_count"], pa.int64()),
+                "s_p": pc.cast(joined[f"{val_col}_sum"], pa.float64()),
+                "ss_p": pc.cast(joined["_sq_sum"], pa.float64()),
+                "mn_p": pc.cast(joined[f"{val_col}_min"], pa.float64()),
+                "mx_p": pc.cast(joined[f"{val_col}_max"], pa.float64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = _np_col(batch, "sum(n_p)").astype(np.float64)
+        s = _np_col(batch, "sum(s_p)")
+        ss = _np_col(batch, "sum(ss_p)")
+        mean = s / n
+        var = np.maximum(ss / n - mean * mean, 0.0)
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "vmin": batch["min(mn_p)"],
+                "vmax": batch["max(mx_p)"],
+                "mean": pa.array([round6(x) for x in mean], pa.float64()),
+                "std_pop": pa.array(
+                    [round6(x) for x in np.sqrt(var)], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, val_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(
+            Sum("n_p"), Sum("s_p"), Sum("ss_p"), Min("mn_p"), Max("mx_p")
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def rollup_agg(ds, *, key_cols: list[str], val_col: str, all_label: str = "ALL"):
+    """GROUP BY ROLLUP(a, b): detail cells plus per-a subtotals plus a
+    grand total, with ``all_label`` standing in for SQL's NULL grouping
+    marker (a sentinel keeps the driver's value-hash compare away from
+    NULL-ordering ambiguity).
+
+    One partial-agg pass produces the detail cells; every coarser level
+    is derived from those O(cells) rows in a final single task — the
+    input is read ONCE and never re-shuffled per grouping set (SQL
+    engines typically re-aggregate per set).
+    Output: ``(*key_cols, n, total)``.
+    """
+    assert len(key_cols) == 2, "rollup_agg implements the 2-key rollup"
+    a_col, b_col = key_cols
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tbl = batch.select([a_col, b_col, val_col])
+        agg = tbl.group_by([a_col, b_col]).aggregate(
+            [(val_col, "count"), (val_col, "sum")]
+        )
+        return pa.table(
+            {
+                a_col: agg[a_col],
+                b_col: agg[b_col],
+                "n_p": pc.cast(agg[f"{val_col}_count"], pa.int64()),
+                "s_p": pc.cast(agg[f"{val_col}_sum"], pa.float64()),
+            }
+        )
+
+    detail = (
+        ds.select_columns([a_col, b_col, val_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([a_col, b_col])
+        .sum(["n_p", "s_p"])
+    ).to_pandas()
+    # derive the coarser grouping sets from the detail cells (tiny)
+    detail = detail.rename(columns={"sum(n_p)": "n", "sum(s_p)": "s"})
+    detail = detail.sort_values([a_col, b_col]).reset_index(drop=True)
+    rows_a = []
+    rows_b = []
+    rows_n = []
+    rows_s = []
+    for _, r in detail.iterrows():
+        rows_a.append(r[a_col])
+        rows_b.append(r[b_col])
+        rows_n.append(int(r["n"]))
+        rows_s.append(float(r["s"]))
+    sub = detail.groupby(a_col, sort=True).agg(n=("n", "sum"), s=("s", "sum"))
+    for a, r in sub.iterrows():
+        rows_a.append(a)
+        rows_b.append(all_label)
+        rows_n.append(int(r["n"]))
+        rows_s.append(float(r["s"]))
+    rows_a.append(all_label)
+    rows_b.append(all_label)
+    rows_n.append(int(detail["n"].sum()))
+    rows_s.append(float(sub["s"].sum()))
+    return pa.table(
+        {
+            a_col: pa.array(rows_a, pa.string()),
+            b_col: pa.array(rows_b, pa.string()),
+            "n": pa.array(rows_n, pa.int64()),
+            "total": pa.array([round6(v) for v in rows_s], pa.float64()),
+        }
+    )
+
+
+def _md5_le64(values: list, salt: str = "") -> np.ndarray:
+    """md5(salt + str(v)) first 8 bytes little-endian, as uint64 — equal
+    to DuckDB ``md5_number_upper(salt || v::VARCHAR)`` (split.py:19-24).
+    """
+    out = np.empty(len(values), np.uint64)
+    for i, v in enumerate(values):
+        h = hashlib.md5((salt + str(v)).encode()).digest()[:8]
+        out[i] = int.from_bytes(h, "little")
+    return out
+
+
+def hash_ksample(ds, *, id_col: str, k: int, salt: str = ""):
+    """Deterministic uniform k-sample: the k rows with the smallest
+    ``md5(salt + id)`` keys — the distributed-reservoir analog with no
+    RNG state.  Per-block partial keeps only its own k smallest (top-k is
+    distributive), so the merge sees O(blocks · k) rows.
+
+    Output: ``(id_col,)`` of the k sampled ids.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        h = _md5_le64(ids, salt)
+        if len(h) > k:
+            keep = np.argpartition(h, k)[:k]
+        else:
+            keep = np.arange(len(h))
+        return pa.table(
+            {
+                "_b": pa.array(np.zeros(len(keep), np.int32), pa.int32()),
+                id_col: pa.array([ids[i] for i in keep], batch[id_col].type),
+                "h": pa.array(h[keep], pa.uint64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        h = group["h"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))[:k]
+        return pa.table({id_col: pa.array(ids[order], group[id_col].type)})
+
+    return (
+        ds.select_columns([id_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def distinct_count_per_group(ds, *, key_col: str, val_col: str):
+    """Exact COUNT(DISTINCT val) per key — HLL's exact sibling
+    (extras/sketch.py is the approximate one).  Per-block distinct pairs
+    first (cuts duplicate traffic at the source), a pair-level groupby to
+    finish the distinct, then an O(pairs) → O(keys) count.
+
+    Output: ``(key_col, n_distinct)``.
+    """
+
+    def block_distinct(batch: pa.Table) -> pa.Table:
+        tbl = batch.select([key_col, val_col])
+        return tbl.group_by([key_col, val_col]).aggregate([])
+
+    def project_key(batch: pa.Table) -> pa.Table:
+        return batch.select([key_col])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "n_distinct": pc.cast(batch["count()"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, val_col])
+        .map_batches(block_distinct, batch_format="pyarrow")
+        .groupby([key_col, val_col])
+        .count()
+        .map_batches(project_key, batch_format="pyarrow")
+        .groupby(key_col)
+        .count()
+        .map_batches(finalize, batch_format="pyarrow")
+    )

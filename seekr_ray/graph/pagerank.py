@@ -223,8 +223,9 @@ def resolve_links_driver(links_tbl: pa.Table, docs_tbl: pa.Table):
         # hash join at C++ speed: position into the docs url array
         pos = pc.index_in(url_arr, value_set=urls)
         valid = pc.is_valid(pos).to_numpy(zero_copy_only=False)
-        posn = pos.to_numpy(zero_copy_only=False).astype(np.int64)
-        posn[~valid] = 0
+        posn = (
+            pc.fill_null(pos, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
         return ids[posn], valid
 
     if "src_doc_id" in links_tbl.column_names:

@@ -1,0 +1,201 @@
+"""Unit semantics for extras/stats.py, the semi/anti join, and
+duplicate_ngram_spans — each operator checked against a direct
+pandas/numpy reference on small synthetic data (the DuckDB oracle equivalence is
+covered by tests/test_entry_contract.py via the driver contract)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(df: pd.DataFrame):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(4)
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+def test_grouped_quantiles_matches_numpy(ray_session, rng):
+    from seekr_ray.extras.stats import grouped_quantiles, quantile_cont
+    from seekr_ray.extras.textstats import round6
+
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], size=5000),
+            "v": rng.normal(100.0, 15.0, size=5000),
+        }
+    )
+    qs = [0.1, 0.5, 0.95]
+    got = (
+        grouped_quantiles(_ds(df), key_col="g", val_col="v", qs=qs)
+        .to_pandas()
+        .sort_values(["g", "q"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for g, sub in df.groupby("g"):
+        v = np.sort(sub["v"].to_numpy())
+        for q in qs:
+            rows.append((g, q, round6(quantile_cont(v, q))))
+    want = pd.DataFrame(rows, columns=["g", "q", "value"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the interpolation agrees with numpy's linear method to FP noise
+    for _, r in got.iterrows():
+        ref = np.quantile(
+            df.loc[df["g"] == r["g"], "v"].to_numpy(), r["q"], method="linear"
+        )
+        assert abs(r["value"] - ref) < 1e-6
+
+
+def test_histogram_quantiles_within_bin_width(ray_session, rng):
+    from seekr_ray.extras.stats import histogram_quantiles
+
+    v = rng.normal(0.0, 1.0, size=20000)
+    df = pd.DataFrame({"v": v})
+    got = histogram_quantiles(
+        _ds(df), val_col="v", qs=[0.25, 0.5, 0.9], num_bins=2048
+    ).to_pandas()
+    width = (v.max() - v.min()) / 2048
+    for _, r in got.iterrows():
+        exact = np.quantile(v, r["q"])
+        assert abs(r["value"] - exact) <= 2 * width + 1e-9
+
+
+def test_grouped_stats_matches_pandas(ray_session, rng):
+    from seekr_ray.extras.stats import grouped_stats
+
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y"], size=3000),
+            "v": rng.uniform(10.0, 500.0, size=3000),
+        }
+    )
+    got = (
+        grouped_stats(_ds(df), key_col="g", val_col="v")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    ref = df.groupby("g")["v"]
+    assert got["n"].tolist() == ref.count().tolist()
+    assert got["vmin"].tolist() == ref.min().tolist()
+    assert got["vmax"].tolist() == ref.max().tolist()
+    # outputs are 6dp-rounded → compare at the quantization step
+    np.testing.assert_allclose(got["mean"], ref.mean(), atol=5.1e-7)
+    np.testing.assert_allclose(got["std_pop"], ref.std(ddof=0), atol=5.1e-7)
+
+
+def test_rollup_levels_consistent(ray_session, rng):
+    from seekr_ray.extras.stats import rollup_agg
+
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["p", "q"], size=2000),
+            "b": rng.choice(["s", "t", "u"], size=2000),
+            "v": rng.uniform(0.0, 10.0, size=2000),
+        }
+    )
+    got = rollup_agg(
+        _ds(df), key_cols=["a", "b"], val_col="v"
+    ).to_pandas()
+    detail = got[(got["a"] != "ALL") & (got["b"] != "ALL")]
+    sub = got[(got["a"] != "ALL") & (got["b"] == "ALL")]
+    grand = got[(got["a"] == "ALL") & (got["b"] == "ALL")]
+    assert len(detail) == 6 and len(sub) == 2 and len(grand) == 1
+    assert detail["n"].sum() == len(df) == int(grand["n"].iloc[0])
+    for a, s in sub.set_index("a")["n"].items():
+        assert s == (df["a"] == a).sum()
+    ref = df.groupby(["a", "b"])["v"].sum()
+    for _, r in detail.iterrows():
+        assert abs(r["total"] - ref[(r["a"], r["b"])]) < 1e-5
+
+
+def test_hash_ksample_deterministic_and_uniformly_keyed(ray_session):
+    import hashlib
+
+    from seekr_ray.extras.stats import hash_ksample
+
+    ids = list(range(1, 4001))
+    df = pd.DataFrame({"id": ids})
+    got1 = hash_ksample(_ds(df), id_col="id", k=100).to_pandas()["id"].tolist()
+    got2 = hash_ksample(
+        _ds(df.sample(frac=1.0, random_state=3)), id_col="id", k=100
+    ).to_pandas()["id"].tolist()
+    # same sample regardless of row order / partitioning
+    assert got1 == got2
+    # equals the brute-force smallest-k md5 keys
+    def key(v):
+        return int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "little")
+
+    want = sorted(ids, key=lambda v: (key(v), v))[:100]
+    assert sorted(got1) == sorted(want)
+
+
+def test_key_filter_join_semi_and_anti(ray_session, rng):
+    from seekr_ray.extras.joins import key_filter_join
+
+    left = pd.DataFrame({"k": np.arange(1000), "x": rng.normal(size=1000)})
+    right = pd.DataFrame({"rk": rng.choice(np.arange(0, 1000, 3), size=5000)})
+    present = set(right["rk"].tolist())
+    semi = key_filter_join(
+        _ds(left), _ds(right), left_key="k", right_key="rk"
+    ).to_pandas()
+    anti = key_filter_join(
+        _ds(left), _ds(right), left_key="k", right_key="rk", anti=True
+    ).to_pandas()
+    assert set(semi["k"]) == {k for k in left["k"] if k in present}
+    assert set(anti["k"]) == {k for k in left["k"] if k not in present}
+    assert len(semi) + len(anti) == len(left)
+
+
+def test_duplicate_ngram_spans_golden(ray_session):
+    from seekr_ray.extras.dedup import duplicate_ngram_spans
+
+    boiler = "alpha bravo charlie delta echo"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"{boiler} unique1 text here",
+                f"prefix words {boiler} trailing",
+                "totally different content with no shared spans present",
+                f"{boiler} {boiler}",  # span repeated twice in one doc
+            ],
+        }
+    )
+    got = (
+        duplicate_ngram_spans(_ds(docs), k=5, min_docs=2)
+        .to_pandas()
+        .set_index("shingle")
+    )
+    assert boiler in got.index
+    row = got.loc[boiler]
+    assert row["n_docs"] == 3  # docs 1, 2, 4 (distinct docs, not occurrences)
+    assert row["n_occ"] == 4  # doc 4 contains it twice
+    assert row["keep_doc_id"] == 1
+    # spans inside only one doc never appear
+    assert all(got["n_docs"] >= 2)
+
+
+def test_distinct_count_per_group(ray_session, rng):
+    from seekr_ray.extras.stats import distinct_count_per_group
+
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["m", "n", "o"], size=8000),
+            "u": rng.integers(0, 300, size=8000),
+        }
+    )
+    got = (
+        distinct_count_per_group(_ds(df), key_col="g", val_col="u")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    want = df.groupby("g")["u"].nunique()
+    assert got["n_distinct"].tolist() == want.tolist()
