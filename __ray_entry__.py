@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible; pytest oracle covers semantics)
         "corpus_index_manifest": eq.q_corpus_index_manifest,
         "corpus_search": eq.q_corpus_search,
+        "corpus_search_bm25": eq.q_corpus_search_bm25,
         "corpus_pagerank": eq.q_corpus_pagerank,
         "ann_lsh": eq.q_ann_lsh,
         "ann_ivf": eq.q_ann_ivf,

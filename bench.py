@@ -146,6 +146,26 @@ def run_bench() -> dict:
     timings["query_p95_ms"] = round(lat[int(len(lat) * 0.95) - 1], 3)
     timings["query_mean_ms"] = round(statistics.mean(lat), 3)
 
+    # 3b. BM25 top-k latency (the north-rule metric names p95 BM25) over
+    # the plain free-text subset of the query set; steady-state serving
+    # (doclen arrays + per-term contribs warm after the first pass)
+    from seekr_ray.query.parser import detect_operator, is_quoted
+
+    plain = [
+        (q, k)
+        for _qid, q, k in QUERY_SET
+        if q.strip() and not detect_operator(q) and not is_quoted(q.strip())
+    ]
+    engine.bm25_topk("parse buffer", 10)  # warm doclen sidecar arrays
+    blat = []
+    for q, k in plain * 5:
+        t0 = time.monotonic()
+        engine.bm25_topk(q, k)
+        blat.append((time.monotonic() - t0) * 1000)
+    blat.sort()
+    timings["bm25_p50_ms"] = round(statistics.median(blat), 3)
+    timings["bm25_p95_ms"] = round(blat[int(len(blat) * 0.95) - 1], 3)
+
     total = timings["corpus_build_sec"] + timings["documents_build_sec"]
     result = {
         "metric": "index_build_plus_query",

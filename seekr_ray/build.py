@@ -450,6 +450,9 @@ def _build_segments_partitioned(
     seg_dir = os.path.join(index_dir, "segments")
 
     # -- stage 2: tokenize -> hive-partitioned postings (write shuffle) -----
+    # + per-doc token-length sidecar (doclen/) for the BM25 scorer's dl;
+    # same tasks, same _SUCCESS gate, no extra pass over content
+    doclen_dir = os.path.join(index_dir, "doclen")
     t0 = time.monotonic()
     if not (resume and _done(postings_dir)):
         import shutil
@@ -457,7 +460,10 @@ def _build_segments_partitioned(
         from .stages.tokenize import write_postings_partitioned
 
         shutil.rmtree(postings_dir, ignore_errors=True)
-        write_postings_partitioned(docs_in, cfg, content_col, postings_dir)
+        shutil.rmtree(doclen_dir, ignore_errors=True)
+        write_postings_partitioned(
+            docs_in, cfg, content_col, postings_dir, doclen_dir=doclen_dir
+        )
         _mark(postings_dir)
     metrics["stages"]["tokenize"] = {"seconds": time.monotonic() - t0}
 

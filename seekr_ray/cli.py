@@ -85,7 +85,16 @@ def cmd_query(args) -> int:
     from .query.engine import QueryEngine
 
     engine = QueryEngine(args.index_dir)
-    out = engine.search(args.q, page=args.page, size=args.size)
+    if getattr(args, "scorer", "tfidf") == "bm25":
+        hits = engine.bm25_topk(args.q, k=(args.page + 1) * args.size)
+        page = hits[args.page * args.size : (args.page + 1) * args.size]
+        out = {
+            "results": [{"doc_id": d, "score": s} for d, s in page],
+            "total_count": len(hits),
+            "scorer": "bm25",
+        }
+    else:
+        out = engine.search(args.q, page=args.page, size=args.size)
     print(json.dumps(out, indent=1, default=str))
     return 0
 
@@ -139,6 +148,14 @@ def main(argv=None) -> int:
     q.add_argument("--q", required=True)
     q.add_argument("--page", type=int, default=0)
     q.add_argument("--size", type=int, default=10)
+    q.add_argument(
+        "--scorer",
+        choices=["tfidf", "bm25"],
+        default="tfidf",
+        help="tfidf = reference formula (0.7 tf·idf + 0.3 pagerank); "
+        "bm25 = k1=1.2/b=0.75 with the same pagerank blend "
+        "(plain free-text queries only)",
+    )
     q.set_defaults(fn=cmd_query)
 
     s = sub.add_parser("suggest", help="prefix suggestions")

@@ -877,7 +877,8 @@ def _corpus_index(sf_dir: str) -> str:
     n = _corpus_rows_for(sf_dir)
     # v2 suffix: the on-disk layout changed (drops/ + hive postings) —
     # never resume onto a stale round-1 index left in /tmp
-    index_dir = f"/tmp/seekr_entry_index_n{n}_v2"
+    # v3: adds the doclen/ BM25 sidecar — rebuild any older cached layout
+    index_dir = f"/tmp/seekr_entry_index_n{n}_v3"
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
         corpus_path = cached_corpus_path(n)
         docs = rd.read_parquet(corpus_path)
@@ -925,6 +926,35 @@ def q_corpus_search(sf_dir: str):
     out_q, out_r, out_d, out_s = [], [], [], []
     for qid, query, k in QUERY_SET:
         for rank, (doc_id, score) in enumerate(engine.search_topk(query, k)):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_d.append(doc_id)
+            out_s.append(round(score, 9))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.string()),
+            "rank": pa.array(out_r, pa.int32()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
+def q_corpus_search_bm25(sf_dir: str):
+    """BM25 (k1=1.2, b=0.75, pagerank-blended) top-k over the corpus
+    index for the plain free-text subset of the query set — the
+    north-rule ranking mode; rank-identity vs the brute-force oracle is
+    pytest-asserted (tests/test_rank_identity.py::test_bm25_*)."""
+    from .fixtures import QUERY_SET
+    from .query.engine import QueryEngine
+    from .query.parser import detect_operator, is_quoted
+
+    engine = QueryEngine(_corpus_index(sf_dir))
+    out_q, out_r, out_d, out_s = [], [], [], []
+    for qid, query, k in QUERY_SET:
+        if not query.strip() or detect_operator(query) or is_quoted(query.strip()):
+            continue
+        for rank, (doc_id, score) in enumerate(engine.bm25_topk(query, k=k)):
             out_q.append(qid)
             out_r.append(rank)
             out_d.append(doc_id)

@@ -46,7 +46,7 @@ from .parser import (
     tokenize_and_stem,
 )
 from .snippets import generate_snippet
-from .store import SegmentStore, load_pagerank
+from .store import SegmentStore, load_doclens, load_pagerank
 
 
 class DocumentData:
@@ -74,6 +74,8 @@ class QueryEngine:
         index_dir: str,
         use_wand: bool = True,
         query_log_dir: str | None = None,
+        bm25_k1: float = 1.2,
+        bm25_b: float = 0.75,
     ):
         from ..memtune import tune_allocator
 
@@ -109,6 +111,15 @@ class QueryEngine:
         self._docs_dataset = None
         self._doc_cache: OrderedDict[int, tuple[str, str, str]] = OrderedDict()
         self._doc_cache_max = 4096
+        # BM25 scorer state: doc-length arrays load lazily from the
+        # doclen/ sidecar on the first bm25_topk call; per-term contrib
+        # arrays (idf * saturation part, aligned with doc_ids) cache in a
+        # bounded dict — the index is immutable, so no invalidation
+        self.bm25_k1 = bm25_k1
+        self.bm25_b = bm25_b
+        self._doclen: tuple[np.ndarray, np.ndarray, float] | None = None
+        self._bm25_cache: OrderedDict[str, np.ndarray] = OrderedDict()
+        self._bm25_cache_max = 4096
 
     # ------------------------------------------------------------------
     # QP.search / processQuery
@@ -568,10 +579,22 @@ class QueryEngine:
         np.add.at (per-doc addition order == query-term order, so the FP
         sum matches the faithful path bit-for-bit), blend pagerank via
         searchsorted, top-k via lexsort."""
+        return self._taat_arrays(
+            [t.doc_ids for t in terms], [t.tfs * t.idf for t in terms], k
+        )
+
+    def _taat_arrays(
+        self,
+        ids_list: list[np.ndarray],
+        contribs: list[np.ndarray],
+        k: int,
+    ) -> list[tuple[int, float]]:
+        """Scorer-agnostic TAAT core over per-term (doc_ids, contrib)
+        arrays — shared by the tf·idf and BM25 paths."""
         w_tfidf = self.cfg.tfidf_weight
         w_pr = self.cfg.pagerank_weight
-        all_ids = np.concatenate([t.doc_ids for t in terms])
-        all_contrib = np.concatenate([t.tfs * t.idf for t in terms])
+        all_ids = np.concatenate(ids_list)
+        all_contrib = np.concatenate(contribs)
         uids, inv = np.unique(all_ids, return_inverse=True)
         acc = np.zeros(len(uids))
         np.add.at(acc, inv, all_contrib)
@@ -594,6 +617,26 @@ class QueryEngine:
         return [(int(uids[i]), float(scores[i])) for i in order]
 
     def _wand(self, terms, k: int) -> list[tuple[int, float]]:
+        contribs = [t.tfs * t.idf for t in terms]
+        # fl(max_tf)·idf == max(fl(tf_i·idf)) — rounding is monotone and
+        # idf >= 0, so the precomputed-array UB is bit-identical to the
+        # round-1 max_tf·idf form (asserted by the rank-identity tests)
+        ubs = [
+            self.cfg.tfidf_weight * (float(c.max()) if c.size else 0.0)
+            for c in contribs
+        ]
+        return self._wand_arrays([t.doc_ids for t in terms], contribs, ubs, k)
+
+    def _wand_arrays(
+        self,
+        ids_list: list[np.ndarray],
+        contribs: list[np.ndarray],
+        ubs: list[float],
+        k: int,
+    ) -> list[tuple[int, float]]:
+        """Scorer-agnostic WAND core: document-at-a-time with per-term
+        upper bounds over precomputed (doc_ids, contrib) arrays — shared
+        by the tf·idf and BM25 paths."""
         w_tfidf = self.cfg.tfidf_weight
         w_pr = self.cfg.pagerank_weight
         static_ub = w_pr * self.max_pagerank
@@ -605,16 +648,15 @@ class QueryEngine:
                 return float(pr_ranks[i])
             return 0.0
 
-        n = len(terms)
+        n = len(ids_list)
         pos = [0] * n  # cursor per term
-        ubs = [w_tfidf * t.max_tf * t.idf for t in terms]
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top k
         threshold = -np.inf
 
         def cur_doc(i: int) -> int:
-            t = terms[i]
+            ids = ids_list[i]
             p = pos[i]
-            return int(t.doc_ids[p]) if p < len(t.doc_ids) else _MAX_DOC
+            return int(ids[p]) if p < len(ids) else _MAX_DOC
 
         while True:
             order = sorted(range(n), key=cur_doc)
@@ -639,10 +681,10 @@ class QueryEngine:
                 # fully evaluate pivot_doc
                 score = 0.0
                 for i in range(n):
-                    t = terms[i]
+                    ids = ids_list[i]
                     p = pos[i]
-                    if p < len(t.doc_ids) and int(t.doc_ids[p]) == pivot_doc:
-                        score += t.tfs[p] * t.idf
+                    if p < len(ids) and int(ids[p]) == pivot_doc:
+                        score += contribs[i][p]
                         pos[i] += 1
                 score = w_tfidf * score + w_pr * pr_of(pivot_doc)
                 item = (score, -pivot_doc)
@@ -658,10 +700,85 @@ class QueryEngine:
                 # advance the leading terms up to pivot_doc
                 for j in range(pivot_idx):
                     i = order[j]
-                    t = terms[i]
-                    pos[i] = int(np.searchsorted(t.doc_ids, pivot_doc, side="left"))
+                    pos[i] = int(
+                        np.searchsorted(ids_list[i], pivot_doc, side="left")
+                    )
         out = sorted(heap, key=lambda it: (-it[0], -it[1]))
-        return [(-d, s) for s, d in out]
+        return [(-d, float(s)) for s, d in out]
+
+    # ------------------------------------------------------------------
+    # BM25 scorer (north-star ranking mode; k1=1.2, b=0.75)
+    # ------------------------------------------------------------------
+
+    def _doclen_arrays(self) -> tuple[np.ndarray, np.ndarray, float]:
+        if self._doclen is None:
+            self._doclen = load_doclens(self.index_dir)
+        return self._doclen
+
+    def _bm25_contribs(self, tp) -> np.ndarray:
+        """Per-posting BM25 contribution aligned with ``tp.doc_ids``:
+        ``idf · (c·(k1+1)) / (c + k1·(1 − b + b·dl/avgdl))`` with the raw
+        count recovered exactly as ``rint(tf · dl)`` (tf was stored as
+        fl(c/dl); the product is within 1 ulp of the integer c).
+        Computed once per term per engine, cached — the index is
+        immutable."""
+        cached = self._bm25_cache.get(tp.term)
+        if cached is not None:
+            self._bm25_cache.move_to_end(tp.term)
+            return cached
+        ids, dls, avgdl = self._doclen_arrays()
+        pos = np.minimum(
+            np.searchsorted(ids, tp.doc_ids), max(len(ids) - 1, 0)
+        )
+        dl = np.where(
+            (len(ids) > 0) & (ids[pos] == tp.doc_ids), dls[pos], 0
+        ).astype(np.float64)
+        c = np.rint(tp.tfs * dl)
+        k1, b = self.bm25_k1, self.bm25_b
+        denom = c + k1 * (1.0 - b + b * dl / avgdl)
+        contrib = tp.idf * ((c * (k1 + 1.0)) / denom)
+        self._bm25_cache[tp.term] = contrib
+        if len(self._bm25_cache) > self._bm25_cache_max:
+            self._bm25_cache.popitem(last=False)
+        return contrib
+
+    def bm25_topk(
+        self, query: str, k: int = 10, mode: str = "auto"
+    ) -> list[tuple[int, float]]:
+        """Top-k for a plain free-text query under BM25 (k1/b from the
+        constructor), blended with PageRank by the same cfg weights as
+        the tf·idf scorer.  ``mode``: "auto" = vectorized term-at-a-time,
+        "wand" = the WAND core with per-term BM25 upper bounds — both
+        rank-identical by test.  Boolean / phrase operators are the
+        reference's tf·idf semantics (§2.9) and are not redefined here —
+        use ``search_topk`` for those."""
+        q = (query or "").strip()
+        if not q:
+            return []
+        if detect_operator(q) or is_quoted(q):
+            raise ValueError(
+                "bm25_topk scores plain free-text queries; boolean/phrase "
+                "queries keep the reference tf·idf semantics "
+                "(search_topk)"
+            )
+        stems, _ = tokenize_and_stem(q)
+        self.store.postings_many(stems)
+        terms = []
+        for s in stems:
+            tp = self.store.postings(s)
+            if tp is not None:
+                terms.append(tp)
+        if not terms:
+            return []
+        ids_list = [t.doc_ids for t in terms]
+        contribs = [self._bm25_contribs(t) for t in terms]
+        if mode == "wand":
+            ubs = [
+                self.cfg.tfidf_weight * (float(c.max()) if c.size else 0.0)
+                for c in contribs
+            ]
+            return self._wand_arrays(ids_list, contribs, ubs, k)
+        return self._taat_arrays(ids_list, contribs, k)
 
     # ------------------------------------------------------------------
     # serving (BackendManager.search analog)

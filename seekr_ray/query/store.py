@@ -466,3 +466,38 @@ def load_pagerank(index_dir: str) -> tuple[np.ndarray, np.ndarray]:
     ranks = t["page_rank"].to_numpy(zero_copy_only=False).astype(np.float64)
     order = np.argsort(ids)
     return ids[order], ranks[order]
+
+
+def load_doclens(index_dir: str) -> tuple[np.ndarray, np.ndarray, float]:
+    """Sorted ``(doc_ids int64, dls int64)`` parallel arrays plus avgdl,
+    from the build's ``doclen/`` sidecar (one row per doc carrying its tf
+    denominator — the BM25 document length).  Same arrays-not-dict
+    discipline as ``load_pagerank``: 16 B/doc in the serving process,
+    ``searchsorted`` lookups in the vectorized scorers.
+
+    Raises FileNotFoundError for indexes built without the sidecar (the
+    salted_groupby strategy or round-1 layouts) — BM25 needs dl; the
+    tf·idf paths never touch it.
+    """
+    dl_dir = os.path.join(index_dir, "doclen")
+    files = (
+        [
+            os.path.join(dl_dir, f)
+            for f in sorted(os.listdir(dl_dir))
+            if f.endswith(".parquet")
+        ]
+        if os.path.isdir(dl_dir)
+        else []
+    )
+    if not files:
+        raise FileNotFoundError(
+            f"no doclen sidecar under {dl_dir}: BM25 requires an index "
+            "built with the partitioned-write strategy (round 2+)"
+        )
+    t = pq.read_table(files, columns=["doc_id", "dl"])
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dls = t["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids)
+    ids, dls = ids[order], dls[order]
+    avgdl = float(dls.sum() / len(dls)) if len(dls) else 0.0
+    return ids, dls, avgdl

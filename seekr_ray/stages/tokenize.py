@@ -145,6 +145,7 @@ def tokenize_batch(
     content_col: str = "content",
     store_positions: bool = True,
     num_partitions: int | None = None,
+    emit_doclen: bool = False,
 ) -> pa.Table:
     """Vectorized tokenize kernel: Arrow regex split + dictionary-encode,
     per-DISTINCT-token stemming through the worker cache, numpy grouping.
@@ -280,6 +281,27 @@ def tokenize_batch(
         tbl = tbl.append_column(
             "term_part", pa.array(stem_parts[g_stem], pa.int64())
         )
+    if emit_doclen:
+        # one sidecar row per doc carrying its tf denominator (`totals`,
+        # the BM25 document length), tagged term_part=-1 so the
+        # partitioned writer routes it to doclen/ instead of a segment
+        # partition.  term=""/empty positions are inert sentinels — ""
+        # can never be a real term (validity needs length >= 2).
+        if num_partitions is None:
+            raise ValueError("emit_doclen requires the partitioned write")
+        dl_tbl = pa.Table.from_arrays(
+            [
+                batch["doc_id"].combine_chunks(),
+                pa.array([""] * n_docs, pa.string()),
+                pa.array(totals, pa.float64()),
+                pa.array([b""] * n_docs, pa.binary()),
+                pa.array(np.ones(n_docs), pa.float64()),
+            ],
+            schema=POSTINGS_SCHEMA,
+        ).append_column(
+            "term_part", pa.array(np.full(n_docs, -1, dtype=np.int64), pa.int64())
+        )
+        tbl = pa.concat_tables([dl_tbl, tbl])
     return tbl
 
 
@@ -320,22 +342,29 @@ class TokenizeStem:
         content_col: str = "content",
         store_positions: bool = True,
         num_partitions: int | None = None,
+        emit_doclen: bool = False,
     ):
         self.tokenizer = Tokenizer()
         self.content_col = content_col
         self.store_positions = store_positions
         self.num_partitions = num_partitions
+        self.emit_doclen = emit_doclen
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         global _TOKENIZER
         _TOKENIZER = self.tokenizer  # reuse the batch path
         return tokenize_batch(
-            batch, self.content_col, self.store_positions, self.num_partitions
+            batch,
+            self.content_col,
+            self.store_positions,
+            self.num_partitions,
+            self.emit_doclen,
         )
 
 
 def write_postings_partitioned(
-    docs_ds, cfg, content_col: str, postings_dir: str
+    docs_ds, cfg, content_col: str, postings_dir: str,
+    doclen_dir: str | None = None,
 ) -> None:
     """Tokenize then write-side shuffle: postings land hive-partitioned
     by ``hash(term) % P`` with NO object-store all-to-all.
@@ -358,12 +387,15 @@ def write_postings_partitioned(
     import os
     import uuid
 
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     P = cfg.num_term_partitions
     os.makedirs(postings_dir, exist_ok=True)
     for p in range(P):
         os.makedirs(os.path.join(postings_dir, f"term_part={p}"), exist_ok=True)
+    if doclen_dir is not None:
+        os.makedirs(doclen_dir, exist_ok=True)
 
     def write_block(tbl: pa.Table) -> pa.Table:
         parts = tbl["term_part"].to_numpy(zero_copy_only=False)
@@ -372,6 +404,25 @@ def write_postings_partitioned(
         sorted_parts = parts[order]
         bounds = np.searchsorted(sorted_parts, np.arange(P + 1))
         task_id = uuid.uuid4().hex[:16]
+        # doclen sentinel rows (term_part=-1) sort to the front: write
+        # them as a (doc_id, dl) sidecar, never into a segment partition
+        n_dl = int(bounds[0])
+        if n_dl and doclen_dir is not None:
+            dl_slice = tbl.slice(0, n_dl)
+            dl_path = os.path.join(doclen_dir, f"{task_id}.parquet")
+            dl_tmp = dl_path + ".tmp"
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": dl_slice["doc_id"],
+                        "dl": pc.cast(dl_slice["tf"], pa.int64()),
+                    }
+                ),
+                dl_tmp,
+                compression="zstd",
+                compression_level=1,
+            )
+            os.replace(dl_tmp, dl_path)
         out_parts, out_rows = [], []
         for p in range(P):
             lo, hi = int(bounds[p]), int(bounds[p + 1])
@@ -398,7 +449,10 @@ def write_postings_partitioned(
             }
         )
 
-    postings = tokenize_documents(docs_ds, cfg, content_col, num_partitions=P)
+    postings = tokenize_documents(
+        docs_ds, cfg, content_col, num_partitions=P,
+        emit_doclen=doclen_dir is not None,
+    )
     written = postings.map_batches(
         write_block, batch_format="pyarrow", batch_size=None
     )
@@ -410,10 +464,15 @@ def write_postings_partitioned(
 
 
 def tokenize_documents(
-    docs_ds, cfg, content_col: str = "content", num_partitions: int | None = None
+    docs_ds,
+    cfg,
+    content_col: str = "content",
+    num_partitions: int | None = None,
+    emit_doclen: bool = False,
 ):
     """documents Dataset -> postings Dataset (+ term_part column when
-    ``num_partitions`` is given, for the partitioned write)."""
+    ``num_partitions`` is given, for the partitioned write; + one
+    term_part=-1 doclen sentinel row per doc when ``emit_doclen``)."""
     if cfg.tokenize_concurrency is not None:
         return docs_ds.map_batches(
             TokenizeStem,
@@ -423,6 +482,7 @@ def tokenize_documents(
                 "content_col": content_col,
                 "store_positions": cfg.store_positions,
                 "num_partitions": num_partitions,
+                "emit_doclen": emit_doclen,
             },
             concurrency=cfg.tokenize_concurrency,
         )
@@ -434,5 +494,6 @@ def tokenize_documents(
             "content_col": content_col,
             "store_positions": cfg.store_positions,
             "num_partitions": num_partitions,
+            "emit_doclen": emit_doclen,
         },
     )

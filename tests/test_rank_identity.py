@@ -178,3 +178,105 @@ def test_query_cache_hit_consistency(engine, oracle):
     g1 = engine.rank(r1.documents, r1.query_words)
     g2 = engine.rank(r2.documents, r2.query_words)
     assert g1 == g2
+
+
+# ---------------------------------------------------------------------------
+# BM25 scorer (engine.bm25_topk) vs a brute-force in-process oracle
+# ---------------------------------------------------------------------------
+
+from seekr_ray.query.parser import detect_operator, is_quoted, tokenize_and_stem
+
+BM25_PLAIN = [
+    (qid, q, k)
+    for qid, q, k in QUERY_SET
+    if q.strip() and not detect_operator(q) and not is_quoted(q.strip())
+]
+
+
+@pytest.fixture(scope="session")
+def bm25_oracle_state(built_index, oracle):
+    """Per-doc dl (the tokenizer's n_valid) + avgdl over the SAME doc set
+    the build tokenized (kept docs), straight from the raw corpus rows —
+    independent of the doclen/ sidecar under test."""
+    from seekr_ray.build import read_docs_table
+    from seekr_ray.text.tokenizer import Tokenizer
+
+    tok = Tokenizer()
+    tbl = read_docs_table(built_index, columns=["doc_id", "content"])
+    dls = {}
+    for doc_id, content in zip(
+        tbl["doc_id"].to_pylist(), tbl["content"].to_pylist()
+    ):
+        _info, n_valid = tok.tokenize_document(content or "")
+        dls[doc_id] = n_valid
+    avgdl = sum(dls.values()) / len(dls)
+    return dls, avgdl
+
+
+def _bm25_reference(oracle, dls, avgdl, query, k, k1=1.2, b=0.75):
+    """Reference BM25: same expression shape as engine._bm25_contribs
+    (c=len(positions), dl from the tokenizer), per-doc accumulation in
+    query-stem order, 0.7/0.3 pagerank blend, (score desc, id asc)."""
+    stems, _ = tokenize_and_stem(query)
+    scores: dict[int, float] = {}
+    for s in stems:
+        posting = oracle.postings.get(s)
+        if not posting:
+            continue
+        idf = oracle.idf[s]
+        for doc_id, (_tf, pos) in posting.items():
+            dl = float(dls[doc_id])
+            c = float(len(pos))
+            contrib = idf * (
+                (c * (k1 + 1.0)) / (c + k1 * (1.0 - b + b * dl / avgdl))
+            )
+            scores[doc_id] = scores.get(doc_id, 0.0) + contrib
+    blended = [
+        (d, 0.7 * s + 0.3 * oracle.pagerank.get(d, 0.0))
+        for d, s in scores.items()
+    ]
+    blended.sort(key=lambda t: (-t[1], t[0]))
+    return blended[:k]
+
+
+@pytest.mark.parametrize("mode", ["auto", "wand"])
+@pytest.mark.parametrize(
+    "qid,query,k", BM25_PLAIN, ids=[q[0] for q in BM25_PLAIN]
+)
+def test_bm25_rank_identity(
+    engine, oracle, bm25_oracle_state, qid, query, k, mode
+):
+    dls, avgdl = bm25_oracle_state
+    want = _bm25_reference(oracle, dls, avgdl, query, k)
+    got = engine.bm25_topk(query, k=k, mode=mode)
+    _assert_rank_identical(got, want, context=f"bm25:{mode}:{qid}")
+
+
+def test_bm25_rejects_operator_queries(engine):
+    with pytest.raises(ValueError):
+        engine.bm25_topk("parse AND buffer")
+    with pytest.raises(ValueError):
+        engine.bm25_topk('"parse buffer"')
+
+
+def test_bm25_differs_from_tfidf_on_length(engine):
+    """BM25's length normalization must actually change the ranking
+    somewhere in the fixture corpus (guards against the scorer silently
+    collapsing to tf·idf)."""
+    diffs = 0
+    for _qid, q, k in BM25_PLAIN:
+        a = [d for d, _ in engine.bm25_topk(q, k=k)]
+        b = [d for d, _ in engine.search_topk(q, k=k)]
+        if a != b:
+            diffs += 1
+    assert diffs > 0
+
+
+def test_doclen_sidecar_matches_tokenizer(built_index, bm25_oracle_state):
+    from seekr_ray.query.store import load_doclens
+
+    dls, avgdl = bm25_oracle_state
+    ids, sidecar_dls, sidecar_avgdl = load_doclens(built_index)
+    got = dict(zip(ids.tolist(), sidecar_dls.tolist()))
+    assert got == dls
+    assert math.isclose(sidecar_avgdl, avgdl, rel_tol=0, abs_tol=0)
