@@ -82,6 +82,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": eq.q_dup_spans,
         "distinct_users": eq.q_distinct_users,
         "search_bm25_topk": eq.q_search_bm25_topk,
+        "repetition_stats": eq.q_repetition_stats,
+        "redact_props": eq.q_redact_props,
+        "props_sum_by_type": eq.q_props_sum_by_type,
+        "revenue_by_region": eq.q_revenue_by_region,
         # rows-only (non-SQL-expressible; pytest oracle covers semantics)
         "corpus_index_manifest": eq.q_corpus_index_manifest,
         "corpus_search": eq.q_corpus_search,
@@ -141,4 +145,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": m["dup_spans"],
         "distinct_users": m["distinct_users"],
         "search_bm25_topk": m["search_bm25_topk"],
+        "repetition_stats": m["repetition_stats"],
+        "redact_props": m["redact_props"],
+        "props_sum_by_type": m["props_sum_by_type"],
+        "revenue_by_region": m["revenue_by_region"],
     }

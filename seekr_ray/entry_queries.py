@@ -856,6 +856,137 @@ def q_search_bm25_topk(sf_dir: str):
     )
 
 
+PROPS_FIELD = "k"  # integer field inside events.props JSON
+REDACT_PATTERN = "[0-9]+"
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals per document: duplicate-
+    token fraction and the most-common-bigram share."""
+    from .extras.patterns import repetition_stats
+
+    return repetition_stats(_docs_text(sf_dir))
+
+
+def q_redact_props(sf_dir: str):
+    """PII-shaped scrubbing: redact digit runs in events.props with one
+    vectorized RE2 pass and fingerprint the redacted form."""
+    import ray.data as rd
+
+    from .extras.patterns import regex_redact
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "props"]
+    )
+    return regex_redact(
+        ds, id_col="event_id", text_col="props", pattern=REDACT_PATTERN
+    )
+
+
+def q_props_sum_by_type(sf_dir: str):
+    """Semi-structured parse: extract the integer `k` field from the
+    props JSON with one vectorized regex (no per-row json.loads) and
+    aggregate per event type."""
+    import ray.data as rd
+
+    from .extras.patterns import json_int_field_agg
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "props"],
+    )
+    return json_int_field_agg(
+        ds, group_col="event_type", json_col="props", field=PROPS_FIELD
+    )
+
+
+def q_revenue_by_region(sf_dir: str):
+    """Multi-hop broadcast join: orders→customer→nation→region revenue
+    rollup.  The three dimension sides collapse into ONE broadcast
+    (custkey → region id via two tiny driver-side hops composed before
+    ray.put), so the fact table resolves region in a single searchsorted
+    per block and partial-aggregates before the O(regions) exchange."""
+    import pyarrow.parquet as pq_mod
+
+    import ray
+    import ray.data as rd
+
+    nation = pq_mod.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey"],
+    )
+    region = pq_mod.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    nat_to_reg = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    )
+    reg_names = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    keys_parts, reg_parts = [], []
+    for b in cust.iter_batches(batch_format="pyarrow"):
+        keys_parts.append(b["c_custkey"].to_numpy(zero_copy_only=False))
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        reg_parts.append(
+            np.fromiter((nat_to_reg[int(x)] for x in nk), np.int64, len(nk))
+        )
+    keys = np.concatenate(keys_parts) if keys_parts else np.empty(0, np.int64)
+    regs = np.concatenate(reg_parts) if reg_parts else np.empty(0, np.int64)
+    order = np.argsort(keys)
+    side_ref = ray.put((keys[order], regs[order]))
+
+    def join_partial(batch: pa.Table) -> pa.Table:
+        skeys, sregs = ray.get(side_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skeys, ck)
+        pos_c = np.minimum(pos, max(len(skeys) - 1, 0))
+        found = (len(skeys) > 0) & (skeys[pos_c] == ck)
+        reg = sregs[pos_c[found]]
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)[found]
+        un, inv = np.unique(reg, return_inverse=True)
+        return pa.table(
+            {
+                "regionkey": pa.array(un, pa.int64()),
+                "n_part": pa.array(np.bincount(inv), pa.int64()),
+                "sum_part": pa.array(
+                    np.bincount(inv, weights=price), pa.float64()
+                ),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": pa.array(
+                    [reg_names[int(x)] for x in batch["regionkey"].to_pylist()],
+                    pa.string(),
+                ),
+                "n": pc.cast(batch["sum(n_part)"], pa.int64()),
+                "total": pa.array(
+                    [round6(v) for v in batch["sum(sum_part)"].to_pylist()],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+    return (
+        orders.map_batches(join_partial, batch_format="pyarrow")
+        .groupby("regionkey")
+        .sum(["n_part", "sum_part"])
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only operators (non-SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -1625,5 +1756,46 @@ SELECT doc_id, round(score_raw, 6) AS score FROM (
   ORDER BY score_raw DESC, doc_id
   LIMIT 20
 )"""
+
+    sql["repetition_stats"] = f"""{toks}
+, bg AS (
+  SELECT doc_id, tokens,
+         CASE WHEN len(tokens) >= 2
+              THEN list_transform(range(1, len(tokens)),
+                   i -> tokens[i] || ' ' || tokens[i + 1])
+              ELSE []::VARCHAR[] END AS bgs
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN len(tokens) > 0
+            THEN round(1.0 - len(list_distinct(tokens))::DOUBLE / len(tokens), 6)
+            ELSE 0.0 END AS dup_token_frac,
+       CASE WHEN len(bgs) > 0
+            THEN round(list_max(list_transform(list_distinct(bgs),
+                 x -> len(list_filter(bgs, y -> y = x))))::DOUBLE / len(bgs), 6)
+            ELSE 0.0 END AS top_bigram_frac
+FROM bg"""
+
+    sql["redact_props"] = f"""SELECT event_id,
+       len(regexp_extract_all(props, '{REDACT_PATTERN}'))::BIGINT AS n_matches,
+       sha256(regexp_replace(props, '{REDACT_PATTERN}', '#', 'g')) AS redacted_sha256
+FROM events"""
+
+    sql["props_sum_by_type"] = f"""SELECT event_type,
+       count(v)::BIGINT AS n, sum(v)::BIGINT AS sum_v, max(v)::BIGINT AS max_v
+FROM (
+  SELECT event_type,
+         CAST(NULLIF(regexp_extract(props, '"{PROPS_FIELD}":\\s*(-?\\d+)', 1), '') AS BIGINT) AS v
+  FROM events
+)
+GROUP BY event_type"""
+
+    sql["revenue_by_region"] = """SELECT r.r_name,
+       count(*)::BIGINT AS n, round(sum(o.o_totalprice), 6) AS total
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation na ON c.c_nationkey = na.n_nationkey
+JOIN region r ON na.n_regionkey = r.r_regionkey
+GROUP BY r.r_name"""
 
     return sql
