@@ -174,10 +174,19 @@ def drops_file(index_dir: str) -> str:
 
 
 def load_drops(index_dir: str) -> pa.Table:
-    path = drops_file(index_dir)
-    if os.path.exists(path):
-        return pq.read_table(path)
-    return DROPS_SCHEMA.empty_table()
+    """All drop rows — the base build's drops.parquet plus any
+    extendNNN.parquet files appended by ``stages/extend.py``."""
+    drops_dir = os.path.join(index_dir, "drops")
+    if not os.path.isdir(drops_dir):
+        return DROPS_SCHEMA.empty_table()
+    files = [
+        os.path.join(drops_dir, f)
+        for f in sorted(os.listdir(drops_dir))
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        return DROPS_SCHEMA.empty_table()
+    return pq.read_table(files)
 
 
 def read_docs_table(

@@ -99,6 +99,28 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_extend(args) -> int:
+    import ray
+    import ray.data as rd
+
+    from .stages.extend import extend_index
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kwargs)
+    metrics = extend_index(
+        rd.read_parquet(args.input),
+        args.index_dir,
+        key_cols=args.key_cols.split(","),
+        content_col=args.content_col,
+    )
+    print(json.dumps(metrics, indent=1, sort_keys=True))
+    ray.shutdown()
+    return 0
+
+
 def cmd_suggest(args) -> int:
     from .query.engine import QueryEngine
 
@@ -142,6 +164,18 @@ def main(argv=None) -> int:
     b.add_argument("--num-cpus", type=int, default=None)
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=cmd_build)
+
+    e = sub.add_parser(
+        "extend",
+        help="add documents to an existing index (addDocuments analog: "
+        "delta segments + global idf rewrite)",
+    )
+    e.add_argument("--input", required=True, help="new-docs parquet path/dir")
+    e.add_argument("--index-dir", required=True)
+    e.add_argument("--key-cols", default="repo,path,commit")
+    e.add_argument("--content-col", default="content")
+    e.add_argument("--num-cpus", type=int, default=None)
+    e.set_defaults(fn=cmd_extend)
 
     q = sub.add_parser("query", help="run a search query")
     q.add_argument("--index-dir", required=True)

@@ -30,6 +30,7 @@ import pyarrow.parquet as pq
 
 from ..codec import decode_doc_ids, decode_position_blobs, unpack_f64, varbyte_decode
 from ..stages.postings import term_partition
+from ..stages.extend import partition_files
 from ..stages.segments import partition_file
 
 _CHUNK_COLUMNS = [
@@ -300,7 +301,7 @@ class SegmentStore:
         self.P = num_term_partitions
         self.block_size = block_size
         self._stats_cache: dict[int, _StatsPartition] = {}
-        self._pindex_cache: dict[int, _PartitionIndex | None] = {}
+        self._pindex_cache: dict[int, list[_PartitionIndex]] = {}
         self._postings_cache: OrderedDict[str, TermPostings | None] = OrderedDict()
         self._postings_cache_max = 4096
         self._all_terms: np.ndarray | None = None
@@ -342,12 +343,14 @@ class SegmentStore:
 
     # -- postings -----------------------------------------------------------
 
-    def _partition_index(self, part: int) -> _PartitionIndex | None:
+    def _partition_indexes(self, part: int) -> list[_PartitionIndex]:
+        """Base + delta files of one partition (stages/extend.py appends
+        part-XXXXX.deltaGGG.parquet next to the base; chunk rows from
+        every file merge at decode exactly like salted chunks)."""
         if part not in self._pindex_cache:
-            path = partition_file(self.seg_dir, part)
-            self._pindex_cache[part] = (
-                _PartitionIndex(path) if os.path.exists(path) else None
-            )
+            self._pindex_cache[part] = [
+                _PartitionIndex(p) for p in partition_files(self.seg_dir, part)
+            ]
         return self._pindex_cache[part]
 
     def postings(self, term: str) -> TermPostings | None:
@@ -371,6 +374,36 @@ class SegmentStore:
             with ThreadPoolExecutor(min(4, len(missing))) as ex:
                 list(ex.map(self.postings, missing))
 
+    @staticmethod
+    def _collect_chunk_rows(
+        rows: pa.Table,
+        ids_parts: list,
+        tf_parts: list,
+        pos_chunks: list,
+        imp_chunks: list,
+        chunk_counts: list,
+    ) -> None:
+        """Decode one file's chunk rows for a term into the accumulator
+        lists (shared by every base/delta/salt file the term touches)."""
+        n_docs_col = rows["n_docs"].to_pylist()
+        ids_enc = rows["doc_ids_enc"].to_pylist()
+        tfs_enc = rows["tfs_enc"].to_pylist()
+        lens_enc = rows["pos_blob_lens_enc"].to_pylist()
+        blobs = rows["pos_blobs"].to_pylist()
+        imp_enc = (
+            rows["importance_enc"].to_pylist()
+            if "importance_enc" in rows.column_names
+            else [None] * rows.num_rows
+        )
+        for i in range(rows.num_rows):
+            ids_parts.append(
+                decode_doc_ids(ids_enc[i], n_docs_col[i]).astype(np.int64)
+            )
+            tf_parts.append(unpack_f64(tfs_enc[i]))
+            pos_chunks.append((lens_enc[i], blobs[i]))
+            imp_chunks.append(imp_enc[i])
+            chunk_counts.append(n_docs_col[i])
+
     def _postings_load(self, term, stat) -> TermPostings | None:
         result: TermPostings | None = None
         if stat is not None:
@@ -389,31 +422,19 @@ class SegmentStore:
                 if part in visited:
                     continue
                 visited.add(part)
-                pidx = self._partition_index(part)
-                if pidx is None:
-                    continue
-                lo, hi = pidx.term_range(term)
-                if hi <= lo:
-                    continue
-                rows = pidx.read_rows(lo, hi)
-                n_docs_col = rows["n_docs"].to_pylist()
-                ids_enc = rows["doc_ids_enc"].to_pylist()
-                tfs_enc = rows["tfs_enc"].to_pylist()
-                lens_enc = rows["pos_blob_lens_enc"].to_pylist()
-                blobs = rows["pos_blobs"].to_pylist()
-                imp_enc = (
-                    rows["importance_enc"].to_pylist()
-                    if "importance_enc" in rows.column_names
-                    else [None] * rows.num_rows
-                )
-                for i in range(rows.num_rows):
-                    ids_parts.append(
-                        decode_doc_ids(ids_enc[i], n_docs_col[i]).astype(np.int64)
+                for pidx in self._partition_indexes(part):
+                    lo, hi = pidx.term_range(term)
+                    if hi <= lo:
+                        continue
+                    rows = pidx.read_rows(lo, hi)
+                    self._collect_chunk_rows(
+                        rows,
+                        ids_parts,
+                        tf_parts,
+                        pos_chunks,
+                        imp_chunks,
+                        chunk_counts,
                     )
-                    tf_parts.append(unpack_f64(tfs_enc[i]))
-                    pos_chunks.append((lens_enc[i], blobs[i]))
-                    imp_chunks.append(imp_enc[i])
-                    chunk_counts.append(n_docs_col[i])
             if ids_parts:
                 ids = np.concatenate(ids_parts)
                 tfs = np.concatenate(tf_parts)

@@ -1,0 +1,484 @@
+"""Incremental index extension — the reference's ``addDocuments`` parity.
+
+``SQLiteSearcher.addDocuments`` (``SQLiteSearcher.java:101-137``) inserts
+new documents into the EXISTING SQLite index and then re-runs
+``updateIDF`` over every word (``SQLiteSearcher.java:339-403``).  This
+module is the segment-store analog:
+
+* new docs get fresh deterministic ids that CONTINUE each pid's rank
+  sequence (``doc_id = (pid << 40) | rank``) — existing ids never move;
+* dedup vs the existing corpus is temporal first-wins (the crawler's
+  visited-set semantics, ``Crawler.java:129-169``): an existing document
+  always beats an incoming duplicate, by key and by content;
+* the new postings land as DELTA segment files
+  (``part-XXXXX.deltaGGG.parquet``) next to the base partition file; the
+  store merges chunk rows across files at decode time with the same
+  machinery that merges salted chunks — queries need no compaction;
+* term stats are fully rewritten (df merged old+delta, idf =
+  log10(N_total/df) for EVERY term since N changed) — the ``updateIDF``
+  analog, touching only the tiny stats tables;
+* docs/, drops/, doclen/, manifest.jsonl and meta.json extend in place;
+  pagerank/ is left untouched — new docs default to rank 0.0 at lookup,
+  exactly the reference's column default (``Crawler.java:400``) until
+  PageRank is re-run over a union link graph.
+
+Serving processes must open a NEW SegmentStore / QueryEngine to see the
+extension (the standard segment-visibility rule); long-lived engines keep
+serving the pre-extension snapshot consistently.
+
+Scale notes: the existing-corpus key/sha state is collected to driver
+numpy arrays (narrow columns only — 8 B khash + 64 B sha per doc; the
+same DRIVER_TABLE_LIMIT regime as the base build's id map, with the same
+documented Dataset-join escape hatch).  The delta build itself is the
+ordinary partitioned-write pipeline over ONLY the new rows.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..config import DOC_ID_PARTITION_SHIFT, IndexConfig
+from .doc_table import DROPS_SCHEMA, DropFilter, _sha_hex, key_hashes
+from .postings import build_partition_chunks
+from .segments import (
+    CHUNK_SCHEMA,
+    STATS_SCHEMA,
+    _atomic_write,
+    _sha256_file,
+    partition_file,
+    read_manifest,
+    stats_partition_file,
+    write_manifest,
+)
+
+RANK_MASK = (np.int64(1) << DOC_ID_PARTITION_SHIFT) - 1
+
+_DELTA_RE = re.compile(r"part-\d{5}\.delta(\d{3})\.parquet$")
+
+
+def delta_partition_file(seg_dir: str, part: int, gen: int) -> str:
+    return os.path.join(seg_dir, f"part-{part:05d}.delta{gen:03d}.parquet")
+
+
+def partition_files(seg_dir: str, part: int) -> list[str]:
+    """Base + delta segment files of one partition, decode order."""
+    out = []
+    base = partition_file(seg_dir, part)
+    if os.path.exists(base):
+        out.append(base)
+    out.extend(
+        sorted(glob.glob(os.path.join(seg_dir, f"part-{part:05d}.delta*.parquet")))
+    )
+    return out
+
+
+def next_generation(seg_dir: str) -> int:
+    gens = [
+        int(m.group(1))
+        for f in os.listdir(seg_dir)
+        if (m := _DELTA_RE.search(f))
+    ]
+    return (max(gens) + 1) if gens else 1
+
+
+def _extend_partition(
+    part: int,
+    postings_delta_dir: str,
+    seg_dir: str,
+    stats_dir: str,
+    postings_per_chunk: int,
+    n_docs_total: int,
+    gen: int,
+) -> pa.Table:
+    """One task per partition: build the delta segment (if this partition
+    received new postings) and rewrite the merged term stats with the new
+    corpus N — every term's idf changes when N does."""
+    t0 = time.monotonic()
+    part_dir = os.path.join(postings_delta_dir, f"term_part={part}")
+    files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+    delta_stats = None
+    seg_path = ""
+    seg_sha = ""
+    n_postings = 0
+    n_chunks = 0
+    if files:
+        cols = ["doc_id", "term", "tf", "positions"]
+        if "importance" in pq.read_schema(files[0]).names:
+            cols.append("importance")
+        tbl = pq.read_table(files, columns=cols)
+        if tbl.num_rows:
+            n_postings = tbl.num_rows
+            tbl = tbl.append_column(
+                "salt", pa.array(np.zeros(n_postings, np.int32), pa.int32())
+            ).append_column(
+                "term_part",
+                pa.array(np.full(n_postings, part, np.int64), pa.int64()),
+            )
+            chunks = build_partition_chunks(tbl, postings_per_chunk)
+            chunks = chunks.select(CHUNK_SCHEMA.names).cast(CHUNK_SCHEMA)
+            n_chunks = chunks.num_rows
+            seg_path = delta_partition_file(seg_dir, part, gen)
+            _atomic_write(chunks, seg_path)
+            seg_sha = _sha256_file(seg_path)
+            agg = (
+                tbl.select(["term"])
+                .group_by("term")
+                .aggregate([("term", "count")])
+            )
+            delta_stats = pa.table(
+                {
+                    "term": agg["term"],
+                    "df": pc.cast(agg["term_count"], pa.int64()),
+                    "n_salts": pa.array(
+                        np.ones(agg.num_rows, np.int32), pa.int32()
+                    ),
+                }
+            )
+
+    # merged stats: df outer-sum, n_salts max, idf from the NEW N
+    stats_path = stats_partition_file(stats_dir, part)
+    parts = []
+    if os.path.exists(stats_path):
+        old = pq.read_table(stats_path, columns=["term", "df", "n_salts"])
+        parts.append(old)
+    if delta_stats is not None:
+        parts.append(delta_stats)
+    if parts:
+        both = pa.concat_tables(parts)
+        merged = both.group_by("term").aggregate(
+            [("df", "sum"), ("n_salts", "max")]
+        )
+        merged = merged.sort_by("term")
+        df = pc.cast(merged["df_sum"], pa.int64())
+        idf = pc.log10(
+            pc.divide(float(n_docs_total), pc.cast(df, pa.float64()))
+        )
+        stats = pa.table(
+            {
+                "term": merged["term"],
+                "df": df,
+                "idf": idf,
+                "n_salts": pc.cast(merged["n_salts_max"], pa.int32()),
+            },
+            schema=STATS_SCHEMA,
+        )
+    else:
+        stats = STATS_SCHEMA.empty_table()
+    _atomic_write(stats, stats_path)
+
+    return pa.table(
+        {
+            "partition": pa.array([part], pa.int64()),
+            "delta_path": pa.array([seg_path], pa.string()),
+            "delta_sha256": pa.array([seg_sha], pa.string()),
+            "n_postings": pa.array([n_postings], pa.int64()),
+            "n_chunks": pa.array([n_chunks], pa.int64()),
+            "n_terms_total": pa.array([stats.num_rows], pa.int64()),
+            "duration_s": pa.array([time.monotonic() - t0], pa.float64()),
+        }
+    )
+
+
+def extend_index(
+    new_docs_ds,
+    index_dir: str,
+    *,
+    key_cols: list[str],
+    content_col: str = "content",
+) -> dict:
+    """Add ``new_docs_ds`` to an existing partitioned-write index.
+
+    Returns a metrics dict (n_received / n_new_docs / n_dropped /
+    generation / per-stage seconds).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..build import _target_blocks, load_drops, load_meta
+
+    t_all = time.monotonic()
+    meta = load_meta(index_dir)
+    cfg = IndexConfig.from_dict(meta["config"])
+    if cfg.shuffle_strategy != "partitioned_write":
+        raise ValueError(
+            "extend_index requires a partitioned_write index "
+            f"(got {cfg.shuffle_strategy!r})"
+        )
+    docs_dir = os.path.join(index_dir, "docs")
+    seg_dir = os.path.join(index_dir, "segments")
+    stats_dir = os.path.join(index_dir, "term_stats")
+    doclen_dir = os.path.join(index_dir, "doclen")
+    drops_dir = os.path.join(index_dir, "drops")
+    gen = next_generation(seg_dir)
+    metrics: dict = {"generation": gen, "stages": {}}
+
+    # -- existing state: khash / kept shas / per-pid max rank (narrow) ------
+    t0 = time.monotonic()
+    ex = pq.read_table(
+        docs_dir, columns=list(key_cols) + ["doc_id", "content_sha256"]
+    )
+    ex_kh = key_hashes(ex, list(key_cols))
+    ex_ids = ex["doc_id"].to_numpy(zero_copy_only=False)
+    dropf = DropFilter(load_drops(index_dir))
+    ex_shas = np.asarray(ex["content_sha256"].to_pylist(), dtype=object)
+    kept = (
+        dropf.keep_mask(ex_ids, ex["content_sha256"].to_pylist())
+        if not dropf.empty
+        else np.ones(len(ex_ids), bool)
+    )
+    kept_shas = np.unique(ex_shas[kept])
+    ex_kh_sorted = np.sort(ex_kh)
+    # per-pid max rank over ALL ids ever assigned (dropped ones included)
+    pids = (ex_ids >> DOC_ID_PARTITION_SHIFT).astype(np.int64)
+    ranks = (ex_ids & RANK_MASK).astype(np.int64)
+    base_rank = np.full(cfg.num_id_partitions, -1, np.int64)
+    if len(pids):
+        np.maximum.at(base_rank, pids, ranks)
+    metrics["stages"]["existing_state"] = {"seconds": time.monotonic() - t0}
+
+    # -- pass 1 over the new rows: (khash, sha), driver numpy ---------------
+    t0 = time.monotonic()
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_khash": pa.array(
+                    key_hashes(batch, list(key_cols)), pa.uint64()
+                ),
+                "content_sha256": pa.array(
+                    _sha_hex(batch[content_col].to_pylist()), pa.string()
+                ),
+            }
+        )
+
+    ptables = list(
+        new_docs_ds.map_batches(
+            pairs, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow")
+    )
+    ptbl = (
+        pa.concat_tables(ptables)
+        if ptables
+        else pa.table(
+            {
+                "_khash": pa.array([], pa.uint64()),
+                "content_sha256": pa.array([], pa.string()),
+            }
+        )
+    )
+    kh = ptbl["_khash"].to_numpy(zero_copy_only=False)
+    shas = np.asarray(ptbl["content_sha256"].to_pylist(), dtype=object)
+    n_received = len(kh)
+
+    # visited-set skip: keys already in the corpus (existing wins)
+    if len(ex_kh_sorted):
+        pos = np.minimum(
+            np.searchsorted(ex_kh_sorted, kh), len(ex_kh_sorted) - 1
+        )
+        fresh = ~((len(ex_kh_sorted) > 0) & (ex_kh_sorted[pos] == kh))
+    else:
+        fresh = np.ones(len(kh), bool)
+    kh, shas = kh[fresh], shas[fresh]
+
+    # within-batch key dedup: min-sha winner per khash (B5 rule)
+    if len(kh):
+        order = np.lexsort((shas, kh))
+        kh, shas = kh[order], shas[order]
+        first = np.ones(len(kh), bool)
+        first[1:] = kh[1:] != kh[:-1]
+        kh, shas = kh[first], shas[first]
+
+    # id assignment: continue each pid's rank sequence in khash order
+    new_ids = np.empty(len(kh), np.int64)
+    if len(kh):
+        pid_new = (kh % np.uint64(cfg.num_id_partitions)).astype(np.int64)
+        order = np.lexsort((kh, pid_new))
+        seq = np.arange(len(kh), dtype=np.int64)
+        grp_start = np.zeros(len(kh), np.int64)
+        starts = np.flatnonzero(
+            np.r_[True, pid_new[order][1:] != pid_new[order][:-1]]
+        )
+        grp_start[starts] = seq[starts]
+        grp_start = np.maximum.accumulate(grp_start)
+        within = seq - grp_start
+        ranks_new = base_rank[pid_new[order]] + 1 + within
+        new_ids[order] = (
+            pid_new[order] << DOC_ID_PARTITION_SHIFT
+        ) | ranks_new
+    kh_order = np.argsort(kh)
+    id_map = (kh[kh_order], new_ids[kh_order], shas[kh_order])
+
+    # content-dup drops: vs existing kept shas (existing wins), then
+    # within-batch min-id winner (B6 rule)
+    drop_ids, drop_shas = [], []
+    if len(new_ids):
+        pos = np.minimum(
+            np.searchsorted(kept_shas, shas), max(len(kept_shas) - 1, 0)
+        )
+        vs_existing = (len(kept_shas) > 0) & (kept_shas[pos] == shas)
+        drop_ids.extend(new_ids[vs_existing].tolist())
+        drop_shas.extend(shas[vs_existing].tolist())
+        wi, ws = new_ids[~vs_existing], shas[~vs_existing]
+        order2 = np.lexsort((wi, ws))
+        wi, ws = wi[order2], ws[order2]
+        if len(wi):
+            cd = np.zeros(len(wi), bool)
+            cd[1:] = ws[1:] == ws[:-1]
+            drop_ids.extend(wi[cd].tolist())
+            drop_shas.extend(ws[cd].tolist())
+    new_drops = pa.table(
+        {
+            "doc_id": pa.array(drop_ids, pa.int64()),
+            "content_sha256": pa.array(drop_shas, pa.string()),
+            "reason": pa.array(["content_dup"] * len(drop_ids), pa.string()),
+        },
+        schema=DROPS_SCHEMA,
+    )
+    metrics["stages"]["id_pass"] = {"seconds": time.monotonic() - t0}
+
+    # -- write the new docs rows (content pass #1 of 1) ----------------------
+    t0 = time.monotonic()
+    map_ref = ray.put(id_map)
+
+    def attach_new(batch: pa.Table) -> pa.Table:
+        from .doc_table import _decorate_batch
+
+        ksorted, ids_sorted, winner_shas = ray.get(map_ref)
+        bkh = key_hashes(batch, list(key_cols))
+        if len(ksorted):
+            pos = np.minimum(np.searchsorted(ksorted, bkh), len(ksorted) - 1)
+            valid = ksorted[pos] == bkh
+            ids = np.where(valid, ids_sorted[pos], -1)
+        else:
+            pos = np.zeros(len(bkh), np.int64)
+            valid = np.zeros(len(bkh), bool)
+            ids = np.full(len(bkh), -1, np.int64)
+        batch = batch.append_column("doc_id", pa.array(ids, pa.int64()))
+        batch = _decorate_batch(batch, content_col, "path")
+        if len(ksorted):
+            bs = np.asarray(batch["content_sha256"].to_pylist(), dtype=object)
+            valid = valid & (np.asarray(winner_shas[pos], dtype=object) == bs)
+        batch = batch.filter(pa.array(valid))
+        return batch.take(pc.sort_indices(batch["doc_id"]))
+
+    tmp_docs = os.path.join(index_dir, f"_extend_docs_g{gen}")
+    shutil.rmtree(tmp_docs, ignore_errors=True)
+    new_docs_ds.map_batches(
+        attach_new, batch_format="pyarrow", batch_size=None
+    ).write_parquet(
+        tmp_docs, mode="overwrite", compression="zstd", row_group_size=2048
+    )
+    new_doc_files = []
+    # an all-duplicates batch filters down to zero rows and write_parquet
+    # then creates nothing
+    for i, f in enumerate(
+        sorted(os.listdir(tmp_docs)) if os.path.isdir(tmp_docs) else []
+    ):
+        if f.endswith(".parquet"):
+            dst = os.path.join(docs_dir, f"extend{gen:03d}-{i:04d}.parquet")
+            os.replace(os.path.join(tmp_docs, f), dst)
+            new_doc_files.append(dst)
+    shutil.rmtree(tmp_docs, ignore_errors=True)
+    if new_drops.num_rows:
+        _atomic_write(
+            new_drops, os.path.join(drops_dir, f"extend{gen:03d}.parquet")
+        )
+    n_new_docs = int(len(new_ids) - new_drops.num_rows)
+    n_total = int(meta["n_docs"]) + n_new_docs
+    metrics["stages"]["doc_table"] = {
+        "seconds": time.monotonic() - t0,
+        "n_written": int(len(new_ids)),
+        "n_dropped": int(new_drops.num_rows),
+    }
+
+    # -- tokenize ONLY the new kept docs -> delta postings + doclen ---------
+    t0 = time.monotonic()
+    postings_delta = os.path.join(index_dir, f"postings_delta_g{gen}")
+    shutil.rmtree(postings_delta, ignore_errors=True)
+    if new_doc_files:
+        from .tokenize import write_postings_partitioned
+
+        src = rd.read_parquet(
+            new_doc_files, columns=["doc_id", content_col, "content_sha256"]
+        )
+        ndropf = DropFilter(new_drops)
+        if not ndropf.empty:
+            ref = ray.put(ndropf)
+
+            def mask(batch: pa.Table) -> pa.Table:
+                return ray.get(ref).filter_batch(batch)
+
+            src = src.map_batches(mask, batch_format="pyarrow")
+        src = src.map_batches(
+            lambda b: b.select(["doc_id", content_col]),
+            batch_format="pyarrow",
+        )
+        write_postings_partitioned(
+            src, cfg, content_col, postings_delta, doclen_dir=doclen_dir
+        )
+    metrics["stages"]["tokenize"] = {"seconds": time.monotonic() - t0}
+
+    # -- delta segments + merged stats (updateIDF analog), per partition ----
+    t0 = time.monotonic()
+    P = cfg.num_term_partitions
+    ppc = cfg.postings_per_chunk
+
+    def run_parts(batch: pa.Table) -> pa.Table:
+        rows = [
+            _extend_partition(
+                int(p), postings_delta, seg_dir, stats_dir, ppc, n_total, gen
+            )
+            for p in batch["part"].to_pylist()
+        ]
+        return pa.concat_tables(rows)
+
+    parts_ds = rd.from_items(
+        [{"part": int(p)} for p in range(P)], override_num_blocks=P
+    )
+    updates = parts_ds.map_batches(
+        run_parts, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    rows = read_manifest(index_dir)
+    for _, r in updates.iterrows():
+        p = int(r["partition"])
+        row = rows.get(p, {"partition": p})
+        deltas = row.get("deltas", [])
+        if r["delta_path"]:
+            deltas = deltas + [
+                {
+                    "generation": gen,
+                    "path": str(r["delta_path"]),
+                    "file_sha256": str(r["delta_sha256"]),
+                    "n_postings": int(r["n_postings"]),
+                    "n_chunks": int(r["n_chunks"]),
+                }
+            ]
+        row["deltas"] = deltas
+        row["n_terms_total"] = int(r["n_terms_total"])
+        rows[p] = row
+    write_manifest(index_dir, rows)
+    shutil.rmtree(postings_delta, ignore_errors=True)
+    metrics["stages"]["segments"] = {"seconds": time.monotonic() - t0}
+
+    # -- meta ----------------------------------------------------------------
+    meta["n_docs"] = n_total
+    meta.setdefault("extensions", []).append(
+        {"generation": gen, "n_added": n_new_docs}
+    )
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    metrics["n_received"] = int(n_received)
+    metrics["n_new_docs"] = n_new_docs
+    metrics["n_docs_total"] = n_total
+    metrics["total_seconds"] = time.monotonic() - t_all
+    return metrics

@@ -1,0 +1,161 @@
+"""Incremental extension (stages/extend.py): extending an index with new
+documents must be QUERY-EQUIVALENT to a fresh build over the union —
+same term stats (df, idf), same (content, score) result sets for every
+query-path branch, same doclen/avgdl — while never rewriting the base
+segment files.  Ids differ by construction (extension continues rank
+sequences; a fresh build interleaves), so equivalence is asserted on
+content sha256, never on ids."""
+
+import json
+import math
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from seekr_ray.build import build_index, load_meta, read_docs_table
+from seekr_ray.config import IndexConfig
+from seekr_ray.fixtures import QUERY_SET, cached_corpus_path
+from seekr_ray.query.engine import QueryEngine
+from seekr_ray.stages.extend import extend_index, partition_files
+
+N_DOCS = 160
+BASE_DIR = "/tmp/seekr_extend_base"
+FULL_DIR = "/tmp/seekr_extend_full"
+HALF1 = "/tmp/seekr_extend_half1.parquet"
+HALF2 = "/tmp/seekr_extend_half2.parquet"
+
+
+def _cfg() -> IndexConfig:
+    return IndexConfig(
+        num_term_partitions=4, num_id_partitions=4, postings_per_chunk=16
+    )
+
+
+@pytest.fixture(scope="module")
+def extended_and_full(ray_session):
+    import ray.data as rd
+
+    corpus = pq.read_table(cached_corpus_path(N_DOCS))
+    half = N_DOCS // 2
+    pq.write_table(corpus.slice(0, half), HALF1)
+    pq.write_table(corpus.slice(half), HALF2)
+    for d in (BASE_DIR, FULL_DIR):
+        shutil.rmtree(d, ignore_errors=True)
+    build_index(
+        rd.read_parquet(HALF1), BASE_DIR, _cfg(),
+        key_cols=["repo", "path", "commit"], input_path=HALF1,
+    )
+    metrics = extend_index(
+        rd.read_parquet(HALF2), BASE_DIR, key_cols=["repo", "path", "commit"]
+    )
+    build_index(
+        rd.read_parquet(cached_corpus_path(N_DOCS)), FULL_DIR, _cfg(),
+        key_cols=["repo", "path", "commit"],
+        input_path=cached_corpus_path(N_DOCS),
+    )
+    return metrics
+
+
+def _sha_of(index_dir):
+    tbl = read_docs_table(index_dir, columns=["doc_id", "content_sha256"])
+    return dict(
+        zip(tbl["doc_id"].to_pylist(), tbl["content_sha256"].to_pylist())
+    )
+
+
+def test_ndocs_and_kept_content_match_fresh_build(extended_and_full):
+    assert extended_and_full["n_new_docs"] > 0
+    assert load_meta(BASE_DIR)["n_docs"] == load_meta(FULL_DIR)["n_docs"]
+    assert sorted(set(_sha_of(BASE_DIR).values())) == sorted(
+        set(_sha_of(FULL_DIR).values())
+    )
+
+
+def test_no_doc_id_collisions_after_extension(extended_and_full):
+    tbl = pq.read_table(os.path.join(BASE_DIR, "docs"), columns=["doc_id"])
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    assert len(np.unique(ids)) == len(ids)
+
+
+def test_delta_segments_exist_base_untouched(extended_and_full):
+    manifest_deltas = 0
+    with open(os.path.join(BASE_DIR, "manifest.jsonl")) as f:
+        for line in f:
+            row = json.loads(line)
+            for d in row.get("deltas", []):
+                manifest_deltas += 1
+                assert os.path.exists(d["path"])
+                assert ".delta001." in d["path"]
+    assert manifest_deltas > 0
+    multi = [
+        p for p in range(4)
+        if len(partition_files(os.path.join(BASE_DIR, "segments"), p)) > 1
+    ]
+    assert multi, "no partition gained a delta file"
+
+
+def test_term_stats_equal_fresh_build(extended_and_full):
+    def stats_of(d):
+        out = {}
+        for p in range(4):
+            path = os.path.join(d, "term_stats", f"part-{p:05d}.parquet")
+            if not os.path.exists(path):
+                continue
+            t = pq.read_table(path)
+            for term, df, idf in zip(
+                t["term"].to_pylist(), t["df"].to_pylist(), t["idf"].to_pylist()
+            ):
+                out[term] = (df, idf)
+        return out
+
+    a, b = stats_of(BASE_DIR), stats_of(FULL_DIR)
+    assert set(a) == set(b)
+    for term in a:
+        assert a[term][0] == b[term][0], term
+        assert math.isclose(a[term][1], b[term][1], rel_tol=0, abs_tol=0), term
+
+
+@pytest.mark.parametrize("qid,query,k", QUERY_SET, ids=[q[0] for q in QUERY_SET])
+def test_query_equivalent_to_fresh_build(extended_and_full, qid, query, k):
+    ea, eb = QueryEngine(BASE_DIR), QueryEngine(FULL_DIR)
+    sa, sb = _sha_of(BASE_DIR), _sha_of(FULL_DIR)
+    ra = [(round(s, 9), sa[d]) for d, s in ea.search_topk(query, k=100_000)]
+    rb = [(round(s, 9), sb[d]) for d, s in eb.search_topk(query, k=100_000)]
+    assert sorted(ra) == sorted(rb), qid
+
+
+def test_bm25_equivalent_to_fresh_build(extended_and_full):
+    ea, eb = QueryEngine(BASE_DIR), QueryEngine(FULL_DIR)
+    sa, sb = _sha_of(BASE_DIR), _sha_of(FULL_DIR)
+    for q in ["parse buffer", "hotspot", "travel traveling traveler"]:
+        ra = [(round(s, 9), sa[d]) for d, s in ea.bm25_topk(q, k=100_000)]
+        rb = [(round(s, 9), sb[d]) for d, s in eb.bm25_topk(q, k=100_000)]
+        assert sorted(ra) == sorted(rb), q
+
+
+def test_doclen_sidecar_extended(extended_and_full):
+    from seekr_ray.query.store import load_doclens
+
+    ids_a, dls_a, avg_a = load_doclens(BASE_DIR)
+    ids_b, dls_b, avg_b = load_doclens(FULL_DIR)
+    assert len(ids_a) == len(ids_b)
+    assert math.isclose(avg_a, avg_b, rel_tol=0, abs_tol=0)
+    assert sorted(dls_a.tolist()) == sorted(dls_b.tolist())
+
+
+def test_reextending_same_docs_is_a_noop(extended_and_full, ray_session):
+    import ray.data as rd
+
+    before = load_meta(BASE_DIR)["n_docs"]
+    m = extend_index(
+        rd.read_parquet(HALF2), BASE_DIR, key_cols=["repo", "path", "commit"]
+    )
+    assert m["n_new_docs"] == 0
+    assert load_meta(BASE_DIR)["n_docs"] == before
+    # queries unaffected
+    e = QueryEngine(BASE_DIR)
+    assert e.search_topk("parse", k=5)

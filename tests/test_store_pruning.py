@@ -55,8 +55,9 @@ def test_single_term_lookup_reads_only_covering_row_groups(pruned_index):
     from seekr_ray.stages.postings import term_partition
 
     part = term_partition(stem, 2)
-    pidx = store._partition_index(part)
-    assert pidx is not None
+    idxs = store._partition_indexes(part)
+    assert idxs, "no partition files"
+    pidx = idxs[0]
     n_groups_total = pidx.pf.metadata.num_row_groups
     assert n_groups_total > 3, "fixture should produce many row groups"
 
@@ -82,9 +83,10 @@ def test_term_range_is_exact(pruned_index):
 
     store = SegmentStore(pruned_index, 2)
     for part in range(2):
-        pidx = store._partition_index(part)
-        if pidx is None:
+        idxs = store._partition_indexes(part)
+        if not idxs:
             continue
+        pidx = idxs[0]
         terms = pidx.terms
         assert (terms[:-1] <= terms[1:]).all(), "segment terms not sorted"
         for t in np.unique(terms)[:20]:
