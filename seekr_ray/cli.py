@@ -121,6 +121,21 @@ def cmd_extend(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    import ray
+
+    from .stages.extend import compact_index
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kwargs)
+    print(json.dumps(compact_index(args.index_dir), indent=1, sort_keys=True))
+    ray.shutdown()
+    return 0
+
+
 def cmd_suggest(args) -> int:
     from .query.engine import QueryEngine
 
@@ -176,6 +191,15 @@ def main(argv=None) -> int:
     e.add_argument("--content-col", default="content")
     e.add_argument("--num-cpus", type=int, default=None)
     e.set_defaults(fn=cmd_extend)
+
+    c = sub.add_parser(
+        "compact",
+        help="fold delta segment files back into one base file per "
+        "partition (LSM compaction after extend)",
+    )
+    c.add_argument("--index-dir", required=True)
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_compact)
 
     q = sub.add_parser("query", help="run a search query")
     q.add_argument("--index-dir", required=True)

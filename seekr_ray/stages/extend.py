@@ -482,3 +482,171 @@ def extend_index(
     metrics["n_docs_total"] = n_total
     metrics["total_seconds"] = time.monotonic() - t_all
     return metrics
+
+
+# ---------------------------------------------------------------------------
+# compaction: fold delta files back into one base file per partition
+# ---------------------------------------------------------------------------
+
+
+def _chunk_rows_to_postings(tbl: pa.Table, part: int) -> pa.Table:
+    """Decode segment chunk rows back into per-posting rows.
+
+    doc ids / tfs / importances decode to their arrays; the per-posting
+    POSITION blobs are sliced out of each chunk's concatenated payload
+    still varbyte-encoded (offsets from the decoded length list), so
+    compaction re-encodes nothing — the rebuilt chunk is a memcpy
+    re-grouping of the original bytes."""
+    from ..codec import decode_doc_ids, unpack_f64, varbyte_decode
+
+    terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
+    n_docs_col = tbl["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids_enc = tbl["doc_ids_enc"].to_pylist()
+    tfs_enc = tbl["tfs_enc"].to_pylist()
+    lens_enc = tbl["pos_blob_lens_enc"].to_pylist()
+    blobs = tbl["pos_blobs"].to_pylist()
+    imp_enc = (
+        tbl["importance_enc"].to_pylist()
+        if "importance_enc" in tbl.column_names
+        else [None] * tbl.num_rows
+    )
+    id_parts, tf_parts, imp_parts, pos_arrays = [], [], [], []
+    for i in range(tbl.num_rows):
+        n = int(n_docs_col[i])
+        id_parts.append(decode_doc_ids(ids_enc[i], n).astype(np.int64))
+        tf_parts.append(unpack_f64(tfs_enc[i]))
+        imp_parts.append(
+            unpack_f64(imp_enc[i])
+            if imp_enc[i] is not None
+            else np.ones(n, np.float64)
+        )
+        lens = varbyte_decode(lens_enc[i]).astype(np.int64)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        pos_arrays.append(
+            pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(),
+                n,
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(blobs[i])],
+            )
+        )
+    n_total = int(n_docs_col.sum())
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                np.concatenate(id_parts) if id_parts else np.empty(0, np.int64),
+                pa.int64(),
+            ),
+            "term": pa.array(np.repeat(terms, n_docs_col), pa.string()),
+            "tf": pa.array(
+                np.concatenate(tf_parts) if tf_parts else np.empty(0),
+                pa.float64(),
+            ),
+            "positions": pa.chunked_array(
+                pos_arrays or [pa.array([], pa.large_binary())]
+            ),
+            "importance": pa.array(
+                np.concatenate(imp_parts) if imp_parts else np.empty(0),
+                pa.float64(),
+            ),
+            "salt": pa.array(np.zeros(n_total, np.int32), pa.int32()),
+            "term_part": pa.array(
+                np.full(n_total, part, np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def _compact_partition(
+    part: int, seg_dir: str, postings_per_chunk: int
+) -> pa.Table:
+    """Merge one partition's base + delta files into a fresh base file;
+    no-op (0 files removed) for partitions without deltas."""
+    t0 = time.monotonic()
+    files = partition_files(seg_dir, part)
+    removed = 0
+    n_postings = 0
+    n_chunks = 0
+    seg_sha = ""
+    if len(files) > 1:
+        rows = pa.concat_tables(
+            [pq.read_table(f) for f in files], promote_options="default"
+        )
+        postings = _chunk_rows_to_postings(rows, part)
+        n_postings = postings.num_rows
+        chunks = build_partition_chunks(postings, postings_per_chunk)
+        chunks = chunks.select(CHUNK_SCHEMA.names).cast(CHUNK_SCHEMA)
+        n_chunks = chunks.num_rows
+        base = partition_file(seg_dir, part)
+        _atomic_write(chunks, base)
+        seg_sha = _sha256_file(base)
+        for f in files:
+            if f != base:
+                os.unlink(f)
+                removed += 1
+    return pa.table(
+        {
+            "partition": pa.array([part], pa.int64()),
+            "removed": pa.array([removed], pa.int64()),
+            "n_postings": pa.array([n_postings], pa.int64()),
+            "n_chunks": pa.array([n_chunks], pa.int64()),
+            "file_sha256": pa.array([seg_sha], pa.string()),
+            "duration_s": pa.array([time.monotonic() - t0], pa.float64()),
+        }
+    )
+
+
+def compact_index(index_dir: str) -> dict:
+    """Fold every partition's delta segment files back into its base file
+    (LSM compaction for the extension path).  Query-equivalent by
+    construction — the same chunk bytes re-grouped into one sorted file;
+    term stats, docs, drops, doclen and pagerank are untouched.
+    Returns {partitions_compacted, files_removed, seconds}."""
+    import ray.data as rd
+
+    from ..build import load_meta
+
+    t0 = time.monotonic()
+    meta = load_meta(index_dir)
+    cfg = IndexConfig.from_dict(meta["config"])
+    seg_dir = os.path.join(index_dir, "segments")
+    ppc = cfg.postings_per_chunk
+
+    def run_parts(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                _compact_partition(int(p), seg_dir, ppc)
+                for p in batch["part"].to_pylist()
+            ]
+        )
+
+    P = cfg.num_term_partitions
+    parts_ds = rd.from_items(
+        [{"part": int(p)} for p in range(P)], override_num_blocks=P
+    )
+    updates = parts_ds.map_batches(
+        run_parts, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    rows = read_manifest(index_dir)
+    compacted = 0
+    removed = 0
+    for _, r in updates.iterrows():
+        if int(r["removed"]) == 0:
+            continue
+        compacted += 1
+        removed += int(r["removed"])
+        p = int(r["partition"])
+        row = rows.get(p, {"partition": p})
+        row.pop("deltas", None)
+        row["path"] = partition_file(seg_dir, p)
+        row["file_sha256"] = str(r["file_sha256"])
+        row["n_postings"] = int(r["n_postings"])
+        row["n_chunks"] = int(r["n_chunks"])
+        row["compacted"] = True
+        rows[p] = row
+    write_manifest(index_dir, rows)
+    return {
+        "partitions_compacted": compacted,
+        "files_removed": removed,
+        "seconds": time.monotonic() - t0,
+    }

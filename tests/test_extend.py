@@ -159,3 +159,36 @@ def test_reextending_same_docs_is_a_noop(extended_and_full, ray_session):
     # queries unaffected
     e = QueryEngine(BASE_DIR)
     assert e.search_topk("parse", k=5)
+
+
+def test_compaction_is_query_equivalent(extended_and_full, ray_session):
+    """compact_index on a COPY of the extended index: every partition
+    folds to a single file and the full query set still matches the
+    fresh union build on (sha, score)."""
+    from seekr_ray.stages.extend import compact_index
+
+    cdir = "/tmp/seekr_extend_compacted"
+    shutil.rmtree(cdir, ignore_errors=True)
+    shutil.copytree(BASE_DIR, cdir)
+    m = compact_index(cdir)
+    assert m["partitions_compacted"] > 0 and m["files_removed"] > 0
+    for p in range(4):
+        assert len(partition_files(os.path.join(cdir, "segments"), p)) <= 1
+    # manifest has no delta entries left
+    with open(os.path.join(cdir, "manifest.jsonl")) as f:
+        for line in f:
+            assert "deltas" not in json.loads(line)
+    ec, eb = QueryEngine(cdir), QueryEngine(FULL_DIR)
+    sc, sb = _sha_of(cdir), _sha_of(FULL_DIR)
+    for qid, query, k in QUERY_SET:
+        rc = [(round(s, 9), sc[d]) for d, s in ec.search_topk(query, k=100_000)]
+        rb = [(round(s, 9), sb[d]) for d, s in eb.search_topk(query, k=100_000)]
+        assert sorted(rc) == sorted(rb), qid
+    # phrase path exercises the recombined position blobs
+    assert ec.search_topk('"travel connect"', k=10) == QueryEngine(
+        BASE_DIR
+    ).search_topk('"travel connect"', k=10)
+    # bm25 path (doclen untouched by compaction)
+    a = ec.bm25_topk("parse buffer", k=20)
+    b = QueryEngine(BASE_DIR).bm25_topk("parse buffer", k=20)
+    assert a == b
