@@ -619,3 +619,62 @@ def _build_segments_salted(
 def load_meta(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "meta.json")) as f:
         return json.load(f)
+
+
+def refresh_pagerank(
+    index_dir: str,
+    links_path: str | None = None,
+    links_ds=None,
+) -> dict:
+    """Recompute PageRank over the CURRENT docs table (including any
+    extensions) and atomically replace ``pagerank/`` — the companion to
+    ``stages/extend.py``: extension leaves new docs at the reference's
+    0.0 column default until this runs with a link table covering the
+    union graph."""
+    import shutil
+    import time as _time
+
+    from .graph.pagerank import build_pagerank_table, pagerank_table_from_links_table
+    from .stages.doc_table import DRIVER_TABLE_LIMIT
+
+    t0 = _time.monotonic()
+    meta = load_meta(index_dir)
+    cfg = IndexConfig.from_dict(meta["config"])
+    docs_dir = os.path.join(index_dir, "docs")
+    pr_dir = os.path.join(index_dir, "pagerank")
+    n_docs = int(meta["n_docs"])
+    docs_for_links = _filtered_docs_ds(
+        docs_dir, index_dir, ["url", "doc_id"], _blocks_for(docs_dir)
+    )
+    docs_table = (
+        read_docs_table(index_dir, columns=["url", "doc_id"])
+        if n_docs <= DRIVER_TABLE_LIMIT
+        else None
+    )
+    if (
+        links_path is not None
+        and docs_table is not None
+        and _parquet_count(links_path) <= cfg.pagerank_driver_edge_limit
+    ):
+        pr = pagerank_table_from_links_table(
+            pq.read_table(links_path), docs_table, cfg
+        )
+    else:
+        if links_ds is None:
+            import ray.data as _rd
+
+            links_ds = _rd.read_parquet(links_path)
+        pr = build_pagerank_table(
+            links_ds, docs_for_links, cfg, docs_table=docs_table
+        )
+    shutil.rmtree(pr_dir, ignore_errors=True)
+    os.makedirs(pr_dir, exist_ok=True)
+    tmp = os.path.join(pr_dir, "part-00000.parquet.tmp")
+    pq.write_table(pr, tmp)
+    os.replace(tmp, tmp[: -len(".tmp")])
+    _mark(pr_dir)
+    return {
+        "n_ranked": pr.num_rows,
+        "n_docs": n_docs,
+        "seconds": _time.monotonic() - t0,
+    }

@@ -136,6 +136,27 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_pagerank(args) -> int:
+    import ray
+
+    from .build import refresh_pagerank
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kwargs)
+    print(
+        json.dumps(
+            refresh_pagerank(args.index_dir, links_path=args.links),
+            indent=1,
+            sort_keys=True,
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
 def cmd_suggest(args) -> int:
     from .query.engine import QueryEngine
 
@@ -200,6 +221,16 @@ def main(argv=None) -> int:
     c.add_argument("--index-dir", required=True)
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_compact)
+
+    pr = sub.add_parser(
+        "pagerank",
+        help="recompute PageRank over the current docs table (run after "
+        "extend with a link table covering the union graph)",
+    )
+    pr.add_argument("--index-dir", required=True)
+    pr.add_argument("--links", required=True, help="links parquet path")
+    pr.add_argument("--num-cpus", type=int, default=None)
+    pr.set_defaults(fn=cmd_pagerank)
 
     q = sub.add_parser("query", help="run a search query")
     q.add_argument("--index-dir", required=True)

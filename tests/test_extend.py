@@ -192,3 +192,33 @@ def test_compaction_is_query_equivalent(extended_and_full, ray_session):
     a = ec.bm25_topk("parse buffer", k=20)
     b = QueryEngine(BASE_DIR).bm25_topk("parse buffer", k=20)
     assert a == b
+
+
+def test_pagerank_refresh_matches_fresh_build(extended_and_full, ray_session):
+    """refresh_pagerank over the extended index with the union link table
+    must equal a fresh build's pagerank stage, compared by URL (ids
+    differ by construction)."""
+    from seekr_ray.build import refresh_pagerank
+    from seekr_ray.fixtures import cached_links_path
+    from seekr_ray.query.store import load_pagerank
+
+    links = cached_links_path(N_DOCS)
+    pdir = "/tmp/seekr_extend_pr"
+    fdir = "/tmp/seekr_extend_pr_full"
+    for d, src in ((pdir, BASE_DIR), (fdir, FULL_DIR)):
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.copytree(src, d)
+    m = refresh_pagerank(pdir, links_path=links)
+    assert m["n_ranked"] > 0
+    refresh_pagerank(fdir, links_path=links)
+
+    def by_url(d):
+        tbl = read_docs_table(d, columns=["doc_id", "url"])
+        urls = dict(zip(tbl["doc_id"].to_pylist(), tbl["url"].to_pylist()))
+        ids, ranks = load_pagerank(d)
+        return {urls[i]: r for i, r in zip(ids.tolist(), ranks.tolist())}
+
+    a, b = by_url(pdir), by_url(fdir)
+    assert set(a) == set(b)
+    for url in a:
+        assert math.isclose(a[url], b[url], rel_tol=0, abs_tol=1e-12), url
