@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_props": eq.q_redact_props,
         "props_sum_by_type": eq.q_props_sum_by_type,
         "revenue_by_region": eq.q_revenue_by_region,
+        "decontaminate": eq.q_decontaminate,
+        "pack_offsets": eq.q_pack_offsets,
         # rows-only (non-SQL-expressible; pytest oracle covers semantics)
         "corpus_index_manifest": eq.q_corpus_index_manifest,
         "corpus_search": eq.q_corpus_search,
@@ -149,4 +151,6 @@ def oracle_sql() -> dict[str, str]:
         "redact_props": m["redact_props"],
         "props_sum_by_type": m["props_sum_by_type"],
         "revenue_by_region": m["revenue_by_region"],
+        "decontaminate": m["decontaminate"],
+        "pack_offsets": m["pack_offsets"],
     }

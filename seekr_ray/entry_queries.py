@@ -987,6 +987,65 @@ def q_revenue_by_region(sf_dir: str):
     )
 
 
+DECONTAM_K = 5  # decontamination shingle width (tokens)
+DECONTAM_BENCH_MOD = 10  # doc_id % 10 == 0 rows act as the "benchmark" set
+PACK_CAPACITY = 2048  # tokens per training pack
+PACK_RANGE = 64  # doc_id range width for the distributed prefix scan
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination audit: docs sharing >= 1 five-token
+    shingle with the (doc_id % 50 == 0) benchmark subset, with the count
+    of distinct overlapping shingles.  Benchmark shingles broadcast once
+    (ray.put); the corpus side is one shuffle-free map_batches pass."""
+    from .extras.decontam import benchmark_shingles, decontaminate
+
+    def _part(is_bench: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % DECONTAM_BENCH_MOD == 0) == is_bench
+            return batch.filter(pa.array(mask))
+
+        return fn
+
+    docs = _docs_text(sf_dir)
+    bench = docs.map_batches(_part(True), batch_format="pyarrow")
+    corpus = docs.map_batches(_part(False), batch_format="pyarrow")
+    bset = benchmark_shingles(bench, k=DECONTAM_K)
+    out = decontaminate(corpus, bset, k=DECONTAM_K).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_overlap": pa.array(out["n_overlap"], pa.int64()),
+        }
+    )
+
+
+def q_pack_offsets(sf_dir: str):
+    """Sequence-packing offsets: every doc's global token start offset in
+    doc_id order (distributed exact prefix sum: per-range partial sums ->
+    driver prefix over ranges -> per-range local cumsum), plus its
+    pack_id / pack_offset at a fixed capacity."""
+    from .extras.packing import pack_offsets
+
+    out = pack_offsets(
+        _docs_text(sf_dir),
+        capacity=PACK_CAPACITY,
+        range_size=PACK_RANGE,
+    ).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+            "start_offset": pa.array(out["start_offset"], pa.int64()),
+            "pack_id": pa.array(out["pack_id"], pa.int64()),
+            "pack_offset": pa.array(out["pack_offset"], pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only operators (non-SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -1789,6 +1848,31 @@ FROM (
   FROM events
 )
 GROUP BY event_type"""
+
+    sql["decontaminate"] = f"""{toks}
+, sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) < {DECONTAM_K} THEN []::VARCHAR[]
+              ELSE list_distinct(list_transform(range(1, len(tokens) - {DECONTAM_K - 2}),
+                   i -> array_to_string(list_slice(tokens, i, i + {DECONTAM_K - 1}), ' ')))
+         END AS shingles
+  FROM toks
+),
+bsh AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+        WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+dsh AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+        WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0)
+SELECT d.doc_id, count(*)::BIGINT AS n_overlap
+FROM dsh d JOIN bsh b USING (s)
+GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+    sql["pack_offsets"] = f"""{toks}
+, n AS (SELECT doc_id, len(tokens)::BIGINT AS n_tokens FROM toks)
+SELECT doc_id, n_tokens,
+       (sum(n_tokens) OVER w - n_tokens)::BIGINT AS start_offset,
+       ((sum(n_tokens) OVER w - n_tokens) // {PACK_CAPACITY})::BIGINT AS pack_id,
+       ((sum(n_tokens) OVER w - n_tokens) % {PACK_CAPACITY})::BIGINT AS pack_offset
+FROM n WINDOW w AS (ORDER BY doc_id) ORDER BY doc_id"""
 
     sql["revenue_by_region"] = """SELECT r.r_name,
        count(*)::BIGINT AS n, round(sum(o.o_totalprice), 6) AS total
