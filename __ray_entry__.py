@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": eq.q_revenue_by_region,
         "decontaminate": eq.q_decontaminate,
         "pack_offsets": eq.q_pack_offsets,
+        "priority_revenue": eq.q_priority_revenue,
         # rows-only (non-SQL-expressible; pytest oracle covers semantics)
         "corpus_index_manifest": eq.q_corpus_index_manifest,
         "corpus_search": eq.q_corpus_search,
@@ -153,4 +154,5 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_region": m["revenue_by_region"],
         "decontaminate": m["decontaminate"],
         "pack_offsets": m["pack_offsets"],
+        "priority_revenue": m["priority_revenue"],
     }

@@ -444,7 +444,13 @@ def q_orders_by_nation(sf_dir: str):
         pos_c = np.minimum(pos, max(len(skeys) - 1, 0))
         found = (len(skeys) > 0) & (skeys[pos_c] == ck)
         nation = snats[pos_c[found]]
-        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)[found]
+        # sum exact integer CENTS (prices are 2dp): integer-valued
+        # doubles below 2^53 sum exactly, so the result is invariant to
+        # block layout / parallelism — a float-dollar sum at ~6e8 is not
+        # (its 6dp rounding sits within summation-order ulp noise)
+        price = np.rint(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False)[found] * 100.0
+        )
         un, inv = np.unique(nation, return_inverse=True)
         n_part = np.bincount(inv)
         sum_part = np.bincount(inv, weights=price)
@@ -467,7 +473,7 @@ def q_orders_by_nation(sf_dir: str):
                 "nation": batch["nation"],
                 "n": pc.cast(batch["sum(n_part)"], pa.int64()),
                 "total": pa.array(
-                    [round6(v) for v in batch["sum(sum_part)"].to_pylist()],
+                    [round6(v / 100.0) for v in batch["sum(sum_part)"].to_pylist()],
                     pa.float64(),
                 ),
             }
@@ -734,10 +740,36 @@ def q_revenue_rollup(sf_dir: str):
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
     )
-    return rollup_agg(
-        ds,
+
+    # exact integer cents (2dp prices): parallelism-invariant sums (see
+    # q_orders_by_nation); divide back to dollars after the rollup
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "l_extendedprice": pa.array(cents, pa.float64()),
+            }
+        )
+
+    out = rollup_agg(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
         key_cols=["l_returnflag", "l_linestatus"],
         val_col="l_extendedprice",
+    )
+    return pa.table(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "l_linestatus": out["l_linestatus"],
+            "n": out["n"],
+            "total": pa.array(
+                [round6(v / 100.0) for v in out["total"].to_pylist()],
+                pa.float64(),
+            ),
+        }
     )
 
 
@@ -948,7 +980,10 @@ def q_revenue_by_region(sf_dir: str):
         pos_c = np.minimum(pos, max(len(skeys) - 1, 0))
         found = (len(skeys) > 0) & (skeys[pos_c] == ck)
         reg = sregs[pos_c[found]]
-        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)[found]
+        # exact integer cents (see q_orders_by_nation)
+        price = np.rint(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False)[found] * 100.0
+        )
         un, inv = np.unique(reg, return_inverse=True)
         return pa.table(
             {
@@ -969,7 +1004,7 @@ def q_revenue_by_region(sf_dir: str):
                 ),
                 "n": pc.cast(batch["sum(n_part)"], pa.int64()),
                 "total": pa.array(
-                    [round6(v) for v in batch["sum(sum_part)"].to_pylist()],
+                    [round6(v / 100.0) for v in batch["sum(sum_part)"].to_pylist()],
                     pa.float64(),
                 ),
             }
@@ -984,6 +1019,74 @@ def q_revenue_by_region(sf_dir: str):
         .groupby("regionkey")
         .sum(["n_part", "sum_part"])
         .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def q_priority_revenue(sf_dir: str):
+    """Large×large SHUFFLE hash join (no broadcast side): lineitem ⋈
+    orders on orderkey via ``Dataset.join`` — the all-to-all exchange
+    path the broadcast entries (orders_by_nation, revenue_by_region)
+    deliberately avoid; here both sides are fact-sized so the hash
+    repartition IS the right plan.  Joined rows partial-aggregate per
+    block before the O(priorities) final exchange."""
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # exact integer units of 1e-4 dollars (price is 2dp, discount is
+        # 2dp): integer-valued doubles sum exactly below 2^53, making the
+        # result invariant to join partitioning / summation order
+        cents = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        )
+        pct = np.rint(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        )
+        rev = cents * (100.0 - pct)
+        pri = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        un, inv = np.unique(pri, return_inverse=True)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(un, pa.string()),
+                "n_part": pa.array(np.bincount(inv), pa.int64()),
+                "rev_part": pa.array(
+                    np.bincount(inv, weights=rev), pa.float64()
+                ),
+            }
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .sum(["n_part", "rev_part"])
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(agg["o_orderpriority"], pa.string()),
+            "n": pa.array(agg["sum(n_part)"].astype("int64"), pa.int64()),
+            "revenue": pa.array(
+                [round6(v / 10000.0) for v in agg["sum(rev_part)"]],
+                pa.float64(),
+            ),
+        }
     )
 
 
@@ -1598,8 +1701,12 @@ ORDER BY CASE WHEN term = '{SUGGEST_PREFIX}' THEN 1
          term
 LIMIT 5"""
 
-    sql["orders_by_nation"] = """SELECT c_nationkey AS nation,
-       count(*)::BIGINT AS n, round(sum(o_totalprice), 6) AS total
+    # money sums run in exact integer cents on both sides (2dp prices;
+    # integer-valued doubles sum exactly), so the 6dp compare is
+    # invariant to summation order / parallelism
+    sql["orders_by_nation"] = """SELECT c_nationkey::BIGINT AS nation,
+       count(*)::BIGINT AS n,
+       round(sum(round(o_totalprice * 100)) / 100, 6) AS total
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1"""
 
@@ -1759,7 +1866,7 @@ FROM lineitem GROUP BY l_returnflag"""
     sql["revenue_rollup"] = """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        coalesce(l_linestatus, 'ALL') AS l_linestatus,
        count(*)::BIGINT AS n,
-       round(sum(l_extendedprice), 6) AS total
+       round(sum(round(l_extendedprice * 100)) / 100, 6) AS total
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
 
     sql["event_sample"] = f"""SELECT event_id FROM events
@@ -1849,6 +1956,13 @@ FROM (
 )
 GROUP BY event_type"""
 
+    sql["priority_revenue"] = """SELECT o_orderpriority,
+       count(*)::BIGINT AS n,
+       round(sum(round(l_extendedprice * 100) * (100 - round(l_discount * 100)))
+             / 10000, 6) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
     sql["decontaminate"] = f"""{toks}
 , sh AS (
   SELECT doc_id,
@@ -1875,7 +1989,8 @@ SELECT doc_id, n_tokens,
 FROM n WINDOW w AS (ORDER BY doc_id) ORDER BY doc_id"""
 
     sql["revenue_by_region"] = """SELECT r.r_name,
-       count(*)::BIGINT AS n, round(sum(o.o_totalprice), 6) AS total
+       count(*)::BIGINT AS n,
+       round(sum(round(o.o_totalprice * 100)) / 100, 6) AS total
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation na ON c.c_nationkey = na.n_nationkey

@@ -39,7 +39,9 @@ def tumbling_agg(events_ds, unit: str = "hour"):
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "window": batch["window"],
+                # pin to us resolution: the hash-shuffle groupby can coarsen the
+                # key to [s], and the driver compares dtypes vs DuckDB [us]
+                "window": pc.cast(batch["window"], pa.timestamp("us")),
                 "event_type": batch["event_type"],
                 "n": pc.cast(batch["sum(n_part)"], pa.int64()),
                 "value_sum": pa.array(
@@ -189,7 +191,9 @@ def hopping_agg(events_ds, window_us: int, hop_us: int):
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "window": batch["window"],
+                # pin to us resolution: the hash-shuffle groupby can coarsen the
+                # key to [s], and the driver compares dtypes vs DuckDB [us]
+                "window": pc.cast(batch["window"], pa.timestamp("us")),
                 "event_type": batch["event_type"],
                 "n": pc.cast(batch["sum(n_part)"], pa.int64()),
                 "value_sum": pa.array(
