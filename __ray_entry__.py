@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": eq.q_decontaminate,
         "pack_offsets": eq.q_pack_offsets,
         "priority_revenue": eq.q_priority_revenue,
+        "event_type_pivot": eq.q_event_type_pivot,
+        "running_value": eq.q_running_value,
         # rows-only (non-SQL-expressible; pytest oracle covers semantics)
         "corpus_index_manifest": eq.q_corpus_index_manifest,
         "corpus_search": eq.q_corpus_search,
@@ -155,4 +157,6 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": m["decontaminate"],
         "pack_offsets": m["pack_offsets"],
         "priority_revenue": m["priority_revenue"],
+        "event_type_pivot": m["event_type_pivot"],
+        "running_value": m["running_value"],
     }

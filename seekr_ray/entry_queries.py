@@ -1090,6 +1090,68 @@ def q_priority_revenue(sf_dir: str):
     )
 
 
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_type_pivot(sf_dir: str):
+    """Wide (pivoted) per-user event-type counts — SQL conditional
+    aggregation as a distributed operator: per-block partial counts
+    shrink the exchange to O(users × types), a bucketed map_groups
+    widens each user vectorized.  Integer counts ⇒ parallelism-
+    invariant."""
+    import ray.data as rd
+
+    from .extras.stats import pivot_counts
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    out = (
+        pivot_counts(
+            ds,
+            key_col="user_id",
+            pivot_col="event_type",
+            categories=PIVOT_TYPES,
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {c: pa.array(out[c], pa.int64()) for c in ["user_id", *PIVOT_TYPES]}
+    )
+
+
+def q_running_value(sf_dir: str):
+    """Per-user running value sum in (ts, event_id) order — the SQL
+    window ``sum() OVER (PARTITION BY ... ORDER BY ...)`` as a bucketed
+    co-partition + single lexsort/grouped-cumsum kernel.  The summation
+    order is defined by the key/ordering, not block layout, so the
+    float result is parallelism-invariant and SQL-replicable."""
+    import ray.data as rd
+
+    from .extras.windows import running_sum_per_group
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    out = (
+        running_sum_per_group(ds)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "event_id": pa.array(out["event_id"], pa.int64()),
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "running_value": pa.array(out["running_value"], pa.float64()),
+        }
+    )
+
+
 DECONTAM_K = 5  # decontamination shingle width (tokens)
 DECONTAM_BENCH_MOD = 10  # doc_id % 10 == 0 rows act as the "benchmark" set
 PACK_CAPACITY = 2048  # tokens per training pack
@@ -1955,6 +2017,19 @@ FROM (
   FROM events
 )
 GROUP BY event_type"""
+
+    pivot_cols = ",\n       ".join(
+        f"count(CASE WHEN event_type = '{c}' THEN 1 END)::BIGINT AS {c}"
+        for c in PIVOT_TYPES
+    )
+    sql["event_type_pivot"] = f"""SELECT user_id,
+       {pivot_cols}
+FROM events GROUP BY user_id ORDER BY user_id"""
+
+    sql["running_value"] = """SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6)
+           AS running_value
+FROM events ORDER BY event_id"""
 
     sql["priority_revenue"] = """SELECT o_orderpriority,
        count(*)::BIGINT AS n,

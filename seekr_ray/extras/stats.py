@@ -359,3 +359,75 @@ def distinct_count_per_group(ds, *, key_col: str, val_col: str):
         .count()
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def pivot_counts(
+    ds,
+    *,
+    key_col: str,
+    pivot_col: str,
+    categories: list[str],
+    num_buckets: int = 64,
+):
+    """Wide (pivoted) per-key counts: one row per key, one int64 column
+    per category of ``pivot_col`` — SQL's conditional-aggregation
+    ``count(CASE WHEN pivot = c THEN 1 END)`` as a distributed operator.
+
+    ``categories`` is the explicit pivot domain (the output SCHEMA must
+    not depend on which blocks a worker saw); values outside it are
+    ignored.  Plan: per-block partial counts shrink the exchange to
+    O(keys x |categories|) narrow rows, a hash-bucketed
+    ``groupby(bucket).map_groups`` widens each key vectorized (lexsort +
+    reduceat — no per-row Python).  Counts are integers, so results are
+    bit-identical at any parallelism.
+    """
+    cat_idx = {c: i for i, c in enumerate(categories)}
+    ncat = len(categories)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        piv = batch[pivot_col].to_pylist()
+        ci = np.fromiter(
+            (cat_idx.get(p, -1) for p in piv), np.int64, len(piv)
+        )
+        keep = ci >= 0
+        keys, ci = keys[keep], ci[keep]
+        if not len(keys):
+            return pa.table(
+                {
+                    "_b": pa.array([], pa.int32()),
+                    key_col: pa.array([], pa.int64()),
+                    "_c": pa.array([], pa.int64()),
+                    "_n": pa.array([], pa.int64()),
+                }
+            )
+        comp = keys * ncat + ci
+        un, cnt = np.unique(comp, return_counts=True)
+        uk, uc = un // ncat, un % ncat
+        return pa.table(
+            {
+                "_b": pa.array((uk % num_buckets).astype(np.int32), pa.int32()),
+                key_col: pa.array(uk, pa.int64()),
+                "_c": pa.array(uc, pa.int64()),
+                "_n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    def widen(group: pa.Table) -> pa.Table:
+        keys = group[key_col].to_numpy(zero_copy_only=False)
+        ci = group["_c"].to_numpy(zero_copy_only=False)
+        n = group["_n"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(keys, return_inverse=True)
+        wide = np.zeros((len(uk), ncat), np.int64)
+        np.add.at(wide, (inv, ci), n)
+        cols = {key_col: pa.array(uk, pa.int64())}
+        for j, c in enumerate(categories):
+            cols[c] = pa.array(wide[:, j], pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.select_columns([key_col, pivot_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(widen, batch_format="pyarrow")
+    )

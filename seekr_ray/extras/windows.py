@@ -209,3 +209,72 @@ def hopping_agg(events_ds, window_us: int, hop_us: int):
         .sum(["n_part", "sum_part"])
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def running_sum_per_group(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    num_buckets: int = 64,
+):
+    """Per-key running (cumulative) sum in (ts, id) order — SQL's
+    ``sum(val) OVER (PARTITION BY key ORDER BY ts, id)`` as a
+    distributed operator.  Same co-location plan as ``sessionize``:
+    hash(key) → bucket, one ``groupby(bucket).map_groups``, then a
+    single lexsort + grouped cumsum kernel (global cumsum minus each
+    group's starting offset — no per-row Python).
+
+    The summation order is DEFINED by (key, ts, id), not by block
+    layout, so the float result is identical at any parallelism and
+    replicable by the SQL window frame.
+    """
+    import numpy as np
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        t = batch[ts_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((k % num_buckets).astype(np.int32), pa.int32()),
+                "k": pa.array(k, pa.int64()),
+                "t": pa.array(t.view("int64"), pa.int64()),
+                "i": batch[id_col],
+                "v": batch[val_col],
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        k = group["k"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        i = group["i"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, t, k))
+        k, t, i, v = k[order], t[order], i[order], v[order]
+        cs = np.cumsum(v)
+        new = np.ones(len(k), bool)
+        if len(k) > 1:
+            new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        # offset before each group's first row, broadcast over the group
+        base = np.repeat(
+            cs[starts] - v[starts], np.diff(np.r_[starts, len(k)])
+        )
+        run = cs - base
+        return pa.table(
+            {
+                id_col: pa.array(i, pa.int64()),
+                key_col: pa.array(k, pa.int64()),
+                "running_value": pa.array(
+                    [round6(x) for x in run], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        events_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

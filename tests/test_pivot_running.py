@@ -1,0 +1,73 @@
+"""Unit semantics for pivot_counts and running_sum_per_group (DuckDB
+equivalence runs in test_entry_contract.py; these cover edges the
+fixture lacks: out-of-domain categories, keys missing some categories,
+FP order of the grouped cumsum vs a per-group sequential sum)."""
+
+import numpy as np
+import pandas as pd
+
+
+def _ds(df: pd.DataFrame):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(4)
+
+
+def test_pivot_counts_matches_pandas_crosstab(ray_session):
+    from seekr_ray.extras.stats import pivot_counts
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 20, 300).astype(np.int64),
+            "c": rng.choice(["a", "b", "c", "zz"], 300),  # zz out of domain
+        }
+    )
+    got = (
+        pivot_counts(_ds(df), key_col="k", pivot_col="c", categories=["a", "b", "c"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.crosstab(df.k, df.c)
+        .reindex(columns=["a", "b", "c"], fill_value=0)
+        .reset_index()
+    )
+    want.columns.name = None
+    # keys whose only events were out-of-domain may be absent from got
+    want = want[want[["a", "b", "c"]].sum(axis=1) > 0].reset_index(drop=True)
+    got = got[got[["a", "b", "c"]].sum(axis=1) > 0].reset_index(drop=True)
+    assert got.k.tolist() == want.k.tolist()
+    for c in ["a", "b", "c"]:
+        assert got[c].tolist() == want[c].astype("int64").tolist()
+
+
+def test_running_sum_matches_sequential_per_group(ray_session):
+    from seekr_ray.extras.textstats import round6
+    from seekr_ray.extras.windows import running_sum_per_group
+
+    rng = np.random.RandomState(11)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 17, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.randint(0, 10**6, n), unit="s"
+            ).astype("datetime64[us]"),
+            "value": np.round(rng.uniform(0, 500, n), 2),
+        }
+    )
+    got = (
+        running_sum_per_group(_ds(df), num_buckets=5)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    want["running"] = want.groupby("user_id")["value"].cumsum()
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert got.event_id.tolist() == want.event_id.tolist()
+    assert got.user_id.tolist() == want.user_id.tolist()
+    assert got.running_value.tolist() == [round6(v) for v in want.running]
