@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_revenue": eq.q_priority_revenue,
         "event_type_pivot": eq.q_event_type_pivot,
         "running_value": eq.q_running_value,
+        "term_pmi": eq.q_term_pmi,
         # rows-only (non-SQL-expressible; pytest oracle covers semantics)
         "corpus_index_manifest": eq.q_corpus_index_manifest,
         "corpus_search": eq.q_corpus_search,
@@ -159,4 +160,5 @@ def oracle_sql() -> dict[str, str]:
         "priority_revenue": m["priority_revenue"],
         "event_type_pivot": m["event_type_pivot"],
         "running_value": m["running_value"],
+        "term_pmi": m["term_pmi"],
     }

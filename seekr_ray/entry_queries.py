@@ -1090,6 +1090,29 @@ def q_priority_revenue(sf_dir: str):
     )
 
 
+def q_term_pmi(sf_dir: str):
+    """Document-level term co-occurrence with PMI (collocation signal):
+    per-block distinct-pair partials (one row per pair per block reaches
+    the exchange), O(vocab) term doc-frequencies broadcast for the PMI
+    attach."""
+    from .extras.textstats import term_cooccurrence_pmi
+
+    out = (
+        term_cooccurrence_pmi(_docs_text(sf_dir), min_docs=2)
+        .to_pandas()
+        .sort_values(["term_a", "term_b"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "term_a": pa.array(out["term_a"], pa.string()),
+            "term_b": pa.array(out["term_b"], pa.string()),
+            "n_docs": pa.array(out["n_docs"], pa.int64()),
+            "pmi": pa.array(out["pmi"], pa.float64()),
+        }
+    )
+
+
 PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2017,6 +2040,23 @@ FROM (
   FROM events
 )
 GROUP BY event_type"""
+
+    sql["term_pmi"] = f"""{toks}
+, dt AS (SELECT doc_id, unnest(list_distinct(tokens)) AS t FROM toks),
+  df AS (SELECT t, count(*)::BIGINT AS c FROM dt GROUP BY t),
+  nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+  pairs AS (
+    SELECT a.t AS term_a, b.t AS term_b, count(*)::BIGINT AS n_docs
+    FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+    GROUP BY 1, 2 HAVING count(*) >= 2
+  )
+SELECT p.term_a, p.term_b, p.n_docs,
+       round(log10(nn.n * p.n_docs / (da.c * db.c)), 6) AS pmi
+FROM pairs p
+CROSS JOIN nn
+JOIN df da ON da.t = p.term_a
+JOIN df db ON db.t = p.term_b
+ORDER BY term_a, term_b"""
 
     pivot_cols = ",\n       ".join(
         f"count(CASE WHEN event_type = '{c}' THEN 1 END)::BIGINT AS {c}"

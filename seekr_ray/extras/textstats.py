@@ -13,6 +13,7 @@ exercised by the pytest rank-identity oracle instead (tests/).
 
 from __future__ import annotations
 
+import math
 import re
 
 import numpy as np
@@ -211,3 +212,113 @@ def doc_fingerprints(docs_ds, text_col: str = "text", window: int = 8):
         )
 
     return docs_ds.map_batches(fp, batch_format="pyarrow")
+
+
+# -- term co-occurrence / PMI -------------------------------------------------
+
+
+def term_cooccurrence_pmi(docs_ds, text_col: str = "text", min_docs: int = 2):
+    """Document-level term co-occurrence with pointwise mutual
+    information — the classic collocation / related-term signal for
+    corpus analysis (Church & Hanks 1990).
+
+    Per block, each doc contributes its DISTINCT token pairs once
+    (lexicographically ordered, a < b) plus per-term doc counts, both
+    partial-aggregated before the exchange, so the shuffle carries one
+    row per distinct pair per block — never one per occurrence.  The
+    final pass attaches ``pmi = log10(N · c_ab / (c_a · c_b))`` with the
+    per-term doc frequencies broadcast (they are O(vocab), tiny next to
+    the pair table).
+
+    Output: ``(term_a, term_b, n_docs, pmi)`` for pairs co-occurring in
+    ≥ ``min_docs`` documents.  At 100 TB the pair space is bounded by
+    restricting to a vocabulary (do the df pass first and keep top-V
+    terms); the kernel is unchanged.
+    """
+    import itertools
+
+    import ray
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        pair_acc: dict[tuple[str, str], int] = {}
+        term_acc: dict[str, int] = {}
+        n_docs = 0
+        for t in batch[text_col].to_pylist():
+            toks = sorted(set(simple_tokens(t or "")))
+            if not toks:
+                n_docs += 1
+                continue
+            n_docs += 1
+            for tok in toks:
+                term_acc[tok] = term_acc.get(tok, 0) + 1
+            for a, b in itertools.combinations(toks, 2):
+                pair_acc[(a, b)] = pair_acc.get((a, b), 0) + 1
+        pairs = list(pair_acc.items())
+        return pa.table(
+            {
+                "term_a": pa.array([p[0][0] for p in pairs], pa.string()),
+                "term_b": pa.array([p[0][1] for p in pairs], pa.string()),
+                "c": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+
+    def term_partial(batch: pa.Table) -> pa.Table:
+        term_acc: dict[str, int] = {}
+        n = 0
+        for t in batch[text_col].to_pylist():
+            n += 1
+            for tok in set(simple_tokens(t or "")):
+                term_acc[tok] = term_acc.get(tok, 0) + 1
+        # the "" sentinel row carries this block's doc count toward the
+        # corpus N (simple_tokens never yields ""), so token-less blocks
+        # still count
+        terms = [("", 0), *term_acc.items()]
+        return pa.table(
+            {
+                "term": pa.array([t for t, _ in terms], pa.string()),
+                "c": pa.array([c for _, c in terms], pa.int64()),
+                "n_docs": pa.array([n] + [0] * (len(terms) - 1), pa.int64()),
+            }
+        )
+
+    # per-term doc counts + corpus N (O(vocab) — collected and broadcast)
+    tstats = (
+        docs_ds.map_batches(term_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum(["c", "n_docs"])
+        .to_pandas()
+    )
+    dfs = dict(zip(tstats["term"], tstats["sum(c)"]))
+    n_total = int(tstats["sum(n_docs)"].sum())
+    stats_ref = ray.put((dfs, n_total))
+
+    def attach_pmi(batch: pa.Table) -> pa.Table:
+        df_map, n = ray.get(stats_ref)
+        a = batch["term_a"].to_pylist()
+        b = batch["term_b"].to_pylist()
+        c = batch["sum(c)"].to_numpy(zero_copy_only=False)
+        keep = c >= min_docs
+        a = [x for x, k in zip(a, keep) if k]
+        b = [x for x, k in zip(b, keep) if k]
+        c = c[keep]
+        pmi = [
+            round6(
+                math.log10(n * cc / (df_map[x] * df_map[y]))
+            )
+            for x, y, cc in zip(a, b, c)
+        ]
+        return pa.table(
+            {
+                "term_a": pa.array(a, pa.string()),
+                "term_b": pa.array(b, pa.string()),
+                "n_docs": pa.array(c, pa.int64()),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["term_a", "term_b"])
+        .sum("c")
+        .map_batches(attach_pmi, batch_format="pyarrow")
+    )

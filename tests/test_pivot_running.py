@@ -71,3 +71,33 @@ def test_running_sum_matches_sequential_per_group(ray_session):
     assert got.event_id.tolist() == want.event_id.tolist()
     assert got.user_id.tolist() == want.user_id.tolist()
     assert got.running_value.tolist() == [round6(v) for v in want.running]
+
+
+def test_term_pmi_hand_computed(ray_session):
+    import math
+
+    from seekr_ray.extras.textstats import round6, term_cooccurrence_pmi
+
+    # alpha+bravo co-occur in 2 of 4 docs; alpha df=3, bravo df=2
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha bravo",
+                "alpha bravo",
+                "alpha charlie",
+                "charlie delta",
+            ],
+        }
+    )
+    got = (
+        term_cooccurrence_pmi(_ds(docs), min_docs=2)
+        .to_pandas()
+        .set_index(["term_a", "term_b"])
+    )
+    assert got.loc[("alpha", "bravo"), "n_docs"] == 2
+    want = round6(math.log10(4 * 2 / (3 * 2)))
+    assert got.loc[("alpha", "bravo"), "pmi"] == want
+    # pairs seen once (alpha-charlie, charlie-delta) filtered by min_docs
+    assert ("alpha", "charlie") not in got.index
+    assert ("charlie", "delta") not in got.index
