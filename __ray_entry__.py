@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pivot": eq.q_event_type_pivot,
         "running_value": eq.q_running_value,
         "term_pmi": eq.q_term_pmi,
+        "mixture_sample": eq.q_mixture_sample,
         # rows-only (non-SQL-expressible; pytest oracle covers semantics)
         "corpus_index_manifest": eq.q_corpus_index_manifest,
         "corpus_search": eq.q_corpus_search,
@@ -161,4 +162,5 @@ def oracle_sql() -> dict[str, str]:
         "event_type_pivot": m["event_type_pivot"],
         "running_value": m["running_value"],
         "term_pmi": m["term_pmi"],
+        "mixture_sample": m["mixture_sample"],
     }

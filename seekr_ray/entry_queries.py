@@ -1090,6 +1090,40 @@ def q_priority_revenue(sf_dir: str):
     )
 
 
+MIX_BUDGET = 30_000  # target mixture size (tokens)
+MIX_WEIGHTS = {"en": 300, "fr": 500, "zh": 100, "de": 50, "es": 50}  # per-mille
+
+
+def q_mixture_sample(sf_dir: str):
+    """Data-mixture sampling: per-source integer keep thresholds from
+    exact per-source token totals (fr's target exceeds its supply →
+    keep-all cap; the others downsample), then a stateless md5 filter —
+    the mixture-weighting step of an LLM training pipeline."""
+    import ray.data as rd
+
+    from .extras.split import mixture_sample
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+    out = (
+        mixture_sample(
+            ds, token_budget=MIX_BUDGET, weights_permille=MIX_WEIGHTS
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "lang": pa.array(out["lang"], pa.string()),
+            "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+        }
+    )
+
+
 def q_term_pmi(sf_dir: str):
     """Document-level term co-occurrence with PMI (collocation signal):
     per-block distinct-pair partials (one row per pair per block reaches
@@ -2040,6 +2074,19 @@ FROM (
   FROM events
 )
 GROUP BY event_type"""
+
+    mix_vals = ", ".join(f"('{g}', {w})" for g, w in MIX_WEIGHTS.items())
+    sql["mixture_sample"] = f"""{toks}
+, tot AS (SELECT lang, sum(len(tokens))::BIGINT AS t FROM toks GROUP BY lang),
+  th AS (SELECT tot.lang,
+                least(1000000,
+                      ({MIX_BUDGET}::BIGINT * w.w * 1000000)
+                      // (1000 * tot.t)) AS thresh
+         FROM tot JOIN (VALUES {mix_vals}) w(lang, w) ON w.lang = tot.lang)
+SELECT d.doc_id, d.lang, len(d.tokens)::BIGINT AS n_tokens
+FROM toks d JOIN th ON th.lang = d.lang
+WHERE md5_number_upper(d.doc_id::VARCHAR) % 1000000 < th.thresh
+ORDER BY d.doc_id"""
 
     sql["term_pmi"] = f"""{toks}
 , dt AS (SELECT doc_id, unnest(list_distinct(tokens)) AS t FROM toks),

@@ -85,3 +85,96 @@ def stratified_sample(
 def _mille(v, salt: str) -> int:
     h = hashlib.md5((salt + str(v)).encode()).digest()[:8]
     return int.from_bytes(h, "little") % 1000
+
+
+def mixture_sample(
+    docs_ds,
+    *,
+    token_budget: int,
+    weights_permille: dict[str, int],
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    text_col: str = "text",
+    salt: str = "",
+):
+    """Data-mixture sampling: downsample each source so the output
+    approaches ``token_budget`` tokens mixed per ``weights_permille``
+    (integer per-mille target shares) — the mixture-weighting step every
+    LLM training pipeline runs over its source corpora.
+
+    Two-phase plan:
+
+    1. per-source token totals ``T_g`` via per-block partial sums
+       (O(sources) exchange — the ``token_count_by_lang`` pattern);
+    2. the driver turns targets into integer keep thresholds
+          ``thresh_g = min(10^6, (budget · w_g · 10^6) // (1000 · T_g))``
+       (pure BIGINT arithmetic — no float rates, so the decision
+       replicates bit-for-bit in SQL), broadcasts the tiny map, and a
+       stateless hash filter keeps rows with
+       ``md5(salt + id) % 10^6 < thresh_g``.
+
+    A source short of its target keeps everything (thresh capped at
+    10^6); the expected kept tokens per surviving source g is
+    ``T_g · thresh_g / 10^6 ≈ budget · w_g``.  No shuffle of the corpus,
+    no RNG state; any worker decides any row alone.
+
+    Output: ``(id_col, group_col, n_tokens)`` of surviving rows.
+    """
+    import ray
+
+    from .textstats import simple_tokens
+
+    def totals_partial(batch: pa.Table) -> pa.Table:
+        acc: dict[str, int] = {}
+        for g, t in zip(
+            batch[group_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            acc[g] = acc.get(g, 0) + len(simple_tokens(t or ""))
+        return pa.table(
+            {
+                group_col: pa.array(list(acc.keys()), pa.string()),
+                "t": pa.array(list(acc.values()), pa.int64()),
+            }
+        )
+
+    totals = (
+        docs_ds.select_columns([group_col, text_col])
+        .map_batches(totals_partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .sum("t")
+        .to_pandas()
+    )
+    thresh: dict[str, int] = {}
+    for g, t_g in zip(totals[group_col], totals["sum(t)"]):
+        w = weights_permille.get(g)
+        if w is None or t_g == 0:
+            continue
+        thresh[g] = min(
+            1_000_000, (token_budget * w * 1_000_000) // (1000 * int(t_g))
+        )
+    thresh_ref = ray.put(thresh)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        th = ray.get(thresh_ref)
+        ids = batch[id_col].to_pylist()
+        groups = batch[group_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_i, out_g, out_n = [], [], []
+        for i, g in enumerate(groups):
+            lim = th.get(g)
+            if lim is None:
+                continue
+            h = hashlib.md5((salt + str(ids[i])).encode()).digest()[:8]
+            if int.from_bytes(h, "little") % 1_000_000 < lim:
+                out_i.append(ids[i])
+                out_g.append(g)
+                out_n.append(len(simple_tokens(texts[i] or "")))
+        return pa.table(
+            {
+                id_col: pa.array(out_i, pa.int64()),
+                group_col: pa.array(out_g, pa.string()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")

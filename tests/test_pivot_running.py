@@ -101,3 +101,55 @@ def test_term_pmi_hand_computed(ray_session):
     # pairs seen once (alpha-charlie, charlie-delta) filtered by min_docs
     assert ("alpha", "charlie") not in got.index
     assert ("charlie", "delta") not in got.index
+
+
+def test_mixture_sample_thresholds_and_determinism(ray_session):
+    from seekr_ray.extras.split import mixture_sample
+    from seekr_ray.extras.textstats import simple_tokens
+
+    rng = np.random.RandomState(5)
+    words = ["alpha", "bravo", "delta", "omega"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(300, dtype=np.int64),
+            "lang": rng.choice(["aa", "bb"], 300, p=[0.8, 0.2]),
+            "text": [
+                " ".join(rng.choice(words, size=20)) for _ in range(300)
+            ],
+        }
+    )
+    # bb's target far exceeds its supply -> keep-all; aa downsamples
+    got = (
+        mixture_sample(
+            _ds(docs),
+            token_budget=2000,
+            weights_permille={"aa": 200, "bb": 800},
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n_bb_in = int((docs.lang == "bb").sum())
+    assert (got.lang == "bb").sum() == n_bb_in  # capped at keep-all
+    n_aa_kept = int((got.lang == "aa").sum())
+    assert 0 < n_aa_kept < (docs.lang == "aa").sum()  # downsampled
+    # kept aa tokens land near budget*weight = 400
+    aa_tokens = int(got[got.lang == "aa"].n_tokens.sum())
+    assert 150 <= aa_tokens <= 800
+    # determinism: identical output across partitionings
+    got2 = (
+        mixture_sample(
+            _ds(docs).repartition(7),
+            token_budget=2000,
+            weights_permille={"aa": 200, "bb": 800},
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)
+    # token counts are the simplified-tokenizer counts
+    row = got.iloc[0]
+    assert row.n_tokens == len(
+        simple_tokens(docs.set_index("doc_id").loc[row.doc_id, "text"])
+    )
