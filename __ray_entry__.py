@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_value": eq.q_running_value,
         "term_pmi": eq.q_term_pmi,
         "mixture_sample": eq.q_mixture_sample,
+        "jaccard_join_prefix": eq.q_jaccard_join_prefix,
         # rows-only (non-SQL-expressible; pytest oracle covers semantics)
         "corpus_index_manifest": eq.q_corpus_index_manifest,
         "corpus_search": eq.q_corpus_search,
@@ -163,4 +164,5 @@ def oracle_sql() -> dict[str, str]:
         "running_value": m["running_value"],
         "term_pmi": m["term_pmi"],
         "mixture_sample": m["mixture_sample"],
+        "jaccard_join_prefix": m["ngram_jaccard"],  # same result by theorem
     }

@@ -1090,6 +1090,33 @@ def q_priority_revenue(sf_dir: str):
     )
 
 
+def q_jaccard_join_prefix(sf_dir: str):
+    """Prefix-filtered EXACT set-similarity join (PPJoin/Vernica) — the
+    sub-quadratic scale path for ngram_jaccard: rarity-ordered prefixes
+    route each doc to the few groups that can contain its >= t partners;
+    verification is exact in-group.  Same output as the brute-force
+    block-pair form (same SQL oracle)."""
+    from .extras.dedup import ngram_jaccard_pairs_prefix
+
+    out = (
+        ngram_jaccard_pairs_prefix(
+            _docs_text(sf_dir),
+            k=NGRAM_K,
+            threshold_mille=int(NGRAM_JACCARD_THRESHOLD * 1000),
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "a": pa.array(out["a"], pa.int64()),
+            "b": pa.array(out["b"], pa.int64()),
+            "jaccard": pa.array(out["jaccard"], pa.float64()),
+        }
+    )
+
+
 MIX_BUDGET = 30_000  # target mixture size (tokens)
 MIX_WEIGHTS = {"en": 300, "fr": 500, "zh": 100, "de": 50, "es": 50}  # per-mille
 

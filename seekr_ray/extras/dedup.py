@@ -984,3 +984,190 @@ def duplicate_ngram_spans(docs_ds, *, k: int = 5, min_docs: int = 2,
         .aggregate(Sum("nd"), Sum("no"), Min("md"))
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def ngram_jaccard_pairs_prefix(
+    docs_ds,
+    k: int = 3,
+    threshold_mille: int = 500,
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> pa.Table:
+    """EXACT Jaccard >= t join via prefix filtering (PPJoin / Vernica et
+    al. 2010) — the sub-quadratic scale path for what
+    ``ngram_jaccard_pairs`` computes by brute-force block pairs.
+
+    Prefix-filter theorem: order every shingle by one GLOBAL total order
+    (rarity-first here); if two sets have Jaccard >= t they must share
+    an element within their first ``n - ceil(t*n) + 1`` ordered elements.
+    So each doc replicates (doc_id, ranked set) only under its PREFIX
+    shingles, a ``groupby(prefix)`` co-locates candidates — rare-first
+    ordering keeps those groups tiny — and pairs verify exactly
+    in-group.  Compared to the O(n^2) block-pair form, work scales with
+    candidate count, not document pairs.
+
+    ``threshold_mille`` is the threshold in integer per-mille so the
+    prefix length ``n - (t_mille*n + 999)//1000 + 1`` is exact integer
+    arithmetic (an FP ceil that rounds up would shrink the prefix and
+    silently MISS pairs).
+
+    Driver state: the shingle -> rank order (O(distinct shingles),
+    collected once, broadcast).  At 100 TB substitute the hash value
+    itself as the order (correct with ANY global total order — rarity
+    ordering is only the candidate-count heuristic) or rank just the
+    shingles under a df cap.  Output: ``(a, b, jaccard)``, bit-equal to
+    ``ngram_jaccard_pairs`` by test.
+    """
+    import ray
+
+    t = threshold_mille / 1000.0
+
+    def to_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        offsets = [0]
+        flats: list[np.ndarray] = []
+        for text in batch[text_col].to_pylist():
+            h = _shingle_hashes(simple_tokens(text or ""), k)
+            flats.append(h)
+            offsets.append(offsets[-1] + len(h))
+        flat = (
+            np.concatenate(flats) if flats else np.empty(0, dtype=np.uint64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shingles": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(flat, pa.uint64())
+                ),
+            }
+        )
+
+    # deliberate mid-pipeline materialize of the NARROW derived table
+    # (doc_id, shingle hashes — no text): it feeds two consumers (df
+    # pass + prefix emit); recomputing would re-read and re-shingle the
+    # corpus twice
+    shingled = docs_ds.map_batches(
+        to_shingles, batch_format="pyarrow"
+    ).materialize()
+
+    # global rarity order: df per shingle (sets are distinct per doc, so
+    # block-local counts merge under sum), collected once — O(vocab)
+    def df_partial(batch: pa.Table) -> pa.Table:
+        col = batch["shingles"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        un, cnt = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(un, pa.uint64()),
+                "c": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    dfs = (
+        shingled.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("h")
+        .sum("c")
+        .to_pandas()
+    )
+    hs = dfs["h"].to_numpy().astype(np.uint64)
+    cs = dfs["sum(c)"].to_numpy()
+    order = np.lexsort((hs, cs))  # rarity-first, hash tie-break
+    rank_of = np.empty(len(hs), np.int64)
+    rank_of[order] = np.arange(len(hs))
+    keys_sorted = np.sort(hs)
+    ranks_for_keys = rank_of[np.argsort(hs)]
+    order_ref = ray.put((keys_sorted, ranks_for_keys))
+
+    def emit_prefix(batch: pa.Table) -> pa.Table:
+        keys, ranks = ray.get(order_ref)
+        col = batch["shingles"].combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_pref: list[int] = []
+        out_id: list[int] = []
+        out_sets: list[np.ndarray] = []
+        set_offsets = [0]
+        for x in range(len(ids)):
+            s = flat[offs[x] : offs[x + 1]]
+            n = len(s)
+            if n == 0:
+                continue
+            r = np.sort(ranks[np.searchsorted(keys, s)])
+            p = n - (threshold_mille * n + 999) // 1000 + 1
+            for pr in r[:p]:
+                out_pref.append(int(pr))
+                out_id.append(int(ids[x]))
+                out_sets.append(r)
+                set_offsets.append(set_offsets[-1] + n)
+        flat_sets = (
+            np.concatenate(out_sets)
+            if out_sets
+            else np.empty(0, dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "_b": pa.array(
+                    np.asarray(out_pref, np.int64) % num_buckets, pa.int64()
+                ),
+                "pref": pa.array(out_pref, pa.int64()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "set": pa.ListArray.from_arrays(
+                    pa.array(set_offsets, pa.int32()),
+                    pa.array(flat_sets, pa.int64()),
+                ),
+            }
+        )
+
+    def verify_group(group: pa.Table) -> pa.Table:
+        prefs = group["pref"].to_numpy(zero_copy_only=False)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        col = group["set"].combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        order = np.argsort(prefs, kind="stable")
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_j: list[float] = []
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and prefs[order[j]] == prefs[order[i]]:
+                j += 1
+            grp = order[i:j]
+            for x in range(len(grp)):
+                gx = grp[x]
+                sa = flat[offs[gx] : offs[gx + 1]]
+                for y in range(x + 1, len(grp)):
+                    gy = grp[y]
+                    ia, ib = int(ids[gx]), int(ids[gy])
+                    if ia == ib:
+                        continue
+                    sb = flat[offs[gy] : offs[gy + 1]]
+                    inter = np.intersect1d(sa, sb, assume_unique=True).size
+                    union = len(sa) + len(sb) - inter
+                    jc = round6(inter / union)
+                    if jc >= t:
+                        lo, hi = (ia, ib) if ia < ib else (ib, ia)
+                        out_a.append(lo)
+                        out_b.append(hi)
+                        out_j.append(jc)
+            i = j
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    def dedup_pair(group: pa.Table) -> pa.Table:
+        return group.select(["a", "b", "jaccard"]).slice(0, 1)
+
+    return (
+        shingled.map_batches(emit_prefix, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(verify_group, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .map_groups(dedup_pair, batch_format="pyarrow")
+    )

@@ -153,3 +153,38 @@ def test_mixture_sample_thresholds_and_determinism(ray_session):
     assert row.n_tokens == len(
         simple_tokens(docs.set_index("doc_id").loc[row.doc_id, "text"])
     )
+
+
+def test_prefix_join_equals_bruteforce(ray_session):
+    """PPJoin prefix filtering must reproduce the brute-force block-pair
+    join exactly (same pairs, same 6dp jaccard)."""
+    from seekr_ray.extras.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    rng = np.random.RandomState(13)
+    words = ["alpha", "bravo", "delta", "omega", "sigma", "kappa"]
+    base = [" ".join(rng.choice(words, size=12)) for _ in range(40)]
+    # add near-dups: copy with one word changed
+    texts = base + [t.replace("alpha", "kappa", 1) for t in base[:10]]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+        }
+    )
+    brute = (
+        ngram_jaccard_pairs(_ds(docs), k=3, threshold=0.3)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pref = (
+        ngram_jaccard_pairs_prefix(_ds(docs), k=3, threshold_mille=300)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(brute) > 0  # non-vacuous
+    pd.testing.assert_frame_equal(brute, pref)
