@@ -1102,7 +1102,7 @@ def q_jaccard_join_prefix(sf_dir: str):
         ngram_jaccard_pairs_prefix(
             _docs_text(sf_dir),
             k=NGRAM_K,
-            threshold_mille=int(NGRAM_JACCARD_THRESHOLD * 1000),
+            threshold_mille=round(NGRAM_JACCARD_THRESHOLD * 1000),
         )
         .to_pandas()
         .sort_values(["a", "b"])
@@ -1244,7 +1244,7 @@ PACK_RANGE = 64  # doc_id range width for the distributed prefix scan
 
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination audit: docs sharing >= 1 five-token
-    shingle with the (doc_id % 50 == 0) benchmark subset, with the count
+    shingle with the (doc_id % 10 == 0) benchmark subset, with the count
     of distinct overlapping shingles.  Benchmark shingles broadcast once
     (ray.put); the corpus side is one shuffle-free map_batches pass."""
     from .extras.decontam import benchmark_shingles, decontaminate

@@ -1094,7 +1094,13 @@ def ngram_jaccard_pairs_prefix(
             if n == 0:
                 continue
             r = np.sort(ranks[np.searchsorted(keys, s)])
-            p = n - (threshold_mille * n + 999) // 1000 + 1
+            # prefix length at t - 1e-6 (micro units): the verify step —
+            # like the brute-force form and the SQL oracle — accepts on
+            # the 6dp-ROUNDED jaccard, so a pair with true J in
+            # [t - 5e-7, t) can still be emitted; the slack keeps the
+            # theorem's co-grouping guarantee covering that band
+            t_micro = threshold_mille * 1000 - 1
+            p = n - (t_micro * n + 999_999) // 1_000_000 + 1
             for pr in r[:p]:
                 out_pref.append(int(pr))
                 out_id.append(int(ids[x]))

@@ -69,7 +69,10 @@ def pack_offsets(
             }
         )
 
-    counts = docs_ds.map_batches(narrow, batch_format="pyarrow")
+    # materialize the NARROW derived table: it feeds two consumers
+    # (range totals + the local scan); without this Ray re-reads and
+    # re-tokenizes the corpus for each
+    counts = docs_ds.map_batches(narrow, batch_format="pyarrow").materialize()
 
     # phase 2: one row per range -> driver prefix sum -> broadcast
     totals = counts.groupby("_rng").sum("n_tokens").to_pandas()

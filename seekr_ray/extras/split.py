@@ -82,9 +82,18 @@ def stratified_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
-def _mille(v, salt: str) -> int:
+def _mod_hash(v, salt: str, mod: int) -> int:
+    """md5(salt + str(v)) first 8 bytes little-endian, mod ``mod`` —
+    DuckDB ``md5_number_upper(salt || v::VARCHAR) % mod``.  The single
+    home of this convention in split.py (stats._md5_le64 is the
+    vectorized array form); change them together or the SQL oracles
+    silently diverge."""
     h = hashlib.md5((salt + str(v)).encode()).digest()[:8]
-    return int.from_bytes(h, "little") % 1000
+    return int.from_bytes(h, "little") % mod
+
+
+def _mille(v, salt: str) -> int:
+    return _mod_hash(v, salt, 1000)
 
 
 def mixture_sample(
@@ -164,8 +173,7 @@ def mixture_sample(
             lim = th.get(g)
             if lim is None:
                 continue
-            h = hashlib.md5((salt + str(ids[i])).encode()).digest()[:8]
-            if int.from_bytes(h, "little") % 1_000_000 < lim:
+            if _mod_hash(ids[i], salt, 1_000_000) < lim:
                 out_i.append(ids[i])
                 out_g.append(g)
                 out_n.append(len(simple_tokens(texts[i] or "")))

@@ -385,30 +385,37 @@ def pivot_counts(
     ncat = len(categories)
 
     def partial(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        all_keys = batch[key_col].to_numpy(zero_copy_only=False)
         piv = batch[pivot_col].to_pylist()
         ci = np.fromiter(
             (cat_idx.get(p, -1) for p in piv), np.int64, len(piv)
         )
         keep = ci >= 0
-        keys, ci = keys[keep], ci[keep]
-        if not len(keys):
-            return pa.table(
-                {
-                    "_b": pa.array([], pa.int32()),
-                    key_col: pa.array([], pa.int64()),
-                    "_c": pa.array([], pa.int64()),
-                    "_n": pa.array([], pa.int64()),
-                }
-            )
-        comp = keys * ncat + ci
-        un, cnt = np.unique(comp, return_counts=True)
-        uk, uc = un // ncat, un % ncat
+        keys, ci = all_keys[keep], ci[keep]
+        # dense-index the keys before composing (keys * ncat would wrap
+        # int64 for ids shaped like (pid << 36) | rank)
+        uk_all, inv = np.unique(keys, return_inverse=True)
+        if len(keys):
+            comp = inv * ncat + ci
+            un, cnt = np.unique(comp, return_counts=True)
+            out_k = uk_all[un // ncat]
+            out_c = un % ncat
+        else:
+            out_k = np.empty(0, np.int64)
+            out_c = np.empty(0, np.int64)
+            cnt = np.empty(0, np.int64)
+        # keys whose rows are ALL outside `categories` still owe an
+        # all-zero output row (SQL's GROUP BY emits them); a zero-count
+        # sentinel keeps them present without changing any count
+        missing = np.setdiff1d(np.unique(all_keys), uk_all)
+        out_k = np.concatenate([out_k, missing])
+        out_c = np.concatenate([out_c, np.zeros(len(missing), np.int64)])
+        cnt = np.concatenate([cnt, np.zeros(len(missing), np.int64)])
         return pa.table(
             {
-                "_b": pa.array((uk % num_buckets).astype(np.int32), pa.int32()),
-                key_col: pa.array(uk, pa.int64()),
-                "_c": pa.array(uc, pa.int64()),
+                "_b": pa.array((out_k % num_buckets).astype(np.int32), pa.int32()),
+                key_col: pa.array(out_k, pa.int64()),
+                "_c": pa.array(out_c, pa.int64()),
                 "_n": pa.array(cnt, pa.int64()),
             }
         )

@@ -241,16 +241,8 @@ def term_cooccurrence_pmi(docs_ds, text_col: str = "text", min_docs: int = 2):
 
     def pair_partial(batch: pa.Table) -> pa.Table:
         pair_acc: dict[tuple[str, str], int] = {}
-        term_acc: dict[str, int] = {}
-        n_docs = 0
         for t in batch[text_col].to_pylist():
             toks = sorted(set(simple_tokens(t or "")))
-            if not toks:
-                n_docs += 1
-                continue
-            n_docs += 1
-            for tok in toks:
-                term_acc[tok] = term_acc.get(tok, 0) + 1
             for a, b in itertools.combinations(toks, 2):
                 pair_acc[(a, b)] = pair_acc.get((a, b), 0) + 1
         pairs = list(pair_acc.items())

@@ -253,16 +253,17 @@ def running_sum_per_group(
         v = group["v"].to_numpy(zero_copy_only=False)
         order = np.lexsort((i, t, k))
         k, t, i, v = k[order], t[order], i[order], v[order]
-        cs = np.cumsum(v)
         new = np.ones(len(k), bool)
         if len(k) > 1:
             new[1:] = k[1:] != k[:-1]
         starts = np.flatnonzero(new)
-        # offset before each group's first row, broadcast over the group
-        base = np.repeat(
-            cs[starts] - v[starts], np.diff(np.r_[starts, len(k)])
-        )
-        run = cs - base
+        # cumsum PER KEY SLICE: a global-cumsum-minus-base shortcut
+        # would absorb FP rounding from OTHER keys in the bucket and
+        # break the SQL-window replicability this operator promises
+        run = np.empty(len(k), np.float64)
+        bounds = np.r_[starts, len(k)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            run[s:e] = np.cumsum(v[s:e])
         return pa.table(
             {
                 id_col: pa.array(i, pa.int64()),

@@ -35,12 +35,12 @@ def test_pivot_counts_matches_pandas_crosstab(ray_session):
         .reset_index()
     )
     want.columns.name = None
-    # keys whose only events were out-of-domain may be absent from got
-    want = want[want[["a", "b", "c"]].sum(axis=1) > 0].reset_index(drop=True)
-    got = got[got[["a", "b", "c"]].sum(axis=1) > 0].reset_index(drop=True)
-    assert got.k.tolist() == want.k.tolist()
+    # EVERY key appears — one whose rows are all out-of-domain gets an
+    # all-zero row, matching SQL's GROUP BY
+    assert got.k.tolist() == sorted(df.k.unique().tolist())
+    got_nz = got.set_index("k").reindex(want.k)
     for c in ["a", "b", "c"]:
-        assert got[c].tolist() == want[c].astype("int64").tolist()
+        assert got_nz[c].tolist() == want[c].astype("int64").tolist()
 
 
 def test_running_sum_matches_sequential_per_group(ray_session):
