@@ -38,6 +38,7 @@ import numpy as np
 
 from ..build import load_meta
 from ..config import IndexConfig
+from ..nputil import isin_sorted
 from .parser import (
     detect_operator,
     is_quoted,
@@ -202,11 +203,19 @@ class QueryEngine:
         self, stems: list[str], original_words: list[str]
     ) -> QueryResult:
         cache_key = repr(stems)
-        if cache_key in self._phrase_cache:
+        if (
+            cache_key in self._phrase_cache
+            and cache_key in self._phrase_arrays_cache
+        ):
+            # both caches must agree: the result cache is unbounded (T4)
+            # but the arrays cache is capped, and the vectorized paths
+            # read the arrays — a hit here without arrays would serve
+            # empty results after an eviction
             return self._phrase_cache[cache_key]
-        stem_to_original = {}
-        for i in range(min(len(stems), len(original_words))):
-            stem_to_original[stems[i]] = original_words[i]
+        # pair each original word with ITS OWN stem (QP.java:379-422);
+        # a positional zip over the DEDUPED stems list misaligns the map
+        # when phrase words repeat or share a stem
+        _, stem_to_original = tokenize_and_stem(" ".join(original_words))
 
         postings = {}
         self.store.postings_many(stems)
@@ -310,6 +319,17 @@ class QueryEngine:
                         for w, (arr, idf) in word_arrays.items()
                     }
                     documents.append(DocumentData(doc_id, word_info))
+        if cache_key not in self._phrase_arrays_cache:
+            # no-candidate phrases also cache (empty) arrays so the
+            # two caches stay in lockstep
+            self._phrase_arrays_cache[cache_key] = (
+                np.empty(0, dtype=np.int64),
+                {},
+            )
+            if len(self._phrase_arrays_cache) > 256:
+                self._phrase_arrays_cache.pop(
+                    next(iter(self._phrase_arrays_cache))
+                )
         result = QueryResult(documents, list(original_words))
         self._phrase_cache[cache_key] = result
         return result
@@ -505,9 +525,9 @@ class QueryEngine:
         rids, rc = right
         if lids.size == 0:
             return right
-        pos = np.searchsorted(rids, lids)
-        pos_c = np.minimum(pos, max(rids.size - 1, 0))
-        in_right = (rids.size > 0) & (rids[pos_c] == lids)
+        if rids.size == 0:
+            return left
+        in_right, _ = isin_sorted(rids, lids)
         keep = ~in_right
         ids = np.concatenate([lids[keep], rids])
         c = np.concatenate([lc[keep], rc])

@@ -29,6 +29,13 @@ class SearchHTTPServer:
 
     def __init__(self, backend, host: str = "127.0.0.1", port: int = 0):
         self.backend = backend
+        # ThreadingHTTPServer runs one thread per request, but
+        # QueryEngine's OrderedDict caches and QueryLogWriter buffer are
+        # not thread-safe (interleaved move_to_end/popitem can raise;
+        # a concurrently-appended log record could be dropped mid-flush).
+        # The façade serializes backend calls; concurrent serving is the
+        # SearchService actor pool's job, where each actor IS serial.
+        self._backend_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -68,7 +75,8 @@ class SearchHTTPServer:
                     return self._json(400, {"results": [], "totalCount": 0})
                 if size <= 0 or size > 100:
                     size = 10
-                out = outer.backend.search(query, page=page, size=size)
+                with outer._backend_lock:
+                    out = outer.backend.search(query, page=page, size=size)
                 return self._json(
                     200,
                     {
@@ -89,7 +97,9 @@ class SearchHTTPServer:
                 q = (qs.get("q") or [""])[0]
                 if not q.strip():
                     return self._json(400)
-                return self._json(200, outer.backend.suggest(q))
+                with outer._backend_lock:
+                    out = outer.backend.suggest(q)
+                return self._json(200, out)
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._httpd.server_address

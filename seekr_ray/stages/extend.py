@@ -48,6 +48,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..config import DOC_ID_PARTITION_SHIFT, IndexConfig
+from ..nputil import isin_sorted
 from .doc_table import DROPS_SCHEMA, DropFilter, _sha_hex, key_hashes
 from .postings import build_partition_chunks
 from .segments import (
@@ -82,13 +83,115 @@ def partition_files(seg_dir: str, part: int) -> list[str]:
     return out
 
 
-def next_generation(seg_dir: str) -> int:
-    gens = [
+def next_generation(index_dir: str, meta: dict) -> int:
+    """Next extension generation, derived from every DURABLE trace of a
+    prior generation: delta segment files, the meta extension log, and
+    docs/drops extension files.  Delta filenames alone are not enough —
+    ``compact_index`` deletes them, and a reset counter would let a later
+    extend silently overwrite an earlier generation's docs/drops files.
+    """
+    gens = [0]
+    seg_dir = os.path.join(index_dir, "segments")
+    gens += [
         int(m.group(1))
         for f in os.listdir(seg_dir)
         if (m := _DELTA_RE.search(f))
     ]
-    return (max(gens) + 1) if gens else 1
+    gens += [int(e["generation"]) for e in meta.get("extensions", [])]
+    ext_re = re.compile(r"^extend(\d{3})[.-]")
+    for sub in ("docs", "drops"):
+        d = os.path.join(index_dir, sub)
+        if os.path.isdir(d):
+            gens += [
+                int(m.group(1))
+                for f in os.listdir(d)
+                if (m := ext_re.match(f))
+            ]
+    return max(gens) + 1
+
+
+def _pending_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_extend_pending.json")
+
+
+def _rebuild_partition_stats(
+    seg_dir: str, stats_dir: str, part: int, n_docs_total: int
+) -> None:
+    """Recompute one partition's term stats EXACTLY from its segment
+    files (base + remaining deltas): df = Σ chunk n_docs per term (doc
+    sets are disjoint across a term's salts/chunks), n_salts = distinct
+    salts, idf = log10(N/df).  Used by rollback, where the incremental
+    old-stats + delta-df merge cannot be trusted (a crashed extend may
+    have rewritten some partitions' stats already)."""
+    files = partition_files(seg_dir, part)
+    stats_path = stats_partition_file(stats_dir, part)
+    if not files:
+        _atomic_write(STATS_SCHEMA.empty_table(), stats_path)
+        return
+    tbl = pq.read_table(files, columns=["term", "salt", "n_docs"])
+    agg = tbl.group_by("term").aggregate(
+        [("n_docs", "sum"), ("salt", "count_distinct")]
+    )
+    agg = agg.sort_by("term")
+    df = pc.cast(agg["n_docs_sum"], pa.int64())
+    idf = pc.log10(pc.divide(float(n_docs_total), pc.cast(df, pa.float64())))
+    stats = pa.table(
+        {
+            "term": agg["term"],
+            "df": df,
+            "idf": idf,
+            "n_salts": pc.cast(agg["salt_count_distinct"], pa.int32()),
+        },
+        schema=STATS_SCHEMA,
+    )
+    _atomic_write(stats, stats_path)
+
+
+def rollback_extend(index_dir: str, gen: int, meta: dict) -> None:
+    """Remove every artifact of an INCOMPLETE extension generation and
+    restore consistent term stats, making a crashed ``extend_index``
+    safely re-runnable.  If ``gen`` is already recorded in the meta
+    extension log the extend actually completed (the pending marker just
+    wasn't cleared) and nothing is rolled back.
+
+    Residual doclen sidecar rows for the rolled-back docs are left in
+    place deliberately: they are uuid-named (not attributable to a
+    generation), duplicates with identical values are benign to
+    ``load_doclens``, and the re-run re-emits the same (doc_id, dl)."""
+    if any(int(e["generation"]) == gen for e in meta.get("extensions", [])):
+        os.remove(_pending_path(index_dir))
+        return
+    seg_dir = os.path.join(index_dir, "segments")
+    stats_dir = os.path.join(index_dir, "term_stats")
+    for f in glob.glob(
+        os.path.join(seg_dir, f"part-*.delta{gen:03d}.parquet")
+    ):
+        os.remove(f)
+    for pat in (
+        os.path.join(index_dir, "docs", f"extend{gen:03d}-*.parquet"),
+        os.path.join(index_dir, "drops", f"extend{gen:03d}.parquet"),
+    ):
+        for f in glob.glob(pat):
+            os.remove(f)
+    shutil.rmtree(
+        os.path.join(index_dir, f"_extend_docs_g{gen}"), ignore_errors=True
+    )
+    shutil.rmtree(
+        os.path.join(index_dir, f"postings_delta_g{gen}"), ignore_errors=True
+    )
+    rows = read_manifest(index_dir)
+    for p, row in rows.items():
+        if row.get("deltas"):
+            row["deltas"] = [
+                d for d in row["deltas"] if int(d["generation"]) != gen
+            ]
+    write_manifest(index_dir, rows)
+    cfg = IndexConfig.from_dict(meta["config"])
+    for part in range(cfg.num_term_partitions):
+        _rebuild_partition_stats(
+            seg_dir, stats_dir, part, int(meta["n_docs"])
+        )
+    os.remove(_pending_path(index_dir))
 
 
 def _extend_partition(
@@ -219,7 +322,16 @@ def extend_index(
     stats_dir = os.path.join(index_dir, "term_stats")
     doclen_dir = os.path.join(index_dir, "doclen")
     drops_dir = os.path.join(index_dir, "drops")
-    gen = next_generation(seg_dir)
+    # crash recovery: a pending marker means a previous extend died
+    # mid-flight — roll its generation back (idempotent) before starting
+    if os.path.exists(_pending_path(index_dir)):
+        with open(_pending_path(index_dir)) as f:
+            stale = json.load(f)
+        rollback_extend(index_dir, int(stale["generation"]), meta)
+        meta = load_meta(index_dir)
+    gen = next_generation(index_dir, meta)
+    with open(_pending_path(index_dir), "w") as f:
+        json.dump({"generation": gen}, f)
     metrics: dict = {"generation": gen, "stages": {}}
 
     # -- existing state: khash / kept shas / per-pid max rank (narrow) ------
@@ -322,10 +434,7 @@ def extend_index(
     # within-batch min-id winner (B6 rule)
     drop_ids, drop_shas = [], []
     if len(new_ids):
-        pos = np.minimum(
-            np.searchsorted(kept_shas, shas), max(len(kept_shas) - 1, 0)
-        )
-        vs_existing = (len(kept_shas) > 0) & (kept_shas[pos] == shas)
+        vs_existing, _ = isin_sorted(kept_shas, shas)
         drop_ids.extend(new_ids[vs_existing].tolist())
         drop_shas.extend(shas[vs_existing].tolist())
         wi, ws = new_ids[~vs_existing], shas[~vs_existing]
@@ -477,6 +586,10 @@ def extend_index(
     )
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1, sort_keys=True)
+    # meta is the commit point: once the extension is in the log, the
+    # pending marker is moot (rollback_extend treats logged generations
+    # as complete even if this remove never runs)
+    os.remove(_pending_path(index_dir))
     metrics["n_received"] = int(n_received)
     metrics["n_new_docs"] = n_new_docs
     metrics["n_docs_total"] = n_total

@@ -241,8 +241,10 @@ def build_partition_fused(
 
     # term stats from the in-hand postings (sorted for determinism)
     agg = tbl.select(["term"]).group_by("term").aggregate([("term", "count")])
-    agg = agg.rename_columns(["term", "df"]).sort_by("term")
-    df = pc.cast(agg["df"], pa.int64())
+    # name-based access: pyarrow's aggregate column ORDER differs across
+    # release lines (keys-first vs aggregates-first)
+    agg = agg.sort_by("term")
+    df = pc.cast(agg["term_count"], pa.int64())
     idf = pc.log10(pc.divide(float(n_docs), pc.cast(df, pa.float64())))
     stats = pa.table(
         {
