@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 import pyarrow as pa
@@ -260,6 +261,13 @@ def build_index(
     from .graph.pagerank import build_pagerank_table
 
     cfg = cfg or IndexConfig()
+    if not resume and os.path.isdir(index_dir):
+        # a full rebuild starts from nothing: stale EXTENSION artifacts
+        # (docs/extendNNN-*, drops/extendNNN.parquet, delta segments,
+        # meta extension log) are not touched by the per-stage rebuilds
+        # below, and leftover extension drop rows would mask rebuilt
+        # docs and undercount n_docs
+        shutil.rmtree(index_dir)
     os.makedirs(index_dir, exist_ok=True)
     _check_config(index_dir, cfg, resume)
     metrics: dict = {"stages": {}}
@@ -365,9 +373,10 @@ def build_index(
         "n_dropped": _parquet_count(drops_dir),
     }
 
-    # fine-grained blocks for the tokenize fan-out: this stage is pure
-    # CPU, so blocks are sized to ~2k docs (8 MB) for load balance, not
-    # to IO-efficient 32 MB reads
+    # tokenize fan-out blocks: 32 MB (≈8k docs) measured best for the
+    # 2→8 cpu scaling runs (BASELINE.md §3 "32MB tokenize blocks") —
+    # large enough to amortize task overhead, small enough that
+    # ncpus*blocks stay balanced
     docs_in = _filtered_docs_ds(
         docs_dir, index_dir, ["doc_id", content_col],
         _blocks_for(docs_dir, per_block_bytes=32 << 20),
@@ -420,7 +429,6 @@ def build_index(
             pr = build_pagerank_table(
                 links_ds, docs_for_links, cfg, docs_table=docs_table
             )
-        import shutil
 
         shutil.rmtree(pr_dir, ignore_errors=True)
         os.makedirs(pr_dir, exist_ok=True)
@@ -435,7 +443,7 @@ def build_index(
         "n_docs": n_docs,
         "config": cfg.to_dict(),
         "version": 2,
-        "has_pagerank": _done(pr_dir) if links_ds is not None else os.path.exists(_success(pr_dir)),
+        "has_pagerank": _done(pr_dir),
     }
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1, sort_keys=True)
@@ -464,7 +472,6 @@ def _build_segments_partitioned(
     doclen_dir = os.path.join(index_dir, "doclen")
     t0 = time.monotonic()
     if not (resume and _done(postings_dir)):
-        import shutil
 
         from .stages.tokenize import write_postings_partitioned
 

@@ -87,6 +87,10 @@ def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarra
 
 _SHINGLE_BASE = np.uint64(1099511628211)
 _SHINGLE_TOKEN_CACHE: dict[str, int] = {}
+# per-worker memo cap: an OPEN vocabulary (ids, random strings) would
+# otherwise grow these dicts without bound across a long-lived worker's
+# batches (the tokenizer's _tok_cache has the same discipline)
+_CACHE_MAX = 1_000_000
 
 
 def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
@@ -105,6 +109,8 @@ def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
             dtype=np.uint64,
         )
     cache = _SHINGLE_TOKEN_CACHE
+    if len(cache) > _CACHE_MAX:  # bound worker RSS on open vocabularies
+        cache.clear()
     th = np.empty(len(tokens), dtype=np.uint64)
     for i, t in enumerate(tokens):
         h = cache.get(t)
@@ -210,20 +216,27 @@ class MinHashLSH:
 
 
 def _band_pairs(group: pa.Table) -> pa.Table:
-    """All candidate pairs of one band (one UDF call per band, not per
-    hash bucket): vectorized sort + run detection, Python only for the
-    rare buckets that actually collide."""
+    """Candidate pairs within one hash-bucketed group: vectorized sort +
+    run detection over (band, band_hash) — a pair is a candidate iff it
+    shares BOTH, so any grouping that keeps equal (band, band_hash)
+    together is exact.  Python runs only for the rare colliding runs."""
     order = pc.sort_indices(
-        group, sort_keys=[("band_hash", "ascending"), ("doc_id", "ascending")]
+        group,
+        sort_keys=[
+            ("band", "ascending"),
+            ("band_hash", "ascending"),
+            ("doc_id", "ascending"),
+        ],
     )
     tbl = group.take(order)
+    bd = tbl["band"].to_numpy(zero_copy_only=False)
     bh = tbl["band_hash"].to_numpy(zero_copy_only=False)
     ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
     a_out, b_out = [], []
     if len(bh):
         change = np.empty(len(bh), dtype=bool)
         change[0] = True
-        change[1:] = bh[1:] != bh[:-1]
+        change[1:] = (bh[1:] != bh[:-1]) | (bd[1:] != bd[:-1])
         starts = np.flatnonzero(change)
         ends = np.r_[starts[1:], len(bh)]
         for s, e in zip(starts, ends):
@@ -249,8 +262,21 @@ def minhash_candidate_pairs(docs_ds, num_bands=16, rows_per_band=4, shingle_k=3,
         ),
         concurrency=(1, 4),
     )
-    pairs = band_rows.groupby("band").map_groups(
-        _band_pairs, batch_format="pyarrow"
+    # bucket by (band, band_hash) hash — NOT by band alone, which would
+    # co-locate one row per document per band (O(n_docs) rows in a
+    # single map_groups task; an OOM at the scale LSH exists for).
+    # Equal (band, band_hash) rows always share a bucket, so the pair
+    # set is identical.
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        bd = batch["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False)
+        bb = np.mod(bd * np.int64(1099511628211) + bh, 256)
+        return batch.append_column("_bb", pa.array(bb, pa.int64()))
+
+    pairs = (
+        band_rows.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("_bb")
+        .map_groups(_band_pairs, batch_format="pyarrow")
     )
 
     # distinct (a, b): bucket by a, vectorized unique within the bucket
@@ -658,6 +684,8 @@ _TOKEN_HASH_CACHE: dict[str, int] = {}
 
 def _token_hashes(tokens: set[str]) -> np.ndarray:
     cache = _TOKEN_HASH_CACHE
+    if len(cache) > _CACHE_MAX:  # bound worker RSS on open vocabularies
+        cache.clear()
     out = np.empty(len(tokens), dtype=np.uint64)
     for i, t in enumerate(tokens):
         h = cache.get(t)
@@ -992,7 +1020,7 @@ def ngram_jaccard_pairs_prefix(
     threshold_mille: int = 500,
     text_col: str = "text",
     num_buckets: int = 64,
-) -> pa.Table:
+):
     """EXACT Jaccard >= t join via prefix filtering (PPJoin / Vernica et
     al. 2010) — the sub-quadratic scale path for what
     ``ngram_jaccard_pairs`` computes by brute-force block pairs.
@@ -1015,8 +1043,10 @@ def ngram_jaccard_pairs_prefix(
     collected once, broadcast).  At 100 TB substitute the hash value
     itself as the order (correct with ANY global total order — rarity
     ordering is only the candidate-count heuristic) or rank just the
-    shingles under a df cap.  Output: ``(a, b, jaccard)``, bit-equal to
-    ``ngram_jaccard_pairs`` by test.
+    shingles under a df cap.  Output: a lazy Dataset of ``(a, b,
+    jaccard)`` rows in shuffle order — the same PAIR SET and values as
+    ``ngram_jaccard_pairs`` (asserted by test after sorting), which
+    returns a lexsorted driver table instead.
     """
     import ray
 

@@ -426,5 +426,13 @@ def key_filter_join(
         out = batch.filter(pa.array(mask))
         return out.select(columns) if columns else out
 
-    src = left_ds.select_columns(columns) if columns else left_ds
+    # prune the left read to columns + the key (filt needs it even when
+    # the caller's projection excludes it; filt re-projects afterwards)
+    src = (
+        left_ds.select_columns(
+            list(dict.fromkeys([*columns, left_key]))
+        )
+        if columns
+        else left_ds
+    )
     return src.map_batches(filt, batch_format="pyarrow")

@@ -70,8 +70,9 @@ class _BruteScorer:
         k = min(self.k, sims.shape[1])
         for qi in range(sims.shape[0]):
             row = sims[qi]
-            # partial top-k, ties by vec_id asc
-            idx = np.argsort(-row, kind="stable")[:k]
+            # partial top-k, ties by vec_id asc (a positional argsort
+            # would order ties by row position — block-layout-dependent)
+            idx = np.lexsort((ids, -row))[:k]
             for j in idx:
                 out_q.append(qi)
                 out_id.append(int(ids[j]))

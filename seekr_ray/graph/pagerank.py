@@ -180,34 +180,7 @@ def resolve_links_join(links_ds, docs_ds, num_partitions: int = 32):
         num_partitions=num_partitions,
         on=("dst_url",),
     ).select_columns(["src", "dst"])
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        src = batch["src"].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "_b", pa.array((src % 64).astype(np.int64), pa.int64())
-        )
-
-    return (
-        edges.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
-        .groupby("_b")
-        .map_groups(_dedup_edges_bucket, batch_format="pyarrow")
-    )
-
-
-def _dedup_edges_bucket(group: pa.Table) -> pa.Table:
-    import pyarrow.compute as pc2
-
-    order = pc2.sort_indices(
-        group, sort_keys=[("src", "ascending"), ("dst", "ascending")]
-    )
-    tbl = group.take(order)
-    src = tbl["src"].to_numpy(zero_copy_only=False)
-    dst = tbl["dst"].to_numpy(zero_copy_only=False)
-    keep = np.empty(len(src), dtype=bool)
-    if len(src):
-        keep[0] = True
-        keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
-    return tbl.filter(pa.array(keep)).drop_columns(["_b"])
+    return dedup_edges(edges)
 
 
 def resolve_links_driver(links_tbl: pa.Table, docs_tbl: pa.Table):
@@ -423,6 +396,10 @@ def pagerank_from_edges(edges_ds, cfg: IndexConfig):
     Path selection by ``edges_ds.count()`` BEFORE any collect: the
     distributed fallback is reachable without ever materializing the edge
     set on the driver."""
+    # pin the (possibly derived) resolve+dedup pipeline once: count(),
+    # metadata and the iteration loop each consume the dataset, and a
+    # lazy input would re-run the whole shuffle per consumer
+    edges_ds = edges_ds.materialize()
     n_edges = edges_ds.count()
     if n_edges == 0:
         return pa.table(
@@ -463,6 +440,7 @@ def pagerank_fixed_iters(
     ``pagerank_from_edges``: count()-gated driver numpy below the limit,
     the broadcast-arrays distributed iteration above it; both run the
     identical formula (incl. dangling mass), asserted equal by test."""
+    edges_ds = edges_ds.materialize()  # see pagerank_from_edges
     n_edges = edges_ds.count()
     if n_edges == 0:
         return pa.table(
