@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": eq.q_top_events_per_user,
         "hll_vocab": eq.q_hll_vocab,
         "hll_event_ids": eq.q_hll_event_ids,
+        "heavy_hitters": eq.q_heavy_hitters,
         "events_hopping": eq.q_events_hopping,
         "stratified_sample": eq.q_stratified_sample,
         "minhash_clusters": eq.q_minhash_clusters,
@@ -142,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "top_events_per_user": m["top_events_per_user"],
         "hll_vocab": m["hll_vocab"],
         "hll_event_ids": m["hll_event_ids"],
+        "heavy_hitters": m["heavy_hitters"],
         "events_hopping": m["events_hopping"],
         "stratified_sample": m["stratified_sample"],
         "fingerprints": m["fingerprints"],

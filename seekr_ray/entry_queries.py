@@ -607,6 +607,19 @@ def q_hll_vocab(sf_dir: str):
     return hll_token_registers(_docs_text(sf_dir))
 
 
+HH_PHI_PPM = 5000  # heavy-hitter support threshold: 0.5% of all tokens
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact frequent tokens (count ≥ phi·N) via the two-pass plan:
+    local-threshold prune (guaranteed candidate superset, O(blocks/phi)
+    exchange) then exact recount of the broadcast candidates — never an
+    O(vocab) shuffle."""
+    from .extras.sketch import heavy_hitters_exact
+
+    return heavy_hitters_exact(_docs_text(sf_dir), phi_ppm=HH_PHI_PPM)
+
+
 def q_hash_split(sf_dir: str):
     """Deterministic md5-keyed train/test split over documents."""
     import ray.data as rd
@@ -1923,6 +1936,14 @@ r AS (SELECT (hv >> 52)::BIGINT AS bucket,
                   ELSE 53 - length(bin(hv & 4503599627370495)) END AS rho
       FROM h)
 SELECT bucket, max(rho)::BIGINT AS rho FROM r GROUP BY bucket"""
+
+    sql["heavy_hitters"] = f"""{toks}
+, tok AS (SELECT unnest(tokens) AS term FROM toks),
+tot AS (SELECT count(*)::BIGINT AS n FROM tok)
+SELECT term, count(*)::BIGINT AS n_occurrences
+FROM tok, tot
+GROUP BY term, tot.n
+HAVING count(*) * 1000000 >= {HH_PHI_PPM} * tot.n"""
 
     sql["hash_split"] = f"""SELECT doc_id,
        CASE WHEN md5_number_upper(doc_id::VARCHAR) % 100 < {TRAIN_PCT}

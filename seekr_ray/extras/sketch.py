@@ -131,3 +131,112 @@ def hll_registers(ds, col: str):
     return out.map_batches(
         lambda b: b.rename_columns(["bucket", "rho"]), batch_format="pyarrow"
     )
+
+
+# -- exact heavy hitters (two-pass: local-threshold prune + recount) ---------
+
+_HH_SENTINEL = ""  # simple_tokens never yields "" (length filter), so the
+# empty string is a safe in-band carrier for per-block token totals
+
+
+def heavy_hitters_exact(docs_ds, phi_ppm: int, text_col: str = "text"):
+    """EXACT frequent tokens: every token whose corpus-wide occurrence
+    count satisfies ``count * 1_000_000 >= phi_ppm * N`` (N = total
+    token count), as ``(term, n_occurrences)``.
+
+    The classic two-pass distributed heavy-hitters plan:
+
+    * **Pass 1 (prune).**  Each block emits only its LOCALLY frequent
+      tokens — ``count_b * 1e6 >= phi_ppm * n_b`` — plus one sentinel
+      row carrying ``n_b``.  If a token fails that test in EVERY block
+      then summing over blocks gives ``count < phi * N``, so the union
+      of local survivors is a guaranteed superset of the global heavy
+      hitters, at most ``1e6/phi_ppm`` rows per block, for ANY block
+      layout (the result is parallelism-invariant; only the candidate
+      superset varies).  The exchange is O(blocks/phi), never O(vocab).
+    * **Pass 2 (exact recount).**  The candidate set is collected once
+      (small by the bound above), broadcast via ``ray.put``, and every
+      block re-counts ONLY candidate tokens; a tiny groupby-sum plus
+      the integer threshold filter yields the exact answer.  All
+      arithmetic is int64 (ppm rational, no float threshold), so the
+      operator is bit-exact SQL-replicable.
+
+    The reference's analog is the df table consumed by idf
+    (`Indexer/SQLiteSearcher.java` word stats); this generalizes it to
+    threshold-frequent mining without materializing O(vocab) rows.
+    """
+    import ray
+    from collections import Counter
+
+    def local_frequent(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            c.update(simple_tokens(t or ""))
+        n_b = sum(c.values())
+        terms = [t for t, n in c.items() if n * 1_000_000 >= phi_ppm * n_b]
+        terms.append(_HH_SENTINEL)
+        counts = [0] * (len(terms) - 1) + [n_b]
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    pass1 = (
+        docs_ds.map_batches(local_frequent, batch_format="pyarrow")
+        .groupby("term")
+        .sum("n")
+        .to_pandas()  # ≤ blocks/phi rows — bounded, not O(vocab)
+    )
+    n_total = 0
+    cand: set[str] = set()
+    if "term" not in pass1.columns:  # zero input blocks → schemaless frame
+        pass1 = pass1.reindex(columns=["term", "sum(n)"])
+    for term, n in zip(pass1["term"], pass1["sum(n)"]):
+        if term == _HH_SENTINEL:
+            n_total = int(n)
+        else:
+            cand.add(term)
+    if n_total == 0 or not cand:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "n_occurrences": pa.array([], pa.int64()),
+            }
+        )
+
+    cand_ref = ray.put(frozenset(cand))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(cand_ref)
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            for tok in simple_tokens(t or ""):
+                if tok in wanted:
+                    c[tok] += 1
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        docs_ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("term")
+        .sum("n")
+        .to_pandas()
+    )
+    keep = [
+        (t, int(n))
+        for t, n in zip(agg["term"], agg["sum(n)"])
+        if int(n) * 1_000_000 >= phi_ppm * n_total
+    ]
+    keep.sort()
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in keep], pa.string()),
+            "n_occurrences": pa.array([n for _, n in keep], pa.int64()),
+        }
+    )

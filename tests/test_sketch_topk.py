@@ -168,3 +168,90 @@ def test_hll_event_ids_estimate(ray_session):
     tbl = pa.concat_tables(list(reg.iter_batches(batch_format="pyarrow")))
     est = hll_estimate(tbl)
     assert abs(est - 10_000) / 10_000 < 0.08  # 5 sigma at m=4096
+
+
+# -- exact heavy hitters ------------------------------------------------------
+
+
+def _hh_truth(phi_ppm: int):
+    from collections import Counter
+
+    docs = pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["text"]
+    )
+    c = Counter()
+    for x in docs["text"].to_pylist():
+        c.update(simple_tokens(x or ""))
+    n = sum(c.values())
+    return sorted(
+        (t, k) for t, k in c.items() if k * 1_000_000 >= phi_ppm * n
+    )
+
+
+def test_heavy_hitters_exact_matches_counter(ray_session):
+    import ray.data as rd
+
+    from seekr_ray.extras.sketch import heavy_hitters_exact
+
+    ds = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    got = heavy_hitters_exact(ds, phi_ppm=5000)
+    want = _hh_truth(5000)
+    assert want, "fixture must produce non-trivial heavy hitters"
+    assert list(zip(got["term"].to_pylist(), got["n_occurrences"].to_pylist())) == want
+
+
+def test_heavy_hitters_parallelism_invariant(ray_session):
+    """The local-threshold prune varies the candidate SUPERSET with block
+    layout, but the recount makes the final answer layout-independent."""
+    import ray.data as rd
+
+    from seekr_ray.extras.sketch import heavy_hitters_exact
+
+    base = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    a = heavy_hitters_exact(base, phi_ppm=5000)
+    b = heavy_hitters_exact(
+        rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .repartition(7),
+        phi_ppm=5000,
+    )
+    assert a.equals(b)
+
+
+def test_heavy_hitters_skewed_spread(ray_session):
+    """A term spread thin across blocks (locally frequent in only some)
+    still surfaces exactly — the superset guarantee at work — and a term
+    just UNDER the global threshold is excluded even where it is locally
+    frequent."""
+    import ray.data as rd
+
+    from seekr_ray.extras.sketch import heavy_hitters_exact
+
+    # 10 one-doc blocks; "aa" appears 3x per doc (30/300 = 10%),
+    # "bb" is locally frequent in one block only (4/300 < 2%)
+    rows = []
+    filler = [f"tok{i:03d}" for i in range(23)]
+    for b in range(10):
+        words = ["aa", "aa", "aa"] + ([] if b else ["bb", "bb", "bb", "bb"])
+        words += [filler[(b * 7 + j) % 23] for j in range(27 - len(words) + 3)]
+        rows.append(" ".join(words))
+    tbl = pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                    "text": pa.array(rows, pa.string())})
+    ds = rd.from_arrow(tbl).repartition(10)
+    got = heavy_hitters_exact(ds, phi_ppm=50_000, text_col="text")  # 5%
+    pairs = dict(zip(got["term"].to_pylist(), got["n_occurrences"].to_pylist()))
+    assert pairs.get("aa") == 30
+    assert "bb" not in pairs
+
+
+def test_heavy_hitters_empty(ray_session):
+    import ray.data as rd
+
+    from seekr_ray.extras.sketch import heavy_hitters_exact
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    )
+    got = heavy_hitters_exact(ds, phi_ppm=5000)
+    assert got.num_rows == 0
+    assert got.column_names == ["term", "n_occurrences"]
