@@ -99,6 +99,29 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    from .stages.ingest import ingest_corpus
+
+    _init_ray(args.num_cpus)
+    column_map = {}
+    for pair in args.rename.split(","):
+        if pair:
+            src, dst = pair.split("=", 1)
+            column_map[src] = dst
+    metrics = ingest_corpus(
+        args.input,
+        args.out_dir,
+        fmt=args.format,
+        column_map=column_map,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(metrics, indent=1, sort_keys=True))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
 def cmd_extend(args) -> int:
     import ray
     import ray.data as rd
@@ -200,6 +223,25 @@ def main(argv=None) -> int:
     b.add_argument("--num-cpus", type=int, default=None)
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=cmd_build)
+
+    g = sub.add_parser(
+        "ingest",
+        help="normalize a CSV/JSONL/parquet source into the canonical "
+        "corpus parquet dir (streaming, no driver materialization)",
+    )
+    g.add_argument("--input", required=True, help="source path/dir")
+    g.add_argument("--out-dir", required=True)
+    g.add_argument(
+        "--format", default="auto", choices=["auto", "csv", "jsonl", "parquet"]
+    )
+    g.add_argument(
+        "--rename",
+        default="",
+        help="comma-separated src=dst column renames (e.g. body=content)",
+    )
+    g.add_argument("--num-cpus", type=int, default=None)
+    g.add_argument("--no-resume", action="store_true")
+    g.set_defaults(fn=cmd_ingest)
 
     e = sub.add_parser(
         "extend",
