@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": eq.q_minhash_clusters,
         "fingerprints": eq.q_fingerprints,
         "quantiles_price": eq.q_quantiles_price,
+        "global_shuffle": eq.q_global_shuffle,
+        "winsorize_price": eq.q_winsorize_price,
         "lineitem_stats": eq.q_lineitem_stats,
         "revenue_rollup": eq.q_revenue_rollup,
         "event_sample": eq.q_event_sample,
@@ -148,6 +150,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": m["stratified_sample"],
         "fingerprints": m["fingerprints"],
         "quantiles_price": m["quantiles_price"],
+        "global_shuffle": m["global_shuffle"],
+        "winsorize_price": m["winsorize_price"],
         "lineitem_stats": m["lineitem_stats"],
         "revenue_rollup": m["revenue_rollup"],
         "event_sample": m["event_sample"],

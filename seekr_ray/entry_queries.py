@@ -701,6 +701,9 @@ def q_sessions(sf_dir: str):
 
 
 QUANTILE_QS = [0.25, 0.5, 0.9, 0.99]  # fixed grouped-quantile probe points
+SHUFFLE_SALT = "ep1"  # epoch salt: a different salt = an independent permutation
+SHUFFLE_BUCKETS = 256
+WINSOR_QLO, WINSOR_QHI = 0.05, 0.95
 KSAMPLE_K = 500  # deterministic uniform sample size
 DUP_SPAN_K = 5  # duplicated-span shingle width (tokens)
 BM25_K1 = 1.2
@@ -723,6 +726,51 @@ def q_quantiles_price(sf_dir: str):
     )
     return grouped_quantiles(
         ds, key_col="l_returnflag", val_col="l_extendedprice", qs=QUANTILE_QS
+    )
+
+
+def q_global_shuffle(sf_dir: str):
+    """Deterministic epoch shuffle over the corpus: exact global rank in
+    the md5-keyed permutation via a bucketed prefix-sum — no RNG state,
+    no single-worker sort.  The oracle is a plain ROW_NUMBER over the
+    same hash order (``md5_number_upper`` == md5 first-8-bytes LE)."""
+    import ray.data as rd
+
+    from .extras.split import global_shuffle
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return global_shuffle(
+        ds, id_col="doc_id", salt=SHUFFLE_SALT, num_buckets=SHUFFLE_BUCKETS
+    )
+
+
+def q_winsorize_price(sf_dir: str):
+    """Per-returnflag winsorization of l_extendedprice at the exact
+    [5th, 95th] continuous quantiles — outlier clipping with broadcast
+    bounds; the corpus never shuffles.  Bounds are 6dp-rounded on both
+    sides so the clip decision is FP-noise-insensitive."""
+    import ray.data as rd
+
+    from .extras.stats import winsorize_grouped
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_extendedprice",
+        ],
+    )
+    return winsorize_grouped(
+        ds,
+        key_col="l_returnflag",
+        val_col="l_extendedprice",
+        id_cols=["l_orderkey", "l_linenumber"],
+        q_lo=WINSOR_QLO,
+        q_hi=WINSOR_QHI,
     )
 
 
@@ -2021,6 +2069,37 @@ SELECT l_returnflag, q,
        round(arr[floor(p)::BIGINT + 1] * (1.0 - (p - floor(p)))
              + arr[ceil(p)::BIGINT + 1] * (p - floor(p)), 6) AS value
 FROM pos"""
+
+    sql["global_shuffle"] = f"""SELECT doc_id,
+       (row_number() OVER (
+          ORDER BY md5_number_upper('{SHUFFLE_SALT}' || doc_id::VARCHAR), doc_id
+        ) - 1)::BIGINT AS shuffle_rank
+FROM documents"""
+
+    # per-group winsorize bounds replicate extras/stats.quantile_cont
+    # expression-for-expression (same FP order), 6dp-rounded on both
+    # sides before the clip (see winsorize_grouped docstring)
+    sql["winsorize_price"] = f"""WITH vals AS (
+  SELECT l_returnflag, list_sort(list(l_extendedprice)) AS arr,
+         count(*)::BIGINT AS n
+  FROM lineitem GROUP BY l_returnflag
+),
+pos AS (
+  SELECT l_returnflag, arr,
+         {WINSOR_QLO} * (n - 1) AS pl, {WINSOR_QHI} * (n - 1) AS ph
+  FROM vals
+),
+b AS (
+  SELECT l_returnflag,
+         round(arr[floor(pl)::BIGINT + 1] * (1.0 - (pl - floor(pl)))
+               + arr[ceil(pl)::BIGINT + 1] * (pl - floor(pl)), 6) AS lo,
+         round(arr[floor(ph)::BIGINT + 1] * (1.0 - (ph - floor(ph)))
+               + arr[ceil(ph)::BIGINT + 1] * (ph - floor(ph)), 6) AS hi
+  FROM pos
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       round(least(greatest(l.l_extendedprice, b.lo), b.hi), 6) AS value_w
+FROM lineitem l JOIN b USING (l_returnflag)"""
 
     sql["lineitem_stats"] = """SELECT l_returnflag,
        count(*)::BIGINT AS n,

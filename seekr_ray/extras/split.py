@@ -82,6 +82,80 @@ def stratified_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def global_shuffle(ds, id_col: str = "doc_id", salt: str = "", num_buckets: int = 256):
+    """Deterministic epoch shuffle: every row gets its exact global rank
+    in the md5-keyed permutation — the training-data "shuffle the corpus
+    per epoch" primitive, with no RNG state and no full-corpus sort on
+    any single worker.
+
+    Exact three-phase rank (packing.py's prefix-sum discipline, but over
+    the HASH order instead of doc_id order):
+
+    1. **narrow pass** — project each row to ``(id, h, bucket)`` where
+       ``h = md5(salt + str(id))`` first-8-bytes little-endian (DuckDB
+       ``md5_number_upper``) and ``bucket = h >> (64 - log2(buckets))``
+       — buckets are CONTIGUOUS key ranges, near-uniform because md5 is;
+    2. **bucket counts** — ``groupby(bucket).count()`` (O(buckets)
+       rows); the driver prefix-sums the sorted counts and broadcasts
+       the per-bucket base ranks;
+    3. **local rank** — ``groupby(bucket).map_groups`` sorts the
+       bucket's rows by ``(h, id)`` and emits ``base + local_index``.
+
+    The exchange carries ``(id, h)`` only; the driver holds O(buckets).
+    Changing ``salt`` yields an independent permutation per epoch.
+    Output: ``(id_col, shuffle_rank)``, one row per input row.
+    """
+    import ray
+
+    from .stats import _md5_le64
+
+    bits = int(num_buckets).bit_length() - 1
+    if (1 << bits) != num_buckets:
+        raise ValueError("num_buckets must be a power of two")
+    shift = np.uint64(64 - bits)
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        h = _md5_le64(ids, salt)
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch[id_col].type),
+                "_h": pa.array(h, pa.uint64()),
+                "_bkt": pa.array((h >> shift).astype(np.int64), pa.int64()),
+            }
+        )
+
+    keyed = (
+        ds.select_columns([id_col])
+        .map_batches(narrow, batch_format="pyarrow")
+        .materialize()  # feeds two consumers: counts + the local rank
+    )
+    counts = keyed.groupby("_bkt").count().to_pandas().sort_values("_bkt")
+    bases = dict(
+        zip(
+            counts["_bkt"].to_numpy(),
+            np.concatenate(([0], np.cumsum(counts["count()"].to_numpy())[:-1])),
+        )
+    )
+    bases_ref = ray.put(bases)
+
+    def local_rank(group: pa.Table) -> pa.Table:
+        base = ray.get(bases_ref)[int(group["_bkt"][0].as_py())]
+        h = group["_h"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], group[id_col].type),
+                "shuffle_rank": pa.array(
+                    base + np.arange(len(order), dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return keyed.groupby("_bkt").map_groups(local_rank, batch_format="pyarrow")
+
+
 def _mod_hash(v, salt: str, mod: int) -> int:
     """md5(salt + str(v)) first 8 bytes little-endian, mod ``mod`` —
     DuckDB ``md5_number_upper(salt || v::VARCHAR) % mod``.  The single

@@ -90,6 +90,63 @@ def grouped_quantiles(ds, *, key_col: str, val_col: str, qs: list[float]):
     )
 
 
+def winsorize_grouped(
+    ds,
+    *,
+    key_col: str,
+    val_col: str,
+    id_cols: list[str],
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    out_col: str = "value_w",
+):
+    """Per-group winsorization (outlier clipping): every value is clipped
+    to its group's exact ``[q_lo, q_hi]`` continuous quantiles — the
+    heavy-tail-taming cleanup step of a curation pipeline.
+
+    Two-phase plan: ``grouped_quantiles`` computes the per-group bounds
+    (O(groups · 2) rows — tiny), the driver broadcasts the bounds map
+    once via ``ray.put``, and a stateless ``map_batches`` clips
+    vectorized (``np.minimum``/``np.maximum`` per group slice).  The
+    corpus itself never shuffles.  Bounds are 6dp-rounded on BOTH sides
+    (here and in the SQL oracle), so the clip decision is insensitive to
+    interpolation-expression FP noise.
+
+    Output: ``(*id_cols, key_col, out_col)`` — one row per input row,
+    ``out_col`` rounded to 6dp.
+    """
+    import ray
+
+    bounds_tbl = grouped_quantiles(
+        ds, key_col=key_col, val_col=val_col, qs=[q_lo, q_hi]
+    ).to_pandas()
+    bounds: dict = {}
+    for k, q, v in zip(bounds_tbl[key_col], bounds_tbl["q"], bounds_tbl["value"]):
+        lo, hi = bounds.get(k, (None, None))
+        if q == q_lo:
+            lo = float(v)
+        else:
+            hi = float(v)
+        bounds[k] = (lo, hi)
+    bounds_ref = ray.put(bounds)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bounds_ref)
+        v = _np_col(batch, val_col).astype(np.float64)
+        keys = batch[key_col].to_pylist()
+        lo = np.fromiter((bm[k][0] for k in keys), np.float64, len(keys))
+        hi = np.fromiter((bm[k][1] for k in keys), np.float64, len(keys))
+        w = np.minimum(np.maximum(v, lo), hi)
+        cols = {c: batch[c] for c in id_cols}
+        cols[key_col] = batch[key_col]
+        cols[out_col] = pa.array([round6(x) for x in w], pa.float64())
+        return pa.table(cols)
+
+    return ds.select_columns([*id_cols, key_col, val_col]).map_batches(
+        clip, batch_format="pyarrow"
+    )
+
+
 def histogram_quantiles(
     ds,
     *,

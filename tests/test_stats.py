@@ -199,3 +199,89 @@ def test_distinct_count_per_group(ray_session, rng):
     )
     want = df.groupby("g")["u"].nunique()
     assert got["n_distinct"].tolist() == want.tolist()
+
+
+def test_winsorize_grouped_matches_reference(ray_session, rng):
+    from seekr_ray.extras.stats import quantile_cont, winsorize_grouped
+    from seekr_ray.extras.textstats import round6
+
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(4000, dtype=np.int64),
+            "g": rng.choice(["a", "b"], size=4000),
+            "v": rng.lognormal(3.0, 1.0, size=4000),
+        }
+    )
+    got = (
+        winsorize_grouped(
+            _ds(df), key_col="g", val_col="v", id_cols=["rid"],
+            q_lo=0.05, q_hi=0.95,
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    bounds = {}
+    for g, sub in df.groupby("g"):
+        v = np.sort(sub["v"].to_numpy())
+        bounds[g] = (round6(quantile_cont(v, 0.05)), round6(quantile_cont(v, 0.95)))
+    lo = df["g"].map(lambda g: bounds[g][0]).to_numpy()
+    hi = df["g"].map(lambda g: bounds[g][1]).to_numpy()
+    want = np.minimum(np.maximum(df["v"].to_numpy(), lo), hi)
+    assert got["rid"].tolist() == df["rid"].tolist()
+    assert got["value_w"].tolist() == [round6(x) for x in want]
+    # clipping is idempotent and stays inside the bounds
+    for g, sub in got.groupby("g"):
+        b = bounds[g]
+        assert sub["value_w"].min() >= b[0] - 1e-9
+        assert sub["value_w"].max() <= b[1] + 1e-9
+
+
+def test_global_shuffle_exact_permutation(ray_session):
+    import hashlib
+
+    from seekr_ray.extras.split import global_shuffle
+
+    ids = np.arange(0, 3000, dtype=np.int64) * 7 + 3  # gappy ids
+    df = pd.DataFrame({"doc_id": ids})
+
+    def ref_rank(salt):
+        keyed = sorted(
+            (int.from_bytes(hashlib.md5((salt + str(i)).encode()).digest()[:8],
+                            "little"), int(i))
+            for i in ids
+        )
+        return {i: r for r, (_, i) in enumerate(keyed)}
+
+    got = (
+        global_shuffle(_ds(df), id_col="doc_id", salt="s1", num_buckets=64)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = ref_rank("s1")
+    assert got["shuffle_rank"].tolist() == [want[i] for i in got["doc_id"]]
+    # ranks form an exact permutation of 0..n-1
+    assert sorted(got["shuffle_rank"]) == list(range(len(ids)))
+    # a different salt yields a different permutation, same rank set
+    got2 = (
+        global_shuffle(_ds(df), id_col="doc_id", salt="s2", num_buckets=64)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got2["shuffle_rank"].tolist() != got["shuffle_rank"].tolist()
+    assert sorted(got2["shuffle_rank"]) == list(range(len(ids)))
+    # parallelism-invariant: a different partitioning gives identical ranks
+    import ray.data as rd
+
+    got3 = (
+        global_shuffle(
+            rd.from_pandas(df).repartition(13), id_col="doc_id",
+            salt="s1", num_buckets=64,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got3["shuffle_rank"].tolist() == got["shuffle_rank"].tolist()
