@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_price": eq.q_quantiles_price,
         "global_shuffle": eq.q_global_shuffle,
         "winsorize_price": eq.q_winsorize_price,
+        "value_rank": eq.q_value_rank,
+        "label_centroids": eq.q_label_centroids,
         "lineitem_stats": eq.q_lineitem_stats,
         "revenue_rollup": eq.q_revenue_rollup,
         "event_sample": eq.q_event_sample,
@@ -152,6 +154,8 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_price": m["quantiles_price"],
         "global_shuffle": m["global_shuffle"],
         "winsorize_price": m["winsorize_price"],
+        "value_rank": m["value_rank"],
+        "label_centroids": m["label_centroids"],
         "lineitem_stats": m["lineitem_stats"],
         "revenue_rollup": m["revenue_rollup"],
         "event_sample": m["event_sample"],

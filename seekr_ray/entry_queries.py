@@ -704,6 +704,9 @@ QUANTILE_QS = [0.25, 0.5, 0.9, 0.99]  # fixed grouped-quantile probe points
 SHUFFLE_SALT = "ep1"  # epoch salt: a different salt = an independent permutation
 SHUFFLE_BUCKETS = 256
 WINSOR_QLO, WINSOR_QHI = 0.05, 0.95
+NTILE_K = 10
+EMB_DIM = 64  # embeddings fixture dimensionality (TESTDATA.md)
+CENTROID_SCALE = 1_000_000
 KSAMPLE_K = 500  # deterministic uniform sample size
 DUP_SPAN_K = 5  # duplicated-span shingle width (tokens)
 BM25_K1 = 1.2
@@ -772,6 +775,36 @@ def q_winsorize_price(sf_dir: str):
         q_lo=WINSOR_QLO,
         q_hi=WINSOR_QHI,
     )
+
+
+def q_value_rank(sf_dir: str):
+    """Distributed exact ROW_NUMBER + NTILE over (value, event_id) order
+    — value-range buckets + prefix-sum; no single-worker sort."""
+    import ray.data as rd
+
+    from .extras.stats import global_value_rank
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+    return global_value_rank(
+        ds, val_col="value", id_col="event_id", ntile=NTILE_K
+    )
+
+
+def q_label_centroids(sf_dir: str):
+    """Exact per-label embedding centroids via floor-quantized integer
+    sums (order-invariant, SQL-replicable bit-for-bit); O(labels x dim)
+    exchange."""
+    import ray.data as rd
+
+    from .extras.similarity import label_centroids
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"],
+    )
+    return label_centroids(ds, label_col="label", vec_col="embedding")
 
 
 def q_lineitem_stats(sf_dir: str):
@@ -2100,6 +2133,20 @@ b AS (
 SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
        round(least(greatest(l.l_extendedprice, b.lo), b.hi), 6) AS value_w
 FROM lineitem l JOIN b USING (l_returnflag)"""
+
+    sql["value_rank"] = f"""SELECT event_id,
+       (row_number() OVER (ORDER BY value, event_id) - 1)::BIGINT AS value_rank,
+       ntile({NTILE_K}) OVER (ORDER BY value, event_id)::BIGINT AS tile
+FROM events"""
+
+    # floor-quantized integer sums: exact at any summation order, and the
+    # ::DOUBLE cast mirrors numpy's float32->float64 promotion BEFORE the
+    # multiply (FLOAT arithmetic would floor differently)
+    sql["label_centroids"] = f"""SELECT label, i AS dim, count(*)::BIGINT AS n,
+       round(sum(floor(embedding[i + 1]::DOUBLE * {CENTROID_SCALE}))
+             / {CENTROID_SCALE}.0 / count(*), 6) AS centroid
+FROM embeddings, range(0, {EMB_DIM}) t(i)
+GROUP BY label, i"""
 
     sql["lineitem_stats"] = """SELECT l_returnflag,
        count(*)::BIGINT AS n,

@@ -376,3 +376,79 @@ def ann_topk_lsh(
         concurrency=(1, 4),
     )
     return _merge_topk(partials, k)
+
+
+def label_centroids(
+    emb_ds,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+):
+    """Exact per-label centroid of the embedding column — the
+    class-prototype / cluster-summary primitive (and the reduce step of
+    a distributed k-means iteration).
+
+    Elements are quantized to integers first (``floor(x * scale)`` —
+    floor, not round: round-half ties would diverge between numpy's
+    half-even and SQL's half-away), so the per-dimension sums are EXACT
+    integer arithmetic: parallelism- and order-invariant, and
+    SQL-replicable bit-for-bit.  Per-block partials carry one row per
+    (label, dim) — the exchange is O(labels x dim), never O(rows).
+
+    Output: ``(label, dim, n, centroid)`` where
+    ``centroid = (sum / scale) / n`` rounded to 6dp.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        mat = _to_matrix(batch[vec_col])  # (n, dim) float64
+        qi = np.floor(mat * scale).astype(np.int64)
+        uk, inv = np.unique(labels, return_inverse=True)
+        dim = qi.shape[1]
+        sums = np.zeros((len(uk), dim), np.int64)
+        np.add.at(sums, inv, qi)
+        n_rows = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        lab = np.repeat(uk, dim)
+        d = np.tile(np.arange(dim, dtype=np.int64), len(uk))
+        return pa.table(
+            {
+                label_col: pa.array(lab, batch[label_col].type),
+                "dim": pa.array(d, pa.int64()),
+                "s_p": pa.array(sums.ravel(), pa.int64()),
+                "n_p": pa.array(np.repeat(n_rows, dim), pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table, label_type=None) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = batch["sum(s_p)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["sum(n_p)"].to_numpy(zero_copy_only=False)
+        mean = (s / float(scale)) / n
+        return pa.table(
+            {
+                # Ray's groupby upcasts narrow int keys; restore the
+                # input column's type so the schema round-trips
+                label_col: pc.cast(batch[label_col], label_type)
+                if label_type is not None
+                else batch[label_col],
+                "dim": batch["dim"],
+                "n": pa.array(n, pa.int64()),
+                "centroid": pa.array([round6(x) for x in mean], pa.float64()),
+            }
+        )
+
+    try:  # pandas-block datasets have no Arrow base schema; skip the pin
+        label_type = emb_ds.schema().base_schema.field(label_col).type
+    except AttributeError:
+        label_type = None
+    return (
+        emb_ds.select_columns([label_col, vec_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([label_col, "dim"])
+        .sum(["s_p", "n_p"])
+        .map_batches(
+            lambda b: finalize(b, label_type), batch_format="pyarrow"
+        )
+    )

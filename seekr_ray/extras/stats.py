@@ -203,6 +203,90 @@ def histogram_quantiles(
     )
 
 
+def global_value_rank(
+    ds,
+    *,
+    val_col: str,
+    id_col: str,
+    ntile: int | None = None,
+    num_bins: int = 4096,
+):
+    """Distributed exact ``ROW_NUMBER() OVER (ORDER BY val, id)`` (plus
+    optional ``NTILE``) — the global ORDER-BY rank primitive, without a
+    single-worker sort.
+
+    Same prefix-sum discipline as split.global_shuffle, but the buckets
+    are VALUE ranges instead of hash ranges: an exact global min/max
+    pre-pass fixes equi-width bins (deterministic at any parallelism),
+    per-bin counts prefix-sum on the driver (O(bins)), and each bin
+    sorts locally by ``(val, id)`` — bin ranges are value-contiguous, so
+    bin-order + local order IS the global order.  Skewed distributions
+    make bins uneven (a bin must fit in one worker's heap); at 100 TB,
+    split hot bins recursively or pick boundaries from a quantile sketch
+    instead of equi-width.
+
+    ``ntile=K`` adds SQL's NTILE(K) (1-based; first ``n % K`` tiles get
+    the extra row), derived arithmetically from the exact rank.
+    Output: ``(id_col, value_rank, [tile])`` with ``value_rank`` 0-based.
+    """
+    import ray
+
+    lo = ds.min(val_col)
+    hi = ds.max(val_col)
+    if lo is None or hi is None:
+        raise ValueError("empty dataset")
+    width = (hi - lo) / num_bins or 1.0
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        v = _np_col(batch, val_col).astype(np.float64)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, num_bins - 1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "_v": pa.array(v, pa.float64()),
+                "_bin": pa.array(b, pa.int64()),
+            }
+        )
+
+    keyed = (
+        ds.select_columns([id_col, val_col])
+        .map_batches(narrow, batch_format="pyarrow")
+        .materialize()  # feeds two consumers: bin counts + the local rank
+    )
+    counts = keyed.groupby("_bin").count().to_pandas().sort_values("_bin")
+    n_total = int(counts["count()"].sum())
+    bases = dict(
+        zip(
+            counts["_bin"].to_numpy(),
+            np.concatenate(([0], np.cumsum(counts["count()"].to_numpy())[:-1])),
+        )
+    )
+    bases_ref = ray.put(bases)
+
+    def local_rank(group: pa.Table) -> pa.Table:
+        base = ray.get(bases_ref)[int(group["_bin"][0].as_py())]
+        v = group["_v"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, v))
+        rank = base + np.arange(len(order), dtype=np.int64)
+        cols = {
+            id_col: pa.array(ids[order], group[id_col].type),
+            "value_rank": pa.array(rank, pa.int64()),
+        }
+        if ntile:
+            q, r = divmod(n_total, ntile)
+            split = r * (q + 1)
+            tile = np.where(
+                rank < split,
+                rank // (q + 1),
+                r + (rank - split) // max(q, 1),
+            )
+            cols["tile"] = pa.array(tile + 1, pa.int64())
+        return pa.table(cols)
+
+    return keyed.groupby("_bin").map_groups(local_rank, batch_format="pyarrow")
+
+
 def grouped_stats(ds, *, key_col: str, val_col: str):
     """Per-group describe: ``(key, n, vmin, vmax, mean, std_pop)``.
 

@@ -285,3 +285,86 @@ def test_global_shuffle_exact_permutation(ray_session):
         .reset_index(drop=True)
     )
     assert got3["shuffle_rank"].tolist() == got["shuffle_rank"].tolist()
+
+
+def test_global_value_rank_and_ntile(ray_session, rng):
+    from seekr_ray.extras.stats import global_value_rank
+
+    n = 5000
+    vals = np.round(rng.normal(0.0, 10.0, size=n), 1)  # plenty of ties
+    ids = rng.permutation(n).astype(np.int64)
+    df = pd.DataFrame({"id": ids, "v": vals})
+    k = 7
+    got = (
+        global_value_rank(_ds(df), val_col="v", id_col="id", ntile=k)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    order = np.lexsort((df["id"].to_numpy(), df["v"].to_numpy()))
+    want_rank = np.empty(n, np.int64)
+    want_rank[order] = np.arange(n)
+    want = df.assign(r=want_rank).sort_values("id").reset_index(drop=True)
+    assert got["value_rank"].tolist() == want["r"].tolist()
+    # NTILE: first n%k tiles get the extra row, 1-based
+    q, r = divmod(n, k)
+    sizes = got.groupby("tile").size()
+    assert sizes.index.tolist() == list(range(1, k + 1))
+    assert sizes.tolist() == [q + 1] * r + [q] * (k - r)
+    # tiles respect the rank order
+    by_rank = got.sort_values("value_rank")
+    assert (np.diff(by_rank["tile"].to_numpy()) >= 0).all()
+    # parallelism invariance
+    import ray.data as rd
+
+    got2 = (
+        global_value_rank(
+            rd.from_pandas(df).repartition(11), val_col="v", id_col="id", ntile=k
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert got2["value_rank"].tolist() == got["value_rank"].tolist()
+
+
+def test_label_centroids_exact(ray_session, rng):
+    from seekr_ray.extras.similarity import label_centroids
+    from seekr_ray.extras.textstats import round6
+
+    n, dim = 600, 8
+    mat = rng.normal(0.0, 1.0, size=(n, dim)).astype(np.float32)
+    labels = rng.integers(0, 4, size=n).astype(np.int32)
+    import ray.data as rd
+
+    tbl = pa.table(
+        {
+            "label": pa.array(labels, pa.int32()),
+            "embedding": pa.array(
+                [row.tolist() for row in mat], pa.list_(pa.float32())
+            ),
+        }
+    )
+    got = (
+        label_centroids(
+            rd.from_arrow(tbl).repartition(4),
+            label_col="label",
+            vec_col="embedding",
+        )
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    qi = np.floor(mat.astype(np.float64) * 1_000_000).astype(np.int64)
+    rows = []
+    for lab in sorted(set(labels.tolist())):
+        sub = qi[labels == lab]
+        for d in range(dim):
+            s = int(sub[:, d].sum())
+            rows.append(
+                (lab, d, len(sub), round6((float(s) / 1_000_000.0) / len(sub)))
+            )
+    want = pd.DataFrame(rows, columns=["label", "dim", "n", "centroid"])
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got["centroid"].tolist() == want["centroid"].tolist()
+    assert str(got["label"].dtype) == "int32"  # input key dtype preserved
