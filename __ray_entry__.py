@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_shuffle": eq.q_global_shuffle,
         "winsorize_price": eq.q_winsorize_price,
         "value_rank": eq.q_value_rank,
+        "curate_corpus": eq.q_curate_corpus,
         "label_centroids": eq.q_label_centroids,
         "lineitem_stats": eq.q_lineitem_stats,
         "revenue_rollup": eq.q_revenue_rollup,
@@ -155,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
         "global_shuffle": m["global_shuffle"],
         "winsorize_price": m["winsorize_price"],
         "value_rank": m["value_rank"],
+        "curate_corpus": m["curate_corpus"],
         "label_centroids": m["label_centroids"],
         "lineitem_stats": m["lineitem_stats"],
         "revenue_rollup": m["revenue_rollup"],

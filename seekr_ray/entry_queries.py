@@ -707,6 +707,8 @@ WINSOR_QLO, WINSOR_QHI = 0.05, 0.95
 NTILE_K = 10
 EMB_DIM = 64  # embeddings fixture dimensionality (TESTDATA.md)
 CENTROID_SCALE = 1_000_000
+CURATE_MIN_TOKENS = 25  # drops the short tail (~p22 at sf0.01)
+CURATE_MIN_ALPHA = 0.82  # ~median ASCII-letter fraction
 KSAMPLE_K = 500  # deterministic uniform sample size
 DUP_SPAN_K = 5  # duplicated-span shingle width (tokens)
 BM25_K1 = 1.2
@@ -774,6 +776,23 @@ def q_winsorize_price(sf_dir: str):
         id_cols=["l_orderkey", "l_linenumber"],
         q_lo=WINSOR_QLO,
         q_hi=WINSOR_QHI,
+    )
+
+
+def q_curate_corpus(sf_dir: str):
+    """Composed curation pipeline (the extras' headline use case):
+    exact dedup winners ∩ quality thresholds ∩ 'en' language heuristic,
+    one streaming pass over the corpus + an O(winners) key broadcast."""
+    import ray.data as rd
+
+    from .extras.curate import curate_corpus
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+    return curate_corpus(
+        ds, min_tokens=CURATE_MIN_TOKENS, min_alpha_ratio=CURATE_MIN_ALPHA
     )
 
 
@@ -2133,6 +2152,27 @@ b AS (
 SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
        round(least(greatest(l.l_extendedprice, b.lo), b.hi), 6) AS value_w
 FROM lineitem l JOIN b USING (l_returnflag)"""
+
+    sql["curate_corpus"] = f"""{toks}
+, q AS (
+  SELECT doc_id, lang, len(tokens) AS n_tokens,
+         CASE WHEN len(raw) > 0
+              THEN len(list_filter(raw, t -> list_contains({stop}, t)))::DOUBLE
+                   / len(raw)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                   / length(text)
+              ELSE 0.0 END AS alpha_ratio
+  FROM toks
+), winners AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+)
+SELECT q.doc_id, q.lang, q.n_tokens
+FROM q JOIN winners USING (doc_id)
+WHERE q.n_tokens >= {CURATE_MIN_TOKENS}
+  AND q.alpha_ratio >= {CURATE_MIN_ALPHA}
+  AND q.stop_ratio >= {LANGID_THRESHOLD}"""
 
     sql["value_rank"] = f"""SELECT event_id,
        (row_number() OVER (ORDER BY value, event_id) - 1)::BIGINT AS value_rank,

@@ -1,0 +1,93 @@
+"""End-to-end corpus curation — the composition the individual extras
+exist for: exact dedup → quality filter → language filter, in one
+streaming pipeline over the documents table.  This is the headline
+100-TB use case (C4/Gopher-style cleaning): every stage is one of the
+already-oracled operators, composed WITHOUT materializing the corpus
+between steps.
+
+Plan shape:
+
+1. **winners** — ``dedup.exact_dedup_groups`` (per-content sha groupby,
+   min doc_id wins) reduced to its keep ids;
+2. **stats+filter** — ONE ``map_batches`` pass computes n_tokens /
+   alpha_ratio / stopword_ratio (textstats kernels) and applies the
+   quality + language thresholds; filter decisions compare UNROUNDED
+   single-division ratios, which are bit-identical in SQL (same two
+   integers divided once on both sides);
+3. **semi join** — ``joins.key_filter_join`` keeps quality survivors
+   whose doc_id is a dedup winner (broadcast distinct keys; the corpus
+   never shuffles).
+
+The only exchanges are the sha groupby (narrow: sha + id) and the
+O(winners) key broadcast.  Text leaves the scan exactly once.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..text.stopwords import STOPWORDS
+from .textstats import (
+    _ASCII_ALPHA_RE,
+    LANGID_THRESHOLD,
+    MAX_LEN,
+    MIN_LEN,
+    raw_tokens,
+)
+
+
+def curate_corpus(
+    docs_ds,
+    *,
+    min_tokens: int,
+    min_alpha_ratio: float,
+    text_col: str = "text",
+):
+    """Curated survivors: ``(doc_id, lang, n_tokens)`` of docs that are
+    (a) their content group's dedup winner, (b) ≥ ``min_tokens`` kept
+    tokens, (c) ≥ ``min_alpha_ratio`` ASCII-letter fraction, and
+    (d) classified 'en' by the stopword-ratio heuristic."""
+    from .dedup import exact_dedup_groups
+    from .joins import key_filter_join
+
+    def stats_filter(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        langs = batch["lang"]
+        out_idx = []
+        out_n = []
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            t = t or ""
+            raw = raw_tokens(t)
+            kept = [
+                w
+                for w in raw
+                if MIN_LEN <= len(w) <= MAX_LEN and w not in STOPWORDS
+            ]
+            if len(kept) < min_tokens:
+                continue
+            if not t or len(_ASCII_ALPHA_RE.findall(t)) / len(t) < min_alpha_ratio:
+                continue
+            if not raw or (
+                sum(1 for w in raw if w in STOPWORDS) / len(raw)
+                < LANGID_THRESHOLD
+            ):
+                continue
+            out_idx.append(i)
+            out_n.append(len(kept))
+        return pa.table(
+            {
+                "doc_id": ids.take(pa.array(out_idx, pa.int64())),
+                "lang": langs.take(pa.array(out_idx, pa.int64())),
+                "n_tokens": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    winners = exact_dedup_groups(docs_ds, text_col=text_col).select_columns(
+        ["keep_doc_id"]
+    )
+    survivors = docs_ds.select_columns(
+        ["doc_id", "lang", text_col]
+    ).map_batches(stats_filter, batch_format="pyarrow")
+    return key_filter_join(
+        survivors, winners, left_key="doc_id", right_key="keep_doc_id"
+    )
