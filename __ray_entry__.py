@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_price": eq.q_winsorize_price,
         "value_rank": eq.q_value_rank,
         "curate_corpus": eq.q_curate_corpus,
+        "kmeans_step": eq.q_kmeans_step,
         "label_centroids": eq.q_label_centroids,
         "lineitem_stats": eq.q_lineitem_stats,
         "revenue_rollup": eq.q_revenue_rollup,
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorize_price": m["winsorize_price"],
         "value_rank": m["value_rank"],
         "curate_corpus": m["curate_corpus"],
+        "kmeans_step": m["kmeans_step"],
         "label_centroids": m["label_centroids"],
         "lineitem_stats": m["lineitem_stats"],
         "revenue_rollup": m["revenue_rollup"],

@@ -709,6 +709,7 @@ EMB_DIM = 64  # embeddings fixture dimensionality (TESTDATA.md)
 CENTROID_SCALE = 1_000_000
 CURATE_MIN_TOKENS = 25  # drops the short tail (~p22 at sf0.01)
 CURATE_MIN_ALPHA = 0.82  # ~median ASCII-letter fraction
+KMEANS_K = 8  # deterministic init: the first K vec_ids
 KSAMPLE_K = 500  # deterministic uniform sample size
 DUP_SPAN_K = 5  # duplicated-span shingle width (tokens)
 BM25_K1 = 1.2
@@ -824,6 +825,26 @@ def q_label_centroids(sf_dir: str):
         columns=["label", "embedding"],
     )
     return label_centroids(ds, label_col="label", vec_col="embedding")
+
+
+def q_kmeans_step(sf_dir: str):
+    """One distributed Lloyd iteration (spherical k-means) from the
+    deterministic vec_id<K init: 6dp-rounded-cosine assignment (smaller
+    cid tie-break) + floor-quantized exact integer centroid means.  The
+    iterated fit (kmeans_fit) replays this step; pytest covers it."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .extras.similarity import _to_matrix, kmeans_step
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    init_tbl = pq.read_table(
+        path, columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", KMEANS_K)],
+    ).sort_by("vec_id")
+    init = _to_matrix(init_tbl["embedding"])
+    ds = rd.read_parquet(path, columns=["embedding"])
+    return kmeans_step(ds, init)
 
 
 def q_lineitem_stats(sf_dir: str):
@@ -2173,6 +2194,26 @@ FROM q JOIN winners USING (doc_id)
 WHERE q.n_tokens >= {CURATE_MIN_TOKENS}
   AND q.alpha_ratio >= {CURATE_MIN_ALPHA}
   AND q.stop_ratio >= {LANGID_THRESHOLD}"""
+
+    sql["kmeans_step"] = f"""WITH c AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {KMEANS_K}
+),
+a AS (
+  SELECT e.vec_id, c.cid, e.embedding,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                 c.embedding::DOUBLE[]), 6)
+                    DESC, c.cid
+         ) AS rn
+  FROM embeddings e CROSS JOIN c
+),
+asg AS (SELECT cid, embedding FROM a WHERE rn = 1)
+SELECT cid, i AS dim, count(*)::BIGINT AS n,
+       round(sum(floor(embedding[i + 1]::DOUBLE * {CENTROID_SCALE}))
+             / {CENTROID_SCALE}.0 / count(*), 6) AS centroid
+FROM asg, range(0, {EMB_DIM}) t(i)
+GROUP BY cid, i"""
 
     sql["value_rank"] = f"""SELECT event_id,
        (row_number() OVER (ORDER BY value, event_id) - 1)::BIGINT AS value_rank,

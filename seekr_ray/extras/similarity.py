@@ -452,3 +452,109 @@ def label_centroids(
             lambda b: finalize(b, label_type), batch_format="pyarrow"
         )
     )
+
+
+def _round6_arr(x: np.ndarray) -> np.ndarray:
+    """Vectorized half-away-from-zero 6dp round (== textstats.round6 ==
+    SQL ROUND(x, 6))."""
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def kmeans_step(
+    emb_ds,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+):
+    """ONE distributed Lloyd iteration (spherical k-means): assign every
+    vector to its best centroid by 6dp-rounded cosine (smaller centroid
+    id breaks ties — `np.argmax` keeps the first maximum, which is the
+    SQL `ORDER BY cos DESC, cid` winner), then update each centroid as
+    the floor-quantized EXACT integer mean of its members (the
+    label_centroids kernel keyed by assignment).
+
+    Both halves are deterministic at any parallelism: the assignment
+    compares 6dp-rounded scores and the update is integer arithmetic —
+    which is what makes the full iterated fit (``kmeans_fit``) exactly
+    reproducible, and this single step SQL-oracle-able.
+
+    The centroid matrix broadcasts once via ``ray.put``; the exchange
+    carries O(k × dim) partial-sum rows per block.  Empty clusters drop
+    from the output (callers keep the previous centroid if they need
+    k stable).  Output: ``(cid, dim, n, centroid)``.
+    """
+    import ray
+
+    cents_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign_partial(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        mat = _to_matrix(batch[vec_col])
+        r = _round6_arr(_cosine(mat, cents))
+        cid = np.argmax(r, axis=1).astype(np.int64)
+        qi = np.floor(mat * scale).astype(np.int64)
+        uk, inv = np.unique(cid, return_inverse=True)
+        dim = mat.shape[1]
+        sums = np.zeros((len(uk), dim), np.int64)
+        np.add.at(sums, inv, qi)
+        n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {
+                "cid": pa.array(np.repeat(uk, dim), pa.int64()),
+                "dim": pa.array(
+                    np.tile(np.arange(dim, dtype=np.int64), len(uk)), pa.int64()
+                ),
+                "s_p": pa.array(sums.ravel(), pa.int64()),
+                "n_p": pa.array(np.repeat(n, dim), pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = batch["sum(s_p)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["sum(n_p)"].to_numpy(zero_copy_only=False)
+        mean = (s / float(scale)) / n
+        return pa.table(
+            {
+                "cid": batch["cid"],
+                "dim": batch["dim"],
+                "n": pa.array(n, pa.int64()),
+                "centroid": pa.array([round6(x) for x in mean], pa.float64()),
+            }
+        )
+
+    return (
+        emb_ds.select_columns([vec_col])
+        .map_batches(assign_partial, batch_format="pyarrow")
+        .groupby(["cid", "dim"])
+        .sum(["s_p", "n_p"])
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def kmeans_fit(
+    emb_ds,
+    init_centroids: np.ndarray,
+    *,
+    iters: int,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+):
+    """Iterated distributed Lloyd: run ``kmeans_step`` ``iters`` times,
+    feeding each step's 6dp means back as the next centroids.  Every
+    step is deterministic (rounded-score assignment + integer-mean
+    update), so the whole fit replays bit-for-bit at any parallelism —
+    pytest mirrors it with a pure-numpy driver loop and asserts exact
+    equality.  An empty cluster keeps its previous centroid (so k never
+    shrinks mid-fit).  Returns the final (k, dim) centroid matrix.
+    """
+    cents = np.asarray(init_centroids, dtype=np.float64).copy()
+    for _ in range(iters):
+        out = (
+            kmeans_step(emb_ds, cents, vec_col=vec_col, scale=scale)
+            .to_pandas()
+            .sort_values(["cid", "dim"])
+        )
+        for cid, sub in out.groupby("cid"):
+            cents[int(cid)] = sub["centroid"].to_numpy()
+    return cents

@@ -368,3 +368,51 @@ def test_label_centroids_exact(ray_session, rng):
     assert got["n"].tolist() == want["n"].tolist()
     assert got["centroid"].tolist() == want["centroid"].tolist()
     assert str(got["label"].dtype) == "int32"  # input key dtype preserved
+
+
+def test_kmeans_fit_matches_numpy_mirror(ray_session, rng):
+    import ray.data as rd
+
+    from seekr_ray.extras.similarity import (
+        _cosine,
+        _round6_arr,
+        kmeans_fit,
+        kmeans_step,
+    )
+    from seekr_ray.extras.textstats import round6
+
+    n, dim, k, iters = 400, 12, 5, 3
+    mat = rng.normal(0.0, 1.0, size=(n, dim)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in mat], pa.list_(pa.float32())
+            ),
+        }
+    )
+    init = mat[:k].astype(np.float64)
+    got = kmeans_fit(
+        rd.from_arrow(tbl).repartition(4), init, iters=iters
+    )
+
+    # pure-numpy driver mirror of the same deterministic step
+    m64 = mat.astype(np.float64)
+    cents = init.copy()
+    for _ in range(iters):
+        r = _round6_arr(_cosine(m64, cents))
+        cid = np.argmax(r, axis=1)
+        for c in range(k):
+            mem = m64[cid == c]
+            if len(mem):
+                qs = np.floor(mem * 1_000_000).astype(np.int64).sum(axis=0)
+                cents[c] = np.array(
+                    [round6((float(s) / 1_000_000.0) / len(mem)) for s in qs]
+                )
+    assert np.array_equal(got, cents)  # exact, not approximate
+
+    # single step output shape/semantics: every cluster's n sums to n
+    step = kmeans_step(rd.from_arrow(tbl), init).to_pandas()
+    per_cid = step.groupby("cid")["n"].first()
+    assert per_cid.sum() == n
+    assert set(step["dim"]) == set(range(dim))
