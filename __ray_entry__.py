@@ -101,6 +101,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_pmi": eq.q_term_pmi,
         "mixture_sample": eq.q_mixture_sample,
         "jaccard_join_prefix": eq.q_jaccard_join_prefix,
+        "corr_qty_discount": eq.q_corr_qty_discount,
+        "mode_event_type": eq.q_mode_event_type,
+        "zscore_price": eq.q_zscore_price,
+        "rolling_value_avg": eq.q_rolling_value_avg,
+        "event_gaps": eq.q_event_gaps,
+        "latest_event": eq.q_latest_event,
+        "token_entropy": eq.q_token_entropy,
         # rows-only (non-SQL-expressible; pytest oracle covers semantics)
         "corpus_index_manifest": eq.q_corpus_index_manifest,
         "corpus_search": eq.q_corpus_search,
@@ -179,4 +186,11 @@ def oracle_sql() -> dict[str, str]:
         "term_pmi": m["term_pmi"],
         "mixture_sample": m["mixture_sample"],
         "jaccard_join_prefix": m["ngram_jaccard"],  # same result by theorem
+        "corr_qty_discount": m["corr_qty_discount"],
+        "mode_event_type": m["mode_event_type"],
+        "zscore_price": m["zscore_price"],
+        "rolling_value_avg": m["rolling_value_avg"],
+        "event_gaps": m["event_gaps"],
+        "latest_event": m["latest_event"],
+        "token_entropy": m["token_entropy"],
     }

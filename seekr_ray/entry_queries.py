@@ -1660,6 +1660,129 @@ def q_multimodal_features(sf_dir: str):
     )
 
 
+ROLLING_FRAME = 3  # rolling-mean window width (rows)
+
+
+def q_corr_qty_discount(sf_dir: str):
+    """Per-returnflag Pearson correlation + sample covariance between
+    quantity and discount — exact integer sufficient statistics (qty is
+    integral, discount integral in cents), O(groups) exchange."""
+    import ray.data as rd
+
+    from .extras.stats import grouped_corr
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+    return grouped_corr(
+        ds,
+        key_col="l_returnflag",
+        x_col="l_quantity",
+        y_col="l_discount",
+        x_scale=1,
+        y_scale=100,
+    )
+
+
+def q_mode_event_type(sf_dir: str):
+    """Per-user modal event type (ties → lexicographically smallest) —
+    integer counts, fully deterministic."""
+    import ray.data as rd
+
+    from .extras.stats import grouped_mode
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    out = (
+        grouped_mode(ds, key_col="user_id", val_col="event_type")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "mode_event_type": pa.array(out["mode_event_type"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+        }
+    )
+
+
+def q_zscore_price(sf_dir: str):
+    """Per-brand z-score of retail price — broadcast group moments from
+    exact integer cent sums; the table itself never shuffles."""
+    import ray.data as rd
+
+    from .extras.stats import grouped_zscore
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_retailprice"],
+    )
+    return grouped_zscore(
+        ds, key_col="p_brand", val_col="p_retailprice", id_col="p_partkey"
+    )
+
+
+def q_rolling_value_avg(sf_dir: str):
+    """Per-user rolling mean of value over the last ROLLING_FRAME events
+    in (ts, event_id) order — exact integer frame sums at 1e-6."""
+    import ray.data as rd
+
+    from .extras.windows import rolling_mean_per_group
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return rolling_mean_per_group(ds, frame=ROLLING_FRAME)
+
+
+def q_event_gaps(sf_dir: str):
+    """Per-user microseconds since the previous event (LAG) in (ts,
+    event_id) order; first event per user omitted."""
+    import ray.data as rd
+
+    from .extras.windows import lag_gaps_per_group
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    return lag_gaps_per_group(ds)
+
+
+def q_latest_event(sf_dir: str):
+    """Upsert compaction: each user's latest event by (ts desc, event_id
+    desc) with its value — distributive top-1 per key."""
+    import ray.data as rd
+
+    from .extras.topk import latest_per_key
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    return latest_per_key(
+        ds,
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        payload_cols=["value"],
+    )
+
+
+def q_token_entropy(sf_dir: str):
+    """Per-doc Shannon entropy of the token distribution (floor-
+    quantized at 1e-6 so the sum is an exact integer on both sides)."""
+    from .extras.textstats import token_entropy
+
+    return token_entropy(_docs_text(sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -2413,5 +2536,85 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation na ON c.c_nationkey = na.n_nationkey
 JOIN region r ON na.n_regionkey = r.r_regionkey
 GROUP BY r.r_name"""
+
+    # exact integer sufficient statistics (qty integral, discount in
+    # cents); the float finalize expression mirrors extras/stats.
+    # grouped_corr operation-for-operation (naive corr()/covar_samp()
+    # would differ past 6dp from cancellation at these magnitudes)
+    sql["corr_qty_discount"] = """WITH s AS (
+  SELECT l_returnflag, count(*)::DOUBLE AS n,
+         sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+         sum(x * y)::DOUBLE AS sxy,
+         sum(x * x)::DOUBLE AS sxx, sum(y * y)::DOUBLE AS syy
+  FROM (SELECT l_returnflag, round(l_quantity)::BIGINT AS x,
+               round(l_discount * 100)::BIGINT AS y FROM lineitem)
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n::BIGINT AS n,
+       round((sxy - sx * sy / n) / (n - 1) / 100, 6) AS covar,
+       round((sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr
+FROM s"""
+
+    sql["mode_event_type"] = """SELECT user_id, event_type AS mode_event_type, n
+FROM (
+  SELECT user_id, event_type, count(*)::BIGINT AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1 ORDER BY user_id"""
+
+    # group moments from exact integer cent sums; the z expression
+    # mirrors extras/stats.grouped_zscore operation-for-operation
+    sql["zscore_price"] = """WITH s AS (
+  SELECT p_brand, count(*)::DOUBLE AS n,
+         sum(c)::DOUBLE AS s, sum(c * c)::DOUBLE AS ss
+  FROM (SELECT p_brand, round(p_retailprice * 100)::BIGINT AS c FROM part)
+  GROUP BY p_brand
+)
+SELECT p.p_partkey, p.p_brand,
+       round((round(p.p_retailprice * 100) / 100 - (s.s / s.n) / 100)
+             / sqrt((s.ss / s.n) / 10000
+                    - ((s.s / s.n) / 100) * ((s.s / s.n) / 100)), 6) AS z
+FROM part p JOIN s USING (p_brand)"""
+
+    # exact integer frame sums at 1e-6 (the testdata's own precision),
+    # so the segment-tree window order cannot flip the 6dp compare
+    sql["rolling_value_avg"] = f"""SELECT event_id, user_id,
+       round((sum(round(value * 1000000)::BIGINT) OVER w)::DOUBLE
+             / count(*) OVER w / 1000000, 6) AS rolling_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {ROLLING_FRAME - 1} PRECEDING AND CURRENT ROW)"""
+
+    sql["event_gaps"] = """SELECT event_id, user_id,
+       (epoch_us(ts) - epoch_us(lag(ts) OVER w))::BIGINT AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY lag(ts) OVER w IS NOT NULL"""
+
+    sql["latest_event"] = """SELECT user_id, event_id, ts, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1"""
+
+    # per-term −p·log2(p) floor-quantized at 1e-6 and summed as an exact
+    # integer (the CENTROID_SCALE discipline) — invariant to summation
+    # order and to last-ulp libm log2 differences
+    sql["token_entropy"] = f"""{toks}
+, tc AS (
+  SELECT doc_id, t, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest(tokens) AS t FROM toks) GROUP BY doc_id, t
+),
+ nt AS (SELECT doc_id, len(tokens)::BIGINT AS n FROM toks),
+ e AS (
+  SELECT tc.doc_id,
+         sum(floor(-(tc.c::DOUBLE / nt.n) * log2(tc.c::DOUBLE / nt.n)
+                   * 1000000))::BIGINT AS s
+  FROM tc JOIN nt USING (doc_id) GROUP BY tc.doc_id
+)
+SELECT nt.doc_id, nt.n AS n_tokens,
+       coalesce(e.s, 0)::DOUBLE / 1000000 AS entropy
+FROM nt LEFT JOIN e USING (doc_id)"""
 
     return sql

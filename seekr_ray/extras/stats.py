@@ -502,6 +502,206 @@ def distinct_count_per_group(ds, *, key_col: str, val_col: str):
     )
 
 
+def grouped_corr(
+    ds,
+    *,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 1,
+    y_scale: int = 1,
+):
+    """Per-group Pearson correlation + sample covariance from EXACT
+    integer sufficient statistics.
+
+    Quantizing x/y to integers (``np.rint(v * scale)`` — the inputs are
+    integral at that scale, e.g. 2dp money) makes every partial sum
+    (n, Σx, Σy, Σxy, Σx², Σy²) an exact int64 that merges under + —
+    O(groups) rows cross the exchange and the result is bit-identical
+    at any parallelism.  Naive float sufficient stats would lose ~1e-7
+    absolute to catastrophic cancellation at these magnitudes — past
+    the 6dp compare; the SQL oracle replicates the final float
+    expression operation-for-operation instead of calling ``corr()``.
+
+    Output: ``(key_col, n, covar, corr)`` — covariance in ORIGINAL
+    units (÷ x_scale·y_scale), both rounded to 6dp.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.rint(_np_col(batch, x_col) * x_scale).astype(np.int64)
+        y = np.rint(_np_col(batch, y_col) * y_scale).astype(np.int64)
+        tbl = pa.table(
+            {
+                key_col: batch[key_col],
+                "_n": pa.array(np.ones(len(x), np.int64), pa.int64()),
+                "_sx": pa.array(x, pa.int64()),
+                "_sy": pa.array(y, pa.int64()),
+                "_sxy": pa.array(x * y, pa.int64()),
+                "_sxx": pa.array(x * x, pa.int64()),
+                "_syy": pa.array(y * y, pa.int64()),
+            }
+        )
+        return tbl.group_by([key_col]).aggregate(
+            [(c, "sum") for c in ["_n", "_sx", "_sy", "_sxy", "_sxx", "_syy"]]
+        ).rename_columns([key_col, "_n", "_sx", "_sy", "_sxy", "_sxx", "_syy"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = _np_col(batch, "sum(_n)").astype(np.float64)
+        sx = _np_col(batch, "sum(_sx)").astype(np.float64)
+        sy = _np_col(batch, "sum(_sy)").astype(np.float64)
+        sxy = _np_col(batch, "sum(_sxy)").astype(np.float64)
+        sxx = _np_col(batch, "sum(_sxx)").astype(np.float64)
+        syy = _np_col(batch, "sum(_syy)").astype(np.float64)
+        # operation order mirrored by the SQL oracle expression exactly
+        cov_num = sxy - sx * sy / n
+        covar = cov_num / (n - 1.0) / (x_scale * y_scale)
+        corr = cov_num / np.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "covar": pa.array([round6(v) for v in covar], pa.float64()),
+                "corr": pa.array([round6(v) for v in corr], pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, x_col, y_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .sum(["_n", "_sx", "_sy", "_sxy", "_sxx", "_syy"])
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def grouped_mode(ds, *, key_col: str, val_col: str, num_buckets: int = 64):
+    """Per-key modal value: the value with the highest count, ties broken
+    by the SMALLEST value — fully deterministic, integer counts, zero FP
+    risk.  Partial (key, val, count) per block → pair-level groupby sum
+    (O(keys·|domain|) rows) → bucketed argmax per key.
+
+    Output: ``(key_col, mode_<val_col>, n)``.
+    """
+    out_val = f"mode_{val_col}"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tbl = batch.select([key_col, val_col])
+        agg = tbl.group_by([key_col, val_col]).aggregate([([], "count_all")])
+        return agg.rename_columns([key_col, val_col, "_c"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = _np_col(batch, key_col)
+        return pa.table(
+            {
+                "_b": pa.array((k % num_buckets).astype(np.int32), pa.int32()),
+                key_col: batch[key_col],
+                val_col: batch[val_col],
+                "_c": pc.cast(batch["sum(_c)"], pa.int64()),
+            }
+        )
+
+    def argmax(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        df = df.sort_values(
+            [key_col, "_c", val_col], ascending=[True, False, True]
+        )
+        win = df.groupby(key_col, sort=True).head(1)
+        return pa.table(
+            {
+                key_col: pa.array(win[key_col].to_numpy(), pa.int64()),
+                out_val: pa.array(win[val_col], group[val_col].type),
+                "n": pa.array(win["_c"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, val_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, val_col])
+        .sum("_c")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(argmax, batch_format="pyarrow")
+    )
+
+
+def grouped_zscore(
+    ds,
+    *,
+    key_col: str,
+    val_col: str,
+    id_col: str,
+    scale: int = 100,
+):
+    """Per-group z-score normalization: ``(v − mean) / std_pop`` with the
+    group moments from EXACT integer sums (same quantization discipline
+    as grouped_corr), so the per-row float expression — mirrored
+    operation-for-operation by the SQL oracle — is bit-identical at any
+    parallelism.  Two-phase: O(groups) moment rows broadcast via
+    ``ray.put``; the table itself never shuffles.
+
+    Output: ``(id_col, key_col, z)`` with z rounded to 6dp.
+    """
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = np.rint(_np_col(batch, val_col) * scale).astype(np.int64)
+        tbl = pa.table(
+            {
+                key_col: batch[key_col],
+                "_n": pa.array(np.ones(len(c), np.int64), pa.int64()),
+                "_s": pa.array(c, pa.int64()),
+                "_ss": pa.array(c * c, pa.int64()),
+            }
+        )
+        return tbl.group_by([key_col]).aggregate(
+            [("_n", "sum"), ("_s", "sum"), ("_ss", "sum")]
+        ).rename_columns([key_col, "_n", "_s", "_ss"])
+
+    moments_tbl = (
+        ds.select_columns([key_col, val_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .sum(["_n", "_s", "_ss"])
+    ).to_pandas()
+    moments = {
+        k: (float(n), float(s), float(ss))
+        for k, n, s, ss in zip(
+            moments_tbl[key_col],
+            moments_tbl["sum(_n)"],
+            moments_tbl["sum(_s)"],
+            moments_tbl["sum(_ss)"],
+        )
+    }
+    mref = ray.put(moments)
+    sc = float(scale)
+    sc2 = float(scale * scale)
+
+    def zmap(batch: pa.Table) -> pa.Table:
+        mm = ray.get(mref)
+        keys = batch[key_col].to_pylist()
+        c = np.rint(_np_col(batch, val_col) * scale)
+        n = np.fromiter((mm[k][0] for k in keys), np.float64, len(keys))
+        s = np.fromiter((mm[k][1] for k in keys), np.float64, len(keys))
+        ss = np.fromiter((mm[k][2] for k in keys), np.float64, len(keys))
+        # mirrored by SQL: mean = (s / n) / scale; var = (ss / n) / scale²
+        # − mean·mean; z = (c/scale − mean) / sqrt(var)
+        mean = (s / n) / sc
+        var = (ss / n) / sc2 - mean * mean
+        z = (c / sc - mean) / np.sqrt(var)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                key_col: batch[key_col],
+                "z": pa.array([round6(v) for v in z], pa.float64()),
+            }
+        )
+
+    return ds.select_columns([id_col, key_col, val_col]).map_batches(
+        zmap, batch_format="pyarrow"
+    )
+
+
 def pivot_counts(
     ds,
     *,

@@ -83,6 +83,50 @@ def token_count_by_lang(docs_ds, text_col: str = "text"):
     return docs_ds.map_batches(partial, batch_format="pyarrow").groupby("lang").sum("n")
 
 
+ENTROPY_SCALE = 1_000_000
+
+
+def token_entropy(docs_ds, text_col: str = "text"):
+    """Per-doc Shannon entropy of the token distribution (bits) — a
+    repetition/diversity quality signal: near-0 for degenerate repeated
+    text, ~log2(n_tokens) for all-distinct text.
+
+    Each term's contribution ``−p·log2(p)`` is floor-quantized at 1e-6
+    and summed as an exact integer (the CENTROID_SCALE discipline), so
+    the result is invariant to summation order AND to last-ulp libm
+    differences between numpy's and DuckDB's log2 — the SQL oracle
+    replicates the quantized expression term-for-term.
+
+    Output: ``(doc_id, n_tokens, entropy)``.
+    """
+    from collections import Counter
+
+    def ent(batch: pa.Table) -> pa.Table:
+        out_n, out_e = [], []
+        for t in batch[text_col].to_pylist():
+            toks = simple_tokens(t or "")
+            n = len(toks)
+            out_n.append(n)
+            if n == 0:
+                out_e.append(0.0)
+                continue
+            cnt = np.fromiter(
+                Counter(toks).values(), np.float64, -1
+            )
+            p = cnt / float(n)  # == SQL c::DOUBLE / n
+            q = np.floor(-(p) * np.log2(p) * ENTROPY_SCALE)
+            out_e.append(float(q.astype(np.int64).sum()) / ENTROPY_SCALE)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "entropy": pa.array(out_e, pa.float64()),
+            }
+        )
+
+    return docs_ds.map_batches(ent, batch_format="pyarrow")
+
+
 # -- quality scoring ---------------------------------------------------------
 
 

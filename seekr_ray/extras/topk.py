@@ -31,6 +31,76 @@ def _topk_kernel(
     return order[rank < k]
 
 
+def latest_per_key(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    payload_cols: list[str],
+    num_buckets: int = DEFAULT_BUCKETS,
+):
+    """Upsert compaction: the latest row per key by (ts desc, id desc) —
+    the CDC/"keep newest record" primitive.  Top-1 is distributive, so
+    every block keeps one candidate row per key it saw and only
+    O(keys · blocks) rows reach the bucketed finalize; payload columns
+    ride along untouched (exact passthrough — zero FP risk).
+
+    Output: ``(key_col, id_col, ts_col, *payload_cols)`` with ts pinned
+    to timestamp[us].
+    """
+
+    def _keep_latest(
+        kk: np.ndarray, tt: np.ndarray, ii: np.ndarray
+    ) -> np.ndarray:
+        order = np.lexsort((ii, tt, kk))
+        ks = kk[order]
+        last = np.ones(len(ks), bool)
+        if len(ks) > 1:
+            last[:-1] = ks[1:] != ks[:-1]
+        return order[last]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kk = batch[key_col].to_numpy(zero_copy_only=False)
+        tt = batch[ts_col].to_numpy(zero_copy_only=False).view("int64")
+        ii = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = _keep_latest(kk, tt, ii)
+        sel = pa.array(keep, pa.int64())
+        cols = {
+            "_b": pa.array((kk[keep] % num_buckets).astype(np.int32), pa.int32()),
+            key_col: pa.array(kk[keep], pa.int64()),
+            "_t": pa.array(tt[keep], pa.int64()),
+            id_col: pa.array(ii[keep], pa.int64()),
+        }
+        for c in payload_cols:
+            cols[c] = batch[c].take(sel)
+        return pa.table(cols)
+
+    def final(group: pa.Table) -> pa.Table:
+        kk = group[key_col].to_numpy(zero_copy_only=False)
+        tt = group["_t"].to_numpy(zero_copy_only=False)
+        ii = group[id_col].to_numpy(zero_copy_only=False)
+        keep = _keep_latest(kk, tt, ii)
+        sel = pa.array(keep, pa.int64())
+        cols = {
+            key_col: pa.array(kk[keep], pa.int64()),
+            id_col: pa.array(ii[keep], pa.int64()),
+            ts_col: pa.array(
+                tt[keep].view("datetime64[us]"), pa.timestamp("us")
+            ),
+        }
+        for c in payload_cols:
+            cols[c] = group[c].take(sel)
+        return pa.table(cols)
+
+    return (
+        ds.select_columns([key_col, ts_col, id_col, *payload_cols])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def topk_per_group(
     ds,
     *,

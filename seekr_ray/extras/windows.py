@@ -211,6 +211,143 @@ def hopping_agg(events_ds, window_us: int, hop_us: int):
     )
 
 
+def rolling_mean_per_group(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    frame: int = 3,
+    num_buckets: int = 64,
+):
+    """Per-key rolling mean over the last ``frame`` rows in (ts, id)
+    order — SQL's ``avg(val) OVER (... ROWS BETWEEN frame-1 PRECEDING
+    AND CURRENT ROW)`` as a distributed operator.  Same co-location plan
+    as ``running_sum_per_group``.
+
+    The frame sum runs in EXACT integers (values quantized at 1e-6, the
+    testdata's own precision), so it is invariant to the window
+    implementation's internal summation order (DuckDB slides a segment
+    tree; a float sum could differ in the last ulp and flip the 6dp
+    compare).  The final division mirrors the SQL expression
+    ``sum::DOUBLE / count / 1e6`` operation-for-operation.
+
+    Output: ``(id_col, key_col, rolling_avg)`` rounded to 6dp.
+    """
+    import numpy as np
+
+    scale = 1_000_000
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        t = batch[ts_col].to_numpy(zero_copy_only=False)
+        v = batch[val_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((k % num_buckets).astype(np.int32), pa.int32()),
+                "k": pa.array(k, pa.int64()),
+                "t": pa.array(t.view("int64"), pa.int64()),
+                "i": batch[id_col],
+                "q": pa.array(np.rint(v * scale).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        k = group["k"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        i = group["i"].to_numpy(zero_copy_only=False)
+        q = group["q"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, t, k))
+        k, i, q = k[order], i[order], q[order]
+        new = np.ones(len(k), bool)
+        if len(k) > 1:
+            new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        bounds = np.r_[starts, len(k)]
+        out = np.empty(len(k), np.float64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            cs = np.concatenate(([0], np.cumsum(q[s:e])))
+            idx = np.arange(e - s)
+            lo = np.maximum(idx - (frame - 1), 0)
+            wsum = cs[idx + 1] - cs[lo]
+            cnt = (idx + 1 - lo).astype(np.float64)
+            out[s:e] = wsum.astype(np.float64) / cnt / scale
+        return pa.table(
+            {
+                id_col: pa.array(i, pa.int64()),
+                key_col: pa.array(k, pa.int64()),
+                "rolling_avg": pa.array(
+                    [round6(x) for x in out], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        events_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def lag_gaps_per_group(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_buckets: int = 64,
+):
+    """Per-key LAG: microseconds since the key's previous row in
+    (ts, id) order — SQL's ``ts − lag(ts) OVER (PARTITION BY key ORDER
+    BY ts, id)``, rows with no predecessor omitted (so the output
+    carries no NULLs into the driver's value-hash compare).  Integer
+    microsecond arithmetic ⇒ parallelism-invariant.  Same co-location
+    plan as ``sessionize``.
+
+    Output: ``(id_col, key_col, gap_us)``.
+    """
+    import numpy as np
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        t = batch[ts_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((k % num_buckets).astype(np.int32), pa.int32()),
+                "k": pa.array(k, pa.int64()),
+                "t": pa.array(t.view("int64"), pa.int64()),
+                "i": batch[id_col],
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        k = group["k"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        i = group["i"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, t, k))
+        k, t, i = k[order], t[order], i[order]
+        has_prev = np.zeros(len(k), bool)
+        if len(k) > 1:
+            has_prev[1:] = k[1:] == k[:-1]
+        gap = np.zeros(len(k), np.int64)
+        if len(k) > 1:
+            gap[1:] = t[1:] - t[:-1]
+        return pa.table(
+            {
+                id_col: pa.array(i[has_prev], pa.int64()),
+                key_col: pa.array(k[has_prev], pa.int64()),
+                "gap_us": pa.array(gap[has_prev], pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def running_sum_per_group(
     events_ds,
     *,

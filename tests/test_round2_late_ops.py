@@ -1,0 +1,213 @@
+"""Unit semantics for the late round-2 operators (grouped_corr,
+grouped_mode, grouped_zscore, rolling_mean_per_group, lag_gaps_per_group,
+latest_per_key, token_entropy).  DuckDB bit-equality runs in
+test_entry_contract.py; these cover edges the fixture lacks: mode
+tie-breaks, latest-row ts ties, frame shorter than the window, and
+parallelism invariance of the integer-sufficient-statistic paths."""
+
+import math
+
+import numpy as np
+import pandas as pd
+
+
+def _ds(df: pd.DataFrame, parts: int = 4):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(parts)
+
+
+def _events(n: int = 400, seed: int = 7) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 13, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.randint(0, 10**6, n), unit="s"
+            ).astype("datetime64[us]"),
+            "value": np.round(rng.uniform(-50, 500, n), 6),
+        }
+    )
+
+
+def test_grouped_corr_matches_pandas(ray_session):
+    from seekr_ray.extras.stats import grouped_corr
+
+    rng = np.random.RandomState(3)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], n),
+            "x": rng.randint(1, 51, n).astype(np.float64),
+            "y": np.round(rng.uniform(0, 0.1, n), 2),
+        }
+    )
+    got = (
+        grouped_corr(_ds(df), key_col="k", x_col="x", y_col="y", y_scale=100)
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    for k, g in df.groupby("k"):
+        assert got.loc[k, "n"] == len(g)
+        assert abs(got.loc[k, "covar"] - g.x.cov(g.y)) < 1e-6
+        assert abs(got.loc[k, "corr"] - g.x.corr(g.y)) < 1e-6
+    # integer sufficient stats => bit-identical at any parallelism
+    got2 = (
+        grouped_corr(
+            _ds(df, parts=9), key_col="k", x_col="x", y_col="y", y_scale=100
+        )
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(got.reset_index(), got2.reset_index())
+
+
+def test_grouped_mode_tiebreak_smallest(ray_session):
+    from seekr_ray.extras.stats import grouped_mode
+
+    df = pd.DataFrame(
+        {
+            "k": np.array([1, 1, 1, 1, 2, 2, 2], np.int64),
+            "v": ["b", "b", "a", "a", "z", "z", "a"],
+        }
+    )
+    got = (
+        grouped_mode(_ds(df, parts=3), key_col="k", val_col="v")
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert got.loc[1, "mode_v"] == "a"  # 2-2 tie -> smallest value
+    assert got.loc[1, "n"] == 2
+    assert got.loc[2, "mode_v"] == "z"
+    assert got.loc[2, "n"] == 2
+
+
+def test_grouped_zscore_matches_pandas(ray_session):
+    from seekr_ray.extras.stats import grouped_zscore
+
+    rng = np.random.RandomState(5)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.choice(["p", "q"], n),
+            "v": np.round(rng.uniform(100, 2000, n), 2),
+        }
+    )
+    got = (
+        grouped_zscore(_ds(df), key_col="k", val_col="v", id_col="id")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = df.copy()
+    g = want.groupby("k")["v"]
+    want["z"] = (want.v - g.transform("mean")) / g.transform(
+        lambda s: s.std(ddof=0)
+    )
+    np.testing.assert_allclose(got.z, want.z, atol=1e-6)
+
+
+def test_rolling_mean_matches_pandas(ray_session):
+    from seekr_ray.extras.windows import rolling_mean_per_group
+
+    df = _events()
+    got = (
+        rolling_mean_per_group(_ds(df), frame=3, num_buckets=5)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    want["ra"] = want.groupby("user_id")["value"].transform(
+        lambda s: s.rolling(3, min_periods=1).mean()
+    )
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert got.event_id.tolist() == want.event_id.tolist()
+    np.testing.assert_allclose(got.rolling_avg, want.ra, atol=1e-6)
+
+
+def test_lag_gaps_matches_pandas(ray_session):
+    from seekr_ray.extras.windows import lag_gaps_per_group
+
+    df = _events(seed=11)
+    got = (
+        lag_gaps_per_group(_ds(df), num_buckets=5)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    want["gap"] = want.groupby("user_id")["ts"].diff()
+    want = want.dropna(subset=["gap"]).sort_values("event_id")
+    assert got.event_id.tolist() == want.event_id.tolist()
+    assert got.gap_us.tolist() == [
+        int(v / np.timedelta64(1, "us")) for v in want.gap
+    ]
+    # one row omitted per user (the first)
+    assert len(got) == len(df) - df.user_id.nunique()
+
+
+def test_latest_per_key_ties_and_payload(ray_session):
+    from seekr_ray.extras.topk import latest_per_key
+
+    ts = pd.to_datetime([100, 200, 200, 50, 60], unit="s").astype(
+        "datetime64[us]"
+    )
+    df = pd.DataFrame(
+        {
+            "k": np.array([1, 1, 1, 2, 2], np.int64),
+            "id": np.array([10, 11, 12, 20, 21], np.int64),
+            "ts": ts,
+            "payload": [1.5, 2.5, 3.5, 4.5, 5.5],
+        }
+    )
+    got = (
+        latest_per_key(
+            _ds(df, parts=3),
+            key_col="k",
+            ts_col="ts",
+            id_col="id",
+            payload_cols=["payload"],
+        )
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    # ts tie at 200 -> larger id wins
+    assert got.loc[1, "id"] == 12 and got.loc[1, "payload"] == 3.5
+    assert got.loc[2, "id"] == 21 and got.loc[2, "payload"] == 5.5
+    assert str(got.loc[1, "ts"]) == "1970-01-01 00:03:20"
+
+
+def test_token_entropy_hand_computed(ray_session):
+    from seekr_ray.extras.textstats import ENTROPY_SCALE, token_entropy
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3], np.int64),
+            "text": [
+                "alpha alpha bravo",  # p = 2/3, 1/3
+                "alpha alpha alpha",  # single token -> entropy 0
+                "",  # empty -> 0 tokens, entropy 0
+            ],
+        }
+    )
+    got = (
+        token_entropy(_ds(docs, parts=2))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    want = sum(
+        math.floor(-(c / 3) * math.log2(c / 3) * ENTROPY_SCALE)
+        for c in (2, 1)
+    ) / ENTROPY_SCALE
+    assert got.loc[1, "entropy"] == want
+    assert abs(want - 0.918296) < 1e-5  # true H(2/3,1/3)
+    assert got.loc[2, "entropy"] == 0.0 and got.loc[2, "n_tokens"] == 3
+    assert got.loc[3, "entropy"] == 0.0 and got.loc[3, "n_tokens"] == 0
