@@ -2551,9 +2551,13 @@ GROUP BY r.r_name"""
   GROUP BY l_returnflag
 )
 SELECT l_returnflag, n::BIGINT AS n,
-       round((sxy - sx * sy / n) / (n - 1) / 100, 6) AS covar,
-       round((sxy - sx * sy / n)
-             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr
+       CASE WHEN n > 1
+            THEN round((sxy - sx * sy / n) / (n - 1) / 100, 6)
+            ELSE 0.0 END AS covar,
+       CASE WHEN (sxx - sx * sx / n) * (syy - sy * sy / n) > 0
+            THEN round((sxy - sx * sy / n)
+                 / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+            ELSE 0.0 END AS corr
 FROM s"""
 
     sql["mode_event_type"] = """SELECT user_id, event_type AS mode_event_type, n
@@ -2573,9 +2577,12 @@ FROM (
   GROUP BY p_brand
 )
 SELECT p.p_partkey, p.p_brand,
-       round((round(p.p_retailprice * 100) / 100 - (s.s / s.n) / 100)
-             / sqrt((s.ss / s.n) / 10000
-                    - ((s.s / s.n) / 100) * ((s.s / s.n) / 100)), 6) AS z
+       CASE WHEN (s.ss / s.n) / 10000
+                 - ((s.s / s.n) / 100) * ((s.s / s.n) / 100) > 0
+            THEN round((round(p.p_retailprice * 100) / 100 - (s.s / s.n) / 100)
+                 / sqrt((s.ss / s.n) / 10000
+                        - ((s.s / s.n) / 100) * ((s.s / s.n) / 100)), 6)
+            ELSE 0.0 END AS z
 FROM part p JOIN s USING (p_brand)"""
 
     # exact integer frame sums at 1e-6 (the testdata's own precision),

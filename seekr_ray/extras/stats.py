@@ -523,6 +523,12 @@ def grouped_corr(
     the 6dp compare; the SQL oracle replicates the final float
     expression operation-for-operation instead of calling ``corr()``.
 
+    Degenerate groups (n < 2, or zero variance on either side) emit
+    0.0 — mirrored by CASE guards in the SQL oracle — instead of
+    NaN/inf.  Caller contract: quantized magnitudes must keep every
+    per-group Σ product under 2^63 (Σ|x·scale|² < 9.2e18 — at larger
+    scales carry the partials as decimal128/HUGEINT).
+
     Output: ``(key_col, n, covar, corr)`` — covariance in ORIGINAL
     units (÷ x_scale·y_scale), both rounded to 6dp.
     """
@@ -554,8 +560,12 @@ def grouped_corr(
         syy = _np_col(batch, "sum(_syy)").astype(np.float64)
         # operation order mirrored by the SQL oracle expression exactly
         cov_num = sxy - sx * sy / n
-        covar = cov_num / (n - 1.0) / (x_scale * y_scale)
-        corr = cov_num / np.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        var_prod = (sxx - sx * sx / n) * (syy - sy * sy / n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            covar = np.where(
+                n > 1.0, cov_num / (n - 1.0) / (x_scale * y_scale), 0.0
+            )
+            corr = np.where(var_prod > 0.0, cov_num / np.sqrt(var_prod), 0.0)
         return pa.table(
             {
                 key_col: batch[key_col],
@@ -580,6 +590,9 @@ def grouped_mode(ds, *, key_col: str, val_col: str, num_buckets: int = 64):
     risk.  Partial (key, val, count) per block → pair-level groupby sum
     (O(keys·|domain|) rows) → bucketed argmax per key.
 
+    ``key_col`` must be integer-typed (it feeds the bucket hash and the
+    int64 output column); hash string keys to int64 upstream.
+
     Output: ``(key_col, mode_<val_col>, n)``.
     """
     out_val = f"mode_{val_col}"
@@ -591,6 +604,11 @@ def grouped_mode(ds, *, key_col: str, val_col: str, num_buckets: int = 64):
 
     def tag(batch: pa.Table) -> pa.Table:
         k = _np_col(batch, key_col)
+        if not np.issubdtype(k.dtype, np.integer):
+            raise TypeError(
+                f"grouped_mode requires an integer key column, got "
+                f"{batch[key_col].type} for {key_col!r}"
+            )
         return pa.table(
             {
                 "_b": pa.array((k % num_buckets).astype(np.int32), pa.int32()),
@@ -640,6 +658,9 @@ def grouped_zscore(
     parallelism.  Two-phase: O(groups) moment rows broadcast via
     ``ray.put``; the table itself never shuffles.
 
+    Zero-variance groups emit z = 0.0 (mirrored by a CASE guard in the
+    SQL oracle).  Same int64 magnitude contract as ``grouped_corr``.
+
     Output: ``(id_col, key_col, z)`` with z rounded to 6dp.
     """
     import ray
@@ -688,7 +709,8 @@ def grouped_zscore(
         # − mean·mean; z = (c/scale − mean) / sqrt(var)
         mean = (s / n) / sc
         var = (ss / n) / sc2 - mean * mean
-        z = (c / sc - mean) / np.sqrt(var)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(var > 0.0, (c / sc - mean) / np.sqrt(var), 0.0)
         return pa.table(
             {
                 id_col: batch[id_col],

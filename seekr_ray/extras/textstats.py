@@ -93,9 +93,11 @@ def token_entropy(docs_ds, text_col: str = "text"):
 
     Each term's contribution ``−p·log2(p)`` is floor-quantized at 1e-6
     and summed as an exact integer (the CENTROID_SCALE discipline), so
-    the result is invariant to summation order AND to last-ulp libm
-    differences between numpy's and DuckDB's log2 — the SQL oracle
-    replicates the quantized expression term-for-term.
+    the result is invariant to summation order; a last-ulp libm log2
+    difference between numpy and DuckDB can still flip a floor only
+    when a term's value sits within ~1e-16 of a 1e-6 boundary
+    (probability ~1e-10 per term — negligible, not impossible).  The
+    SQL oracle replicates the quantized expression term-for-term.
 
     Output: ``(doc_id, n_tokens, entropy)``.
     """

@@ -47,22 +47,25 @@ def latest_per_key(
     ride along untouched (exact passthrough — zero FP risk).
 
     Output: ``(key_col, id_col, ts_col, *payload_cols)`` with ts pinned
-    to timestamp[us].
+    to timestamp[us] (any input timestamp resolution is cast, not
+    reinterpreted).
     """
+    import pyarrow.compute as pc
 
     def _keep_latest(
         kk: np.ndarray, tt: np.ndarray, ii: np.ndarray
     ) -> np.ndarray:
-        order = np.lexsort((ii, tt, kk))
-        ks = kk[order]
-        last = np.ones(len(ks), bool)
-        if len(ks) > 1:
-            last[:-1] = ks[1:] != ks[:-1]
-        return order[last]
+        # top-1 per key by (ts desc, id desc) == _topk_kernel with the
+        # id tie-break negated (the kernel breaks ties id ASC)
+        return _topk_kernel(kk, tt, -ii, 1)
 
     def partial(batch: pa.Table) -> pa.Table:
         kk = batch[key_col].to_numpy(zero_copy_only=False)
-        tt = batch[ts_col].to_numpy(zero_copy_only=False).view("int64")
+        tt = (
+            pc.cast(batch[ts_col], pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .view("int64")
+        )
         ii = batch[id_col].to_numpy(zero_copy_only=False)
         keep = _keep_latest(kk, tt, ii)
         sel = pa.array(keep, pa.int64())

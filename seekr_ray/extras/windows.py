@@ -311,7 +311,10 @@ def lag_gaps_per_group(
 
     def tag(batch: pa.Table) -> pa.Table:
         k = batch[key_col].to_numpy(zero_copy_only=False)
-        t = batch[ts_col].to_numpy(zero_copy_only=False)
+        # cast (not reinterpret) so a [ns]/[s] input still yields true µs
+        t = pc.cast(batch[ts_col], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
         return pa.table(
             {
                 "_b": pa.array((k % num_buckets).astype(np.int32), pa.int32()),

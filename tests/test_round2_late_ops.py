@@ -65,6 +65,69 @@ def test_grouped_corr_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got.reset_index(), got2.reset_index())
 
 
+def test_grouped_corr_degenerate_groups(ray_session):
+    """n==1 and zero-variance groups emit 0.0, not NaN crashes."""
+    from seekr_ray.extras.stats import grouped_corr
+
+    df = pd.DataFrame(
+        {
+            "k": ["solo", "const", "const", "const"],
+            "x": [3.0, 5.0, 5.0, 5.0],  # const group: zero x variance
+            "y": [0.02, 0.01, 0.05, 0.09],
+        }
+    )
+    got = (
+        grouped_corr(_ds(df, parts=2), key_col="k", x_col="x", y_col="y",
+                     y_scale=100)
+        .to_pandas()
+        .set_index("k")
+    )
+    assert got.loc["solo", "covar"] == 0.0 and got.loc["solo", "corr"] == 0.0
+    assert got.loc["const", "corr"] == 0.0  # 0/0 guarded
+
+
+def test_grouped_zscore_constant_group(ray_session):
+    from seekr_ray.extras.stats import grouped_zscore
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(4, dtype=np.int64),
+            "k": ["c", "c", "v", "v"],
+            "v": [7.0, 7.0, 1.0, 3.0],
+        }
+    )
+    got = (
+        grouped_zscore(_ds(df, parts=2), key_col="k", val_col="v", id_col="id")
+        .to_pandas()
+        .set_index("id")
+        .sort_index()
+    )
+    assert got.loc[0, "z"] == 0.0 and got.loc[1, "z"] == 0.0
+    assert got.loc[2, "z"] == -1.0 and got.loc[3, "z"] == 1.0
+
+
+def test_latest_per_key_ns_resolution_input(ray_session):
+    """A [ns]-resolution ts column must be CAST to µs, not reinterpreted."""
+    from seekr_ray.extras.topk import latest_per_key
+
+    df = pd.DataFrame(
+        {
+            "k": np.array([1, 1], np.int64),
+            "id": np.array([10, 11], np.int64),
+            "ts": pd.to_datetime([100, 200], unit="s"),  # pandas default ns
+            "p": [1.0, 2.0],
+        }
+    )
+    got = (
+        latest_per_key(
+            _ds(df, parts=1), key_col="k", ts_col="ts", id_col="id",
+            payload_cols=["p"],
+        )
+        .to_pandas()
+    )
+    assert str(got.loc[0, "ts"]) == "1970-01-01 00:03:20"
+
+
 def test_grouped_mode_tiebreak_smallest(ray_session):
     from seekr_ray.extras.stats import grouped_mode
 
