@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": eq.q_event_gaps,
         "latest_event": eq.q_latest_event,
         "token_entropy": eq.q_token_entropy,
+        "value_pct_rank": eq.q_value_pct_rank,
+        "weighted_doc_sample": eq.q_weighted_doc_sample,
         # rows-only (non-SQL-expressible; pytest oracle covers semantics)
         "corpus_index_manifest": eq.q_corpus_index_manifest,
         "corpus_search": eq.q_corpus_search,
@@ -193,4 +195,6 @@ def oracle_sql() -> dict[str, str]:
         "event_gaps": m["event_gaps"],
         "latest_event": m["latest_event"],
         "token_entropy": m["token_entropy"],
+        "value_pct_rank": m["value_pct_rank"],
+        "weighted_doc_sample": m["weighted_doc_sample"],
     }

@@ -1775,6 +1775,43 @@ def q_latest_event(sf_dir: str):
     )
 
 
+WSAMPLE_K = 50  # weighted-sample size
+
+
+def q_value_pct_rank(sf_dir: str):
+    """Per-user PERCENT_RANK of value in (value, event_id) order —
+    exact integer rank/(n−1), single mirrored division."""
+    import ray.data as rd
+
+    from .extras.windows import percent_rank_per_group
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "value"],
+    )
+    return percent_rank_per_group(ds)
+
+
+def q_weighted_doc_sample(sf_dir: str):
+    """Deterministic weighted sample (Efraimidis–Spirakis, md5-derived
+    keys, weight = token count): k docs, no RNG state, distributive
+    per-block top-k."""
+    from .extras.split import weighted_sample
+
+    out = (
+        weighted_sample(_docs_text(sf_dir), k=WSAMPLE_K)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+        }
+    )
+
+
 def q_token_entropy(sf_dir: str):
     """Per-doc Shannon entropy of the token distribution (floor-
     quantized at 1e-6 so the sum is an exact integer on both sides)."""
@@ -2604,6 +2641,21 @@ QUALIFY lag(ts) OVER w IS NOT NULL"""
 FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id
                            ORDER BY ts DESC, event_id DESC) = 1"""
+
+    sql["value_pct_rank"] = """SELECT event_id, user_id,
+       round(percent_rank() OVER (PARTITION BY user_id
+                                  ORDER BY value, event_id), 6) AS pct_rank
+FROM events"""
+
+    # Efraimidis–Spirakis keys ln(u)/w with u = (md5_le64(id)+0.5)/2^64 —
+    # the same doubles on both sides; selection gaps dwarf libm ln ulp
+    sql["weighted_doc_sample"] = f"""{toks}
+, w AS (SELECT doc_id, len(tokens)::BIGINT AS n_tokens FROM toks
+        WHERE len(tokens) > 0)
+SELECT doc_id, n_tokens FROM w
+ORDER BY ln((md5_number_upper(doc_id::VARCHAR)::DOUBLE + 0.5)
+            / 18446744073709551616.0) / n_tokens DESC, doc_id
+LIMIT {WSAMPLE_K}"""
 
     # per-term −p·log2(p) floor-quantized at 1e-6 and summed as an exact
     # integer (the CENTROID_SCALE discipline) — invariant to summation

@@ -260,3 +260,80 @@ def mixture_sample(
         )
 
     return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_sample(
+    docs_ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006): row i survives with probability
+    proportional to its weight (token count here) by keeping the k
+    largest keys ``ln(u_i) / w_i`` where ``u_i ∈ (0,1)`` derives from
+    the md5 hash of the id — no RNG state, SQL-replicable (the oracle
+    orders by the same expression via ``md5_number_upper``).  ln(u)/w
+    is the monotone log form of the paper's ``u^(1/w)`` key — same
+    order, no pow().
+
+    Top-k is distributive: each block keeps its own k best keys, so the
+    merge sees O(blocks·k) rows — the weighted sibling of
+    ``stats.hash_ksample``.  Zero-weight rows are excluded (their key
+    is -inf in the limit, matching the oracle's WHERE w > 0).
+
+    Output: ``(id_col, n_tokens)`` of the k sampled rows.
+    """
+    from .textstats import simple_tokens
+
+    two64 = 18446744073709551616.0
+
+    def _keys(ids: list, nt: np.ndarray) -> np.ndarray:
+        h = np.empty(len(ids), np.uint64)
+        for i, v in enumerate(ids):
+            d = hashlib.md5(str(v).encode()).digest()[:8]
+            h[i] = int.from_bytes(d, "little")
+        u = (h.astype(np.float64) + 0.5) / two64
+        return np.log(u) / nt
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        nt = np.fromiter(
+            (len(simple_tokens(t or "")) for t in batch[text_col].to_pylist()),
+            np.int64,
+            len(ids),
+        )
+        keep = np.flatnonzero(nt > 0)
+        key = _keys([ids[i] for i in keep], nt[keep].astype(np.float64))
+        if len(key) > k:
+            idx = np.argpartition(-key, k)[:k]
+            top, key = keep[idx], key[idx]
+        else:
+            top = keep
+        return pa.table(
+            {
+                "_b": pa.array(np.zeros(len(top), np.int32), pa.int32()),
+                id_col: pa.array([ids[i] for i in top], pa.int64()),
+                "n_tokens": pa.array(nt[top], pa.int64()),
+                "_key": pa.array(key, pa.float64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        key = group["_key"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        nt = group["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -key))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "n_tokens": pa.array(nt[order], pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(final, batch_format="pyarrow")
+    )

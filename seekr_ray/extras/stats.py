@@ -590,8 +590,8 @@ def grouped_mode(ds, *, key_col: str, val_col: str, num_buckets: int = 64):
     risk.  Partial (key, val, count) per block → pair-level groupby sum
     (O(keys·|domain|) rows) → bucketed argmax per key.
 
-    ``key_col`` must be integer-typed (it feeds the bucket hash and the
-    int64 output column); hash string keys to int64 upstream.
+    Integer keys bucket by ``key % num_buckets``; any other key type
+    buckets by its md5 hash.  Key and value dtypes pass through.
 
     Output: ``(key_col, mode_<val_col>, n)``.
     """
@@ -604,14 +604,15 @@ def grouped_mode(ds, *, key_col: str, val_col: str, num_buckets: int = 64):
 
     def tag(batch: pa.Table) -> pa.Table:
         k = _np_col(batch, key_col)
-        if not np.issubdtype(k.dtype, np.integer):
-            raise TypeError(
-                f"grouped_mode requires an integer key column, got "
-                f"{batch[key_col].type} for {key_col!r}"
+        if np.issubdtype(k.dtype, np.integer):
+            b = (k % num_buckets).astype(np.int32)
+        else:
+            b = (_md5_le64(batch[key_col].to_pylist()) % num_buckets).astype(
+                np.int32
             )
         return pa.table(
             {
-                "_b": pa.array((k % num_buckets).astype(np.int32), pa.int32()),
+                "_b": pa.array(b, pa.int32()),
                 key_col: batch[key_col],
                 val_col: batch[val_col],
                 "_c": pc.cast(batch["sum(_c)"], pa.int64()),
@@ -626,7 +627,7 @@ def grouped_mode(ds, *, key_col: str, val_col: str, num_buckets: int = 64):
         win = df.groupby(key_col, sort=True).head(1)
         return pa.table(
             {
-                key_col: pa.array(win[key_col].to_numpy(), pa.int64()),
+                key_col: pa.array(win[key_col], group[key_col].type),
                 out_val: pa.array(win[val_col], group[val_col].type),
                 "n": pa.array(win["_c"].to_numpy(), pa.int64()),
             }

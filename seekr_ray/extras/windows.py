@@ -351,6 +351,67 @@ def lag_gaps_per_group(
     )
 
 
+def percent_rank_per_group(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    num_buckets: int = 64,
+):
+    """Per-key PERCENT_RANK in (val, id) order — ``(rank − 1)/(n − 1)``
+    with rank 1-based; singleton keys emit 0.0 (SQL's convention).  The
+    ordering (val, id) is total (id is unique), so RANK == ROW_NUMBER
+    and no tie handling is needed; rank and n are exact integers, the
+    single division mirrors the SQL engine's, so the float output is
+    identical at any parallelism.  Same co-location plan as
+    ``running_sum_per_group``.
+
+    Output: ``(id_col, key_col, pct_rank)`` rounded to 6dp.
+    """
+    import numpy as np
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((k % num_buckets).astype(np.int32), pa.int32()),
+                "k": pa.array(k, pa.int64()),
+                "v": batch[val_col],
+                "i": batch[id_col],
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        k = group["k"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        i = group["i"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, v, k))
+        k, i = k[order], i[order]
+        new = np.ones(len(k), bool)
+        if len(k) > 1:
+            new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, len(k)])
+        rank0 = np.arange(len(k)) - np.repeat(starts, sizes)
+        n = np.repeat(sizes, sizes).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pct = np.where(n > 1.0, rank0.astype(np.float64) / (n - 1.0), 0.0)
+        return pa.table(
+            {
+                id_col: pa.array(i, pa.int64()),
+                key_col: pa.array(k, pa.int64()),
+                "pct_rank": pa.array([round6(x) for x in pct], pa.float64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def running_sum_per_group(
     events_ds,
     *,

@@ -247,6 +247,88 @@ def test_latest_per_key_ties_and_payload(ray_session):
     assert str(got.loc[1, "ts"]) == "1970-01-01 00:03:20"
 
 
+def test_grouped_mode_string_keys(ray_session):
+    from seekr_ray.extras.stats import grouped_mode
+
+    df = pd.DataFrame(
+        {"k": ["en", "en", "en", "de"], "v": ["x", "y", "y", "z"]}
+    )
+    got = (
+        grouped_mode(_ds(df, parts=2), key_col="k", val_col="v")
+        .to_pandas()
+        .set_index("k")
+    )
+    assert got.loc["en", "mode_v"] == "y" and got.loc["en", "n"] == 2
+    assert got.loc["de", "mode_v"] == "z" and got.loc["de", "n"] == 1
+
+
+def test_percent_rank_matches_pandas(ray_session):
+    from seekr_ray.extras.windows import percent_rank_per_group
+
+    df = _events(seed=23)
+    # add a singleton user -> pct_rank 0.0 by SQL convention
+    df = pd.concat(
+        [df, pd.DataFrame({"event_id": [9999], "user_id": [777],
+                           "ts": [df.ts.iloc[0]], "value": [1.0]})],
+        ignore_index=True,
+    )
+    got = (
+        percent_rank_per_group(_ds(df), num_buckets=5)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["user_id", "value", "event_id"]).copy()
+    grp = want.groupby("user_id")["value"]
+    n = grp.transform("size")
+    want["pr"] = np.where(
+        n > 1, (grp.cumcount()) / (n - 1).clip(lower=1), 0.0
+    )
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert got.event_id.tolist() == want.event_id.tolist()
+    np.testing.assert_allclose(got.pct_rank, want.pr, atol=1e-6)
+    assert got.set_index("event_id").loc[9999, "pct_rank"] == 0.0
+
+
+def test_weighted_sample_matches_bruteforce(ray_session):
+    """Distributive per-block top-k must equal the single-pass brute
+    force over all keys; weighting must bias toward heavy docs."""
+    import hashlib
+
+    from seekr_ray.extras.split import weighted_sample
+    from seekr_ray.extras.textstats import simple_tokens
+
+    rng = np.random.RandomState(31)
+    words = ["alpha", "bravo", "delta", "omega"]
+    texts = [
+        " ".join(rng.choice(words, size=int(s)))
+        for s in rng.choice([2, 5, 80], 200, p=[0.45, 0.45, 0.1])
+    ]
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(200, dtype=np.int64), "text": texts}
+    )
+    got = (
+        weighted_sample(_ds(docs, parts=6), k=20)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    nt = np.array([len(simple_tokens(t)) for t in texts], np.float64)
+    h = np.array(
+        [
+            int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "little")
+            for i in range(200)
+        ],
+        np.uint64,
+    )
+    key = np.log((h.astype(np.float64) + 0.5) / 2.0**64) / nt
+    want = np.sort(np.argsort(-key, kind="stable")[:20])
+    assert got.doc_id.tolist() == want.tolist()
+    # heavy (80-token) docs are ~16x likelier than 5-token docs
+    heavy_frac_in = (nt[got.doc_id] >= 80).mean()
+    assert heavy_frac_in > 0.25  # vs ~0.1 base rate
+
+
 def test_token_entropy_hand_computed(ray_session):
     from seekr_ray.extras.textstats import ENTROPY_SCALE, token_entropy
 
