@@ -1812,6 +1812,32 @@ def q_weighted_doc_sample(sf_dir: str):
     )
 
 
+def q_customer_event_counts(sf_dir: str):
+    """LEFT OUTER JOIN + COUNT: per customer, how many events they have
+    (0 for inactive customers) — the right side collapses to per-key
+    counts and broadcasts once; the customer table never shuffles."""
+    import ray.data as rd
+
+    from .extras.joins import left_outer_count_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    out = left_outer_count_join(
+        cust, ev, left_key="c_custkey", right_key="user_id"
+    ).to_pandas()
+    out = out.sort_values("c_custkey").reset_index(drop=True)
+    return pa.table(
+        {
+            "c_custkey": pa.array(out["c_custkey"], pa.int64()),
+            "n_events": pa.array(out["n_right"], pa.int64()),
+        }
+    )
+
+
 def q_token_entropy(sf_dir: str):
     """Per-doc Shannon entropy of the token distribution (floor-
     quantized at 1e-6 so the sum is an exact integer on both sides)."""
@@ -2641,6 +2667,11 @@ QUALIFY lag(ts) OVER w IS NOT NULL"""
 FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id
                            ORDER BY ts DESC, event_id DESC) = 1"""
+
+    sql["customer_event_counts"] = """SELECT c_custkey,
+       count(e.user_id)::BIGINT AS n_events
+FROM customer c LEFT JOIN events e ON e.user_id = c.c_custkey
+GROUP BY c_custkey ORDER BY c_custkey"""
 
     sql["value_pct_rank"] = """SELECT event_id, user_id,
        round(percent_rank() OVER (PARTITION BY user_id

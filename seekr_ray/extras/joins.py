@@ -436,3 +436,66 @@ def key_filter_join(
         else left_ds
     )
     return src.map_batches(filt, batch_format="pyarrow")
+
+
+def left_outer_count_join(
+    left_ds,
+    right_ds,
+    *,
+    left_key: str,
+    right_key: str,
+):
+    """LEFT OUTER JOIN + COUNT: every left row with the number of right
+    rows sharing its key, 0 when none — the join type the semi/anti pair
+    above can't express (unmatched LEFT rows must SURVIVE with a fill).
+
+    The right side collapses to per-key counts where it lives (per-block
+    partial ``group_by`` inside ``map_batches``, then an O(keys)
+    groupby), the (sorted keys, counts) pair broadcasts ONCE via
+    ``ray.put``, and each left block attaches its count with one
+    ``searchsorted`` — the left side never shuffles and unmatched keys
+    fill 0 locally.  Same partitioning assumption as key_filter_join:
+    the right side's DISTINCT-key table fits the object store (16
+    bytes/key; co-partition both sides by key hash beyond that).
+    Integer counts ⇒ parallelism-invariant.
+
+    Output: ``(left_key, n_right)``.
+    """
+    import ray
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        agg = batch.select([right_key]).group_by([right_key]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns([right_key, "_c"])
+
+    counts_df = (
+        right_ds.select_columns([right_key])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(right_key)
+        .sum("_c")
+    ).to_pandas()
+    rk = counts_df[right_key].to_numpy()
+    order = np.argsort(rk)
+    pair = (rk[order], counts_df["sum(_c)"].to_numpy()[order])
+    pair_ref = ray.put(pair)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ks, cs = ray.get(pair_ref)
+        v = batch[left_key].to_numpy(zero_copy_only=False)
+        n = np.zeros(len(v), np.int64)
+        if len(ks):
+            pos = np.searchsorted(ks, v)
+            pos_c = np.minimum(pos, len(ks) - 1)
+            hit = ks[pos_c] == v
+            n[hit] = cs[pos_c[hit]]
+        return pa.table(
+            {
+                left_key: batch[left_key],
+                "n_right": pa.array(n, pa.int64()),
+            }
+        )
+
+    return left_ds.select_columns([left_key]).map_batches(
+        attach, batch_format="pyarrow"
+    )

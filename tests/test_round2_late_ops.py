@@ -329,6 +329,26 @@ def test_weighted_sample_matches_bruteforce(ray_session):
     assert heavy_frac_in > 0.25  # vs ~0.1 base rate
 
 
+def test_left_outer_count_join_zero_fill(ray_session):
+    from seekr_ray.extras.joins import left_outer_count_join
+
+    left = pd.DataFrame({"k": np.array([1, 2, 3, 4], np.int64)})
+    right = pd.DataFrame(
+        {"rk": np.array([2, 2, 2, 4, 9], np.int64)}  # 9 unmatched on left
+    )
+    got = (
+        left_outer_count_join(
+            _ds(left, parts=2), _ds(right, parts=3),
+            left_key="k", right_key="rk",
+        )
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert got.n_right.tolist() == [0, 3, 0, 1]  # zero-fill survives
+    assert 9 not in got.index  # right-only keys don't appear
+
+
 def test_token_entropy_hand_computed(ray_session):
     from seekr_ray.extras.textstats import ENTROPY_SCALE, token_entropy
 
