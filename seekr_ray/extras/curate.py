@@ -19,7 +19,10 @@ Plan shape:
    never shuffles).
 
 The only exchanges are the sha groupby (narrow: sha + id) and the
-O(winners) key broadcast.  Text leaves the scan exactly once.
+O(winners) key broadcast.  The corpus never shuffles and is never
+materialized between steps; the text column is decoded in two narrow
+streaming passes (once to hash for dedup, once to score) — the sha
+pass is projected to (doc_id, text) so nothing else rides along.
 """
 
 from __future__ import annotations
@@ -82,9 +85,9 @@ def curate_corpus(
             }
         )
 
-    winners = exact_dedup_groups(docs_ds, text_col=text_col).select_columns(
-        ["keep_doc_id"]
-    )
+    winners = exact_dedup_groups(
+        docs_ds.select_columns(["doc_id", text_col]), text_col=text_col
+    ).select_columns(["keep_doc_id"])
     survivors = docs_ds.select_columns(
         ["doc_id", "lang", text_col]
     ).map_batches(stats_filter, batch_format="pyarrow")

@@ -30,7 +30,7 @@ import heapq
 import numpy as np
 import pyarrow as pa
 
-from .textstats import round6
+from .textstats import round6, round6_arr as _round6_arr
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -378,6 +378,65 @@ def ann_topk_lsh(
     return _merge_topk(partials, k)
 
 
+def _qmean_empty(key_name: str, key_type) -> pa.Table:
+    """Schema-stable empty partial (an empty upstream block must not
+    crash ``_to_matrix``'s ``np.stack`` or change the exchange schema)."""
+    return pa.table(
+        {
+            key_name: pa.array([], key_type),
+            "dim": pa.array([], pa.int64()),
+            "s_p": pa.array([], pa.int64()),
+            "n_p": pa.array([], pa.int64()),
+        }
+    )
+
+
+def _qmean_partial(
+    keys: np.ndarray, mat: np.ndarray, scale: int, key_name: str, key_type
+) -> pa.Table:
+    """Per-block floor-quantized integer sum per (key, dim) — the ONE
+    home of the exactness-critical quantized-mean partial (used by both
+    label_centroids and kmeans_step; a fix here fixes both)."""
+    qi = np.floor(mat * scale).astype(np.int64)
+    uk, inv = np.unique(keys, return_inverse=True)
+    dim = qi.shape[1]
+    sums = np.zeros((len(uk), dim), np.int64)
+    np.add.at(sums, inv, qi)
+    n_rows = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+    return pa.table(
+        {
+            key_name: pa.array(np.repeat(uk, dim), key_type),
+            "dim": pa.array(
+                np.tile(np.arange(dim, dtype=np.int64), len(uk)), pa.int64()
+            ),
+            "s_p": pa.array(sums.ravel(), pa.int64()),
+            "n_p": pa.array(np.repeat(n_rows, dim), pa.int64()),
+        }
+    )
+
+
+def _qmean_finalize(
+    batch: pa.Table, scale: int, key_name: str, key_type=None
+) -> pa.Table:
+    import pyarrow.compute as pc
+
+    s = batch["sum(s_p)"].to_numpy(zero_copy_only=False).astype(np.float64)
+    n = batch["sum(n_p)"].to_numpy(zero_copy_only=False)
+    mean = (s / float(scale)) / n
+    return pa.table(
+        {
+            # Ray's groupby upcasts narrow int keys; restore the input
+            # column's type so the schema round-trips
+            key_name: pc.cast(batch[key_name], key_type)
+            if key_type is not None
+            else batch[key_name],
+            "dim": batch["dim"],
+            "n": pa.array(n, pa.int64()),
+            "centroid": pa.array(_round6_arr(mean), pa.float64()),
+        }
+    )
+
+
 def label_centroids(
     emb_ds,
     *,
@@ -401,43 +460,16 @@ def label_centroids(
     """
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _qmean_empty(label_col, batch[label_col].type)
         labels = batch[label_col].to_numpy(zero_copy_only=False)
         mat = _to_matrix(batch[vec_col])  # (n, dim) float64
-        qi = np.floor(mat * scale).astype(np.int64)
-        uk, inv = np.unique(labels, return_inverse=True)
-        dim = qi.shape[1]
-        sums = np.zeros((len(uk), dim), np.int64)
-        np.add.at(sums, inv, qi)
-        n_rows = np.bincount(inv, minlength=len(uk)).astype(np.int64)
-        lab = np.repeat(uk, dim)
-        d = np.tile(np.arange(dim, dtype=np.int64), len(uk))
-        return pa.table(
-            {
-                label_col: pa.array(lab, batch[label_col].type),
-                "dim": pa.array(d, pa.int64()),
-                "s_p": pa.array(sums.ravel(), pa.int64()),
-                "n_p": pa.array(np.repeat(n_rows, dim), pa.int64()),
-            }
+        return _qmean_partial(
+            labels, mat, scale, label_col, batch[label_col].type
         )
 
     def finalize(batch: pa.Table, label_type=None) -> pa.Table:
-        import pyarrow.compute as pc
-
-        s = batch["sum(s_p)"].to_numpy(zero_copy_only=False).astype(np.float64)
-        n = batch["sum(n_p)"].to_numpy(zero_copy_only=False)
-        mean = (s / float(scale)) / n
-        return pa.table(
-            {
-                # Ray's groupby upcasts narrow int keys; restore the
-                # input column's type so the schema round-trips
-                label_col: pc.cast(batch[label_col], label_type)
-                if label_type is not None
-                else batch[label_col],
-                "dim": batch["dim"],
-                "n": pa.array(n, pa.int64()),
-                "centroid": pa.array([round6(x) for x in mean], pa.float64()),
-            }
-        )
+        return _qmean_finalize(batch, scale, label_col, label_type)
 
     try:  # pandas-block datasets have no Arrow base schema; skip the pin
         label_type = emb_ds.schema().base_schema.field(label_col).type
@@ -454,10 +486,6 @@ def label_centroids(
     )
 
 
-def _round6_arr(x: np.ndarray) -> np.ndarray:
-    """Vectorized half-away-from-zero 6dp round (== textstats.round6 ==
-    SQL ROUND(x, 6))."""
-    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
 
 
 def kmeans_step(
@@ -489,39 +517,16 @@ def kmeans_step(
     cents_ref = ray.put(np.asarray(centroids, dtype=np.float64))
 
     def assign_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _qmean_empty("cid", pa.int64())
         cents = ray.get(cents_ref)
         mat = _to_matrix(batch[vec_col])
         r = _round6_arr(_cosine(mat, cents))
         cid = np.argmax(r, axis=1).astype(np.int64)
-        qi = np.floor(mat * scale).astype(np.int64)
-        uk, inv = np.unique(cid, return_inverse=True)
-        dim = mat.shape[1]
-        sums = np.zeros((len(uk), dim), np.int64)
-        np.add.at(sums, inv, qi)
-        n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
-        return pa.table(
-            {
-                "cid": pa.array(np.repeat(uk, dim), pa.int64()),
-                "dim": pa.array(
-                    np.tile(np.arange(dim, dtype=np.int64), len(uk)), pa.int64()
-                ),
-                "s_p": pa.array(sums.ravel(), pa.int64()),
-                "n_p": pa.array(np.repeat(n, dim), pa.int64()),
-            }
-        )
+        return _qmean_partial(cid, mat, scale, "cid", pa.int64())
 
     def finalize(batch: pa.Table) -> pa.Table:
-        s = batch["sum(s_p)"].to_numpy(zero_copy_only=False).astype(np.float64)
-        n = batch["sum(n_p)"].to_numpy(zero_copy_only=False)
-        mean = (s / float(scale)) / n
-        return pa.table(
-            {
-                "cid": batch["cid"],
-                "dim": batch["dim"],
-                "n": pa.array(n, pa.int64()),
-                "centroid": pa.array([round6(x) for x in mean], pa.float64()),
-            }
-        )
+        return _qmean_finalize(batch, scale, "cid")
 
     return (
         emb_ds.select_columns([vec_col])
@@ -549,6 +554,9 @@ def kmeans_fit(
     shrinks mid-fit).  Returns the final (k, dim) centroid matrix.
     """
     cents = np.asarray(init_centroids, dtype=np.float64).copy()
+    # pin the (projected) input once: without this every Lloyd iteration
+    # re-executes the whole upstream lineage (parquet scan + list decode)
+    emb_ds = emb_ds.select_columns([vec_col]).materialize()
     for _ in range(iters):
         out = (
             kmeans_step(emb_ds, cents, vec_col=vec_col, scale=scale)

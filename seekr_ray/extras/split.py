@@ -110,8 +110,10 @@ def global_shuffle(ds, id_col: str = "doc_id", salt: str = "", num_buckets: int 
     from .stats import _md5_le64
 
     bits = int(num_buckets).bit_length() - 1
-    if (1 << bits) != num_buckets:
-        raise ValueError("num_buckets must be a power of two")
+    if num_buckets < 2 or (1 << bits) != num_buckets:
+        # bits == 0 would make the uint64 shift below 64 — a C-level-
+        # undefined shift count whose result is platform-dependent
+        raise ValueError("num_buckets must be a power of two >= 2")
     shift = np.uint64(64 - bits)
 
     def narrow(batch: pa.Table) -> pa.Table:

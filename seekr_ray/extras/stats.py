@@ -34,7 +34,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .textstats import round6
+from .textstats import round6, round6_arr
 
 _SEP = "\x1f"
 
@@ -117,6 +117,8 @@ def winsorize_grouped(
     """
     import ray
 
+    if not 0.0 <= q_lo < q_hi <= 1.0:
+        raise ValueError(f"need 0 <= q_lo < q_hi <= 1, got ({q_lo}, {q_hi})")
     bounds_tbl = grouped_quantiles(
         ds, key_col=key_col, val_col=val_col, qs=[q_lo, q_hi]
     ).to_pandas()
@@ -139,7 +141,7 @@ def winsorize_grouped(
         w = np.minimum(np.maximum(v, lo), hi)
         cols = {c: batch[c] for c in id_cols}
         cols[key_col] = batch[key_col]
-        cols[out_col] = pa.array([round6(x) for x in w], pa.float64())
+        cols[out_col] = pa.array(round6_arr(w), pa.float64())
         return pa.table(cols)
 
     return ds.select_columns([*id_cols, key_col, val_col]).map_batches(
@@ -228,6 +230,10 @@ def global_value_rank(
     ``ntile=K`` adds SQL's NTILE(K) (1-based; first ``n % K`` tiles get
     the extra row), derived arithmetically from the exact rank.
     Output: ``(id_col, value_rank, [tile])`` with ``value_rank`` 0-based.
+
+    ``val_col`` must be NaN-free (NaN has no place in a value-range
+    bucket; SQL would order it last) and, if integer, within float64's
+    exact range (|v| ≤ 2^53) — both guarded/assumed below.
     """
     import ray
 
@@ -235,6 +241,8 @@ def global_value_rank(
     hi = ds.max(val_col)
     if lo is None or hi is None:
         raise ValueError("empty dataset")
+    if math.isnan(lo) or math.isnan(hi):
+        raise ValueError(f"{val_col!r} contains NaN — rank order undefined")
     width = (hi - lo) / num_bins or 1.0
 
     def narrow(batch: pa.Table) -> pa.Table:
@@ -716,7 +724,7 @@ def grouped_zscore(
             {
                 id_col: batch[id_col],
                 key_col: batch[key_col],
-                "z": pa.array([round6(v) for v in z], pa.float64()),
+                "z": pa.array(round6_arr(z), pa.float64()),
             }
         )
 

@@ -35,6 +35,12 @@ def round6(x: float) -> float:
     return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
 
 
+def round6_arr(x: np.ndarray) -> np.ndarray:
+    """Vectorized ``round6`` (same half-away-from-zero formula) for
+    O(rows) outputs where a per-element Python loop would dominate."""
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+
 def simple_tokens(text: str) -> list[str]:
     return [
         t

@@ -13,7 +13,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .textstats import round6
+from .textstats import round6, round6_arr
 
 
 def tumbling_agg(events_ds, unit: str = "hour"):
@@ -277,9 +277,7 @@ def rolling_mean_per_group(
             {
                 id_col: pa.array(i, pa.int64()),
                 key_col: pa.array(k, pa.int64()),
-                "rolling_avg": pa.array(
-                    [round6(x) for x in out], pa.float64()
-                ),
+                "rolling_avg": pa.array(round6_arr(out), pa.float64()),
             }
         )
 
@@ -401,7 +399,7 @@ def percent_rank_per_group(
             {
                 id_col: pa.array(i, pa.int64()),
                 key_col: pa.array(k, pa.int64()),
-                "pct_rank": pa.array([round6(x) for x in pct], pa.float64()),
+                "pct_rank": pa.array(round6_arr(pct), pa.float64()),
             }
         )
 
@@ -469,9 +467,7 @@ def running_sum_per_group(
             {
                 id_col: pa.array(i, pa.int64()),
                 key_col: pa.array(k, pa.int64()),
-                "running_value": pa.array(
-                    [round6(x) for x in run], pa.float64()
-                ),
+                "running_value": pa.array(round6_arr(run), pa.float64()),
             }
         )
 
