@@ -396,46 +396,9 @@ def build_index(
     if (links_ds is not None or links_path is not None) and not (
         resume and _done(pr_dir)
     ):
-        from .stages.doc_table import DRIVER_TABLE_LIMIT
-
-        # lazy dataset for the distributed path; a pyarrow table for the
-        # driver fast path when the doc count allows it
-        docs_for_links = _filtered_docs_ds(
-            docs_dir, index_dir, ["url", "doc_id"], _blocks_for(docs_dir)
+        _compute_and_write_pagerank(
+            index_dir, cfg, n_docs, links_path, links_ds
         )
-        docs_table = (
-            read_docs_table(index_dir, columns=["url", "doc_id"])
-            if n_docs <= DRIVER_TABLE_LIMIT
-            else None
-        )
-        # links_path: skip the Dataset round-trip (a fixed 2-3 s of
-        # execution overhead at EVERY parallelism level) when the link
-        # table's parquet footer says the driver path applies anyway
-        if (
-            links_path is not None
-            and docs_table is not None
-            and _parquet_count(links_path) <= cfg.pagerank_driver_edge_limit
-        ):
-            from .graph.pagerank import pagerank_table_from_links_table
-
-            pr = pagerank_table_from_links_table(
-                pq.read_table(links_path), docs_table, cfg
-            )
-        else:
-            if links_ds is None:
-                import ray.data as _rd
-
-                links_ds = _rd.read_parquet(links_path)
-            pr = build_pagerank_table(
-                links_ds, docs_for_links, cfg, docs_table=docs_table
-            )
-
-        shutil.rmtree(pr_dir, ignore_errors=True)
-        os.makedirs(pr_dir, exist_ok=True)
-        tmp = os.path.join(pr_dir, "part-00000.parquet.tmp")
-        pq.write_table(pr, tmp)
-        os.replace(tmp, tmp[: -len(".tmp")])
-        _mark(pr_dir)
     metrics["stages"]["pagerank"] = {"seconds": time.monotonic() - t0}
 
     # -- meta ----------------------------------------------------------------
@@ -628,28 +591,29 @@ def load_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
-def refresh_pagerank(
+def _compute_and_write_pagerank(
     index_dir: str,
-    links_path: str | None = None,
-    links_ds=None,
-) -> dict:
-    """Recompute PageRank over the CURRENT docs table (including any
-    extensions) and atomically replace ``pagerank/`` — the companion to
-    ``stages/extend.py``: extension leaves new docs at the reference's
-    0.0 column default until this runs with a link table covering the
-    union graph."""
+    cfg: IndexConfig,
+    n_docs: int,
+    links_path: str | None,
+    links_ds,
+):
+    """The ONE home of the pagerank stage body (build stage 5 AND
+    ``refresh_pagerank``): driver-fast-path selection gated on the link
+    table's parquet footer (skipping the Dataset round-trip's fixed
+    2-3 s when the doc count and edge count allow), the distributed path
+    otherwise, then an atomic tmp+rename write of ``pagerank/`` +
+    ``_SUCCESS``.  Returns the rank table."""
     import shutil
-    import time as _time
 
-    from .graph.pagerank import build_pagerank_table, pagerank_table_from_links_table
+    from .graph.pagerank import (
+        build_pagerank_table,
+        pagerank_table_from_links_table,
+    )
     from .stages.doc_table import DRIVER_TABLE_LIMIT
 
-    t0 = _time.monotonic()
-    meta = load_meta(index_dir)
-    cfg = IndexConfig.from_dict(meta["config"])
     docs_dir = os.path.join(index_dir, "docs")
     pr_dir = os.path.join(index_dir, "pagerank")
-    n_docs = int(meta["n_docs"])
     docs_for_links = _filtered_docs_ds(
         docs_dir, index_dir, ["url", "doc_id"], _blocks_for(docs_dir)
     )
@@ -680,6 +644,32 @@ def refresh_pagerank(
     pq.write_table(pr, tmp)
     os.replace(tmp, tmp[: -len(".tmp")])
     _mark(pr_dir)
+    return pr
+
+
+def refresh_pagerank(
+    index_dir: str,
+    links_path: str | None = None,
+    links_ds=None,
+) -> dict:
+    """Recompute PageRank over the CURRENT docs table (including any
+    extensions) and atomically replace ``pagerank/`` — the companion to
+    ``stages/extend.py``: extension leaves new docs at the reference's
+    0.0 column default until this runs with a link table covering the
+    union graph."""
+    import time as _time
+
+    t0 = _time.monotonic()
+    meta = load_meta(index_dir)
+    cfg = IndexConfig.from_dict(meta["config"])
+    n_docs = int(meta["n_docs"])
+    pr = _compute_and_write_pagerank(
+        index_dir, cfg, n_docs, links_path, links_ds
+    )
+    if not meta.get("has_pagerank"):
+        meta["has_pagerank"] = True
+        with open(os.path.join(index_dir, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
     return {
         "n_ranked": pr.num_rows,
         "n_docs": n_docs,

@@ -90,7 +90,9 @@ def cmd_query(args) -> int:
         page = hits[args.page * args.size : (args.page + 1) * args.size]
         out = {
             "results": [{"doc_id": d, "score": s} for d, s in page],
-            "total_count": len(hits),
+            # true match count, like the tfidf path — NOT len(hits),
+            # which is capped at the retrieval depth (page+1)*size
+            "total_count": engine.total_hits(args.q),
             "scorer": "bm25",
         }
     else:
@@ -128,11 +130,7 @@ def cmd_extend(args) -> int:
 
     from .stages.extend import extend_index
 
-    if not ray.is_initialized():
-        kwargs = {"include_dashboard": False}
-        if args.num_cpus:
-            kwargs["num_cpus"] = args.num_cpus
-        ray.init(address="local", **kwargs)
+    _init_ray(args.num_cpus)
     metrics = extend_index(
         rd.read_parquet(args.input),
         args.index_dir,
@@ -149,11 +147,7 @@ def cmd_compact(args) -> int:
 
     from .stages.extend import compact_index
 
-    if not ray.is_initialized():
-        kwargs = {"include_dashboard": False}
-        if args.num_cpus:
-            kwargs["num_cpus"] = args.num_cpus
-        ray.init(address="local", **kwargs)
+    _init_ray(args.num_cpus)
     print(json.dumps(compact_index(args.index_dir), indent=1, sort_keys=True))
     ray.shutdown()
     return 0
@@ -164,11 +158,7 @@ def cmd_pagerank(args) -> int:
 
     from .build import refresh_pagerank
 
-    if not ray.is_initialized():
-        kwargs = {"include_dashboard": False}
-        if args.num_cpus:
-            kwargs["num_cpus"] = args.num_cpus
-        ray.init(address="local", **kwargs)
+    _init_ray(args.num_cpus)
     print(
         json.dumps(
             refresh_pagerank(args.index_dir, links_path=args.links),

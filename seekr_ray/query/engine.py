@@ -747,15 +747,18 @@ class QueryEngine:
             self._bm25_cache.move_to_end(tp.term)
             return cached
         ids, dls, avgdl = self._doclen_arrays()
-        pos = np.minimum(
-            np.searchsorted(ids, tp.doc_ids), max(len(ids) - 1, 0)
+        found, pos = isin_sorted(ids, tp.doc_ids)
+        dl = np.where(found, dls[pos] if len(dls) else 0, 0).astype(
+            np.float64
         )
-        dl = np.where(
-            (len(ids) > 0) & (ids[pos] == tp.doc_ids), dls[pos], 0
-        ).astype(np.float64)
-        c = np.rint(tp.tfs * dl)
+        # dl == 0 marks a doc whose tf was stored UNNORMALIZED (the
+        # tokenize zero-division guard: no valid stems) — tf IS the raw
+        # count there, so recover c from tf directly instead of the
+        # rint(tf·dl) product (which would zero the contribution while
+        # the reference formula scores it)
+        c = np.where(dl > 0, np.rint(tp.tfs * dl), np.rint(tp.tfs))
         k1, b = self.bm25_k1, self.bm25_b
-        denom = c + k1 * (1.0 - b + b * dl / avgdl)
+        denom = c + k1 * (1.0 - b + b * dl / (avgdl if avgdl > 0 else 1.0))
         contrib = tp.idf * ((c * (k1 + 1.0)) / denom)
         self._bm25_cache[tp.term] = contrib
         if len(self._bm25_cache) > self._bm25_cache_max:

@@ -298,6 +298,13 @@ class SegmentStore:
         self.index_dir = index_dir
         self.seg_dir = os.path.join(index_dir, "segments")
         self.stats_dir = os.path.join(index_dir, "term_stats")
+        # finish any compaction interrupted mid-commit BEFORE reading
+        # segment files — a half-committed partition would double-count
+        # its delta postings (see extend.recover_compaction)
+        if os.path.isdir(self.seg_dir):
+            from ..stages.extend import recover_compaction
+
+            recover_compaction(self.seg_dir)
         self.P = num_term_partitions
         self.block_size = block_size
         self._stats_cache: dict[int, _StatsPartition] = {}
@@ -518,7 +525,15 @@ def load_doclens(index_dir: str) -> tuple[np.ndarray, np.ndarray, float]:
     t = pq.read_table(files, columns=["doc_id", "dl"])
     ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     dls = t["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(ids)
+    order = np.argsort(ids, kind="stable")
     ids, dls = ids[order], dls[order]
+    # dedupe by doc_id (keep first): a crashed-then-rerun extend leaves
+    # the rolled-back generation's rows behind and the re-run re-emits
+    # identical (doc_id, dl) pairs — without this, avgdl counts those
+    # docs twice and BM25 drifts from a fresh union build
+    if len(ids) > 1:
+        keep = np.ones(len(ids), bool)
+        keep[1:] = ids[1:] != ids[:-1]
+        ids, dls = ids[keep], dls[keep]
     avgdl = float(dls.sum() / len(dls)) if len(dls) else 0.0
     return ids, dls, avgdl

@@ -155,9 +155,10 @@ def rollback_extend(index_dir: str, gen: int, meta: dict) -> None:
     wasn't cleared) and nothing is rolled back.
 
     Residual doclen sidecar rows for the rolled-back docs are left in
-    place deliberately: they are uuid-named (not attributable to a
-    generation), duplicates with identical values are benign to
-    ``load_doclens``, and the re-run re-emits the same (doc_id, dl)."""
+    place deliberately: the files are uuid-named (not attributable to a
+    generation) and ``load_doclens`` dedupes by doc_id, so the re-run's
+    identical (doc_id, dl) re-emission collapses to one row per doc —
+    avgdl and BM25 stay equal to a fresh union build."""
     if any(int(e["generation"]) == gen for e in meta.get("extensions", [])):
         os.remove(_pending_path(index_dir))
         return
@@ -204,12 +205,12 @@ def _extend_partition(
     gen: int,
 ) -> pa.Table:
     """One task per partition: build the delta segment (if this partition
-    received new postings) and rewrite the merged term stats with the new
-    corpus N — every term's idf changes when N does."""
+    received new postings) and recompute the partition's term stats from
+    the on-disk segment files with the new corpus N — every term's idf
+    changes when N does."""
     t0 = time.monotonic()
     part_dir = os.path.join(postings_delta_dir, f"term_part={part}")
     files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
-    delta_stats = None
     seg_path = ""
     seg_sha = ""
     n_postings = 0
@@ -233,51 +234,17 @@ def _extend_partition(
             seg_path = delta_partition_file(seg_dir, part, gen)
             _atomic_write(chunks, seg_path)
             seg_sha = _sha256_file(seg_path)
-            agg = (
-                tbl.select(["term"])
-                .group_by("term")
-                .aggregate([("term", "count")])
-            )
-            delta_stats = pa.table(
-                {
-                    "term": agg["term"],
-                    "df": pc.cast(agg["term_count"], pa.int64()),
-                    "n_salts": pa.array(
-                        np.ones(agg.num_rows, np.int32), pa.int32()
-                    ),
-                }
-            )
 
-    # merged stats: df outer-sum, n_salts max, idf from the NEW N
+    # stats: recomputed EXACTLY from the on-disk segment files (base +
+    # deltas incl. the one just written) with the new N — the same
+    # derivation rollback uses.  Deriving from durable immutable inputs
+    # (never read-modify-write of the stats file) makes the task
+    # IDEMPOTENT: a Ray retry that re-runs after a completed write
+    # produces byte-identical output instead of double-merging the
+    # delta df (review 2026-08-18).
+    _rebuild_partition_stats(seg_dir, stats_dir, part, n_docs_total)
     stats_path = stats_partition_file(stats_dir, part)
-    parts = []
-    if os.path.exists(stats_path):
-        old = pq.read_table(stats_path, columns=["term", "df", "n_salts"])
-        parts.append(old)
-    if delta_stats is not None:
-        parts.append(delta_stats)
-    if parts:
-        both = pa.concat_tables(parts)
-        merged = both.group_by("term").aggregate(
-            [("df", "sum"), ("n_salts", "max")]
-        )
-        merged = merged.sort_by("term")
-        df = pc.cast(merged["df_sum"], pa.int64())
-        idf = pc.log10(
-            pc.divide(float(n_docs_total), pc.cast(df, pa.float64()))
-        )
-        stats = pa.table(
-            {
-                "term": merged["term"],
-                "df": df,
-                "idf": idf,
-                "n_salts": pc.cast(merged["n_salts_max"], pa.int32()),
-            },
-            schema=STATS_SCHEMA,
-        )
-    else:
-        stats = STATS_SCHEMA.empty_table()
-    _atomic_write(stats, stats_path)
+    n_terms_total = pq.read_metadata(stats_path).num_rows
 
     return pa.table(
         {
@@ -286,7 +253,7 @@ def _extend_partition(
             "delta_sha256": pa.array([seg_sha], pa.string()),
             "n_postings": pa.array([n_postings], pa.int64()),
             "n_chunks": pa.array([n_chunks], pa.int64()),
-            "n_terms_total": pa.array([stats.num_rows], pa.int64()),
+            "n_terms_total": pa.array([n_terms_total], pa.int64()),
             "duration_s": pa.array([time.monotonic() - t0], pa.float64()),
         }
     )
@@ -322,8 +289,10 @@ def extend_index(
     stats_dir = os.path.join(index_dir, "term_stats")
     doclen_dir = os.path.join(index_dir, "doclen")
     drops_dir = os.path.join(index_dir, "drops")
-    # crash recovery: a pending marker means a previous extend died
-    # mid-flight — roll its generation back (idempotent) before starting
+    # crash recovery: finish any interrupted compaction first, then a
+    # pending marker means a previous extend died mid-flight — roll its
+    # generation back (idempotent) before starting
+    recover_compaction(seg_dir)
     if os.path.exists(_pending_path(index_dir)):
         with open(_pending_path(index_dir)) as f:
             stale = json.load(f)
@@ -393,13 +362,8 @@ def extend_index(
     n_received = len(kh)
 
     # visited-set skip: keys already in the corpus (existing wins)
-    if len(ex_kh_sorted):
-        pos = np.minimum(
-            np.searchsorted(ex_kh_sorted, kh), len(ex_kh_sorted) - 1
-        )
-        fresh = ~((len(ex_kh_sorted) > 0) & (ex_kh_sorted[pos] == kh))
-    else:
-        fresh = np.ones(len(kh), bool)
+    seen, _ = isin_sorted(ex_kh_sorted, kh)
+    fresh = ~seen
     kh, shas = kh[fresh], shas[fresh]
 
     # within-batch key dedup: min-sha winner per khash (B5 rule)
@@ -464,14 +428,8 @@ def extend_index(
 
         ksorted, ids_sorted, winner_shas = ray.get(map_ref)
         bkh = key_hashes(batch, list(key_cols))
-        if len(ksorted):
-            pos = np.minimum(np.searchsorted(ksorted, bkh), len(ksorted) - 1)
-            valid = ksorted[pos] == bkh
-            ids = np.where(valid, ids_sorted[pos], -1)
-        else:
-            pos = np.zeros(len(bkh), np.int64)
-            valid = np.zeros(len(bkh), bool)
-            ids = np.full(len(bkh), -1, np.int64)
+        valid, pos = isin_sorted(ksorted, bkh)
+        ids = np.where(valid, ids_sorted[pos] if len(ids_sorted) else -1, -1)
         batch = batch.append_column("doc_id", pa.array(ids, pa.int64()))
         batch = _decorate_batch(batch, content_col, "path")
         if len(ksorted):
@@ -670,11 +628,50 @@ def _chunk_rows_to_postings(tbl: pa.Table, part: int) -> pa.Table:
     )
 
 
+def _compact_marker_path(seg_dir: str, part: int) -> str:
+    return os.path.join(seg_dir, f"part-{part:05d}.compact.json")
+
+
+def recover_compaction(seg_dir: str) -> int:
+    """Finish or undo any compaction interrupted mid-commit, restoring
+    the invariant that a partition's postings appear EXACTLY once across
+    its files.  Returns the number of partitions recovered.
+
+    The commit protocol (``_compact_partition``) is: (1) write the
+    marker listing the delta files being folded + the merged base sha,
+    (2) atomic-rename the merged base into place, (3) unlink the listed
+    deltas, (4) remove the marker.  On recovery: if the base's sha
+    matches the marker, the rename happened — complete the delta
+    unlinks; otherwise the rename never landed — the original base +
+    deltas are intact and the marker is simply discarded.  Without this,
+    a crash between (2) and (3) leaves merged postings in the base AND
+    the deltas on disk: every query double-counts and a re-compaction
+    would bake the duplicates in permanently."""
+    recovered = 0
+    for mpath in glob.glob(os.path.join(seg_dir, "part-*.compact.json")):
+        with open(mpath) as f:
+            marker = json.load(f)
+        base = os.path.join(seg_dir, os.path.basename(marker["base"]))
+        merged_sha = marker["merged_sha256"]
+        if os.path.exists(base) and _sha256_file(base) == merged_sha:
+            for d in marker["deltas"]:
+                dp = os.path.join(seg_dir, os.path.basename(d))
+                if os.path.exists(dp):
+                    os.unlink(dp)
+        for leftover in (base + ".compact-tmp", base + ".compact-tmp.tmp"):
+            if os.path.exists(leftover):
+                os.unlink(leftover)
+        os.remove(mpath)
+        recovered += 1
+    return recovered
+
+
 def _compact_partition(
     part: int, seg_dir: str, postings_per_chunk: int
 ) -> pa.Table:
     """Merge one partition's base + delta files into a fresh base file;
-    no-op (0 files removed) for partitions without deltas."""
+    no-op (0 files removed) for partitions without deltas.  Crash-safe
+    via the marker protocol documented on ``recover_compaction``."""
     t0 = time.monotonic()
     files = partition_files(seg_dir, part)
     removed = 0
@@ -691,12 +688,30 @@ def _compact_partition(
         chunks = chunks.select(CHUNK_SCHEMA.names).cast(CHUNK_SCHEMA)
         n_chunks = chunks.num_rows
         base = partition_file(seg_dir, part)
-        _atomic_write(chunks, base)
-        seg_sha = _sha256_file(base)
-        for f in files:
-            if f != base:
-                os.unlink(f)
-                removed += 1
+        deltas = [f for f in files if f != base]
+        # (1) stage the merged bytes + commit marker BEFORE touching base
+        tmp = base + ".compact-tmp"
+        _atomic_write(chunks, tmp)
+        seg_sha = _sha256_file(tmp)
+        mpath = _compact_marker_path(seg_dir, part)
+        mtmp = mpath + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump(
+                {
+                    "base": os.path.basename(base),
+                    "merged_sha256": seg_sha,
+                    "deltas": [os.path.basename(d) for d in deltas],
+                },
+                f,
+            )
+        os.replace(mtmp, mpath)
+        # (2) commit point: after this rename the marker's sha matches
+        os.replace(tmp, base)
+        # (3) + (4)
+        for f in deltas:
+            os.unlink(f)
+            removed += 1
+        os.remove(mpath)
     return pa.table(
         {
             "partition": pa.array([part], pa.int64()),
@@ -720,9 +735,17 @@ def compact_index(index_dir: str) -> dict:
     from ..build import load_meta
 
     t0 = time.monotonic()
+    if os.path.exists(_pending_path(index_dir)):
+        # compacting now would fold an incomplete generation's deltas
+        # into the base, making the later rollback leave ghost postings
+        raise RuntimeError(
+            "index has an incomplete extension (_extend_pending.json): "
+            "re-run extend (which rolls it back) before compacting"
+        )
     meta = load_meta(index_dir)
     cfg = IndexConfig.from_dict(meta["config"])
     seg_dir = os.path.join(index_dir, "segments")
+    recover_compaction(seg_dir)
     ppc = cfg.postings_per_chunk
 
     def run_parts(batch: pa.Table) -> pa.Table:

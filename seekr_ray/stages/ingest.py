@@ -43,7 +43,8 @@ def detect_format(input_path: str) -> str:
     if os.path.isdir(p):
         entries = sorted(
             e for e in os.listdir(p)
-            if not e.startswith((".", "_")) and os.path.splitext(e)[1] in _EXT_FORMATS
+            if not e.startswith((".", "_"))
+            and os.path.splitext(e)[1].lower() in _EXT_FORMATS
         )
         if not entries:
             raise ValueError(f"no ingestable files in directory {p!r}")
