@@ -502,6 +502,19 @@ def q_events_hourly(sf_dir: str):
     return tumbling_agg(ds, unit="hour")
 
 
+def _query_vec(ds) -> np.ndarray:
+    """The (1, dim) query matrix: the vec_id=0 embedding — the ONE home
+    of the query-vector scan the four ANN entries share."""
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        ids = b["vec_id"].to_pylist()
+        if 0 in ids:
+            q = np.asarray(
+                b["embedding"][ids.index(0)].as_py(), dtype=np.float64
+            )
+            return q[None, :]
+    raise ValueError("embeddings fixture has no vec_id=0 row")
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-k vs the vec_id=0 embedding (exact ANN
     baseline)."""
@@ -509,13 +522,7 @@ def q_ann_topk(sf_dir: str):
     from .extras.similarity import ann_topk_bruteforce
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    q = None
-    for b in ds.iter_batches(batch_format="pyarrow"):
-        ids = b["vec_id"].to_pylist()
-        if 0 in ids:
-            q = np.asarray(b["embedding"][ids.index(0)].as_py(), dtype=np.float64)
-            break
-    out = ann_topk_bruteforce(ds, q[None, :], k=ANN_K)
+    out = ann_topk_bruteforce(ds, _query_vec(ds), k=ANN_K)
     return out.select(["rank", "vec_id", "cos"])
 
 
@@ -1584,13 +1591,7 @@ def q_ann_lsh(sf_dir: str):
     from .extras.similarity import ann_topk_lsh
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    q = None
-    for b in ds.iter_batches(batch_format="pyarrow"):
-        ids = b["vec_id"].to_pylist()
-        if 0 in ids:
-            q = np.asarray(b["embedding"][ids.index(0)].as_py(), dtype=np.float64)
-            break
-    return ann_topk_lsh(ds, q[None, :], k=ANN_K)
+    return ann_topk_lsh(ds, _query_vec(ds), k=ANN_K)
 
 
 def q_ann_ivf(sf_dir: str):
@@ -1601,13 +1602,7 @@ def q_ann_ivf(sf_dir: str):
     from .extras.similarity import ann_topk_ivf
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    q = None
-    for b in ds.iter_batches(batch_format="pyarrow"):
-        ids = b["vec_id"].to_pylist()
-        if 0 in ids:
-            q = np.asarray(b["embedding"][ids.index(0)].as_py(), dtype=np.float64)
-            break
-    return ann_topk_ivf(ds, q[None, :], k=ANN_K, n_lists=8, nprobe=3)
+    return ann_topk_ivf(ds, _query_vec(ds), k=ANN_K, n_lists=8, nprobe=3)
 
 
 def q_ann_ivf_full(sf_dir: str):
@@ -1618,13 +1613,7 @@ def q_ann_ivf_full(sf_dir: str):
     from .extras.similarity import ann_topk_ivf
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    q = None
-    for b in ds.iter_batches(batch_format="pyarrow"):
-        ids = b["vec_id"].to_pylist()
-        if 0 in ids:
-            q = np.asarray(b["embedding"][ids.index(0)].as_py(), dtype=np.float64)
-            break
-    out = ann_topk_ivf(ds, q[None, :], k=ANN_K, n_lists=8, nprobe=8)
+    out = ann_topk_ivf(ds, _query_vec(ds), k=ANN_K, n_lists=8, nprobe=8)
     return out.select(["rank", "vec_id", "cos"])
 
 
@@ -1889,6 +1878,11 @@ def _minhash_clusters_sql() -> str:
     from .extras.dedup import _MERSENNE, _SHINGLE_BASE, _minhash_params
 
     k = NGRAM_K
+    # the hsh polynomial below hardcodes the 3-term combine
+    # (tokens[i]·base² + tokens[i+1]·base + tokens[i+2]); every other
+    # k-dependent expression derives from NGRAM_K, so changing k without
+    # regenerating the polynomial would silently diverge from the Ray side
+    assert k == 3, "regenerate the shingle-hash polynomial for k != 3"
     p61 = int(_MERSENNE)
     m64 = 1 << 64
     base = int(_SHINGLE_BASE)

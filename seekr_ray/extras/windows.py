@@ -81,11 +81,7 @@ def sessionize(events_ds, gap_us: int, num_buckets: int = 64):
 
     def tag(batch: pa.Table) -> pa.Table:
         k = batch["user_id"].to_numpy(zero_copy_only=False)
-        t = batch["ts"].combine_chunks().to_numpy(
-            zero_copy_only=False
-        ) if isinstance(batch["ts"], pa.ChunkedArray) else batch[
-            "ts"
-        ].to_numpy(zero_copy_only=False)
+        t = batch["ts"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "_b": pa.array((k % num_buckets).astype(np.int32), pa.int32()),
@@ -101,9 +97,20 @@ def sessionize(events_ds, gap_us: int, num_buckets: int = 64):
         t = group["t"].to_numpy(zero_copy_only=False)
         i = group["i"].to_numpy(zero_copy_only=False)
         v = group["v"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        if n == 0:  # Ray never hands map_groups an empty group; belt+braces
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_id": pa.array([], pa.int64()),
+                    "session_start": pa.array([], pa.timestamp("us")),
+                    "session_end": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                    "value_sum": pa.array([], pa.float64()),
+                }
+            )
         order = np.lexsort((i, t, k))
         k, t, v = k[order], t[order], v[order]
-        n = len(k)
         brk = np.ones(n, bool)
         if n > 1:
             brk[1:] = (k[1:] != k[:-1]) | (np.diff(t) > gap_us)
@@ -116,7 +123,7 @@ def sessionize(events_ds, gap_us: int, num_buckets: int = 64):
         idx = np.arange(len(starts))
         base = np.maximum.accumulate(np.where(user_new, idx, 0))
         sid = idx - base + 1
-        sums = np.add.reduceat(v, starts) if n else np.empty(0)
+        sums = np.add.reduceat(v, starts)
         return pa.table(
             {
                 "user_id": pa.array(su, pa.int64()),
@@ -161,10 +168,7 @@ def hopping_agg(events_ds, window_us: int, hop_us: int):
     k = window_us // hop_us
 
     def partial(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].combine_chunks() if isinstance(
-            batch["ts"], pa.ChunkedArray
-        ) else batch["ts"]
-        t = ts.to_numpy(zero_copy_only=False).view("int64")
+        t = batch["ts"].to_numpy(zero_copy_only=False).view("int64")
         et = batch["event_type"].to_numpy(zero_copy_only=False)
         v = batch["value"].to_numpy(zero_copy_only=False)
         base = t // hop_us
