@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_pct_rank": eq.q_value_pct_rank,
         "weighted_doc_sample": eq.q_weighted_doc_sample,
         "customer_event_counts": eq.q_customer_event_counts,
+        "cms_tokens": eq.q_cms_tokens,
         # rows-only (non-SQL-expressible; pytest oracle covers semantics)
         "corpus_index_manifest": eq.q_corpus_index_manifest,
         "corpus_search": eq.q_corpus_search,
@@ -199,4 +200,5 @@ def oracle_sql() -> dict[str, str]:
         "value_pct_rank": m["value_pct_rank"],
         "weighted_doc_sample": m["weighted_doc_sample"],
         "customer_event_counts": m["customer_event_counts"],
+        "cms_tokens": m["cms_tokens"],
     }

@@ -1801,6 +1801,27 @@ def q_weighted_doc_sample(sf_dir: str):
     )
 
 
+def q_cms_tokens(sf_dir: str):
+    """Count-Min Sketch register table over corpus token frequencies —
+    O(d·w) integer state per block, merged under +; the oracle compares
+    the exact register state."""
+    from .extras.sketch import cms_token_registers
+
+    out = (
+        cms_token_registers(_docs_text(sf_dir))
+        .to_pandas()
+        .sort_values(["j", "idx"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "j": pa.array(out["j"], pa.int64()),
+            "idx": pa.array(out["idx"], pa.int64()),
+            "c": pa.array(out["c"], pa.int64()),
+        }
+    )
+
+
 def q_customer_event_counts(sf_dir: str):
     """LEFT OUTER JOIN + COUNT: per customer, how many events they have
     (0 for inactive customers) — the right side collapses to per-key
@@ -2661,6 +2682,15 @@ QUALIFY lag(ts) OVER w IS NOT NULL"""
 FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id
                            ORDER BY ts DESC, event_id DESC) = 1"""
+
+    from .extras.sketch import CMS_D, CMS_W
+
+    sql["cms_tokens"] = f"""{toks}
+SELECT j, (md5_number_upper(j::VARCHAR || ':' || t) % {CMS_W})::BIGINT AS idx,
+       count(*)::BIGINT AS c
+FROM (SELECT unnest(tokens) AS t FROM toks)
+CROSS JOIN range(0, {CMS_D}) r(j)
+GROUP BY 1, 2 ORDER BY 1, 2"""
 
     sql["customer_event_counts"] = """SELECT c_custkey,
        count(e.user_id)::BIGINT AS n_events

@@ -240,3 +240,92 @@ def heavy_hitters_exact(docs_ds, phi_ppm: int, text_col: str = "text"):
             "n_occurrences": pa.array([n for _, n in keep], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (frequency estimation)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # counters per row
+
+
+def _cms_indices(tokens: list[str], j: int) -> np.ndarray:
+    """Row-j counter index per token: ``md5-LE(f"{j}:{t}") % W`` — equal
+    to DuckDB ``md5_number_upper(j::VARCHAR || ':' || t) % W``, the same
+    salted-md5 discipline as extras/split."""
+    import hashlib
+
+    out = np.empty(len(tokens), np.int64)
+    pre = f"{j}:".encode()
+    for i, t in enumerate(tokens):
+        h = hashlib.md5(pre + t.encode()).digest()[:8]
+        out[i] = int.from_bytes(h, "little") % CMS_W
+    return out
+
+
+def cms_token_registers(docs_ds, text_col: str = "text"):
+    """Count-Min Sketch of corpus token frequencies: a (j, idx, c)
+    register table — HLL's sibling for COUNTS instead of cardinality
+    (Cormode & Muthukrishnan 2005).  Per block the worker folds its
+    token counts into a d×w counter matrix and emits the ≤ d·w nonzero
+    cells, so the exchange is O(d·w) per block regardless of corpus
+    size; counters merge under + (exact integers ⇒ parallelism-
+    invariant, bit-exact SQL-replicable).
+
+    Point estimate: ``cms_estimate`` takes min over the d rows —
+    guaranteed ≥ the true count, equal w.h.p. for non-colliding terms.
+    """
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            counts.update(simple_tokens(t or ""))
+        if not counts:
+            return pa.table(
+                {
+                    "j": pa.array([], pa.int64()),
+                    "idx": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        terms = list(counts.keys())
+        cvec = np.fromiter(counts.values(), np.int64, len(terms))
+        out_j, out_i, out_c = [], [], []
+        for j in range(CMS_D):
+            reg = np.zeros(CMS_W, np.int64)
+            np.add.at(reg, _cms_indices(terms, j), cvec)
+            nz = np.flatnonzero(reg)
+            out_j.append(np.full(len(nz), j, np.int64))
+            out_i.append(nz)
+            out_c.append(reg[nz])
+        return pa.table(
+            {
+                "j": pa.array(np.concatenate(out_j), pa.int64()),
+                "idx": pa.array(np.concatenate(out_i), pa.int64()),
+                "c": pa.array(np.concatenate(out_c), pa.int64()),
+            }
+        )
+
+    out = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["j", "idx"])
+        .sum("c")
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["j", "idx", "c"]), batch_format="pyarrow"
+    )
+
+
+def cms_estimate(registers: pa.Table, term: str) -> int:
+    """Point frequency estimate: min over rows of the term's counter."""
+    j = registers["j"].to_numpy(zero_copy_only=False)
+    idx = registers["idx"].to_numpy(zero_copy_only=False)
+    c = registers["c"].to_numpy(zero_copy_only=False)
+    est = []
+    for row in range(CMS_D):
+        want = int(_cms_indices([term], row)[0])
+        hit = c[(j == row) & (idx == want)]
+        est.append(int(hit[0]) if len(hit) else 0)
+    return min(est)

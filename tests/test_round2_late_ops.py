@@ -349,6 +349,44 @@ def test_left_outer_count_join_zero_fill(ray_session):
     assert 9 not in got.index  # right-only keys don't appear
 
 
+def test_cms_overestimates_and_mostly_exact(ray_session):
+    """Count-Min point estimates are NEVER below the true count (min of
+    sums that each include the true count) and are exact for most terms
+    at this load factor (vocab << d·w)."""
+    from collections import Counter
+
+    from seekr_ray.extras.sketch import cms_estimate, cms_token_registers
+    from seekr_ray.extras.textstats import simple_tokens
+
+    rng = np.random.RandomState(41)
+    words = [f"tok{chr(97 + i)}" for i in range(26)]
+    texts = [
+        " ".join(rng.choice(words, size=30, p=np.linspace(1, 5, 26) / sum(np.linspace(1, 5, 26))))
+        for _ in range(120)
+    ]
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(120, dtype=np.int64), "text": texts}
+    )
+    import pyarrow as pa
+
+    reg = pa.Table.from_pandas(
+        cms_token_registers(_ds(docs, parts=5)).to_pandas()
+    )
+    truth: Counter = Counter()
+    for t in texts:
+        truth.update(simple_tokens(t))
+    exact = 0
+    for w, n in truth.items():
+        est = cms_estimate(reg, w)
+        assert est >= n, w
+        exact += est == n
+    assert exact / len(truth) > 0.9
+    # total mass per row == total token count
+    df = reg.to_pandas()
+    for j in range(4):
+        assert df[df.j == j].c.sum() == sum(truth.values())
+
+
 def test_token_entropy_hand_computed(ray_session):
     from seekr_ray.extras.textstats import ENTROPY_SCALE, token_entropy
 
