@@ -87,10 +87,16 @@ def main() -> int:
         for n in sorted(osql)
         if n not in skip and (not only or n in only)
     ]
+    import time
+
     for name in names:
         try:
+            t0 = time.monotonic()
             t = norm(to_df(qs[name](args.sf)))
+            t1 = time.monotonic()
             o = norm(con.execute(osql[name]).df())
+            t2 = time.monotonic()
+            timing = f" [ray {t1 - t0:.1f}s sql {t2 - t1:.1f}s]"
         except Exception as e:  # noqa: BLE001 — report and continue
             bad.append(name)
             print(f"ERROR     {name}: {e!r}"[:200], flush=True)
@@ -112,7 +118,7 @@ def main() -> int:
             bad.append(name)
             print(f"VALUES    {name}", flush=True)
         else:
-            print(f"ok        {name} ({len(t)} rows)", flush=True)
+            print(f"ok        {name} ({len(t)} rows){timing}", flush=True)
     print(f"\n{len(names) - len(bad)}/{len(names)} entries bit-equal; bad: {bad}")
     ray.shutdown()
     return 1 if bad else 0
