@@ -1020,6 +1020,8 @@ def ngram_jaccard_pairs_prefix(
     threshold_mille: int = 500,
     text_col: str = "text",
     num_buckets: int = 64,
+    driver_rank_limit: int = 2_000_000,
+    heavy_k: int = 100_000,
 ):
     """EXACT Jaccard >= t join via prefix filtering (PPJoin / Vernica et
     al. 2010) — the sub-quadratic scale path for what
@@ -1039,14 +1041,27 @@ def ngram_jaccard_pairs_prefix(
     arithmetic (an FP ceil that rounds up would shrink the prefix and
     silently MISS pairs).
 
-    Driver state: the shingle -> rank order (O(distinct shingles),
-    collected once, broadcast).  At 100 TB substitute the hash value
-    itself as the order (correct with ANY global total order — rarity
-    ordering is only the candidate-count heuristic) or rank just the
-    shingles under a df cap.  Output: a lazy Dataset of ``(a, b,
-    jaccard)`` rows in shuffle order — the same PAIR SET and values as
-    ``ngram_jaccard_pairs`` (asserted by test after sorting), which
-    returns a lexsorted driver table instead.
+    Global order, two regimes (correct with ANY global total order —
+    rarity ordering is only the candidate-count heuristic, so the two
+    regimes produce the SAME pair set, asserted by test):
+
+    - vocab <= ``driver_rank_limit``: exact dense rarity ranks, the
+      full df table collected once and broadcast (cheapest per-batch
+      lookup when the vocabulary fits the driver).
+    - vocab > ``driver_rank_limit`` (the 100-TB path): NO full-vocab
+      driver collect.  Only the ``heavy_k`` highest-df shingles are
+      collected (per-block partial top-k, then a driver top-k over
+      O(blocks x heavy_k) rows) and broadcast as a (hash -> df) lookup;
+      every other shingle gets df=0.  The total order is then
+      (df_or_0, hash): the frequent shingles — the ones whose prefix
+      groups would blow up quadratic verify — still sort LAST, and the
+      unranked tail orders by hash.  Broadcast state is O(heavy_k),
+      independent of vocabulary size.
+
+    Output: a lazy Dataset of ``(a, b, jaccard)`` rows in shuffle order
+    — the same PAIR SET and values as ``ngram_jaccard_pairs`` (asserted
+    by test after sorting), which returns a lexsorted driver table
+    instead.
     """
     import ray
 
@@ -1093,23 +1108,58 @@ def ngram_jaccard_pairs_prefix(
             }
         )
 
-    dfs = (
+    # df per shingle (sets are distinct per doc, so block-local counts
+    # merge under sum) — kept DISTRIBUTED; materialized because two
+    # things consume it (the row count gate and whichever rank build
+    # runs)
+    dfs_ds = (
         shingled.map_batches(df_partial, batch_format="pyarrow")
         .groupby("h")
         .sum("c")
-        .to_pandas()
+        .materialize()
     )
-    hs = dfs["h"].to_numpy().astype(np.uint64)
-    cs = dfs["sum(c)"].to_numpy()
-    order = np.lexsort((hs, cs))  # rarity-first, hash tie-break
-    rank_of = np.empty(len(hs), np.int64)
-    rank_of[order] = np.arange(len(hs))
-    keys_sorted = np.sort(hs)
-    ranks_for_keys = rank_of[np.argsort(hs)]
-    order_ref = ray.put((keys_sorted, ranks_for_keys))
+    n_vocab = dfs_ds.count()
+    if n_vocab <= driver_rank_limit:
+        # small-vocab regime: exact dense rarity ranks, one O(vocab)
+        # collect
+        dfs = dfs_ds.to_pandas()
+        hs = dfs["h"].to_numpy().astype(np.uint64)
+        cs = dfs["sum(c)"].to_numpy()
+        order = np.lexsort((hs, cs))  # rarity-first, hash tie-break
+        rank_of = np.empty(len(hs), np.int64)
+        rank_of[order] = np.arange(len(hs))
+        keys_sorted = np.sort(hs)
+        ranks_for_keys = rank_of[np.argsort(hs)]
+        order_ref = ray.put(("dense", keys_sorted, ranks_for_keys))
+    else:
+        # scale regime: never collect the full vocab — take only the
+        # heavy_k most frequent shingles (per-block partial top-k, then
+        # driver top-k over O(blocks x heavy_k) rows; a tree merge
+        # replaces the driver step when blocks x heavy_k outgrows it)
+        def topk_block(batch: pa.Table) -> pa.Table:
+            if batch.num_rows <= heavy_k:
+                return batch
+            c = batch["sum(c)"].to_numpy(zero_copy_only=False)
+            idx = np.argpartition(c, batch.num_rows - heavy_k)[
+                batch.num_rows - heavy_k :
+            ]
+            return batch.take(pa.array(idx))
+
+        part = dfs_ds.map_batches(
+            topk_block, batch_format="pyarrow"
+        ).to_pandas()
+        hs = part["h"].to_numpy().astype(np.uint64)
+        cs = part["sum(c)"].to_numpy().astype(np.int64)
+        if len(hs) > heavy_k:
+            keep = np.argpartition(cs, len(cs) - heavy_k)[
+                len(cs) - heavy_k :
+            ]
+            hs, cs = hs[keep], cs[keep]
+        o = np.argsort(hs)
+        order_ref = ray.put(("heavy", hs[o], cs[o]))
 
     def emit_prefix(batch: pa.Table) -> pa.Table:
-        keys, ranks = ray.get(order_ref)
+        mode, keys, vals = ray.get(order_ref)
         col = batch["shingles"].combine_chunks()
         offs = col.offsets.to_numpy(zero_copy_only=False)
         flat = col.flatten().to_numpy(zero_copy_only=False)
@@ -1123,7 +1173,20 @@ def ngram_jaccard_pairs_prefix(
             n = len(s)
             if n == 0:
                 continue
-            r = np.sort(ranks[np.searchsorted(keys, s)])
+            if mode == "dense":
+                r = np.sort(vals[np.searchsorted(keys, s)])
+            else:
+                # (df_or_0, hash) total order; set elements are the
+                # hashes themselves (int64-viewed) — verify only needs
+                # a consistent unique representation to intersect
+                if len(keys):
+                    pos = np.minimum(
+                        np.searchsorted(keys, s), len(keys) - 1
+                    )
+                    dfv = np.where(keys[pos] == s, vals[pos], 0)
+                else:
+                    dfv = np.zeros(len(s), np.int64)
+                r = s[np.lexsort((s, dfv))].view(np.int64)
             # prefix length at t - 1e-6 (micro units): the verify step —
             # like the brute-force form and the SQL oracle — accepts on
             # the 6dp-ROUNDED jaccard, so a pair with true J in

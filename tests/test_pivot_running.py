@@ -188,3 +188,48 @@ def test_prefix_join_equals_bruteforce(ray_session):
     )
     assert len(brute) > 0  # non-vacuous
     pd.testing.assert_frame_equal(brute, pref)
+
+
+def test_prefix_join_distributed_rank_path(ray_session):
+    """Forcing driver_rank_limit below the vocabulary size must route
+    through the heavy-hitter (no full-vocab collect) order and still
+    reproduce the brute-force pair set exactly — the prefix theorem
+    holds under ANY global total order."""
+    from seekr_ray.extras.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    rng = np.random.RandomState(29)
+    words = ["alpha", "bravo", "delta", "omega", "sigma", "kappa", "zeta"]
+    base = [" ".join(rng.choice(words, size=14)) for _ in range(35)]
+    texts = base + [t.replace("omega", "zeta", 1) for t in base[:12]]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+        }
+    )
+    brute = (
+        ngram_jaccard_pairs(_ds(docs), k=3, threshold=0.3)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    # vocab here is far above 1, so limit=1 forces the scale regime;
+    # heavy_k=3 additionally exercises the truncated heavy set (most
+    # shingles fall in the unranked df=0 tail)
+    pref = (
+        ngram_jaccard_pairs_prefix(
+            _ds(docs),
+            k=3,
+            threshold_mille=300,
+            driver_rank_limit=1,
+            heavy_k=3,
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(brute) > 0
+    pd.testing.assert_frame_equal(brute, pref)
