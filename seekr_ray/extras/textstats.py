@@ -269,7 +269,13 @@ def doc_fingerprints(docs_ds, text_col: str = "text", window: int = 8):
 # -- term co-occurrence / PMI -------------------------------------------------
 
 
-def term_cooccurrence_pmi(docs_ds, text_col: str = "text", min_docs: int = 2):
+def term_cooccurrence_pmi(
+    docs_ds,
+    text_col: str = "text",
+    min_docs: int = 2,
+    top_v: int | None = None,
+    num_buckets: int = 64,
+):
     """Document-level term co-occurrence with pointwise mutual
     information — the classic collocation / related-term signal for
     corpus analysis (Church & Hanks 1990).
@@ -277,34 +283,31 @@ def term_cooccurrence_pmi(docs_ds, text_col: str = "text", min_docs: int = 2):
     Per block, each doc contributes its DISTINCT token pairs once
     (lexicographically ordered, a < b) plus per-term doc counts, both
     partial-aggregated before the exchange, so the shuffle carries one
-    row per distinct pair per block — never one per occurrence.  The
-    final pass attaches ``pmi = log10(N · c_ab / (c_a · c_b))`` with the
-    per-term doc frequencies broadcast (they are O(vocab), tiny next to
-    the pair table).
+    row per distinct pair per block — never one per occurrence.  Pair
+    emission is vectorized: docs are token-CODED against the block
+    vocabulary (``np.unique`` inverse — code order == lexicographic
+    term order), grouped by distinct-token count m, and each m-group
+    emits all its docs' pairs with ONE ``np.triu_indices`` fancy-index
+    — no per-doc ``itertools.combinations``.  The exchange hash-buckets
+    pairs into ``num_buckets`` groups and aggregates each with Arrow's
+    C++ hash aggregate (Ray's native multi-column groupby walks groups
+    in Python — measured ~80x slower at millions of distinct pairs).
+    The final pass attaches ``pmi = log10(N · c_ab / (c_a · c_b))``
+    with the per-term doc frequencies broadcast.
+
+    ``top_v`` is the 100-TB pair-space cap: keep only the ``top_v``
+    highest-df terms (ties by term, ascending — deterministic across
+    block layouts; selected via per-block partial top-V so the driver
+    never sees the full vocabulary) and pair only within that set.
+    Pair space is then bounded by ``top_v**2`` regardless of
+    vocabulary size and the broadcast df map is O(top_v).  PMI values
+    of surviving pairs are unchanged (df and N stay corpus-global).
 
     Output: ``(term_a, term_b, n_docs, pmi)`` for pairs co-occurring in
-    ≥ ``min_docs`` documents.  At 100 TB the pair space is bounded by
-    restricting to a vocabulary (do the df pass first and keep top-V
-    terms); the kernel is unchanged.
+    ≥ ``min_docs`` documents.
     """
-    import itertools
-
+    import pandas as pd
     import ray
-
-    def pair_partial(batch: pa.Table) -> pa.Table:
-        pair_acc: dict[tuple[str, str], int] = {}
-        for t in batch[text_col].to_pylist():
-            toks = sorted(set(simple_tokens(t or "")))
-            for a, b in itertools.combinations(toks, 2):
-                pair_acc[(a, b)] = pair_acc.get((a, b), 0) + 1
-        pairs = list(pair_acc.items())
-        return pa.table(
-            {
-                "term_a": pa.array([p[0][0] for p in pairs], pa.string()),
-                "term_b": pa.array([p[0][1] for p in pairs], pa.string()),
-                "c": pa.array([p[1] for p in pairs], pa.int64()),
-            }
-        )
 
     def term_partial(batch: pa.Table) -> pa.Table:
         term_acc: dict[str, int] = {}
@@ -325,16 +328,139 @@ def term_cooccurrence_pmi(docs_ds, text_col: str = "text", min_docs: int = 2):
             }
         )
 
-    # per-term doc counts + corpus N (O(vocab) — collected and broadcast)
-    tstats = (
+    tstats_ds = (
         docs_ds.map_batches(term_partial, batch_format="pyarrow")
         .groupby("term")
         .sum(["c", "n_docs"])
-        .to_pandas()
     )
+    if top_v is None:
+        # per-term doc counts + corpus N (O(vocab), collected and
+        # broadcast — every distinct pair's dfs are needed)
+        tstats = tstats_ds.to_pandas()
+        keep_ref = None
+    else:
+        # exact distributed top-V by (df desc, term asc): the groupby
+        # output partitions the term space, so the global top-V is
+        # contained in the union of per-block top-Vs; "" sentinel rows
+        # (block doc counts toward N) are always kept
+        def topk_block(batch: pa.Table) -> pa.Table:
+            terms = np.asarray(batch["term"].to_pylist(), dtype=object)
+            nonsent = np.nonzero(terms != "")[0]
+            if len(nonsent) <= top_v:
+                return batch
+            c = batch["sum(c)"].to_numpy(zero_copy_only=False)[nonsent]
+            order = np.lexsort((terms[nonsent], -c))[:top_v]
+            keep_idx = np.sort(
+                np.concatenate(
+                    [nonsent[order], np.nonzero(terms == "")[0]]
+                )
+            )
+            return batch.take(pa.array(keep_idx))
+
+        part = tstats_ds.map_batches(
+            topk_block, batch_format="pyarrow"
+        ).to_pandas()
+        nonsent = part[part["term"] != ""]
+        order = np.lexsort(
+            (
+                nonsent["term"].to_numpy(dtype=object),
+                -nonsent["sum(c)"].to_numpy(),
+            )
+        )[:top_v]
+        kept = nonsent.iloc[order]
+        tstats = pd.concat([part[part["term"] == ""], kept])
+        keep_ref = ray.put(np.sort(kept["term"].to_numpy(dtype="U")))
+
     dfs = dict(zip(tstats["term"], tstats["sum(c)"]))
     n_total = int(tstats["sum(n_docs)"].sum())
     stats_ref = ray.put((dfs, n_total))
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "term_a": pa.array([], pa.string()),
+                "term_b": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        tok_lists = [
+            simple_tokens(t or "") for t in batch[text_col].to_pylist()
+        ]
+        lens = np.fromiter(
+            (len(ts) for ts in tok_lists), np.int64, len(tok_lists)
+        )
+        if int(lens.sum()) == 0:
+            return empty
+        flat = np.array([tok for ts in tok_lists for tok in ts])
+        vocab, codes = np.unique(flat, return_inverse=True)
+        if keep_ref is not None:
+            keep_sorted = ray.get(keep_ref)
+            if len(keep_sorted) == 0:
+                return empty
+            pos = np.minimum(
+                np.searchsorted(keep_sorted, vocab), len(keep_sorted) - 1
+            )
+            keep_mask = keep_sorted[pos] == vocab
+        else:
+            keep_mask = None
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        doc_codes: list[np.ndarray] = []
+        for i in range(len(tok_lists)):
+            dc = np.unique(codes[offs[i] : offs[i + 1]])
+            if keep_mask is not None:
+                dc = dc[keep_mask[dc]]
+            if len(dc) >= 2:
+                doc_codes.append(dc)
+        if not doc_codes:
+            return empty
+        ms = np.fromiter(
+            (len(dc) for dc in doc_codes), np.int64, len(doc_codes)
+        )
+        a_parts: list[np.ndarray] = []
+        b_parts: list[np.ndarray] = []
+        for m in np.unique(ms):
+            mat = np.stack(
+                [doc_codes[i] for i in np.nonzero(ms == m)[0]]
+            )
+            ia, ib = np.triu_indices(int(m), 1)
+            a_parts.append(mat[:, ia].ravel())
+            b_parts.append(mat[:, ib].ravel())
+        nv = len(vocab)
+        key = np.concatenate(a_parts).astype(np.int64) * nv + np.concatenate(
+            b_parts
+        )
+        uk, cnt = np.unique(key, return_counts=True)
+        # decode pair codes through ONE O(vocab) Arrow string array —
+        # pc.take is C-level; a per-pair .tolist() materialized millions
+        # of Python strings and dominated the kernel
+        vstr = pa.array(vocab.tolist(), pa.string())
+        import hashlib
+
+        import pyarrow.compute as pc
+
+        # stable 64-bit hash per VOCAB term (O(vocab) scalar work),
+        # combined vectorized into a per-pair exchange bucket —
+        # Python's hash() is per-process-salted, hence md5
+        hv = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+                for t in vocab.tolist()
+            ),
+            np.uint64,
+            nv,
+        )
+        with np.errstate(over="ignore"):
+            ph = (hv[uk // nv] * np.uint64(0x100000001B3)) ^ hv[uk % nv]
+        return pa.table(
+            {
+                "_b": pa.array(
+                    (ph % np.uint64(num_buckets)).astype(np.int64)
+                ),
+                "term_a": pc.take(vstr, pa.array(uk // nv, pa.int64())),
+                "term_b": pc.take(vstr, pa.array(uk % nv, pa.int64())),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
 
     def attach_pmi(batch: pa.Table) -> pa.Table:
         df_map, n = ray.get(stats_ref)
@@ -360,9 +486,24 @@ def term_cooccurrence_pmi(docs_ds, text_col: str = "text", min_docs: int = 2):
             }
         )
 
+    def agg_bucket(group: pa.Table) -> pa.Table:
+        # Arrow's C++ hash aggregate per bucket: Ray Data's native
+        # groupby().sum() walks groups in Python and measured ~170 s on
+        # 1.5M string-pair groups where this path takes ~2 s
+        t = group.select(["term_a", "term_b", "c"]).group_by(
+            ["term_a", "term_b"]
+        ).aggregate([("c", "sum")])
+        return pa.table(
+            {
+                "term_a": t["term_a"],
+                "term_b": t["term_b"],
+                "sum(c)": t["c_sum"],
+            }
+        )
+
     return (
         docs_ds.map_batches(pair_partial, batch_format="pyarrow")
-        .groupby(["term_a", "term_b"])
-        .sum("c")
+        .groupby("_b")
+        .map_groups(agg_bucket, batch_format="pyarrow")
         .map_batches(attach_pmi, batch_format="pyarrow")
     )

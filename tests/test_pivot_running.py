@@ -233,3 +233,54 @@ def test_prefix_join_distributed_rank_path(ray_session):
     )
     assert len(brute) > 0
     pd.testing.assert_frame_equal(brute, pref)
+
+
+def test_term_pmi_top_v_caps_pair_space(ray_session):
+    """top_v keeps only the V highest-df terms: the pair space is
+    bounded by the capped vocabulary, surviving pairs keep their exact
+    uncapped PMI (df and N stay corpus-global), and the selection is
+    deterministic across partitionings."""
+    from seekr_ray.extras.textstats import term_cooccurrence_pmi
+
+    rng = np.random.RandomState(17)
+    # df-ranked vocabulary: "high*" words appear everywhere, tail words
+    # rarely
+    texts = []
+    for i in range(60):
+        toks = ["higha", "highb", "highc"]
+        toks += list(rng.choice(["mid%d" % j for j in range(8)], size=3))
+        toks += ["rare%d" % i]
+        texts.append(" ".join(toks))
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(60, dtype=np.int64), "text": texts}
+    )
+    full = (
+        term_cooccurrence_pmi(_ds(docs), min_docs=2)
+        .to_pandas()
+        .set_index(["term_a", "term_b"])
+        .sort_index()
+    )
+    capped = (
+        term_cooccurrence_pmi(_ds(docs), min_docs=2, top_v=3)
+        .to_pandas()
+        .set_index(["term_a", "term_b"])
+        .sort_index()
+    )
+    # pair space bounded: C(3,2) = 3 pairs at most, all within the
+    # top-3-df terms
+    assert len(capped) == 3
+    assert set(capped.index) == {
+        ("higha", "highb"),
+        ("higha", "highc"),
+        ("highb", "highc"),
+    }
+    # surviving pairs carry the exact uncapped values
+    pd.testing.assert_frame_equal(capped, full.loc[capped.index])
+    # deterministic across block layouts
+    capped2 = (
+        term_cooccurrence_pmi(_ds(docs).repartition(7), min_docs=2, top_v=3)
+        .to_pandas()
+        .set_index(["term_a", "term_b"])
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(capped, capped2)
