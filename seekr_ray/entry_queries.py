@@ -118,13 +118,13 @@ def _df_and_n(sf_dir: str, terms: list[str] | None = None, with_len: bool = Fals
             }
         )
 
-    agg = (
-        _docs_text(sf_dir)
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("term")
-        .sum("c")
-        .to_pandas()
-    )
+    from .bucket_agg import bucketed_group_agg
+
+    agg = bucketed_group_agg(
+        _docs_text(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        "term",
+        [("c", "sum")],
+    ).to_pandas()
     dfs = dict(zip(agg["term"], agg["sum(c)"]))
     n = int(dfs.pop("\x00N"))
     total_len = int(dfs.pop("\x00L"))

@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..bucket_agg import bucketed_group_agg
 from .textstats import round6, simple_tokens
 
 # ---------------------------------------------------------------------------
@@ -560,10 +561,14 @@ def _min_label_dataset(pairs_tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
                 }
             )
 
-        agg = (
-            edges.map_batches(relabel, batch_format="pyarrow", batch_size=None)
-            .groupby("node")
-            .min("lbl")
+        # bucketed exchange: node cardinality is O(candidate nodes) and
+        # Ray's native groupby walks groups in Python (see bucket_agg)
+        agg = bucketed_group_agg(
+            edges.map_batches(
+                relabel, batch_format="pyarrow", batch_size=None
+            ),
+            "node",
+            [("lbl", "min")],
         )
         new = labels.copy()
         for t in agg.iter_batches(batch_format="pyarrow"):
@@ -962,8 +967,6 @@ def duplicate_ngram_spans(docs_ds, *, k: int = 5, min_docs: int = 2,
     """
     from collections import Counter
 
-    from ray.data.aggregate import Min, Sum
-
     def partial(batch: pa.Table) -> pa.Table:
         acc: dict[str, list] = {}
         for d, text in zip(
@@ -1006,12 +1009,11 @@ def duplicate_ngram_spans(docs_ds, *, k: int = 5, min_docs: int = 2,
             }
         )
 
-    return (
-        docs_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("shingle")
-        .aggregate(Sum("nd"), Sum("no"), Min("md"))
-        .map_batches(finalize, batch_format="pyarrow")
-    )
+    return bucketed_group_agg(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        "shingle",
+        [("nd", "sum"), ("no", "sum"), ("md", "min")],
+    ).map_batches(finalize, batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs_prefix(
@@ -1112,12 +1114,11 @@ def ngram_jaccard_pairs_prefix(
     # merge under sum) — kept DISTRIBUTED; materialized because two
     # things consume it (the row count gate and whichever rank build
     # runs)
-    dfs_ds = (
-        shingled.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("h")
-        .sum("c")
-        .materialize()
-    )
+    dfs_ds = bucketed_group_agg(
+        shingled.map_batches(df_partial, batch_format="pyarrow"),
+        "h",
+        [("c", "sum")],
+    ).materialize()
     n_vocab = dfs_ds.count()
     if n_vocab <= driver_rank_limit:
         # small-vocab regime: exact dense rarity ranks, one O(vocab)

@@ -469,11 +469,14 @@ def left_outer_count_join(
         )
         return agg.rename_columns([right_key, "_c"])
 
-    counts_df = (
-        right_ds.select_columns([right_key])
-        .map_batches(partial_counts, batch_format="pyarrow")
-        .groupby(right_key)
-        .sum("_c")
+    from ..bucket_agg import bucketed_group_agg
+
+    counts_df = bucketed_group_agg(
+        right_ds.select_columns([right_key]).map_batches(
+            partial_counts, batch_format="pyarrow"
+        ),
+        right_key,
+        [("_c", "sum")],
     ).to_pandas()
     rk = counts_df[right_key].to_numpy()
     order = np.argsort(rk)

@@ -28,6 +28,8 @@ from __future__ import annotations
 import heapq
 
 import numpy as np
+
+from ..bucket_agg import bucketed_group_agg
 import pyarrow as pa
 
 from .textstats import round6, round6_arr as _round6_arr
@@ -475,15 +477,13 @@ def label_centroids(
         label_type = emb_ds.schema().base_schema.field(label_col).type
     except AttributeError:
         label_type = None
-    return (
-        emb_ds.select_columns([label_col, vec_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby([label_col, "dim"])
-        .sum(["s_p", "n_p"])
-        .map_batches(
-            lambda b: finalize(b, label_type), batch_format="pyarrow"
-        )
-    )
+    return bucketed_group_agg(
+        emb_ds.select_columns([label_col, vec_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        [label_col, "dim"],
+        [("s_p", "sum"), ("n_p", "sum")],
+    ).map_batches(lambda b: finalize(b, label_type), batch_format="pyarrow")
 
 
 
@@ -528,13 +528,13 @@ def kmeans_step(
     def finalize(batch: pa.Table) -> pa.Table:
         return _qmean_finalize(batch, scale, "cid")
 
-    return (
-        emb_ds.select_columns([vec_col])
-        .map_batches(assign_partial, batch_format="pyarrow")
-        .groupby(["cid", "dim"])
-        .sum(["s_p", "n_p"])
-        .map_batches(finalize, batch_format="pyarrow")
-    )
+    return bucketed_group_agg(
+        emb_ds.select_columns([vec_col]).map_batches(
+            assign_partial, batch_format="pyarrow"
+        ),
+        ["cid", "dim"],
+        [("s_p", "sum"), ("n_p", "sum")],
+    ).map_batches(finalize, batch_format="pyarrow")
 
 
 def kmeans_fit(

@@ -34,6 +34,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..bucket_agg import bucketed_group_agg
 from .textstats import round6, round6_arr
 
 _SEP = "\x1f"
@@ -305,7 +306,6 @@ def grouped_stats(ds, *, key_col: str, val_col: str):
     differences (output is O(groups) rows, so boundary flips are not a
     realistic risk at that magnitude).
     """
-    from ray.data.aggregate import Max, Min, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         tbl = batch.select([key_col, val_col])
@@ -347,15 +347,19 @@ def grouped_stats(ds, *, key_col: str, val_col: str):
             }
         )
 
-    return (
-        ds.select_columns([key_col, val_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(key_col)
-        .aggregate(
-            Sum("n_p"), Sum("s_p"), Sum("ss_p"), Min("mn_p"), Max("mx_p")
-        )
-        .map_batches(finalize, batch_format="pyarrow")
-    )
+    return bucketed_group_agg(
+        ds.select_columns([key_col, val_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        key_col,
+        [
+            ("n_p", "sum"),
+            ("s_p", "sum"),
+            ("ss_p", "sum"),
+            ("mn_p", "min"),
+            ("mx_p", "max"),
+        ],
+    ).map_batches(finalize, batch_format="pyarrow")
 
 
 def rollup_agg(ds, *, key_cols: list[str], val_col: str, all_label: str = "ALL"):
@@ -498,16 +502,17 @@ def distinct_count_per_group(ds, *, key_col: str, val_col: str):
             }
         )
 
-    return (
-        ds.select_columns([key_col, val_col])
-        .map_batches(block_distinct, batch_format="pyarrow")
-        .groupby([key_col, val_col])
-        .count()
-        .map_batches(project_key, batch_format="pyarrow")
-        .groupby(key_col)
-        .count()
-        .map_batches(finalize, batch_format="pyarrow")
-    )
+    return bucketed_group_agg(
+        bucketed_group_agg(
+            ds.select_columns([key_col, val_col]).map_batches(
+                block_distinct, batch_format="pyarrow"
+            ),
+            [key_col, val_col],
+            [(key_col, "count")],
+        ).map_batches(project_key, batch_format="pyarrow"),
+        key_col,
+        [(key_col, "count")],
+    ).map_batches(finalize, batch_format="pyarrow")
 
 
 def grouped_corr(
@@ -583,13 +588,13 @@ def grouped_corr(
             }
         )
 
-    return (
-        ds.select_columns([key_col, x_col, y_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(key_col)
-        .sum(["_n", "_sx", "_sy", "_sxy", "_sxx", "_syy"])
-        .map_batches(finalize, batch_format="pyarrow")
-    )
+    return bucketed_group_agg(
+        ds.select_columns([key_col, x_col, y_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        key_col,
+        [(c, "sum") for c in ["_n", "_sx", "_sy", "_sxy", "_sxx", "_syy"]],
+    ).map_batches(finalize, batch_format="pyarrow")
 
 
 def grouped_mode(ds, *, key_col: str, val_col: str, num_buckets: int = 64):
@@ -642,10 +647,13 @@ def grouped_mode(ds, *, key_col: str, val_col: str, num_buckets: int = 64):
         )
 
     return (
-        ds.select_columns([key_col, val_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby([key_col, val_col])
-        .sum("_c")
+        bucketed_group_agg(
+            ds.select_columns([key_col, val_col]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            [key_col, val_col],
+            [("_c", "sum")],
+        )
         .map_batches(tag, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(argmax, batch_format="pyarrow")
@@ -688,11 +696,12 @@ def grouped_zscore(
             [("_n", "sum"), ("_s", "sum"), ("_ss", "sum")]
         ).rename_columns([key_col, "_n", "_s", "_ss"])
 
-    moments_tbl = (
-        ds.select_columns([key_col, val_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(key_col)
-        .sum(["_n", "_s", "_ss"])
+    moments_tbl = bucketed_group_agg(
+        ds.select_columns([key_col, val_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        key_col,
+        [("_n", "sum"), ("_s", "sum"), ("_ss", "sum")],
     ).to_pandas()
     moments = {
         k: (float(n), float(s), float(ss))

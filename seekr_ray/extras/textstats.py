@@ -328,10 +328,12 @@ def term_cooccurrence_pmi(
             }
         )
 
-    tstats_ds = (
-        docs_ds.map_batches(term_partial, batch_format="pyarrow")
-        .groupby("term")
-        .sum(["c", "n_docs"])
+    from ..bucket_agg import bucketed_group_agg
+
+    tstats_ds = bucketed_group_agg(
+        docs_ds.map_batches(term_partial, batch_format="pyarrow"),
+        "term",
+        [("c", "sum"), ("n_docs", "sum")],
     )
     if top_v is None:
         # per-term doc counts + corpus N (O(vocab), collected and

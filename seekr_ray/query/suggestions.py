@@ -67,8 +67,12 @@ def aggregate_query_log(queries_ds, hours: float = 12.0):
         cutoff = max_ts - __import__("datetime").timedelta(hours=hours)
         return batch.filter(pc.greater_equal(batch["ts"], pa.scalar(cutoff)))
 
+    from ..bucket_agg import bucketed_group_agg
+
     recent_ds = queries_ds.map_batches(recent, batch_format="pyarrow")
-    return recent_ds.groupby("query").count()
+    # distinct-query cardinality is open-ended (it is user input):
+    # bucketed exchange, not Ray's per-group Python walk
+    return bucketed_group_agg(recent_ds, "query", [("query", "count")])
 
 
 def trie_from_counts(counts) -> Trie:
