@@ -200,22 +200,26 @@ def build_partition_fused(
 ) -> pa.Table:
     """One task: read postings/term_part=K/ locally, write the segment
     file AND its term-stats partition, return the manifest row."""
-    import glob
+    import posixpath
 
     import numpy as np
 
+    from ..fsio import list_parquet, resolve_fs
     from .postings import build_partition_chunks
 
     t0 = time.monotonic()
-    part_dir = os.path.join(postings_dir, f"term_part={part}")
-    files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+    # postings_dir may be an object-store URI (see fsio.py) — the
+    # segment/stats OUTPUT dirs stay on the index filesystem
+    post_fs, post_root = resolve_fs(postings_dir)
+    part_dir = posixpath.join(post_root, f"term_part={part}")
+    files = list_parquet(post_fs, part_dir)
     tbl = None
     if files:
         cols = ["doc_id", "term", "tf", "positions"]
         # round-1 postings intermediates lack the importance column
-        if "importance" in pq.read_schema(files[0]).names:
+        if "importance" in pq.read_schema(files[0], filesystem=post_fs).names:
             cols.append("importance")
-        tbl = pq.read_table(files, columns=cols)
+        tbl = pq.read_table(files, columns=cols, filesystem=post_fs)
     if tbl is None or tbl.num_rows == 0:
         _write_stats_partition(stats_dir, part, STATS_SCHEMA.empty_table())
         row = write_empty_segment(seg_dir, part)

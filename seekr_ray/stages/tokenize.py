@@ -384,18 +384,24 @@ def write_postings_partitioned(
       paying Ray's generic ``partition_cols=`` sink, which re-filters
       every block once per partition value.
     """
-    import os
+    import posixpath
     import uuid
 
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+
+    from ..fsio import ensure_dir, resolve_fs, write_table_atomic
 
     P = cfg.num_term_partitions
-    os.makedirs(postings_dir, exist_ok=True)
+    # postings_dir / doclen_dir may be object-store URIs on a real
+    # cluster (no shared POSIX filesystem across nodes) — all IO below
+    # goes through pyarrow.fs; see fsio.py for the atomicity contract
+    post_fs, post_root = resolve_fs(postings_dir)
+    ensure_dir(post_fs, post_root)
     for p in range(P):
-        os.makedirs(os.path.join(postings_dir, f"term_part={p}"), exist_ok=True)
+        ensure_dir(post_fs, posixpath.join(post_root, f"term_part={p}"))
     if doclen_dir is not None:
-        os.makedirs(doclen_dir, exist_ok=True)
+        dl_fs, dl_root = resolve_fs(doclen_dir)
+        ensure_dir(dl_fs, dl_root)
 
     def write_block(tbl: pa.Table) -> pa.Table:
         parts = tbl["term_part"].to_numpy(zero_copy_only=False)
@@ -409,37 +415,35 @@ def write_postings_partitioned(
         n_dl = int(bounds[0])
         if n_dl and doclen_dir is not None:
             dl_slice = tbl.slice(0, n_dl)
-            dl_path = os.path.join(doclen_dir, f"{task_id}.parquet")
-            dl_tmp = dl_path + ".tmp"
-            pq.write_table(
+            write_table_atomic(
                 pa.table(
                     {
                         "doc_id": dl_slice["doc_id"],
                         "dl": pc.cast(dl_slice["tf"], pa.int64()),
                     }
                 ),
-                dl_tmp,
+                dl_fs,
+                posixpath.join(dl_root, f"{task_id}.parquet"),
                 compression="zstd",
                 compression_level=1,
             )
-            os.replace(dl_tmp, dl_path)
         out_parts, out_rows = [], []
         for p in range(P):
             lo, hi = int(bounds[p]), int(bounds[p + 1])
             if lo == hi:
                 continue
-            path = os.path.join(
-                postings_dir, f"term_part={p}", f"{task_id}.parquet"
-            )
-            tmp = path + ".tmp"
             # zstd-1: ~2x smaller intermediate than snappy for pennies of
             # CPU — this write (and its re-read by the segment builder)
             # is the shared-disk cost that caps 2->8 cpu scaling
-            pq.write_table(
-                tbl.slice(lo, hi - lo), tmp,
-                compression="zstd", compression_level=1,
+            write_table_atomic(
+                tbl.slice(lo, hi - lo),
+                post_fs,
+                posixpath.join(
+                    post_root, f"term_part={p}", f"{task_id}.parquet"
+                ),
+                compression="zstd",
+                compression_level=1,
             )
-            os.replace(tmp, path)
             out_parts.append(p)
             out_rows.append(hi - lo)
         return pa.table(
