@@ -443,6 +443,11 @@ def _build_segments_partitioned(
         write_postings_partitioned(
             docs_in, cfg, content_col, postings_dir, doclen_dir=doclen_dir
         )
+        # shard the doclen sidecar so serving actors fault doc_id
+        # ranges instead of holding O(n_docs) arrays (query/sidecar.py)
+        from .query.sidecar import compact_sidecar_shards
+
+        compact_sidecar_shards(doclen_dir, "dl")
         _mark(postings_dir)
     metrics["stages"]["tokenize"] = {"seconds": time.monotonic() - t0}
 
@@ -643,6 +648,11 @@ def _compute_and_write_pagerank(
     tmp = os.path.join(pr_dir, "part-00000.parquet.tmp")
     pq.write_table(pr, tmp)
     os.replace(tmp, tmp[: -len(".tmp")])
+    # doc_id-sorted shards + manifest: serving actors fault ranges on
+    # demand instead of holding the full rank array (query/sidecar.py)
+    from .query.sidecar import compact_sidecar_shards
+
+    compact_sidecar_shards(pr_dir, "page_rank")
     _mark(pr_dir)
     return pr
 

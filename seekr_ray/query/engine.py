@@ -47,7 +47,8 @@ from .parser import (
     tokenize_and_stem,
 )
 from .snippets import generate_snippet
-from .store import SegmentStore, load_doclens, load_pagerank
+from .sidecar import open_sidecar
+from .store import SegmentStore
 
 
 class DocumentData:
@@ -86,12 +87,13 @@ class QueryEngine:
         self.cfg = IndexConfig.from_dict(meta["config"])
         self.n_docs = meta["n_docs"]
         self.store = SegmentStore(index_dir, self.cfg.num_term_partitions)
-        # sorted parallel arrays, not a dict: 16 B/graph-doc and shared
-        # zero-copy by the vectorized scorers (store.load_pagerank)
-        self.pr_ids, self.pr_ranks = load_pagerank(index_dir)
-        self.max_pagerank = (
-            float(self.pr_ranks.max()) if self.pr_ranks.size else 0.0
+        # pagerank sidecar: sharded row-group faulting when the build
+        # compacted it (actor memory O(touched ranges)), full sorted
+        # arrays on legacy layouts (see query/sidecar.py)
+        self._pr = open_sidecar(
+            os.path.join(index_dir, "pagerank"), "page_rank"
         )
+        self.max_pagerank = self._pr.value_max if self._pr else 0.0
         self.use_wand = use_wand
         # optional search_queries write side (query_log.py): every search
         # appends (query, ts); suggestions can aggregate from the log
@@ -118,7 +120,7 @@ class QueryEngine:
         # bounded dict — the index is immutable, so no invalidation
         self.bm25_k1 = bm25_k1
         self.bm25_b = bm25_b
-        self._doclen: tuple[np.ndarray, np.ndarray, float] | None = None
+        self._doclen = None  # doclen sidecar, lazy (first bm25 call)
         self._bm25_cache: OrderedDict[str, np.ndarray] = OrderedDict()
         self._bm25_cache_max = 4096
 
@@ -565,12 +567,7 @@ class QueryEngine:
             pos_c = np.minimum(pos, cand.size - 1)
             hit = cand[pos_c] == ids
             acc[pos_c[hit]] += contrib[hit]
-        pr_ids, pr_ranks = self._pagerank_arrays()
-        pr = np.zeros(cand.size)
-        if pr_ids.size:
-            pos = np.minimum(np.searchsorted(pr_ids, cand), pr_ids.size - 1)
-            hit = pr_ids[pos] == cand
-            pr[hit] = pr_ranks[pos[hit]]
+        pr = self._pr_lookup(cand)
         scores = self.cfg.tfidf_weight * acc + self.cfg.pagerank_weight * pr
         if k < cand.size:
             kth = -np.partition(-scores, k - 1)[k - 1]
@@ -580,19 +577,11 @@ class QueryEngine:
         order = part[np.lexsort((cand[part], -scores[part]))][:k]
         return [(int(cand[i]), float(scores[i])) for i in order]
 
-    def _pagerank_arrays(self):
-        return self.pr_ids, self.pr_ranks
-
     def _pr_lookup(self, doc_ids: np.ndarray) -> np.ndarray:
         """Vectorized pagerank lookup (0.0 for docs outside the graph)."""
-        out = np.zeros(len(doc_ids))
-        if self.pr_ids.size and len(doc_ids):
-            pos = np.minimum(
-                np.searchsorted(self.pr_ids, doc_ids), self.pr_ids.size - 1
-            )
-            hit = self.pr_ids[pos] == doc_ids
-            out[hit] = self.pr_ranks[pos[hit]]
-        return out
+        if self._pr is None or not len(doc_ids):
+            return np.zeros(len(doc_ids))
+        return self._pr.get(np.asarray(doc_ids, np.int64))
 
     def _taat(self, terms, k: int) -> list[tuple[int, float]]:
         """Vectorized exact scoring: accumulate tf·idf per doc with
@@ -618,13 +607,7 @@ class QueryEngine:
         uids, inv = np.unique(all_ids, return_inverse=True)
         acc = np.zeros(len(uids))
         np.add.at(acc, inv, all_contrib)
-        pr_ids, pr_ranks = self._pagerank_arrays()
-        pr = np.zeros(len(uids))
-        if pr_ids.size:
-            pos = np.searchsorted(pr_ids, uids)
-            pos_c = np.minimum(pos, pr_ids.size - 1)
-            hit = pr_ids[pos_c] == uids
-            pr[hit] = pr_ranks[pos_c[hit]]
+        pr = self._pr_lookup(uids)
         scores = w_tfidf * acc + w_pr * pr
         if k < len(uids):
             # k-th best score, then keep every doc at-or-above it so
@@ -660,13 +643,12 @@ class QueryEngine:
         w_tfidf = self.cfg.tfidf_weight
         w_pr = self.cfg.pagerank_weight
         static_ub = w_pr * self.max_pagerank
-        pr_ids, pr_ranks = self.pr_ids, self.pr_ranks
+        pr_sidecar = self._pr
 
         def pr_of(doc_id: int) -> float:
-            i = int(np.searchsorted(pr_ids, doc_id))
-            if i < pr_ids.size and pr_ids[i] == doc_id:
-                return float(pr_ranks[i])
-            return 0.0
+            if pr_sidecar is None:
+                return 0.0
+            return pr_sidecar.get_one(doc_id)
 
         n = len(ids_list)
         pos = [0] * n  # cursor per term
@@ -730,9 +712,17 @@ class QueryEngine:
     # BM25 scorer (north-star ranking mode; k1=1.2, b=0.75)
     # ------------------------------------------------------------------
 
-    def _doclen_arrays(self) -> tuple[np.ndarray, np.ndarray, float]:
+    def _doclen_sidecar(self):
         if self._doclen is None:
-            self._doclen = load_doclens(self.index_dir)
+            self._doclen = open_sidecar(
+                os.path.join(self.index_dir, "doclen"), "dl"
+            )
+            if self._doclen is None:
+                raise FileNotFoundError(
+                    f"no doclen sidecar under {self.index_dir}/doclen: "
+                    "BM25 requires an index built with the "
+                    "partitioned-write strategy (round 2+)"
+                )
         return self._doclen
 
     def _bm25_contribs(self, tp) -> np.ndarray:
@@ -746,11 +736,9 @@ class QueryEngine:
         if cached is not None:
             self._bm25_cache.move_to_end(tp.term)
             return cached
-        ids, dls, avgdl = self._doclen_arrays()
-        found, pos = isin_sorted(ids, tp.doc_ids)
-        dl = np.where(found, dls[pos] if len(dls) else 0, 0).astype(
-            np.float64
-        )
+        dl_sc = self._doclen_sidecar()
+        avgdl = dl_sc.avg
+        dl = dl_sc.get(tp.doc_ids, default=0.0)
         # dl == 0 marks a doc whose tf was stored UNNORMALIZED (the
         # tokenize zero-division guard: no valid stems) — tf IS the raw
         # count there, so recover c from tf directly instead of the

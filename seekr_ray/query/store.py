@@ -478,10 +478,15 @@ def load_pagerank(index_dir: str) -> tuple[np.ndarray, np.ndarray]:
     default).  Arrays, not a dict: 16 B/graph-doc in the serving
     process, shared zero-copy by the vectorized scorers; the per-doc
     faithful path bisects (``searchsorted``)."""
+    from .sidecar import SIDECAR_META, open_sidecar
+
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     pr_dir = os.path.join(index_dir, "pagerank")
     if not os.path.isdir(pr_dir):
         return empty
+    if os.path.isfile(os.path.join(pr_dir, SIDECAR_META)):
+        sc = open_sidecar(pr_dir, "page_rank")
+        return sc.to_arrays() if sc is not None else empty
     files = [
         os.path.join(pr_dir, f)
         for f in sorted(os.listdir(pr_dir))
@@ -507,7 +512,14 @@ def load_doclens(index_dir: str) -> tuple[np.ndarray, np.ndarray, float]:
     salted_groupby strategy or round-1 layouts) — BM25 needs dl; the
     tf·idf paths never touch it.
     """
+    from .sidecar import SIDECAR_META, open_sidecar
+
     dl_dir = os.path.join(index_dir, "doclen")
+    if os.path.isfile(os.path.join(dl_dir, SIDECAR_META)):
+        sc = open_sidecar(dl_dir, "dl")
+        if sc is not None:
+            ids, vals = sc.to_arrays()
+            return ids, vals.astype(np.int64), sc.avg
     files = (
         [
             os.path.join(dl_dir, f)

@@ -1,0 +1,152 @@
+"""Sharded sidecars: compaction equivalence, bounded faulting, overlay
+(extend-delta) semantics, and serving equality against the legacy eager
+layout."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from seekr_ray.query.sidecar import (
+    SIDECAR_META,
+    EagerSidecar,
+    ShardedSidecar,
+    compact_sidecar_shards,
+    open_sidecar,
+)
+
+
+def _write_raw(dir_, rows, name="raw-000.parquet", col="dl"):
+    os.makedirs(dir_, exist_ok=True)
+    ids = np.array([r[0] for r in rows], np.int64)
+    vals = np.array([r[1] for r in rows])
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids), col: pa.array(vals)}),
+        os.path.join(dir_, name),
+    )
+
+
+@pytest.fixture()
+def raw_dir(tmp_path):
+    d = str(tmp_path / "dl")
+    rng = np.random.RandomState(7)
+    ids = rng.permutation(50_000)[:8000].astype(np.int64)
+    vals = rng.randint(1, 500, len(ids)).astype(np.int64)
+    # spread over 3 task files like the tokenize writer does
+    for i in range(3):
+        _write_raw(
+            d,
+            list(zip(ids[i::3], vals[i::3])),
+            name=f"task-{i}.parquet",
+        )
+    return d, dict(zip(ids.tolist(), vals.tolist()))
+
+
+def test_compact_matches_eager(raw_dir):
+    d, truth = raw_dir
+    eager = open_sidecar(d, "dl")
+    assert isinstance(eager, EagerSidecar)
+    meta = compact_sidecar_shards(d, "dl", rows_per_group=512)
+    assert meta["n"] == len(truth)
+    assert meta["sum"] == sum(truth.values())
+    sharded = open_sidecar(d, "dl")
+    assert isinstance(sharded, ShardedSidecar)
+    # raw task files are gone, only shards + manifest remain
+    names = sorted(os.listdir(d))
+    assert all(
+        n.startswith("sharded-") or n == SIDECAR_META for n in names
+    )
+    probe = np.array(
+        list(truth.keys())[:500] + [10**9, -5, 49_999], np.int64
+    )
+    got_e = eager.get(probe, default=-1.0)
+    got_s = sharded.get(probe, default=-1.0)
+    np.testing.assert_array_equal(got_e, got_s)
+    assert sharded.avg == eager.avg
+    assert sharded.value_max == eager.value_max
+    i, v = sharded.to_arrays()
+    ie, ve = eager.to_arrays()
+    np.testing.assert_array_equal(i, ie)
+    np.testing.assert_array_equal(v.astype(np.int64), ve)
+
+
+def test_lru_bounds_resident_groups(raw_dir):
+    d, truth = raw_dir
+    compact_sidecar_shards(d, "dl", rows_per_group=256)
+    sc = open_sidecar(d, "dl", cache_groups=4)
+    all_ids = np.array(sorted(truth.keys()), np.int64)
+    got = sc.get(all_ids)  # touches EVERY row group
+    np.testing.assert_array_equal(
+        got.astype(np.int64),
+        np.array([truth[i] for i in all_ids.tolist()], np.int64),
+    )
+    assert len(sc._cache) <= 4  # memory bounded by touched-range LRU
+
+
+def test_overlay_delta_files(raw_dir):
+    d, truth = raw_dir
+    compact_sidecar_shards(d, "dl", rows_per_group=512)
+    # extend-style delta: new doc ids + one residual duplicate of an
+    # existing id with an IDENTICAL value (the crash rule)
+    dup_id = next(iter(truth))
+    _write_raw(
+        d,
+        [(10**7 + 1, 42), (10**7 + 2, 17), (dup_id, truth[dup_id])],
+        name="delta-xyz.parquet",
+    )
+    sc = open_sidecar(d, "dl")
+    probe = np.array([10**7 + 1, 10**7 + 2, dup_id, 10**7 + 9], np.int64)
+    np.testing.assert_array_equal(
+        sc.get(probe, default=-1.0), [42.0, 17.0, float(truth[dup_id]), -1.0]
+    )
+    # n/sum count the residual once
+    assert sc.n == len(truth) + 2
+    assert sc.value_sum == sum(truth.values()) + 42 + 17
+
+
+def test_serving_equal_after_compaction(ray_session, tmp_path):
+    """Queries on a freshly-built index (sidecars sharded by the build)
+    equal queries on a copy whose manifests are removed (legacy eager
+    path) — same scores, same ranks, tfidf and bm25."""
+    import shutil
+    import subprocess
+    import sys
+
+    from seekr_ray.fixtures import cached_corpus_path, cached_links_path
+    from seekr_ray.query.engine import QueryEngine
+
+    idx = str(tmp_path / "idx")
+    subprocess.run(
+        [
+            sys.executable, "-m", "seekr_ray.cli", "build",
+            "--input", cached_corpus_path(500),
+            "--index-dir", idx,
+            "--links", cached_links_path(500),
+            "--term-partitions", "4", "--id-partitions", "4",
+            "--num-cpus", "4",
+        ],
+        check=True,
+        capture_output=True,
+        cwd="/root/repo",
+    )
+    assert os.path.isfile(os.path.join(idx, "doclen", SIDECAR_META))
+    assert os.path.isfile(os.path.join(idx, "pagerank", SIDECAR_META))
+    legacy = str(tmp_path / "legacy")
+    shutil.copytree(idx, legacy)
+    os.unlink(os.path.join(legacy, "doclen", SIDECAR_META))
+    os.unlink(os.path.join(legacy, "pagerank", SIDECAR_META))
+
+    e_new = QueryEngine(idx)
+    e_old = QueryEngine(legacy)
+    assert isinstance(e_new._pr, ShardedSidecar)
+    assert isinstance(e_old._pr, EagerSidecar)
+    def ranked(e, q):
+        r = e.query(q)
+        return [(d.doc_id, d.page_rank, d.word_info) for d in r.documents]
+
+    for q in ["parse AND buffer", '"travel connect"', "token OR stream"]:
+        assert ranked(e_new, q) == ranked(e_old, q)
+    for q in ["parse buffer", "token stream merge"]:
+        assert e_new.bm25_topk(q, k=10) == e_old.bm25_topk(q, k=10)
