@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- not yet driver-recorded (rows-only; pytest covers semantics) ---
         "ann_lsh": eq.q_ann_lsh,
         "ann_ivf": eq.q_ann_ivf,
+        "ann_ivf_persisted": eq.q_ann_ivf_persisted,
         "embedding_neardup_lsh": eq.q_embedding_neardup_lsh,
         "multimodal_features": eq.q_multimodal_features,
         "corpus_index_manifest": eq.q_corpus_index_manifest,
@@ -158,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_nation": m["orders_by_nation"],
         "ann_topk": m["ann_topk"],
         "ann_ivf_full": m["ann_topk"],  # full probe == exact brute force
+        "ann_ivf_persisted": m["ann_topk"],  # persisted index, full probe
         "minhash_clusters": m["minhash_clusters"],
         "embedding_neardup": m["embedding_neardup"],
         "asof_prev_purchase": m["asof_prev_purchase"],

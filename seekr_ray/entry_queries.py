@@ -1617,6 +1617,38 @@ def q_ann_ivf_full(sf_dir: str):
     return out.select(["rank", "vec_id", "cos"])
 
 
+def q_ann_ivf_persisted(sf_dir: str):
+    """IVF over a PERSISTED index (ivf_build → ivf_query): the serving
+    pattern — centroids trained and lists written once, probes read only
+    their lists' files.  nprobe == n_lists makes it exact, so it shares
+    the brute-force SQL oracle.  The index is cached per corpus and
+    reused across calls (the whole point of persistence)."""
+    import hashlib
+    import json
+
+    import ray.data as rd
+    from .extras.similarity import ivf_build, ivf_query
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(emb_path)
+    key = hashlib.sha256(os.path.abspath(emb_path).encode()).hexdigest()[:16]
+    idx = os.path.join("/tmp", "seekr_ivf_cache", key)
+    meta_path = os.path.join(idx, "meta.json")
+    n_rows = ds.count()
+    reuse = False
+    if os.path.isfile(os.path.join(idx, "_SUCCESS")):
+        with open(meta_path) as f:
+            reuse = json.load(f).get("n_vectors") == n_rows
+    if not reuse:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        os.makedirs(idx, exist_ok=True)
+        ivf_build(ds, idx, n_lists=8)
+    out = ivf_query(idx, _query_vec(ds), k=ANN_K, nprobe=8)
+    return out.select(["rank", "vec_id", "cos"])
+
+
 def q_embedding_neardup_lsh(sf_dir: str):
     """Sub-quadratic scale path of q_embedding_neardup: hyperplane-LSH
     buckets + intra-bucket exact cosine (rows-only; recall vs the exact

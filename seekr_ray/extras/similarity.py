@@ -31,11 +31,39 @@ import numpy as np
 
 from ..bucket_agg import bucketed_group_agg
 import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from .textstats import round6, round6_arr as _round6_arr
 
 
 def _to_matrix(col) -> np.ndarray:
+    """Arrow list column → (n, dim) float64 matrix.
+
+    Fast path: FixedSizeList or uniform-length List/LargeList columns
+    flatten to the contiguous child buffer and reshape — no per-row
+    Python objects (the round-2 ``np.stack(col.to_pylist())`` converted
+    every element through a Python float).  Ragged or null-bearing
+    input falls back to the per-row conversion.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    typ = col.type
+    if n and col.null_count == 0:
+        if pa.types.is_fixed_size_list(typ):
+            dim = typ.list_size
+        elif pa.types.is_list(typ) or pa.types.is_large_list(typ):
+            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            dim = int(lens[0]) if (lens == lens[0]).all() else -1
+        else:
+            dim = -1
+        if dim >= 0:
+            # flatten() respects array slices (``.values`` would not)
+            vals = col.flatten().to_numpy(zero_copy_only=False)
+            return np.ascontiguousarray(vals, dtype=np.float64).reshape(
+                n, dim
+            )
     return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
 
 
@@ -246,6 +274,178 @@ class _IvfProbeScorer:
                 "cos": pa.array(out_cos, pa.float64()),
             }
         )
+
+
+def ivf_build(
+    emb_ds,
+    index_dir: str,
+    n_lists: int = 16,
+    sample_mod: int = 1,
+    iters: int = 5,
+    seed: int = 13,
+) -> dict:
+    """Persist an IVF index for serving reuse: train once, assign once,
+    write ``index_dir/`` as::
+
+        centroids.parquet            (list_id, centroid list<double>)
+        lists/list_id=K/*.parquet    (vec_id, embedding, list_id)
+        meta.json + _SUCCESS
+
+    ``ivf_query`` then probes WITHOUT retraining or reassigning — the
+    round-2 ``ann_topk_ivf`` paid both on every call.  The list write
+    uses the same per-block sort+slice pattern as the postings shuffle
+    (no per-partition re-filtering of every block), so a probe reads
+    only its lists' files.  Mirrors the segment-store layout discipline:
+    tmp+rename files, meta last.
+    """
+    import json
+    import os
+    import uuid
+
+    import ray.data  # noqa: F401 — Dataset already imported by caller
+
+    centroids = ivf_train(
+        emb_ds, n_lists, sample_mod=sample_mod, iters=iters, seed=seed
+    )
+    assigned = ivf_assign(emb_ds, centroids)
+    lists_dir = os.path.join(index_dir, "lists")
+    for lid in range(len(centroids)):
+        os.makedirs(os.path.join(lists_dir, f"list_id={lid}"), exist_ok=True)
+
+    def write_block(tbl: pa.Table) -> pa.Table:
+        lists = tbl["list_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(lists, kind="stable")
+        tbl = tbl.take(order)
+        sorted_lists = lists[order]
+        bounds = np.searchsorted(
+            sorted_lists, np.arange(len(centroids) + 1)
+        )
+        task_id = uuid.uuid4().hex[:16]
+        out_l, out_n = [], []
+        for lid in range(len(centroids)):
+            lo, hi = int(bounds[lid]), int(bounds[lid + 1])
+            if lo == hi:
+                continue
+            path = os.path.join(
+                lists_dir, f"list_id={lid}", f"{task_id}.parquet"
+            )
+            # driver pre-creates dirs, but a multi-node worker without
+            # the shared-FS mkdir visible yet must not fail
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            pq.write_table(
+                tbl.slice(lo, hi - lo), path + ".tmp",
+                compression="zstd", compression_level=1,
+            )
+            os.replace(path + ".tmp", path)
+            out_l.append(lid)
+            out_n.append(hi - lo)
+        return pa.table(
+            {
+                "list_id": pa.array(out_l, pa.int32()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    n_vectors = 0
+    for b in assigned.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        n_vectors += int(np.sum(b["n"].to_numpy(zero_copy_only=False)))
+    cent_tbl = pa.table(
+        {
+            "list_id": pa.array(
+                np.arange(len(centroids), dtype=np.int32)
+            ),
+            "centroid": pa.array(
+                list(centroids), pa.list_(pa.float64())
+            ),
+        }
+    )
+    pq.write_table(cent_tbl, os.path.join(index_dir, "centroids.parquet.tmp"))
+    os.replace(
+        os.path.join(index_dir, "centroids.parquet.tmp"),
+        os.path.join(index_dir, "centroids.parquet"),
+    )
+    meta = {
+        "n_lists": int(len(centroids)),
+        "dim": int(centroids.shape[1]),
+        "n_vectors": n_vectors,
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    open(os.path.join(index_dir, "_SUCCESS"), "w").close()
+    return meta
+
+
+def ivf_query(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+) -> pa.Table:
+    """Probe a persisted IVF index (``ivf_build``): nearest ``nprobe``
+    centroids per query, read ONLY those lists' files, exact scoring
+    in-list, distributed partial top-k + driver heap-merge.  Same output
+    schema and determinism as ``ann_topk_ivf``; ``nprobe >= n_lists``
+    equals brute force over the indexed vectors."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    if not os.path.isfile(os.path.join(index_dir, "_SUCCESS")):
+        raise FileNotFoundError(f"no completed IVF index at {index_dir}")
+    cent_tbl = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    order = np.argsort(
+        cent_tbl["list_id"].to_numpy(zero_copy_only=False)
+    )
+    centroids = np.stack(
+        [
+            np.asarray(v, dtype=np.float64)
+            for v in cent_tbl["centroid"].to_pylist()
+        ]
+    )[order]
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    q_unit = _unit(queries)
+    nprobe = min(nprobe, len(centroids))
+    probes = np.argsort(-(q_unit @ centroids.T), axis=1)[:, :nprobe].astype(
+        np.int32
+    )
+    needed = sorted({int(x) for x in probes.ravel()})
+    paths = []
+    for lid in needed:
+        d = os.path.join(index_dir, "lists", f"list_id={lid}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    if not paths:
+        return _merge_topk_empty()
+    ds = rd.read_parquet(paths)
+    partials = ds.map_batches(
+        _IvfProbeScorer,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={
+            "query_ref": ray.put(queries),
+            "probes_ref": ray.put(probes),
+            "k": k,
+        },
+        concurrency=(1, 4),
+    )
+    return _merge_topk(partials, k)
+
+
+def _merge_topk_empty() -> pa.Table:
+    return pa.table(
+        {
+            "query_i": pa.array([], pa.int32()),
+            "rank": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64()),
+        }
+    )
 
 
 def ann_topk_ivf(

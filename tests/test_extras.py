@@ -200,6 +200,81 @@ def test_ann_ivf_pruned_probe_recall(ray_session):
     assert again.equals(ivf)
 
 
+def test_to_matrix_zero_copy_paths():
+    from seekr_ray.extras.similarity import _to_matrix
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((7, 5)).astype(np.float32)
+    rows = [r.tolist() for r in mat]
+    want = np.stack([np.asarray(r, dtype=np.float64) for r in rows])
+    # uniform list<float32> — the flatten/reshape fast path
+    col = pa.array(rows, pa.list_(pa.float32()))
+    np.testing.assert_array_equal(_to_matrix(col), want)
+    # fixed_size_list
+    fsl = pa.FixedSizeListArray.from_arrays(
+        pa.array(mat.ravel(), pa.float32()), 5
+    )
+    np.testing.assert_array_equal(_to_matrix(fsl), want)
+    # large_list
+    ll = pa.array(rows, pa.large_list(pa.float64()))
+    np.testing.assert_array_equal(_to_matrix(ll), want)
+    # sliced array (offsets must be honored, .values would over-read)
+    np.testing.assert_array_equal(_to_matrix(col.slice(2, 3)), want[2:5])
+    # chunked
+    ch = pa.chunked_array([col.slice(0, 3), col.slice(3, 4)])
+    np.testing.assert_array_equal(_to_matrix(ch), want)
+
+
+def test_to_matrix_ragged_fallback():
+    from seekr_ray.extras.similarity import _to_matrix
+
+    # ragged / null-bearing input must NOT take the flatten/reshape path
+    # (which would silently misalign); the row-wise fallback either
+    # converts or raises loudly
+    ragged = pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float64()))
+    with pytest.raises(ValueError):
+        _to_matrix(ragged)
+    withnull = pa.array([[1.0, 2.0], None, [5.0, 6.0]], pa.list_(pa.float64()))
+    try:
+        _to_matrix(withnull)
+    except (TypeError, ValueError):
+        pass
+
+
+def test_ivf_persisted_index(ray_session, tmp_path):
+    from seekr_ray.extras.similarity import (
+        ann_topk_bruteforce,
+        ivf_build,
+        ivf_query,
+    )
+
+    ds, mat = _emb_ds()
+    idx = str(tmp_path / "ivf_index")
+    meta = ivf_build(ds, idx, n_lists=8)
+    assert meta["n_lists"] == 8
+    assert meta["n_vectors"] == 100
+    assert meta["dim"] == 16
+    q = mat[:2]
+    brute = ann_topk_bruteforce(ds, q, k=5).to_pandas()
+    # probing every list over the PERSISTED index == brute force
+    full = ivf_query(idx, q, k=5, nprobe=8).to_pandas()
+    assert full.equals(brute)
+    # pruned probe: deterministic across calls, decent recall
+    p1 = ivf_query(idx, mat[0][None, :], k=5, nprobe=2).to_pandas()
+    p2 = ivf_query(idx, mat[0][None, :], k=5, nprobe=2).to_pandas()
+    assert p1.equals(p2)
+    assert p1["vec_id"][0] == 0
+    recall = len(set(p1["vec_id"]) & set(brute[brute.query_i == 0]["vec_id"])) / 5
+    assert recall >= 0.4
+
+
+def test_ivf_query_requires_success_marker(ray_session, tmp_path):
+    from seekr_ray.extras.similarity import ivf_query
+
+    with pytest.raises(FileNotFoundError):
+        ivf_query(str(tmp_path / "nope"), np.zeros((1, 4)), k=3)
+
+
 def test_embedding_neardup_pairs(ray_session):
     import ray.data as rd
 
