@@ -7,7 +7,11 @@ reference's Spring controllers:
   empty-response body on negative page, size clamped to 10 outside
   (0, 100]);
 * ``GET /api/suggestions?q=...`` -> JSON list of strings
-  (``SearchSuggestionsController.java:21-33``: 400 on blank q).
+  (``SearchSuggestionsController.java:21-33``: 400 on blank q);
+* ``GET /`` -> the static search page (``webui/index.html``) — flow
+  parity with the reference's React app (``Web Interface/src/App.jsx``,
+  ``SearchSuggestions.jsx``): debounced suggestions, paged results,
+  ``<strong>``-highlighted snippets; vanilla JS so no build step.
 
 Stdlib ``ThreadingHTTPServer`` on purpose — no web framework ships in
 this environment, and the serving state (segment store, caches) already
@@ -18,9 +22,12 @@ layer is a thin adapter over either.
 from __future__ import annotations
 
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
+
+_WEBUI_PATH = os.path.join(os.path.dirname(__file__), "webui", "index.html")
 
 
 class SearchHTTPServer:
@@ -58,6 +65,8 @@ class SearchHTTPServer:
                         return self._search(qs)
                     if url.path == "/api/suggestions":
                         return self._suggestions(qs)
+                    if url.path in ("/", "/index.html"):
+                        return self._page()
                     return self._json(404, {"error": "not found"})
                 except Exception:  # 500 parity (SearchController catch-all)
                     return self._json(500)
@@ -92,6 +101,15 @@ class SearchHTTPServer:
                         "totalCount": out["total_count"],
                     },
                 )
+
+            def _page(self) -> None:
+                with open(_WEBUI_PATH, "rb") as f:
+                    body = f.read()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
 
             def _suggestions(self, qs) -> None:
                 q = (qs.get("q") or [""])[0]

@@ -94,3 +94,26 @@ def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(server, "/api/nope")
     assert ei.value.code == 404
+
+
+def test_web_ui_served_and_wired(server):
+    """GET / serves the static search page, and the endpoints the page's
+    JS calls (relative /api/search, /api/suggestions) work on the same
+    origin — the reference React flow (App.jsx, SearchSuggestions.jsx)
+    without the node build step."""
+    for path in ("/", "/index.html"):
+        with _get(server, path) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/html")
+            page = r.read().decode()
+    assert "<title>Seekr</title>" in page
+    # the page must call the two endpoints with the parameter names the
+    # server parses (query=/page=/size= and q=)
+    assert "/api/search?query=" in page
+    assert "/api/suggestions?q=" in page
+    assert "totalCount" in page  # reads the reference response shape
+    # same-origin round trip the page's JS performs on submit
+    with _get(server, "/api/search?query=parse&page=0&size=10") as r:
+        out = json.loads(r.read())
+    assert out["totalCount"] > 0
+    assert "<strong>" in out["results"][0]["snippet"]  # highlight contract
