@@ -164,6 +164,14 @@ def ann_topk_bruteforce(emb_ds, queries: np.ndarray, k: int = 10) -> pa.Table:
         batch_format="pyarrow",
         fn_constructor_kwargs={"query_ref": query_ref, "k": k},
         concurrency=(1, 4),
+        # The ctor kwargs hold driver-owned ObjectRefs that die when this
+        # function returns; Ray Data's default max_restarts=-1 can then
+        # wedge a late-restarting pool actor forever (it re-reserves its
+        # CPU but can never resolve its ctor args — ray#53727), starving
+        # every later actor pool on the cluster.  These scorer scans are
+        # short and idempotent: on worker loss, re-running the query is
+        # the recovery path, so restarts are disabled.
+        max_restarts=0,
     )
     return _merge_topk(partials, k)
 
@@ -238,6 +246,7 @@ def ivf_assign(emb_ds, centroids: np.ndarray):
         batch_format="pyarrow",
         fn_constructor_kwargs={"centroids_ref": ray.put(centroids)},
         concurrency=(1, 4),
+        max_restarts=0,  # ctor ref dies with the caller — see ann_topk_bruteforce
     )
 
 
@@ -433,6 +442,7 @@ def ivf_query(
             "k": k,
         },
         concurrency=(1, 4),
+        max_restarts=0,  # ctor refs die with the caller — see ann_topk_bruteforce
     )
     return _merge_topk(partials, k)
 
@@ -480,6 +490,7 @@ def ann_topk_ivf(
             "k": k,
         },
         concurrency=(1, 4),
+        max_restarts=0,  # ctor refs die with the caller — see ann_topk_bruteforce
     )
     return _merge_topk(partials, k)
 
@@ -564,6 +575,7 @@ def ann_topk_lsh(
         batch_format="pyarrow",
         fn_constructor_kwargs={"planes_ref": planes_ref},
         concurrency=(1, 4),
+        max_restarts=0,  # ctor ref dies with the caller — see ann_topk_bruteforce
     )
     q_unit = _unit(queries)
     q_sigs = ((q_unit @ planes.T) >= 0).dot(1 << np.arange(nbits, dtype=np.int64))
@@ -576,6 +588,7 @@ def ann_topk_lsh(
             "k": k,
         },
         concurrency=(1, 4),
+        max_restarts=0,  # ctor refs die with the caller — see ann_topk_bruteforce
     )
     return _merge_topk(partials, k)
 
