@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # a time budget covers as many as possible.
     return {
         # --- not yet driver-recorded (SQL-oracled) ---
+        "keyword_extract": eq.q_keyword_extract,
+        "bigram_lm": eq.q_bigram_lm,
         "redact_props": eq.q_redact_props,
         "value_pct_rank": eq.q_value_pct_rank,
         "props_sum_by_type": eq.q_props_sum_by_type,
@@ -211,4 +213,6 @@ def oracle_sql() -> dict[str, str]:
         "weighted_doc_sample": m["weighted_doc_sample"],
         "customer_event_counts": m["customer_event_counts"],
         "cms_tokens": m["cms_tokens"],
+        "keyword_extract": m["keyword_extract"],
+        "bigram_lm": m["bigram_lm"],
     }

@@ -1888,6 +1888,30 @@ def q_token_entropy(sf_dir: str):
     return token_entropy(_docs_text(sf_dir))
 
 
+KEYWORDS_K = 5  # keywords per document
+
+
+def q_keyword_extract(sf_dir: str):
+    """Top-k TF-IDF keywords per document — (c/doclen)·log10(N/df),
+    ranked (raw score desc, term asc); the reference's tf·idf weighting
+    (idf = log10(N/df)) reduced to the shared tokenization.  Uses the
+    broadcast-df strategy (fixture vocabulary is tiny); the open-vocab
+    distributed-join path is asserted equal in tests/test_extras.py."""
+    from .extras.lm import tfidf_keywords
+
+    return tfidf_keywords(_docs_text(sf_dir), k=KEYWORDS_K, strategy="broadcast")
+
+
+def q_bigram_lm(sf_dir: str):
+    """Per-doc mean bigram log10-probability under the corpus's own
+    add-one-smoothed bigram LM (the CCNet/Gopher-style quality filter).
+    Per-bigram logprobs are quantized once to integer micro-units so the
+    per-doc reduction is an exact integer sum on both sides."""
+    from .extras.lm import bigram_lm_quality
+
+    return bigram_lm_quality(_docs_text(sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -2762,5 +2786,44 @@ LIMIT {WSAMPLE_K}"""
 SELECT nt.doc_id, nt.n AS n_tokens,
        coalesce(e.s, 0)::DOUBLE / 1000000 AS entropy
 FROM nt LEFT JOIN e USING (doc_id)"""
+
+    sql["keyword_extract"] = f"""{toks}
+, u AS (SELECT doc_id, unnest(tokens) AS term, len(tokens) AS dl
+        FROM toks WHERE len(tokens) > 0)
+, tf AS (SELECT doc_id, term, count(*) AS c, any_value(dl) AS dl
+         FROM u GROUP BY doc_id, term)
+, dfv AS (SELECT term, count(DISTINCT doc_id) AS df FROM u GROUP BY term)
+, nn AS (SELECT count(*) AS n FROM documents)
+, scored AS (
+  SELECT tf.doc_id, tf.term,
+         (tf.c::DOUBLE / tf.dl) * log10(nn.n::DOUBLE / dfv.df) AS s
+  FROM tf JOIN dfv USING (term) CROSS JOIN nn)
+, ranked AS (
+  SELECT doc_id, term, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, rank, term, ROUND(s, 6) AS score
+FROM ranked WHERE rank <= {KEYWORDS_K} ORDER BY doc_id, rank"""
+
+    sql["bigram_lm"] = f"""{toks}
+, bgl AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(tokens)),
+                        i -> tokens[i] || ' ' || tokens[i+1])) AS big,
+                 unnest(list_transform(range(1, len(tokens)),
+                        i -> tokens[i])) AS w1
+          FROM toks WHERE len(tokens) >= 2)
+, dbg AS (SELECT doc_id, big, w1, count(*) AS c FROM bgl GROUP BY doc_id, big, w1)
+, c2 AS (SELECT big, w1, sum(c)::BIGINT AS c2 FROM dbg GROUP BY big, w1)
+, c1 AS (SELECT w1, sum(c)::BIGINT AS c1 FROM dbg GROUP BY w1)
+, vv AS (SELECT count(*) AS v FROM c1)
+, lp AS (SELECT c2.big,
+                CAST(ROUND(log10((c2.c2 + 1)::DOUBLE / (c1.c1 + vv.v))
+                           * 1000000.0) AS BIGINT) AS micro
+         FROM c2 JOIN c1 USING (w1) CROSS JOIN vv)
+, per AS (SELECT d.doc_id, SUM(d.c * lp.micro) AS sm, SUM(d.c) AS nb
+          FROM dbg d JOIN lp USING (big) GROUP BY d.doc_id)
+SELECT doc_id, nb::BIGINT AS n_bigrams,
+       ROUND((sm / 1000000.0) / nb, 6) AS lm_score
+FROM per ORDER BY doc_id"""
 
     return sql

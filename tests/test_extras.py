@@ -539,3 +539,72 @@ def test_tumbling_agg_window_boundaries(ray_session):
     assert key[("2024-01-01 10:00:00", "a")] == (1, 1.0)
     assert key[("2024-01-01 11:00:00", "a")] == (2, 5.0)
     assert key[("2024-01-01 11:00:00", "b")] == (1, 4.0)
+
+
+def test_tfidf_keywords_paths_equal(ray_session):
+    """broadcast-df and distributed-join strategies must be row-identical
+    (same scores, ranks, tie-breaks) — the join path is the open-vocab
+    100-TB shape, the broadcast path the small-vocab fast path."""
+    import ray.data as rd
+
+    from seekr_ray.extras.lm import tfidf_keywords
+
+    docs = [
+        "spark join merge spark window",
+        "merge merge batch stream stream stream",
+        "window spark",
+        "",  # token-less doc must emit nothing
+        "singleton uniqueterm appears once here",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    a = (
+        tfidf_keywords(rd.from_arrow(tbl), k=3, strategy="broadcast")
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        tfidf_keywords(rd.from_arrow(tbl), k=3, strategy="join")
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert 3 not in set(a["doc_id"])  # empty doc emits nothing
+    # rank 1 for doc 1 is the tf-dominant rare term
+    assert a[(a.doc_id == 1) & (a["rank"] == 1)]["term"].iloc[0] == "stream"
+
+
+def test_bigram_lm_quality_basic(ray_session):
+    """Repetitive (high-probability) docs must outscore a doc of unique
+    transitions; <2-token docs emit nothing; n_bigrams is exact."""
+    import ray.data as rd
+
+    from seekr_ray.extras.lm import bigram_lm_quality
+
+    docs = [
+        "alpha beta alpha beta alpha beta alpha beta",
+        "gamma delta epsilon zeta theta iota kappa",
+        "solo",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    out = (
+        bigram_lm_quality(rd.from_arrow(tbl))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [0, 1]  # "solo" has no bigrams
+    assert out.loc[0, "n_bigrams"] == 7
+    assert out.loc[1, "n_bigrams"] == 6
+    assert out.loc[0, "lm_score"] > out.loc[1, "lm_score"]
