@@ -64,6 +64,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_event_counts": eq.q_customer_event_counts,
         "priority_revenue": eq.q_priority_revenue,
         "decontaminate": eq.q_decontaminate,
+        "bloom_decontaminate": eq.q_bloom_decontaminate,
+        "bpe_pair_counts": eq.q_bpe_pair_counts,
+        "cap_per_lang": eq.q_cap_per_lang,
+        "semdedup_pairs": eq.q_semdedup_pairs,
         "pack_offsets": eq.q_pack_offsets,
         "cms_tokens": eq.q_cms_tokens,
         "weighted_doc_sample": eq.q_weighted_doc_sample,
@@ -77,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_persisted": eq.q_ann_ivf_persisted,
         "embedding_neardup_lsh": eq.q_embedding_neardup_lsh,
         "multimodal_features": eq.q_multimodal_features,
+        "bpe_merges": eq.q_bpe_merges,
+        "bpe_token_counts": eq.q_bpe_token_counts,
         "corpus_index_manifest": eq.q_corpus_index_manifest,
         "corpus_search": eq.q_corpus_search,
         "corpus_search_bm25": eq.q_corpus_search_bm25,
@@ -195,6 +201,10 @@ def oracle_sql() -> dict[str, str]:
         "props_sum_by_type": m["props_sum_by_type"],
         "revenue_by_region": m["revenue_by_region"],
         "decontaminate": m["decontaminate"],
+        "bloom_decontaminate": m["bloom_decontaminate"],
+        "bpe_pair_counts": m["bpe_pair_counts"],
+        "cap_per_lang": m["cap_per_lang"],
+        "semdedup_pairs": m["semdedup_pairs"],
         "pack_offsets": m["pack_offsets"],
         "priority_revenue": m["priority_revenue"],
         "event_type_pivot": m["event_type_pivot"],

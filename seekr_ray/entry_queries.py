@@ -1412,6 +1412,146 @@ def q_decontaminate(sf_dir: str):
     )
 
 
+def q_bloom_decontaminate(sf_dir: str):
+    """Bloom-filter decontamination audit: the fixed-memory form of
+    q_decontaminate.  The benchmark side compresses to an 8 KiB bitmap
+    (broadcast once) instead of a shingle set; a corpus doc's n_maybe
+    counts its distinct shingles whose BLOOM_K salted-md5 positions are
+    all set.  Deterministic including false positives, so the SQL oracle
+    reproduces the filter bit-for-bit."""
+    from .extras.decontam import benchmark_bloom, bloom_decontaminate
+
+    def _part(is_bench: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % DECONTAM_BENCH_MOD == 0) == is_bench
+            return batch.filter(pa.array(mask))
+
+        return fn
+
+    docs = _docs_text(sf_dir)
+    bench = docs.map_batches(_part(True), batch_format="pyarrow")
+    corpus = docs.map_batches(_part(False), batch_format="pyarrow")
+    bits = benchmark_bloom(bench, k=DECONTAM_K)
+    out = bloom_decontaminate(corpus, bits, k=DECONTAM_K).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_maybe": pa.array(out["n_maybe"], pa.int64()),
+        }
+    )
+
+
+SEMDEDUP_K = 8  # clusters for the semdedup entry
+# intra-cluster cosine threshold: the fixture's built-in near-dup band
+# sits at cos >= ~0.38 against a ~0.09 background (see NEARDUP_THRESHOLD)
+SEMDEDUP_TAU = 0.38
+EMB_DIM = 64  # fixture embedding width (all sf scales)
+
+
+def q_semdedup_pairs(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): cluster embeddings (fixed seeded
+    centroids — deterministic, so the assignment is SQL-replicable),
+    then report cosine >= tau near-dup pairs WITHIN clusters only.  The
+    O(n²) comparison collapses to Σ per-cluster (n_c)² independent
+    map_groups tasks."""
+    import ray.data as rd
+
+    from .extras.similarity import semdedup_centroids, semdedup_pairs
+
+    cents = semdedup_centroids(SEMDEDUP_K, EMB_DIM)
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    out = (
+        semdedup_pairs(emb, cents, tau=SEMDEDUP_TAU)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "cid": pa.array(out["cid"], pa.int64()),
+            "a": pa.array(out["a"], pa.int64()),
+            "b": pa.array(out["b"], pa.int64()),
+            "cos": pa.array(out["cos"], pa.float64()),
+        }
+    )
+
+
+CAP_PER_LANG = 20  # per-language doc quota for the cap_per_lang entry
+
+
+def q_cap_per_lang(sf_dir: str):
+    """Per-key quota curation: keep 20 docs per language, chosen by the
+    deterministic md5 permutation (the C4/RefinedWeb per-domain cap).
+    Two-phase exact per-key top-k — the exchange moves O(keys*cap)."""
+    import ray.data as rd
+
+    from .extras.split import cap_per_key
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    out = (
+        cap_per_key(
+            docs,
+            key_col="lang",
+            id_col="doc_id",
+            cap=CAP_PER_LANG,
+        )
+        .to_pandas()
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+        }
+    )
+
+
+BPE_MERGES = 200  # merge rules learned by the bpe_merges entry
+
+
+def q_bpe_pair_counts(sf_dir: str):
+    """BPE training, iteration-1 candidate table: adjacent char-pair
+    counts weighted by corpus word frequency.  One corpus pass (bucketed
+    word count) + an alphabet-bounded pair exchange."""
+    from .extras.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(_docs_text(sf_dir))
+
+
+def q_bpe_merges(sf_dir: str):
+    """Trained BPE merge table (rank, left, right, freq) — iterative, so
+    rows-only at the driver; the merge loop semantics are pytest-pinned
+    against a naive reference implementation (tests/test_bpe.py)."""
+    from .extras.bpe import bpe_train
+
+    return bpe_train(_docs_text(sf_dir), BPE_MERGES)
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """Per-doc token count under the trained merges (broadcast ranks,
+    per-block distinct-word memoized encode)."""
+    from .extras.bpe import bpe_token_counts, bpe_train
+
+    docs = _docs_text(sf_dir)
+    merges = bpe_train(docs, BPE_MERGES)
+    out = bpe_token_counts(docs, merges).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_bpe_tokens": pa.array(out["n_bpe_tokens"], pa.int64()),
+        }
+    )
+
+
 def q_pack_offsets(sf_dir: str):
     """Sequence-packing offsets: every doc's global token start offset in
     doc_id order (distributed exact prefix sum: per-range partial sums ->
@@ -2653,6 +2793,90 @@ dsh AS (SELECT doc_id, unnest(shingles) AS s FROM sh
 SELECT d.doc_id, count(*)::BIGINT AS n_overlap
 FROM dsh d JOIN bsh b USING (s)
 GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+    from .extras.decontam import BLOOM_K, BLOOM_M
+
+    # bit positions: md5_number_upper(j || '#' || s) % M == python
+    # md5(f"{j}#{s}")[:8] little-endian % M; a (doc,shingle) is a maybe-hit
+    # iff all BLOOM_K positions land in the benchmark's distinct-position
+    # set (count(*) = K after the inner join, since positions are distinct
+    # per (s,j) and the bits side is deduplicated)
+    sql["bloom_decontaminate"] = f"""{toks}
+, sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) < {DECONTAM_K} THEN []::VARCHAR[]
+              ELSE list_distinct(list_transform(range(1, len(tokens) - {DECONTAM_K - 2}),
+                   i -> array_to_string(list_slice(tokens, i, i + {DECONTAM_K - 1}), ' ')))
+         END AS shingles
+  FROM toks
+),
+bits AS (
+  SELECT DISTINCT (md5_number_upper(j::VARCHAR || '#' || s) % {BLOOM_M})::BIGINT AS pos
+  FROM (SELECT DISTINCT unnest(shingles) AS s FROM sh
+        WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+       range({BLOOM_K}) r(j)
+),
+dpos AS (
+  SELECT doc_id, s, j,
+         (md5_number_upper(j::VARCHAR || '#' || s) % {BLOOM_M})::BIGINT AS pos
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+        WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0),
+       range({BLOOM_K}) r(j)
+),
+hits AS (
+  SELECT doc_id, s FROM dpos JOIN bits USING (pos)
+  GROUP BY doc_id, s HAVING count(*) = {BLOOM_K}
+)
+SELECT doc_id, count(*)::BIGINT AS n_maybe
+FROM hits GROUP BY doc_id ORDER BY doc_id"""
+
+    # semdedup: the fixed seeded centroids inline as DOUBLE[] literals
+    # (repr() round-trips float64 exactly through DuckDB's parser); the
+    # assignment replays argmax-by-(round6 cos desc, cid asc) as a
+    # row_number window, then pairs join within cluster only
+    from .extras.similarity import semdedup_centroids
+
+    _cents = semdedup_centroids(SEMDEDUP_K, EMB_DIM)
+    _cent_rows = ",\n  ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(_cents)
+    )
+    sql["semdedup_pairs"] = f"""WITH c(cid, ce) AS (VALUES
+  {_cent_rows}),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+asg AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY round(list_cosine_similarity(v.e, c.ce), 6) DESC, c.cid) AS rn
+    FROM v CROSS JOIN c)
+  WHERE rn = 1
+)
+SELECT x.cid::BIGINT AS cid, x.vec_id AS a, y.vec_id AS b,
+       round(list_cosine_similarity(x.e, y.e), 6) AS cos
+FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+WHERE round(list_cosine_similarity(x.e, y.e), 6) >= {SEMDEDUP_TAU}
+ORDER BY a, b"""
+
+    sql["cap_per_lang"] = f"""SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY md5_number_upper(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents)
+WHERE rn <= {CAP_PER_LANG} ORDER BY lang, doc_id"""
+
+    sql["bpe_pair_counts"] = f"""{toks}
+, wf AS (
+  SELECT t AS word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(tokens) AS t FROM toks) GROUP BY t
+),
+pr AS (
+  SELECT unnest(list_transform(range(1, length(word)),
+                               i -> substr(word, i, 2))) AS pair,
+         freq
+  FROM wf
+)
+SELECT pair, sum(freq)::BIGINT AS cnt FROM pr GROUP BY pair ORDER BY pair"""
 
     sql["pack_offsets"] = f"""{toks}
 , n AS (SELECT doc_id, len(tokens)::BIGINT AS n_tokens FROM toks)

@@ -779,3 +779,111 @@ def kmeans_fit(
         for cid, sub in out.groupby("cid"):
             cents[int(cid)] = sub["centroid"].to_numpy()
     return cents
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (Abbas et al. 2023, arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_SEED = 41
+
+
+def semdedup_centroids(k: int, dim: int, seed: int = SEMDEDUP_SEED) -> np.ndarray:
+    """Fixed seeded unit centroids — a deterministic partition of the
+    sphere.  SemDeDup's correctness contract needs *a* partition (the
+    quadratic work is bounded per cluster whatever the centroids are);
+    callers wanting data-adapted clusters pass ``kmeans_fit`` output
+    instead — ``semdedup_pairs`` takes any centroid matrix."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((k, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def semdedup_pairs(
+    emb_ds,
+    centroids: np.ndarray,
+    *,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Semantic near-dup pairs, clustered form: assign every vector to
+    its max-cosine centroid (6dp-rounded, ties -> smaller cid — the
+    kmeans_step convention), then compare pairs ONLY within a cluster.
+
+    This is the SemDeDup shape: the O(n²) cosine comparison of the
+    brute-force near-dup collapses to Σ_c O(n_c²) — with k clusters of
+    a 100-TB corpus the per-cluster work is (n/k)² and each cluster is
+    an independent ``map_groups`` task; no global pairwise pass exists
+    anywhere.  The centroid matrix broadcasts once (``ray.put``); the
+    only exchange is the groupby(cid) co-partition of (id, vector).
+
+    Output (cid, a, b, cos), a < b, round6(cos) >= tau — deterministic
+    at any parallelism and SQL-replicable given the centroid literals.
+    Near-dups straddling a cluster boundary are missed by design (the
+    paper's recall/cost trade); the exact fallback is
+    ``dedup.embedding_neardup_pairs``."""
+    import ray
+
+    cents_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "cid": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    vec_col: batch[vec_col],
+                }
+            )
+        cents = ray.get(cents_ref)
+        mat = _to_matrix(batch[vec_col])
+        r = _round6_arr(_cosine(mat, cents))
+        cid = np.argmax(r, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "cid": pa.array(cid, pa.int64()),
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+            }
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.table(
+                {
+                    "cid": pa.array([], pa.int64()),
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = _to_matrix(group[vec_col])[order]
+        sims = _round6_arr(_cosine(mat, mat))
+        ii, jj = np.nonzero(np.triu(sims >= tau, k=1))
+        cid = group["cid"][0].as_py() if group.num_rows else 0
+        return pa.table(
+            {
+                "cid": pa.array(np.full(len(ii), cid), pa.int64()),
+                "a": pa.array(ids[ii].astype(np.int64), pa.int64()),
+                "b": pa.array(ids[jj].astype(np.int64), pa.int64()),
+                "cos": pa.array(sims[ii, jj], pa.float64()),
+            }
+        )
+
+    return (
+        emb_ds.select_columns([id_col, vec_col])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cid")
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+
+
+def semdedup_dropped(pairs_tbl: pa.Table) -> pa.Table:
+    """Keep-smallest-id rule over the pair table: every id appearing as
+    ``b`` is dropped; survivors are the corpus minus these."""
+    dropped = pc.unique(pairs_tbl["b"])
+    return pa.table({"vec_id": dropped.take(pc.array_sort_indices(dropped))})

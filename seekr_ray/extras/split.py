@@ -339,3 +339,88 @@ def weighted_sample(
         .groupby("_b")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def cap_per_key(
+    ds,
+    *,
+    key_col: str,
+    id_col: str = "doc_id",
+    cap: int,
+    salt: str = "",
+    num_buckets: int = 64,
+):
+    """Deterministic per-key quota: keep each key's ``cap`` rows with the
+    smallest ``(md5(salt + str(id)), id)`` — the C4/RefinedWeb "cap
+    documents per domain" curation step, as a stateless uniform sample
+    (the hash is a fixed random permutation of each key's rows, so the
+    kept set is an exact uniform-without-replacement cap).
+
+    Two-phase exact top-k (see extras/topk.py): every block keeps at
+    most ``cap`` rows per key it sees, so the exchange moves
+    O(keys-per-block * cap) rows; a hash-bucketed groupby finalizes.
+    No RNG state, SQL-replicable: ``row_number() OVER (PARTITION BY key
+    ORDER BY md5_number_upper(salt || id::VARCHAR), id) <= cap``.
+    Output: (key_col, id_col)."""
+    import hashlib as _hl
+
+    from .stats import _md5_le64
+
+    def _keep(keys: np.ndarray, ids: np.ndarray, h: np.ndarray) -> np.ndarray:
+        codes, inverse = np.unique(keys, return_inverse=True)
+        del codes
+        order = np.lexsort((ids, h, inverse))
+        ks = inverse[order]
+        new = np.ones(len(ks), bool)
+        if len(ks) > 1:
+            new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(ks)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(ks)])
+        )
+        return order[rank < cap]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keys = np.asarray(batch[key_col].to_pylist(), object)
+        h = _md5_le64(list(ids), salt)
+        sel = _keep(keys, ids, h)
+        # bucket by a stable hash of the key string (once per distinct
+        # key per block), so all of a key's survivors co-locate
+        uniq, inv = np.unique(keys[sel], return_inverse=True)
+        bh = np.array(
+            [
+                int.from_bytes(_hl.md5(str(u).encode()).digest()[:8], "little")
+                % num_buckets
+                for u in uniq
+            ],
+            np.int32,
+        )
+        return pa.table(
+            {
+                "_b": pa.array(bh[inv], pa.int32()),
+                key_col: pa.array(keys[sel], pa.string()),
+                id_col: pa.array(ids[sel], pa.int64()),
+                "_h": pa.array(h[sel], pa.uint64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        keys = np.asarray(group[key_col].to_pylist(), object)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        h = group["_h"].to_numpy(zero_copy_only=False)
+        sel = _keep(keys, ids, h)
+        sel = sel[np.lexsort((ids[sel], keys[sel].astype(str)))]
+        return pa.table(
+            {
+                key_col: pa.array(keys[sel], pa.string()),
+                id_col: pa.array(ids[sel], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, id_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(final, batch_format="pyarrow")
+    )

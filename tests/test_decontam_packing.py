@@ -134,3 +134,76 @@ def test_pack_offsets_range_size_invariant(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bloom_matches_exact_decontaminate(ray_session):
+    """At default sizing the filter has ~0 fp on this tiny set, so the
+    bloom audit must equal the exact audit; keep_clean must drop exactly
+    the flagged docs."""
+    from seekr_ray.extras.decontam import (
+        benchmark_bloom,
+        benchmark_shingles,
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    bench = _ds(DOCS[DOCS.doc_id == 1])
+    rest = _ds(DOCS[DOCS.doc_id != 1])
+    bits = benchmark_bloom(bench, k=3)
+    assert bits.sum() > 0
+    audit = (
+        bloom_decontaminate(rest, bits, k=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exact = (
+        decontaminate(rest, benchmark_shingles(bench, k=3), k=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(audit["doc_id"]) == list(exact["doc_id"])
+    assert list(audit["n_maybe"]) == list(exact["n_overlap"])
+    clean = bloom_decontaminate(rest, bits, k=3, keep_clean=True).to_pandas()
+    assert set(clean["doc_id"]) == set(rest.to_pandas()["doc_id"]) - set(
+        audit["doc_id"]
+    )
+
+
+def test_bloom_false_positive_is_conservative(ray_session):
+    """A deliberately tiny filter (m=16 bits, k=1) saturates and flags
+    disjoint docs — maybe-hits are a superset of true hits, never a
+    subset (the safe direction for decontamination)."""
+    import numpy as np
+
+    from seekr_ray.extras.decontam import (
+        benchmark_bloom,
+        benchmark_shingles,
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    bench = _ds(DOCS[DOCS.doc_id == 1])
+    rest = _ds(DOCS[DOCS.doc_id != 1])
+    bits = benchmark_bloom(bench, k=3, m_bits=16, k_hashes=1)
+    flagged = set(
+        bloom_decontaminate(rest, bits, k=3, k_hashes=1)
+        .to_pandas()["doc_id"]
+    )
+    true_hits = set(
+        decontaminate(rest, benchmark_shingles(bench, k=3), k=3)
+        .to_pandas()["doc_id"]
+    )
+    assert true_hits <= flagged
+
+
+def test_bloom_bitmap_is_fixed_size(ray_session):
+    """The broadcast state is m/8 bytes regardless of benchmark size."""
+    import numpy as np
+
+    from seekr_ray.extras.decontam import BLOOM_M, benchmark_bloom
+
+    bits = benchmark_bloom(_ds(DOCS), k=3)
+    assert len(bits) == BLOOM_M
+    assert np.packbits(bits).nbytes == BLOOM_M // 8

@@ -608,3 +608,61 @@ def test_bigram_lm_quality_basic(ray_session):
     assert out.loc[0, "n_bigrams"] == 7
     assert out.loc[1, "n_bigrams"] == 6
     assert out.loc[0, "lm_score"] > out.loc[1, "lm_score"]
+
+
+def test_semdedup_pairs_subset_of_bruteforce(ray_session):
+    """Within-cluster pairs are exactly the brute-force >= tau pairs
+    whose endpoints share a cluster — no extras, nothing fabricated,
+    and identical across block layouts."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from seekr_ray.extras.similarity import (
+        _cosine,
+        semdedup_centroids,
+        semdedup_dropped,
+        semdedup_pairs,
+    )
+    from seekr_ray.extras.textstats import round6_arr
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16))
+    # make 5 deliberate near-dup pairs (tiny perturbations)
+    dups = base[:5] + rng.standard_normal((5, 16)) * 1e-3
+    mat = np.vstack([base, dups])
+    df = pd.DataFrame(
+        {"vec_id": range(len(mat)), "embedding": [list(map(float, v)) for v in mat]}
+    )
+    cents = semdedup_centroids(4, 16)
+    tau = 0.95
+
+    def run(parts):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = semdedup_pairs(ds, cents, tau=tau).to_pandas()
+        return sorted(zip(out["cid"], out["a"], out["b"], out["cos"]))
+
+    got = run(3)
+    assert got == run(1)  # layout-independent
+
+    sims = round6_arr(_cosine(mat, mat))
+    cid = np.argmax(round6_arr(_cosine(mat, cents)), axis=1)
+    want = sorted(
+        (int(cid[i]), i, j, float(sims[i, j]))
+        for i in range(len(mat))
+        for j in range(i + 1, len(mat))
+        if sims[i, j] >= tau and cid[i] == cid[j]
+    )
+    assert got == want
+    assert len(got) >= 5  # the planted dups land in the same cluster
+
+    import pyarrow as pa
+
+    dropped = semdedup_dropped(
+        pa.table(
+            {
+                "b": pa.array([b for _, _, b, _ in got], pa.int64()),
+            }
+        )
+    )
+    assert dropped["vec_id"].to_pylist() == sorted({b for _, _, b, _ in got})

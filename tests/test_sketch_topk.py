@@ -255,3 +255,48 @@ def test_heavy_hitters_empty(ray_session):
     got = heavy_hitters_exact(ds, phi_ppm=5000)
     assert got.num_rows == 0
     assert got.column_names == ["term", "n_occurrences"]
+
+
+def test_cap_per_key_quota_and_determinism(ray_session):
+    """cap_per_key keeps exactly min(cap, group size) rows per key, the
+    SAME rows across block layouts (stateless md5 order), and never
+    invents rows."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from seekr_ray.extras.split import cap_per_key
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(100),
+            "lang": ["aa"] * 60 + ["bb"] * 35 + ["cc"] * 5,
+        }
+    )
+
+    def run(parts):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = cap_per_key(ds, key_col="lang", id_col="doc_id", cap=10)
+        return sorted(
+            zip(*(lambda d: (d["lang"], d["doc_id"]))(out.to_pandas()))
+        )
+
+    a, b = run(1), run(7)
+    assert a == b  # layout-independent
+    counts = pd.Series([l for l, _ in a]).value_counts().to_dict()
+    assert counts == {"aa": 10, "bb": 10, "cc": 5}
+    # matches the md5 order definition exactly
+    want = []
+    for lang, grp in df.groupby("lang"):
+        h = [
+            (
+                int.from_bytes(
+                    hashlib.md5(str(d).encode()).digest()[:8], "little"
+                ),
+                d,
+            )
+            for d in grp["doc_id"]
+        ]
+        want += [(lang, d) for _, d in sorted(h)[:10]]
+    assert a == sorted(want)
