@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": eq.q_bpe_pair_counts,
         "cap_per_lang": eq.q_cap_per_lang,
         "semdedup_pairs": eq.q_semdedup_pairs,
+        "pack_by_lang": eq.q_pack_by_lang,
+        "hll_users_by_type": eq.q_hll_users_by_type,
         "pack_offsets": eq.q_pack_offsets,
         "cms_tokens": eq.q_cms_tokens,
         "weighted_doc_sample": eq.q_weighted_doc_sample,
@@ -78,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- not yet driver-recorded (rows-only; pytest covers semantics) ---
         "ann_lsh": eq.q_ann_lsh,
         "ann_ivf": eq.q_ann_ivf,
+        "ann_pq": eq.q_ann_pq,
         "ann_ivf_persisted": eq.q_ann_ivf_persisted,
         "embedding_neardup_lsh": eq.q_embedding_neardup_lsh,
         "multimodal_features": eq.q_multimodal_features,
@@ -205,6 +208,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": m["bpe_pair_counts"],
         "cap_per_lang": m["cap_per_lang"],
         "semdedup_pairs": m["semdedup_pairs"],
+        "pack_by_lang": m["pack_by_lang"],
+        "hll_users_by_type": m["hll_users_by_type"],
         "pack_offsets": m["pack_offsets"],
         "priority_revenue": m["priority_revenue"],
         "event_type_pivot": m["event_type_pivot"],

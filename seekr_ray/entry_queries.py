@@ -1412,6 +1412,68 @@ def q_decontaminate(sf_dir: str):
     )
 
 
+def q_hll_users_by_type(sf_dir: str):
+    """COUNT(DISTINCT user_id) GROUP BY event_type as a mergeable HLL
+    sketch — per-key register STATE compared (no float estimate in the
+    contract), the O(keys·m)-exchange scale form of a per-key distinct."""
+    import ray.data as rd
+
+    from .extras.sketch import hll_registers_by_key
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+    out = (
+        hll_registers_by_key(ev, key_col="event_type", col="user_id")
+        .to_pandas()
+        .sort_values(["event_type", "bucket"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "bucket": pa.array(out["bucket"], pa.int64()),
+            "rho": pa.array(out["rho"], pa.int64()),
+        }
+    )
+
+
+def q_pack_by_lang(sf_dir: str):
+    """Per-language sequence packing: each lang gets its own
+    doc_id-ordered token stream and pack numbering (three-phase exact
+    scan co-partitioned on (lang, id-range))."""
+    import ray.data as rd
+
+    from .extras.packing import pack_offsets_by_key
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+    out = (
+        pack_offsets_by_key(
+            docs,
+            capacity=PACK_CAPACITY,
+            key_col="lang",
+            range_size=PACK_RANGE,
+        )
+        .to_pandas()
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+            "start_offset": pa.array(out["start_offset"], pa.int64()),
+            "pack_id": pa.array(out["pack_id"], pa.int64()),
+            "pack_offset": pa.array(out["pack_offset"], pa.int64()),
+        }
+    )
+
+
 def q_bloom_decontaminate(sf_dir: str):
     """Bloom-filter decontamination audit: the fixed-memory form of
     q_decontaminate.  The benchmark side compresses to an 8 KiB bitmap
@@ -1732,6 +1794,20 @@ def q_ann_lsh(sf_dir: str):
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return ann_topk_lsh(ds, _query_vec(ds), k=ANN_K)
+
+
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN (Jégou et al. 2011): per-subspace
+    codebooks from a deterministic sample, corpus encoded to m bytes per
+    vector, asymmetric-distance top-k via broadcast lookup tables."""
+    import ray.data as rd
+
+    from .extras.similarity import ann_topk_pq, pq_encode, pq_train
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    books = pq_train(ds, m_subspaces=8, n_codes=16)
+    codes = pq_encode(ds, books)
+    return ann_topk_pq(codes, books, _query_vec(ds), k=ANN_K)
 
 
 def q_ann_ivf(sf_dir: str):
@@ -2885,6 +2961,26 @@ SELECT doc_id, n_tokens,
        ((sum(n_tokens) OVER w - n_tokens) // {PACK_CAPACITY})::BIGINT AS pack_id,
        ((sum(n_tokens) OVER w - n_tokens) % {PACK_CAPACITY})::BIGINT AS pack_offset
 FROM n WINDOW w AS (ORDER BY doc_id) ORDER BY doc_id"""
+
+    sql["hll_users_by_type"] = """WITH h AS (
+  SELECT event_type, md5_number_upper(user_id::VARCHAR) AS hv
+  FROM (SELECT DISTINCT event_type, user_id FROM events)
+),
+r AS (SELECT event_type, (hv >> 52)::BIGINT AS bucket,
+             CASE WHEN (hv & 4503599627370495) = 0 THEN 53
+                  ELSE 53 - length(bin(hv & 4503599627370495)) END AS rho
+      FROM h)
+SELECT event_type, bucket, max(rho)::BIGINT AS rho
+FROM r GROUP BY event_type, bucket ORDER BY event_type, bucket"""
+
+    sql["pack_by_lang"] = f"""{toks}
+, n AS (SELECT lang, doc_id, len(tokens)::BIGINT AS n_tokens FROM toks)
+SELECT lang, doc_id, n_tokens,
+       (sum(n_tokens) OVER w - n_tokens)::BIGINT AS start_offset,
+       ((sum(n_tokens) OVER w - n_tokens) // {PACK_CAPACITY})::BIGINT AS pack_id,
+       ((sum(n_tokens) OVER w - n_tokens) % {PACK_CAPACITY})::BIGINT AS pack_offset
+FROM n WINDOW w AS (PARTITION BY lang ORDER BY doc_id)
+ORDER BY lang, doc_id"""
 
     sql["revenue_by_region"] = """SELECT r.r_name,
        count(*)::BIGINT AS n,

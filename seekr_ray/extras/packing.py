@@ -108,3 +108,83 @@ def pack_offsets(
     return counts.groupby("_rng").map_groups(
         local_scan, batch_format="pyarrow"
     )
+
+
+def pack_offsets_by_key(
+    docs_ds,
+    *,
+    capacity: int,
+    key_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    range_size: int = DEFAULT_RANGE_SIZE,
+):
+    """Per-key packing: each key (language / domain shard) gets its OWN
+    doc_id-ordered token stream and pack numbering — the standard layout
+    when training shards must not mix languages or sources.
+
+    Same three-phase exact scan as ``pack_offsets``, with (key, range)
+    replacing range everywhere: range totals come back as one row per
+    (key, range), the driver prefix-sums WITHIN each key (O(keys x
+    ranges), tiny), and the local scan co-partitions on (key, range) so
+    every group cumsum stays key-pure.  Output: ``(key, doc_id,
+    n_tokens, start_offset, pack_id, pack_offset)``."""
+    import ray
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        toks = np.fromiter(
+            (
+                len(simple_tokens(t or ""))
+                for t in batch[text_col].to_pylist()
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                id_col: pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(toks, pa.int64()),
+                "_rng": pa.array(ids // range_size, pa.int64()),
+            }
+        )
+
+    counts = docs_ds.select_columns(
+        [key_col, id_col, text_col]
+    ).map_batches(narrow, batch_format="pyarrow").materialize()
+
+    totals = counts.groupby([key_col, "_rng"]).sum("n_tokens").to_pandas()
+    totals = totals.sort_values([key_col, "_rng"])
+    bases: dict = {}
+    for key, sub in totals.groupby(key_col, sort=True):
+        csum = np.concatenate(
+            ([0], np.cumsum(sub["sum(n_tokens)"].to_numpy())[:-1])
+        )
+        for rng, base in zip(sub["_rng"].to_numpy(), csum):
+            bases[(key, int(rng))] = int(base)
+    bases_ref = ray.put(bases)
+
+    def local_scan(group: pa.Table) -> pa.Table:
+        base_map = ray.get(bases_ref)
+        key = group[key_col][0].as_py()
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        toks = group["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids, toks = ids[order], toks[order]
+        start = base_map[(key, int(group["_rng"][0].as_py()))]
+        offs = start + np.concatenate(([0], np.cumsum(toks)[:-1]))
+        return pa.table(
+            {
+                key_col: pa.array([key] * len(ids), group[key_col].type),
+                id_col: pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(toks, pa.int64()),
+                "start_offset": pa.array(offs, pa.int64()),
+                "pack_id": pa.array(offs // capacity, pa.int64()),
+                "pack_offset": pa.array(offs % capacity, pa.int64()),
+            }
+        )
+
+    return counts.groupby([key_col, "_rng"]).map_groups(
+        local_scan, batch_format="pyarrow"
+    )

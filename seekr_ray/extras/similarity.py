@@ -887,3 +887,182 @@ def semdedup_dropped(pairs_tbl: pa.Table) -> pa.Table:
     ``b`` is dropped; survivors are the corpus minus these."""
     dropped = pc.unique(pairs_tbl["b"])
     return pa.table({"vec_id": dropped.take(pc.array_sort_indices(dropped))})
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — inner-product/ADC variant on unit vectors
+# ---------------------------------------------------------------------------
+
+PQ_SEED = 17
+
+
+def pq_train(
+    emb_ds,
+    *,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    iters: int = 5,
+    sample_mod: int = 1,
+    seed: int = PQ_SEED,
+) -> np.ndarray:
+    """Per-subspace k-means codebooks over a deterministic sample.
+
+    Vectors are unit-normalized and split into ``m_subspaces`` equal
+    slices; each slice gets its own ``n_codes``-centroid Lloyd fit
+    (driver numpy over the ``vec_id % sample_mod == 0`` sample — size
+    the mod so the sample stays ~1e5-1e6 rows at 100 TB; training never
+    touches the full corpus, mirroring ``ivf_train``).  Returns
+    ``(m_subspaces, n_codes, dim // m_subspaces)`` float64."""
+
+    def keep_sample(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % sample_mod == 0))
+
+    parts = [
+        _unit(_to_matrix(b["embedding"]))
+        for b in emb_ds.map_batches(
+            keep_sample, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    sample = np.concatenate(parts)
+    dim = sample.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    dsub = dim // m_subspaces
+    n_codes = min(n_codes, len(sample))
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_subspaces, n_codes, dsub))
+    for m in range(m_subspaces):
+        sub = sample[:, m * dsub : (m + 1) * dsub]
+        cents = sub[rng.choice(len(sub), size=n_codes, replace=False)]
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[m] = cents
+    return books
+
+
+class _PqEncoder:
+    """Adds ``code`` (list<uint8>, one code per subspace, nearest-L2
+    codeword of the unit vector's slice).  Codebooks fetched once per
+    actor."""
+
+    def __init__(self, books_ref):
+        import ray
+
+        self.books = ray.get(books_ref)  # (m, n_codes, dsub)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "code": pa.array([], pa.list_(pa.uint8())),
+                }
+            )
+        mat = _unit(_to_matrix(batch["embedding"]))
+        m, n_codes, dsub = self.books.shape
+        codes = np.empty((batch.num_rows, m), np.uint8)
+        for i in range(m):
+            sub = mat[:, i * dsub : (i + 1) * dsub]
+            # argmin ||x-c||² == argmax (x·c − ½||c||²)
+            scores = sub @ self.books[i].T - 0.5 * (self.books[i] ** 2).sum(
+                axis=1
+            )
+            codes[:, i] = np.argmax(scores, axis=1).astype(np.uint8)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "code": pa.array(list(codes), pa.list_(pa.uint8())),
+            }
+        )
+
+
+def pq_encode(emb_ds, books: np.ndarray):
+    """Corpus → (vec_id, code) — m bytes per vector instead of dim
+    floats (32x smaller at dim=64/m=8/float32), the PQ memory story."""
+    import ray
+
+    return emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _PqEncoder,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"books_ref": ray.put(books)},
+        concurrency=(1, 4),
+        max_restarts=0,  # ctor ref dies with the caller — see ann_topk_bruteforce
+    )
+
+
+class _PqAdcScorer:
+    """ADC partial top-k per block: the query's per-subspace
+    inner-product lookup table is built once per actor (m × n_codes);
+    each block's approx score is a table gather + sum — no float
+    vectors are ever read."""
+
+    def __init__(self, luts_ref, k: int):
+        import ray
+
+        self.luts = ray.get(luts_ref)  # (n_q, m, n_codes)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_i": pa.array([], pa.int32()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        codes = np.stack(
+            [np.asarray(c, np.int64) for c in batch["code"].to_pylist()]
+        )  # (n, m)
+        n, m = codes.shape
+        qs, ranks, vids, sims = [], [], [], []
+        ar = np.arange(m)
+        for qi, lut in enumerate(self.luts):
+            approx = lut[ar, codes].sum(axis=1)  # (n,)
+            k = min(self.k, n)
+            part = np.argpartition(-approx, k - 1)[:k]
+            qs.append(np.full(k, qi, np.int32))
+            vids.append(ids[part].astype(np.int64))
+            sims.append(approx[part])
+        return pa.table(
+            {
+                "query_i": pa.array(np.concatenate(qs), pa.int32()),
+                "vec_id": pa.array(np.concatenate(vids), pa.int64()),
+                "cos": pa.array(np.concatenate(sims), pa.float64()),
+            }
+        )
+
+
+def ann_topk_pq(code_ds, books: np.ndarray, queries: np.ndarray, k: int = 10):
+    """Approximate top-k by asymmetric distance computation over the
+    PQ-encoded corpus (``pq_encode`` output).  Approx score =
+    Σ_m <q_m, codeword_m> ≈ cos(q, x) for unit vectors; output schema
+    matches ``ann_topk_bruteforce`` (the ``cos`` column carries the
+    APPROX score).  Broadcast state: (n_q × m × n_codes) lookup tables
+    — independent of corpus size."""
+    import ray
+
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    q_unit = _unit(queries)
+    m, n_codes, dsub = books.shape
+    luts = np.empty((len(q_unit), m, n_codes))
+    for i in range(m):
+        luts[:, i, :] = q_unit[:, i * dsub : (i + 1) * dsub] @ books[i].T
+
+    partials = code_ds.map_batches(
+        _PqAdcScorer,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"luts_ref": ray.put(luts), "k": k},
+        concurrency=(1, 4),
+        max_restarts=0,  # ctor ref dies with the caller — see ann_topk_bruteforce
+    )
+    return _merge_topk(partials, k)

@@ -329,3 +329,76 @@ def cms_estimate(registers: pa.Table, term: str) -> int:
         hit = c[(j == row) & (idx == want)]
         est.append(int(hit[0]) if len(hit) else 0)
     return min(est)
+
+
+def hll_registers_by_key(ds, *, key_col: str, col: str):
+    """Per-key HLL register table — COUNT(DISTINCT col) GROUP BY key as
+    a mergeable sketch: output is (key, bucket, rho), ≤ m rows per key
+    however many rows the key has.  Per block each worker partial-maxes
+    its (key, bucket) registers, so the exchange carries O(keys·m) —
+    the sketch-as-group-aggregate shape that replaces an exact
+    per-key distinct shuffle (O(keys·distincts)) at 100 TB.  Hashing
+    matches ``hll_registers`` (md5-LE of the value's string form), so
+    the per-key register STATE is SQL-replicable bit-for-bit."""
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pairs = {
+            (k, str(v))
+            for k, v in zip(batch[key_col].to_pylist(), batch[col].to_pylist())
+            if v is not None and k is not None
+        }
+        if not pairs:
+            return pa.table(
+                {
+                    key_col: pa.array([], batch[key_col].type),
+                    "bucket": pa.array([], pa.int64()),
+                    "rho": pa.array([], pa.int64()),
+                }
+            )
+        keys, out_b, out_r = [], [], []
+        bykey: dict = {}
+        for k, v in pairs:
+            h = int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "little")
+            bucket = h >> (64 - HLL_P)
+            w = np.uint64(h) & _MASK52
+            rho = int(
+                (64 - HLL_P + 1) - _bit_length(np.array([w], np.uint64))[0]
+            )
+            reg = bykey.setdefault(k, {})
+            if rho > reg.get(bucket, 0):
+                reg[bucket] = rho
+        for k, reg in bykey.items():
+            for bucket, rho in reg.items():
+                keys.append(k)
+                out_b.append(bucket)
+                out_r.append(rho)
+        return pa.table(
+            {
+                key_col: pa.array(keys),
+                "bucket": pa.array(out_b, pa.int64()),
+                "rho": pa.array(out_r, pa.int64()),
+            }
+        )
+
+    from ..bucket_agg import bucketed_group_agg
+
+    out = bucketed_group_agg(
+        ds.select_columns([key_col, col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        [key_col, "bucket"],
+        [("rho", "max")],
+        num_buckets=32,
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "bucket": batch["bucket"],
+                "rho": batch["max(rho)"],
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")

@@ -207,3 +207,43 @@ def test_bloom_bitmap_is_fixed_size(ray_session):
     bits = benchmark_bloom(_ds(DOCS), k=3)
     assert len(bits) == BLOOM_M
     assert np.packbits(bits).nbytes == BLOOM_M // 8
+
+
+def test_pack_offsets_by_key_streams_are_key_pure(ray_session):
+    """Each key's offsets are an independent exact prefix sum in doc_id
+    order, identical across block layouts and range widths."""
+    import ray.data as rd
+
+    from seekr_ray.extras.packing import pack_offsets_by_key
+    from seekr_ray.extras.textstats import simple_tokens
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(12),
+            "lang": ["aa", "bb"] * 6,
+            "text": [
+                _words(["alpha", "bravo", "charlie"][: (i % 3) + 1])
+                for i in range(12)
+            ],
+        }
+    )
+
+    def run(parts, rng):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = pack_offsets_by_key(
+            ds, capacity=4, key_col="lang", range_size=rng
+        ).to_pandas()
+        return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+    a = run(1, 4)
+    b = run(5, 2)
+    pd.testing.assert_frame_equal(a, b)
+    for lang, sub in a.groupby("lang"):
+        toks = [
+            len(simple_tokens(df.loc[df.doc_id == d, "text"].iloc[0]))
+            for d in sub["doc_id"]
+        ]
+        want = np.concatenate(([0], np.cumsum(toks)[:-1]))
+        assert list(sub["start_offset"]) == list(want), lang
+        assert list(sub["pack_id"]) == [o // 4 for o in want]
+        assert list(sub["pack_offset"]) == [o % 4 for o in want]

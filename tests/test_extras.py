@@ -666,3 +666,97 @@ def test_semdedup_pairs_subset_of_bruteforce(ray_session):
         )
     )
     assert dropped["vec_id"].to_pylist() == sorted({b for _, _, b, _ in got})
+
+
+def _pq_fixture_df(n=160, dim=16, seed=3):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    # clustered data so PQ recall is meaningful (pure noise has no
+    # neighbors to find)
+    cents = rng.standard_normal((8, dim)) * 3
+    mat = cents[rng.integers(0, 8, n)] + rng.standard_normal((n, dim)) * 0.3
+    return pd.DataFrame(
+        {
+            "vec_id": range(n),
+            "embedding": [list(map(float, v)) for v in mat],
+        }
+    )
+
+
+def test_pq_encode_shape_and_determinism(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from seekr_ray.extras.similarity import pq_encode, pq_train
+
+    df = _pq_fixture_df()
+    ds = rd.from_pandas(df).repartition(4)
+    books = pq_train(ds, m_subspaces=4, n_codes=8)
+    assert books.shape == (4, 8, 4)
+    # training is layout-independent (deterministic sample + seeded init)
+    books2 = pq_train(rd.from_pandas(df).repartition(1), m_subspaces=4, n_codes=8)
+    assert np.array_equal(books, books2)
+
+    codes = pq_encode(ds, books).to_pandas().sort_values("vec_id")
+    assert len(codes) == len(df)
+    assert all(len(c) == 4 for c in codes["code"])  # m bytes per vector
+    codes2 = (
+        pq_encode(rd.from_pandas(df).repartition(1), books)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert [list(c) for c in codes["code"]] == [list(c) for c in codes2["code"]]
+
+
+def test_pq_adc_score_equals_reconstruction(ray_session):
+    """ADC approx score == q · (concatenated assigned codewords) — the
+    defining identity of asymmetric distance computation."""
+    import numpy as np
+    import ray.data as rd
+
+    from seekr_ray.extras.similarity import (
+        _unit,
+        ann_topk_pq,
+        pq_encode,
+        pq_train,
+    )
+
+    df = _pq_fixture_df(n=60)
+    ds = rd.from_pandas(df).repartition(3)
+    books = pq_train(ds, m_subspaces=4, n_codes=8)
+    codes_df = pq_encode(ds, books).to_pandas().sort_values("vec_id")
+    q = np.asarray(df["embedding"][0], np.float64)[None, :]
+    out = ann_topk_pq(pq_encode(ds, books), books, q, k=60).to_pandas()
+
+    q_unit = _unit(q)[0]
+    m, n_codes, dsub = books.shape
+    recon = {}
+    for vid, code in zip(codes_df["vec_id"], codes_df["code"]):
+        xhat = np.concatenate([books[i][code[i]] for i in range(m)])
+        recon[vid] = float(q_unit @ xhat)
+    for vid, cos in zip(out["vec_id"], out["cos"]):
+        assert abs(recon[vid] - cos) < 1e-6, vid
+
+
+def test_pq_recall_vs_bruteforce(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from seekr_ray.extras.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_pq,
+        pq_encode,
+        pq_train,
+    )
+
+    df = _pq_fixture_df()
+    ds = rd.from_pandas(df).repartition(4)
+    q = np.asarray(df["embedding"][5], np.float64)[None, :]
+    exact = set(ann_topk_bruteforce(ds, q, k=10)["vec_id"].to_pylist())
+    books = pq_train(ds, m_subspaces=4, n_codes=16)
+    approx = set(
+        ann_topk_pq(pq_encode(ds, books), books, q, k=10)["vec_id"].to_pylist()
+    )
+    assert len(exact & approx) >= 6  # recall@10 >= 0.6 on clustered data

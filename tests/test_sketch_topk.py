@@ -300,3 +300,44 @@ def test_cap_per_key_quota_and_determinism(ray_session):
         ]
         want += [(lang, d) for _, d in sorted(h)[:10]]
     assert a == sorted(want)
+
+
+def test_hll_registers_by_key_merge_and_estimate(ray_session):
+    """Per-key registers are layout-invariant (register max merges), and
+    each key's estimate tracks its true distinct count."""
+    import pandas as pd
+    import ray.data as rd
+
+    from seekr_ray.extras.sketch import hll_estimate, hll_registers_by_key
+
+    rng = np.random.default_rng(11)
+    n = 6000
+    df = pd.DataFrame(
+        {
+            "event_type": np.where(rng.random(n) < 0.5, "click", "view"),
+            "user_id": rng.integers(0, 800, n),
+        }
+    )
+
+    def run(parts):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = hll_registers_by_key(
+            ds, key_col="event_type", col="user_id"
+        ).to_pandas()
+        return out.sort_values(["event_type", "bucket"]).reset_index(drop=True)
+
+    a, b = run(2), run(9)
+    pd.testing.assert_frame_equal(a, b)
+    import pyarrow as pa
+
+    for key, sub in a.groupby("event_type"):
+        truth = df.loc[df.event_type == key, "user_id"].nunique()
+        est = hll_estimate(
+            pa.table(
+                {
+                    "bucket": pa.array(sub["bucket"], pa.int64()),
+                    "rho": pa.array(sub["rho"], pa.int64()),
+                }
+            )
+        )
+        assert abs(est - truth) / truth < 0.08, (key, est, truth)
