@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_pairs": eq.q_semdedup_pairs,
         "pack_by_lang": eq.q_pack_by_lang,
         "hll_users_by_type": eq.q_hll_users_by_type,
+        "random_projection": eq.q_random_projection,
+        "negative_samples": eq.q_negative_samples,
         "pack_offsets": eq.q_pack_offsets,
         "cms_tokens": eq.q_cms_tokens,
         "weighted_doc_sample": eq.q_weighted_doc_sample,
@@ -210,6 +212,8 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_pairs": m["semdedup_pairs"],
         "pack_by_lang": m["pack_by_lang"],
         "hll_users_by_type": m["hll_users_by_type"],
+        "random_projection": m["random_projection"],
+        "negative_samples": m["negative_samples"],
         "pack_offsets": m["pack_offsets"],
         "priority_revenue": m["priority_revenue"],
         "event_type_pivot": m["event_type_pivot"],

@@ -1412,6 +1412,67 @@ def q_decontaminate(sf_dir: str):
     )
 
 
+NEG_K = 4  # negatives per anchor for the negative_samples entry
+
+
+def q_negative_samples(sf_dir: str):
+    """Deterministic contrastive negative sampling: 4 md5-derived
+    uniform negatives per embedding row (never the anchor itself);
+    map-only, stateless, shuffle-free."""
+    import pyarrow.parquet as pq2
+    import ray.data as rd
+
+    from .extras.split import negative_samples
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n_rows = pq2.ParquetFile(path).metadata.num_rows
+    emb = rd.read_parquet(path, columns=["vec_id"])
+    out = (
+        negative_samples(emb, id_col="vec_id", n_rows=n_rows, k=NEG_K)
+        .to_pandas()
+        .sort_values(["vec_id", "j"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "j": pa.array(out["j"], pa.int64()),
+            "neg_id": pa.array(out["neg_id"], pa.int64()),
+        }
+    )
+
+
+RP_OUT_DIM = 8  # output width for the random_projection entry
+
+
+def q_random_projection(sf_dir: str):
+    """Johnson-Lindenstrauss random projection 64 -> 8 dims: broadcast
+    seeded Gaussian matrix, one shuffle-free pass; per-term quantized
+    integer sums make the output parallelism- and SQL-bit-stable."""
+    import ray.data as rd
+
+    from .extras.similarity import projection_matrix, random_projection
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    proj = projection_matrix(EMB_DIM, RP_OUT_DIM)
+    out = (
+        random_projection(emb, proj)
+        .to_pandas()
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "dim": pa.array(out["dim"], pa.int64()),
+            "y": pa.array(out["y"], pa.float64()),
+        }
+    )
+
+
 def q_hll_users_by_type(sf_dir: str):
     """COUNT(DISTINCT user_id) GROUP BY event_type as a mergeable HLL
     sketch — per-key register STATE compared (no float estimate in the
@@ -2961,6 +3022,32 @@ SELECT doc_id, n_tokens,
        ((sum(n_tokens) OVER w - n_tokens) // {PACK_CAPACITY})::BIGINT AS pack_id,
        ((sum(n_tokens) OVER w - n_tokens) % {PACK_CAPACITY})::BIGINT AS pack_offset
 FROM n WINDOW w AS (ORDER BY doc_id) ORDER BY doc_id"""
+
+    sql["negative_samples"] = f"""WITH n AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+m AS (
+  SELECT vec_id, j,
+         (md5_number_upper(vec_id::VARCHAR || '#' || j::VARCHAR)
+          % (n.n - 1))::BIGINT AS m
+  FROM embeddings, n, range({NEG_K}) r(j)
+)
+SELECT vec_id, j, CASE WHEN m >= vec_id THEN m + 1 ELSE m END AS neg_id
+FROM m ORDER BY vec_id, j"""
+
+    from .extras.similarity import RP_SCALE, projection_matrix
+
+    _proj = projection_matrix(EMB_DIM, RP_OUT_DIM)
+    _pvals = ",\n  ".join(
+        f"({d}, {o}, {float(_proj[d, o])!r})"
+        for d in range(EMB_DIM)
+        for o in range(RP_OUT_DIM)
+    )
+    sql["random_projection"] = f"""WITH p(d, o, w) AS (VALUES
+  {_pvals})
+SELECT vec_id, o::BIGINT AS dim,
+       round(sum(floor(embedding[d + 1]::DOUBLE * w * {RP_SCALE}))
+             / {RP_SCALE}.0, 6) AS y
+FROM embeddings, p
+GROUP BY vec_id, o ORDER BY vec_id, o"""
 
     sql["hll_users_by_type"] = """WITH h AS (
   SELECT event_type, md5_number_upper(user_id::VARCHAR) AS hv

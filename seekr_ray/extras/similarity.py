@@ -1066,3 +1066,74 @@ def ann_topk_pq(code_ds, books: np.ndarray, queries: np.ndarray, k: int = 10):
         max_restarts=0,  # ctor ref dies with the caller — see ann_topk_bruteforce
     )
     return _merge_topk(partials, k)
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson–Lindenstrauss dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+RP_SEED = 29
+RP_SCALE = 1_000_000  # per-term floor quantization (oracle-parity trick)
+
+
+def projection_matrix(dim: int, out_dim: int, seed: int = RP_SEED) -> np.ndarray:
+    """Seeded Gaussian JL projection, scaled 1/sqrt(out_dim) so expected
+    pairwise distances are preserved."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, out_dim)) / np.sqrt(out_dim)
+
+
+def random_projection(
+    emb_ds,
+    proj: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Project every embedding to ``out_dim`` dims: one shuffle-free
+    ``map_batches`` pass, projection matrix broadcast once (``ray.put``).
+
+    Each output coordinate is the INTEGER sum of per-term floor-quantized
+    products (``floor(x_d * w_do * SCALE)`` — the label_centroids /
+    kmeans exactness trick), so the result is bit-identical at any
+    parallelism or summation order and SQL-replicable term-for-term.
+    Output: (id, dim, y) long form — y rounded to 6dp."""
+    import ray
+
+    from .textstats import round6_arr
+
+    proj_ref = ray.put(np.asarray(proj, dtype=np.float64))
+
+    def project(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "y": pa.array([], pa.float64()),
+                }
+            )
+        p = ray.get(proj_ref)  # (dim, out_dim)
+        mat = _to_matrix(batch[vec_col])  # (n, dim)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        # per-term quantized products: floor((x_d * w_do) * SCALE)
+        terms = np.floor(
+            (mat[:, :, None] * p[None, :, :]) * RP_SCALE
+        ).astype(np.int64)
+        ysum = terms.sum(axis=1)  # (n, out_dim) integer
+        y = round6_arr(ysum / float(RP_SCALE))
+        out_dim = p.shape[1]
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, out_dim), pa.int64()),
+                "dim": pa.array(
+                    np.tile(np.arange(out_dim, dtype=np.int64), len(ids)),
+                    pa.int64(),
+                ),
+                "y": pa.array(y.ravel(), pa.float64()),
+            }
+        )
+
+    return emb_ds.select_columns([id_col, vec_col]).map_batches(
+        project, batch_format="pyarrow"
+    )

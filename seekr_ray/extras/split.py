@@ -424,3 +424,41 @@ def cap_per_key(
         .groupby("_b")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def negative_samples(
+    ds,
+    *,
+    id_col: str,
+    n_rows: int,
+    k: int,
+    salt: str = "",
+):
+    """k deterministic "random" negatives per anchor row — contrastive /
+    metric-learning negative mining without RNG state: the j-th negative
+    of id is ``md5(salt + str(id) + '#' + str(j)) % (n_rows - 1)``,
+    shifted past the anchor itself (the classic sample-from-[0,n)\\{id}
+    trick), assuming ids are dense 0..n_rows-1.  Map-only, shuffle-free,
+    stateless — each task needs only (n_rows, k, salt); the negative ids
+    are uniform over the corpus and reproducible row-for-row in SQL.
+    Output: (id, j, neg_id)."""
+    from .stats import _md5_le64
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_id = np.repeat(ids, k)
+        out_j = np.tile(np.arange(k, dtype=np.int64), len(ids))
+        h = _md5_le64([f"{a}#{j}" for a, j in zip(out_id, out_j)], salt)
+        m = (h % np.uint64(n_rows - 1)).astype(np.int64)
+        neg = np.where(m >= out_id, m + 1, m)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "j": pa.array(out_j, pa.int64()),
+                "neg_id": pa.array(neg, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col]).map_batches(
+        gen, batch_format="pyarrow"
+    )

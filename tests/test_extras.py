@@ -760,3 +760,57 @@ def test_pq_recall_vs_bruteforce(ray_session):
         ann_topk_pq(pq_encode(ds, books), books, q, k=10)["vec_id"].to_pylist()
     )
     assert len(exact & approx) >= 6  # recall@10 >= 0.6 on clustered data
+
+
+def test_random_projection_preserves_distances(ray_session):
+    """JL sanity: projected pairwise distances track the originals
+    (correlation, not exactness), output is layout-invariant, and the
+    quantized kernel matches a direct numpy mirror."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from seekr_ray.extras.similarity import (
+        RP_SCALE,
+        projection_matrix,
+        random_projection,
+    )
+    from seekr_ray.extras.textstats import round6_arr
+
+    rng = np.random.default_rng(5)
+    # clustered data: iid-Gaussian pairwise distances are nearly constant
+    # (correlation would be noise); cluster offsets make them vary
+    centers = rng.standard_normal((4, 32)) * 6.0
+    mat = centers[np.arange(60) % 4] + rng.standard_normal((60, 32))
+    df = pd.DataFrame(
+        {
+            "vec_id": range(60),
+            "embedding": [list(map(float, v)) for v in mat],
+        }
+    )
+    proj = projection_matrix(32, 8)
+
+    def run(parts):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = random_projection(ds, proj).to_pandas()
+        return out.sort_values(["vec_id", "dim"]).reset_index(drop=True)
+
+    a, b = run(1), run(6)
+    pd.testing.assert_frame_equal(a, b)
+
+    terms = np.floor((mat[:, :, None] * proj[None, :, :]) * RP_SCALE)
+    want = round6_arr(terms.sum(axis=1) / float(RP_SCALE))
+    got = a["y"].to_numpy().reshape(60, 8)
+    assert np.array_equal(got, want)
+
+    # distance preservation (the JL use-case): same-cluster pairs stay
+    # much closer than cross-cluster pairs after projection
+    within, cross = [], []
+    for i in range(0, 60, 3):
+        for j in range(i + 1, 60, 7):
+            d = ((got[i] - got[j]) ** 2).sum()
+            (within if i % 4 == j % 4 else cross).append(d)
+    assert np.mean(within) < 0.5 * np.mean(cross), (
+        np.mean(within),
+        np.mean(cross),
+    )

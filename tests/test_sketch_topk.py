@@ -341,3 +341,33 @@ def test_hll_registers_by_key_merge_and_estimate(ray_session):
             )
         )
         assert abs(est - truth) / truth < 0.08, (key, est, truth)
+
+
+def test_negative_samples_uniform_and_self_free(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from seekr_ray.extras.split import negative_samples
+
+    n = 50
+    df = pd.DataFrame({"vec_id": range(n)})
+
+    def run(parts):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = negative_samples(ds, id_col="vec_id", n_rows=n, k=3).to_pandas()
+        return out.sort_values(["vec_id", "j"]).reset_index(drop=True)
+
+    a, b = run(1), run(7)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == n * 3
+    assert (a["vec_id"] != a["neg_id"]).all()  # never the anchor
+    assert a["neg_id"].between(0, n - 1).all()
+    # salt changes the draw
+    ds = rd.from_pandas(df)
+    alt = (
+        negative_samples(ds, id_col="vec_id", n_rows=n, k=3, salt="x")
+        .to_pandas()
+        .sort_values(["vec_id", "j"])
+        .reset_index(drop=True)
+    )
+    assert not alt["neg_id"].equals(a["neg_id"])
