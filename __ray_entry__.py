@@ -47,6 +47,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # a time budget covers as many as possible.
     return {
         # --- not yet driver-recorded (SQL-oracled) ---
+        "funnel": eq.q_funnel,
+        "chunk_docs": eq.q_chunk_docs,
+        "dsir": eq.q_dsir,
+        "mad_value": eq.q_mad_value,
         "keyword_extract": eq.q_keyword_extract,
         "bigram_lm": eq.q_bigram_lm,
         "redact_props": eq.q_redact_props,
@@ -234,4 +238,8 @@ def oracle_sql() -> dict[str, str]:
         "cms_tokens": m["cms_tokens"],
         "keyword_extract": m["keyword_extract"],
         "bigram_lm": m["bigram_lm"],
+        "funnel": m["funnel"],
+        "chunk_docs": m["chunk_docs"],
+        "dsir": m["dsir"],
+        "mad_value": m["mad_value"],
     }

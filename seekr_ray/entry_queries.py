@@ -2189,6 +2189,81 @@ def q_bigram_lm(sf_dir: str):
     return bigram_lm_quality(_docs_text(sf_dir))
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_WINDOW_US = 24 * 3_600_000_000  # 24h conversion window
+
+
+def q_funnel(sf_dir: str):
+    """Per-user funnel depth (view -> click -> purchase within 24h of
+    the first view) — sequential min-timestamp funnel with a deadline.
+    Integer/timestamp-only output; zero FP risk."""
+    import ray.data as rd
+
+    from .extras.funnel import funnel_stages
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+    return funnel_stages(ev, FUNNEL_STAGES, window_us=FUNNEL_WINDOW_US)
+
+
+def q_mad_value(sf_dir: str):
+    """Per-event-type median absolute deviation of ``value`` (robust
+    outlier scale; inner median 6dp-rounded both sides before the
+    deviations)."""
+    import ray.data as rd
+
+    from .extras.stats import grouped_mad
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    return grouped_mad(ev, key_col="event_type", val_col="value")
+
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir(sf_dir: str):
+    """DSIR importance scores (hashed-unigram log-likelihood ratio of
+    the lang='en' target subset vs the full corpus; arXiv 2302.03169).
+    Per-bucket log-ratios micro-quantized once, per-doc exact integer
+    sum (the bigram_lm discipline)."""
+    import ray.data as rd
+
+    from .extras.dsir import dsir_weights
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    return dsir_weights(
+        ds,
+        target_col="lang",
+        target_value=DSIR_TARGET_LANG,
+        n_buckets=DSIR_BUCKETS,
+    )
+
+
+CHUNK_SIZE = 200  # chars per chunk
+CHUNK_OVERLAP = 50
+
+
+def q_chunk_docs(sf_dir: str):
+    """Overlapping character-window chunking of documents (the LLM
+    context-window explode).  Pure integer arithmetic + codepoint
+    slicing; offsets match DuckDB substr exactly."""
+    from .extras.chunk import chunk_documents
+
+    return chunk_documents(
+        _docs(sf_dir).select_columns(["doc_id", "text", "n_chars"]),
+        size=CHUNK_SIZE,
+        overlap=CHUNK_OVERLAP,
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -3232,5 +3307,81 @@ FROM ranked WHERE rank <= {KEYWORDS_K} ORDER BY doc_id, rank"""
 SELECT doc_id, nb::BIGINT AS n_bigrams,
        ROUND((sm / 1000000.0) / nb, 6) AS lm_score
 FROM per ORDER BY doc_id"""
+
+    s1, s2, s3 = FUNNEL_STAGES
+    wh = FUNNEL_WINDOW_US // 3_600_000_000
+    sql["funnel"] = f"""WITH u AS (SELECT DISTINCT user_id FROM events),
+f1 AS (SELECT user_id, min(ts) AS t1 FROM events
+       WHERE event_type = '{s1}' GROUP BY user_id),
+f2 AS (SELECT e.user_id, f1.t1, min(e.ts) AS t2 FROM events e JOIN f1 USING (user_id)
+       WHERE e.event_type = '{s2}' AND e.ts >= f1.t1
+         AND e.ts <= f1.t1 + INTERVAL {wh} HOUR
+       GROUP BY e.user_id, f1.t1),
+f3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN f2 USING (user_id)
+       WHERE e.event_type = '{s3}' AND e.ts >= f2.t2
+         AND e.ts <= f2.t1 + INTERVAL {wh} HOUR
+       GROUP BY e.user_id)
+SELECT u.user_id,
+       (CASE WHEN f3.user_id IS NOT NULL THEN 3
+             WHEN f2.user_id IS NOT NULL THEN 2
+             WHEN f1.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS funnel_stage
+FROM u LEFT JOIN f1 ON u.user_id = f1.user_id
+       LEFT JOIN f2 ON u.user_id = f2.user_id
+       LEFT JOIN f3 ON u.user_id = f3.user_id"""
+
+    # replicates extras/stats.quantile_cont expression-for-expression
+    # (same FP order) at q=0.5, inner median rounded before deviations
+    sql["mad_value"] = """WITH vals AS (
+  SELECT event_type, list_sort(list(value)) AS arr, count(*)::BIGINT AS n
+  FROM events GROUP BY event_type),
+med AS (
+  SELECT event_type, n, arr,
+         round(arr[floor(0.5 * (n - 1))::BIGINT + 1]
+                 * (1.0 - (0.5 * (n - 1) - floor(0.5 * (n - 1))))
+               + arr[ceil(0.5 * (n - 1))::BIGINT + 1]
+                 * (0.5 * (n - 1) - floor(0.5 * (n - 1))), 6) AS med
+  FROM vals),
+dev AS (
+  SELECT event_type, n, med,
+         list_sort(list_transform(arr, x -> abs(x - med))) AS darr
+  FROM med)
+SELECT event_type, n, med,
+       round(darr[floor(0.5 * (n - 1))::BIGINT + 1]
+               * (1.0 - (0.5 * (n - 1) - floor(0.5 * (n - 1))))
+             + darr[ceil(0.5 * (n - 1))::BIGINT + 1]
+               * (0.5 * (n - 1) - floor(0.5 * (n - 1))), 6) AS mad
+FROM dev"""
+
+    nb = DSIR_BUCKETS
+    sql["dsir"] = f"""{toks}
+, u AS (SELECT doc_id, lang, unnest(tokens) AS t FROM toks)
+, bk AS (SELECT doc_id, lang, (md5_number_upper(t) % {nb})::BIGINT AS b FROM u)
+, hist AS (SELECT b, count(*)::BIGINT AS c_all,
+                  coalesce(count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}'), 0)::BIGINT AS c_tgt
+           FROM bk GROUP BY b)
+, tot AS (SELECT sum(c_all)::BIGINT AS n_all, sum(c_tgt)::BIGINT AS n_tgt FROM hist)
+, lr AS (SELECT b,
+         CAST(ROUND(log10(((c_tgt + 1)::DOUBLE / (tot.n_tgt + {nb}))
+                    / ((c_all + 1)::DOUBLE / (tot.n_all + {nb}))) * 1000000.0)
+              AS BIGINT) AS micro
+         FROM hist CROSS JOIN tot)
+, per AS (SELECT bk.doc_id, sum(lr.micro)::BIGINT AS sm
+          FROM bk JOIN lr ON bk.b = lr.b GROUP BY bk.doc_id)
+, nt AS (SELECT doc_id, len(tokens)::BIGINT AS n FROM toks)
+SELECT nt.doc_id, nt.n AS n_tokens,
+       ROUND(coalesce(per.sm, 0) / 1000000.0, 6) AS dsir_score
+FROM nt LEFT JOIN per USING (doc_id)"""
+
+    size, stride = CHUNK_SIZE, CHUNK_SIZE - CHUNK_OVERLAP
+    sql["chunk_docs"] = f"""WITH ex AS (
+  SELECT doc_id, text, n_chars,
+         unnest(range(0, CASE WHEN n_chars <= {size} THEN 1
+                  ELSE (n_chars - {size} + {stride - 1}) // {stride} + 1 END))
+           AS chunk_idx
+  FROM documents)
+SELECT doc_id, chunk_idx, chunk_idx * {stride} AS start_char,
+       least({size}, n_chars - chunk_idx * {stride})::BIGINT AS chunk_len,
+       substr(text, chunk_idx * {stride} + 1, {size}) AS chunk_text
+FROM ex"""
 
     return sql

@@ -819,3 +819,50 @@ def pivot_counts(
         .groupby("_b")
         .map_groups(widen, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# robust statistics: median absolute deviation
+# ---------------------------------------------------------------------------
+
+
+def grouped_mad(ds, *, key_col: str, val_col: str):
+    """Per-group median absolute deviation — the robust-scale statistic
+    behind MAD-based outlier flagging (the heavy-tail-safe alternative
+    to z-scores in a curation pipeline).
+
+    ``med = round6(median(v))`` then ``mad = round6(median(|v − med|))``
+    with both medians the exact interpolated ``quantile_cont`` at 0.5.
+    The inner median is 6dp-rounded on BOTH sides BEFORE the deviations
+    (the winsorize-bounds discipline), so a last-ulp interpolation
+    difference cannot leak into every deviation and flip the outer
+    median's 6dp rounding.
+
+    Plan: same shape as ``grouped_quantiles`` — the shuffle moves only
+    the two projected columns and each group's values co-locate on one
+    worker (see module docstring for the bounded-memory histogram
+    alternative when a single group outgrows a worker).
+
+    Output: one row per group: ``(key_col, n, med, mad)``.
+    """
+
+    def per_group(group: pa.Table) -> pa.Table:
+        v = np.sort(_np_col(group, val_col))
+        key = group[key_col][0].as_py()
+        med = round6(quantile_cont(v, 0.5))
+        dev = np.sort(np.abs(v - med))
+        mad = round6(quantile_cont(dev, 0.5))
+        return pa.table(
+            {
+                key_col: pa.array([key], group[key_col].type),
+                "n": pa.array([len(v)], pa.int64()),
+                "med": pa.array([med], pa.float64()),
+                "mad": pa.array([mad], pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, val_col])
+        .groupby(key_col)
+        .map_groups(per_group, batch_format="pyarrow")
+    )
