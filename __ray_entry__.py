@@ -47,6 +47,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # a time budget covers as many as possible.
     return {
         # --- not yet driver-recorded (SQL-oracled) ---
+        "fuzzy_pairs": eq.q_fuzzy_pairs,
+        "retention": eq.q_retention,
+        "profile_events": eq.q_profile_events,
+        "embed_int8": eq.q_embed_int8,
+        "lexical_diversity": eq.q_lexical_diversity,
         "funnel": eq.q_funnel,
         "chunk_docs": eq.q_chunk_docs,
         "dsir": eq.q_dsir,
@@ -242,4 +247,9 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": m["chunk_docs"],
         "dsir": m["dsir"],
         "mad_value": m["mad_value"],
+        "fuzzy_pairs": m["fuzzy_pairs"],
+        "profile_events": m["profile_events"],
+        "embed_int8": m["embed_int8"],
+        "lexical_diversity": m["lexical_diversity"],
+        "retention": m["retention"],
     }

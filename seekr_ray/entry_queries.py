@@ -2264,6 +2264,97 @@ def q_chunk_docs(sf_dir: str):
     )
 
 
+def q_fuzzy_pairs(sf_dir: str):
+    """Edit-distance-1 token pairs over the union vocabulary of
+    documents.text + part.p_name/p_type + events.event_type (FastSS
+    deletion-neighborhood blocking + exact verify — the typo-mining
+    primitive).  The union keeps the oracle non-vacuous: the synthetic
+    doc vocabulary alone has no distance-1 pairs at any SF.
+    String-only output; zero FP risk."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .extras.fuzzy import fuzzy_token_pairs
+
+    def _one_col(path: str, cols: list[str]):
+        def to_text(batch: pa.Table) -> pa.Table:
+            parts = []
+            for c in cols:
+                col = batch[c]
+                parts.append(
+                    col.combine_chunks()
+                    if isinstance(col, pa.ChunkedArray)
+                    else col
+                )
+            return pa.table({"text": pa.concat_arrays(parts)})
+
+        return rd.read_parquet(
+            os.path.join(sf_dir, path), columns=cols
+        ).map_batches(to_text, batch_format="pyarrow")
+
+    corpus = (
+        _one_col("documents.parquet", ["text"])
+        .union(_one_col("part.parquet", ["p_name", "p_type"]))
+        .union(_one_col("events.parquet", ["event_type"]))
+    )
+    return fuzzy_token_pairs(corpus)
+
+
+PROFILE_COLS = ["event_id", "user_id", "event_type"]
+
+
+def q_profile_events(sf_dir: str):
+    """Column-profile of the events table (n / nulls / exact distinct /
+    min / max per column) — the data-quality expectation check.
+    Restricted to int64 + ASCII-string columns where Python str() and
+    DuckDB ::VARCHAR renderings agree byte-for-byte."""
+    import ray.data as rd
+
+    from .extras.profile import profile_columns
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=PROFILE_COLS
+    )
+    return profile_columns(ev, PROFILE_COLS)
+
+
+def q_embed_int8(sf_dir: str):
+    """Absmax int8 quantization of the embedding column, flattened to
+    (vec_id, i, code, scale) scalar rows.  scale and x/scale are single
+    mirrored IEEE divisions; rounding is half-away-from-zero."""
+    import ray.data as rd
+
+    from .extras.vecquant import int8_quantize
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return int8_quantize(ds)
+
+
+def q_lexical_diversity(sf_dir: str):
+    """Per-doc type-token ratio + hapax count (vocabulary-richness
+    quality signals)."""
+    from .extras.textstats import lexical_diversity
+
+    return lexical_diversity(_docs_text(sf_dir))
+
+
+def q_retention(sf_dir: str):
+    """Weekly retention cohorts (cohort = ISO week of first event;
+    retention = active fraction at week offset k).  One bucketed
+    shuffle of per-block-distinct (user, week) pairs."""
+    import ray.data as rd
+
+    from .extras.retention import retention_cohorts
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return retention_cohorts(ev)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -3383,5 +3474,92 @@ SELECT doc_id, chunk_idx, chunk_idx * {stride} AS start_char,
        least({size}, n_chars - chunk_idx * {stride})::BIGINT AS chunk_len,
        substr(text, chunk_idx * {stride} + 1, {size}) AS chunk_text
 FROM ex"""
+
+    # FastSS deletion-neighborhood blocking mirrored exactly: candidate
+    # = shared del<=1 variant, verified with exact levenshtein == 1.
+    # Vocabulary = documents.text ∪ part.p_name/p_type ∪
+    # events.event_type with the shared token filter (the doc vocab
+    # alone has no distance-1 pairs — vacuous-oracle guard).
+    stop = _stoplist_sql()
+    fuzzy_tok = (
+        "list_filter(regexp_extract_all(lower({c}), '[a-z]+'), "
+        f"t -> length(t) BETWEEN 2 AND 45 AND NOT list_contains({stop}, t))"
+    )
+    sql["fuzzy_pairs"] = f"""WITH src AS (
+  SELECT unnest({fuzzy_tok.format(c='text')}) AS t FROM documents
+  UNION ALL
+  SELECT unnest({fuzzy_tok.format(c='p_name')}) FROM part
+  UNION ALL
+  SELECT unnest({fuzzy_tok.format(c='p_type')}) FROM part
+  UNION ALL
+  SELECT unnest({fuzzy_tok.format(c='event_type')}) FROM events
+)
+, u AS (SELECT DISTINCT t FROM src)
+, v AS (SELECT t, unnest(list_prepend(t,
+           list_transform(range(1, length(t) + 1),
+                          i -> substr(t, 1, i - 1) || substr(t, i + 1, length(t)))))
+           AS var
+        FROM u)
+SELECT DISTINCT a.t AS tok_a, b.t AS tok_b
+FROM v a JOIN v b ON a.var = b.var AND a.t < b.t
+WHERE levenshtein(a.t, b.t) = 1"""
+
+    profile_selects = []
+    for c in PROFILE_COLS:
+        profile_selects.append(
+            f"""SELECT '{c}' AS col_name, count(*)::BIGINT AS n,
+       (count(*) - count({c}))::BIGINT AS n_null,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       coalesce(min({c})::VARCHAR, '') AS min_v,
+       coalesce(max({c})::VARCHAR, '') AS max_v
+FROM events"""
+        )
+    sql["profile_events"] = "\nUNION ALL\n".join(profile_selects)
+
+    # mirrors extras/vecquant.int8_quantize expression-for-expression:
+    # float32 -> DOUBLE widening (exact), amax = max|x| (no arithmetic),
+    # scale = amax/127.0 and q = x/scale single IEEE divisions,
+    # half-away-from-zero rounding == DuckDB ROUND
+    sql["embed_int8"] = """WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+s AS (SELECT vec_id, v,
+             coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) AS amax
+      FROM e),
+ex AS (SELECT vec_id, amax / 127.0 AS scale,
+              unnest(v) AS x,
+              unnest(range(len(v)))::BIGINT AS i
+       FROM s)
+SELECT vec_id, i,
+       (CASE WHEN scale = 0.0 THEN 0
+             ELSE ROUND(x / scale, 0) END)::TINYINT AS code,
+       scale
+FROM ex"""
+
+    sql["lexical_diversity"] = f"""{toks}
+, u AS (SELECT doc_id, unnest(tokens) AS t FROM toks)
+, c AS (SELECT doc_id, t, count(*)::BIGINT AS c FROM u GROUP BY doc_id, t)
+, agg AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+                 coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0)::BIGINT AS n_hapax
+          FROM c GROUP BY doc_id)
+SELECT toks.doc_id,
+       coalesce(agg.n_tokens, 0) AS n_tokens,
+       coalesce(agg.n_types, 0) AS n_types,
+       coalesce(agg.n_hapax, 0) AS n_hapax,
+       CASE WHEN coalesce(agg.n_tokens, 0) = 0 THEN 0.0
+            ELSE ROUND(agg.n_types::DOUBLE / agg.n_tokens, 6) END AS ttr
+FROM toks LEFT JOIN agg USING (doc_id)"""
+
+    sql["retention"] = """WITH f AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events),
+cs AS (SELECT cw, count(*)::BIGINT AS n_cohort FROM f GROUP BY cw),
+r AS (SELECT f.cw,
+             ((epoch_us(a.aw) - epoch_us(f.cw)) // 604800000000)::BIGINT AS k,
+             count(*)::BIGINT AS n_active
+      FROM a JOIN f USING (user_id) GROUP BY f.cw, k)
+SELECT r.cw::TIMESTAMP AS cohort_week, r.k AS week_offset, r.n_active,
+       cs.n_cohort, ROUND(r.n_active::DOUBLE / cs.n_cohort, 6) AS retention
+FROM r JOIN cs USING (cw)"""
 
     return sql

@@ -509,3 +509,39 @@ def term_cooccurrence_pmi(
         .map_groups(agg_bucket, batch_format="pyarrow")
         .map_batches(attach_pmi, batch_format="pyarrow")
     )
+
+
+# -- lexical diversity --------------------------------------------------------
+
+
+def lexical_diversity(docs_ds, text_col: str = "text"):
+    """Per-document lexical-diversity signals: ``(doc_id, n_tokens,
+    n_types, n_hapax, ttr)`` — type-token ratio and hapax-legomenon
+    count, the cheap vocabulary-richness quality filters (template/spam
+    text scores low TTR; OCR noise scores anomalously high hapax).
+
+    Map-only, stateless, shuffle-free; ``ttr = ROUND(types/tokens, 6)``
+    is one mirrored IEEE division (0.0 for token-less docs)."""
+    from collections import Counter
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        nt, ty, hp, tt = [], [], [], []
+        for text in batch[text_col].to_pylist():
+            c = Counter(simple_tokens(text or ""))
+            n = sum(c.values())
+            t = len(c)
+            nt.append(n)
+            ty.append(t)
+            hp.append(sum(1 for v in c.values() if v == 1))
+            tt.append(round6(t / n) if n else 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(nt, pa.int64()),
+                "n_types": pa.array(ty, pa.int64()),
+                "n_hapax": pa.array(hp, pa.int64()),
+                "ttr": pa.array(tt, pa.float64()),
+            }
+        )
+
+    return docs_ds.map_batches(per_doc, batch_format="pyarrow")
