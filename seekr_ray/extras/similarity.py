@@ -73,6 +73,29 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / norms[:, None]
 
 
+def _sorted_unit_sample(emb_ds, sample_mod: int) -> np.ndarray:
+    """Unit-normalized driver sample (``vec_id % sample_mod == 0``),
+    rows sorted by vec_id.  Block arrival order from ``iter_batches``
+    is nondeterministic under load; an unsorted sample gave k-means a
+    different centroid init per run (flaky PQ recall).  Sorting pins
+    the training set bit-for-bit across runs and parallelism levels."""
+
+    def keep_sample(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % sample_mod == 0))
+
+    ids_parts, mat_parts = [], []
+    for b in emb_ds.map_batches(
+        keep_sample, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            ids_parts.append(b["vec_id"].to_numpy(zero_copy_only=False))
+            mat_parts.append(_unit(_to_matrix(b["embedding"])))
+    ids = np.concatenate(ids_parts)
+    sample = np.concatenate(mat_parts)
+    return sample[np.argsort(ids, kind="stable")]
+
+
 def _cosine(q: np.ndarray, mat: np.ndarray) -> np.ndarray:
     """dot(a,b) / (|a|*|b|) — the same FP formulation DuckDB's
     list_cosine_similarity uses, so 6dp-rounded outputs hash-match."""
@@ -195,19 +218,7 @@ def ivf_train(
     training never touches the full corpus.  Lloyd iterations are
     driver numpy over the sample only.  Returns unit-norm centroids
     ``(n_lists, dim)``."""
-
-    def keep_sample(batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(ids % sample_mod == 0))
-
-    sample_parts = [
-        _unit(_to_matrix(b["embedding"]))
-        for b in emb_ds.map_batches(
-            keep_sample, batch_format="pyarrow"
-        ).iter_batches(batch_format="pyarrow")
-        if b.num_rows
-    ]
-    sample = np.concatenate(sample_parts)
+    sample = _sorted_unit_sample(emb_ds, sample_mod)
     n_lists = min(n_lists, len(sample))
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(len(sample), size=n_lists, replace=False)]
@@ -914,19 +925,7 @@ def pq_train(
     the mod so the sample stays ~1e5-1e6 rows at 100 TB; training never
     touches the full corpus, mirroring ``ivf_train``).  Returns
     ``(m_subspaces, n_codes, dim // m_subspaces)`` float64."""
-
-    def keep_sample(batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(ids % sample_mod == 0))
-
-    parts = [
-        _unit(_to_matrix(b["embedding"]))
-        for b in emb_ds.map_batches(
-            keep_sample, batch_format="pyarrow"
-        ).iter_batches(batch_format="pyarrow")
-        if b.num_rows
-    ]
-    sample = np.concatenate(parts)
+    sample = _sorted_unit_sample(emb_ds, sample_mod)
     dim = sample.shape[1]
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
