@@ -47,6 +47,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # a time budget covers as many as possible.
     return {
         # --- not yet driver-recorded (SQL-oracled) ---
+        "ngram_novelty": eq.q_ngram_novelty,
+        "lang_kl": eq.q_lang_kl,
+        "event_transitions": eq.q_event_transitions,
+        "cluster_winners": eq.q_cluster_winners,
         "fuzzy_pairs": eq.q_fuzzy_pairs,
         "retention": eq.q_retention,
         "profile_events": eq.q_profile_events,
@@ -252,4 +256,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_int8": m["embed_int8"],
         "lexical_diversity": m["lexical_diversity"],
         "retention": m["retention"],
+        "ngram_novelty": m["ngram_novelty"],
+        "lang_kl": m["lang_kl"],
+        "event_transitions": m["event_transitions"],
+        "cluster_winners": m["cluster_winners"],
     }

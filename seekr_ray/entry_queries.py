@@ -2355,6 +2355,60 @@ def q_retention(sf_dir: str):
     return retention_cohorts(ev)
 
 
+def q_ngram_novelty(sf_dir: str):
+    """Per-doc k-gram novelty: fraction of the doc's distinct trigrams
+    whose corpus-wide first occurrence (min doc_id) is this doc — the
+    fresh-content curation metric."""
+    from .extras.novelty import ngram_novelty
+
+    return ngram_novelty(_docs_text(sf_dir), k=NGRAM_K)
+
+
+def q_lang_kl(sf_dir: str):
+    """Per-language unigram KL divergence vs the corpus blend
+    (mixture-balance diagnostic); contributions floor-quantized at 1e-6
+    and summed as exact integers."""
+    import ray.data as rd
+
+    from .extras.divergence import lang_unigram_kl
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    return lang_unigram_kl(ds)
+
+
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts + row-conditional
+    probabilities over per-user (ts, event_id)-ordered event streams."""
+    import ray.data as rd
+
+    from .extras.markov import event_type_transitions
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return event_type_transitions(ev)
+
+
+def q_cluster_winners(sf_dir: str):
+    """Canonical doc per MinHash near-dup cluster (max tokens, then min
+    doc_id) — the dedup ACTION over minhash_clusters' groups."""
+    from .extras.canonical import dedup_cluster_winners
+    from .extras.dedup import minhash_dedup_clusters
+
+    clusters = minhash_dedup_clusters(
+        _docs_text(sf_dir),
+        threshold=MINHASH_THRESHOLD,
+        num_bands=MINHASH_BANDS,
+        rows_per_band=MINHASH_ROWS_PER_BAND,
+        shingle_k=NGRAM_K,
+    )
+    return dedup_cluster_winners(_docs_text(sf_dir), clusters)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -3561,5 +3615,74 @@ r AS (SELECT f.cw,
 SELECT r.cw::TIMESTAMP AS cohort_week, r.k AS week_offset, r.n_active,
        cs.n_cohort, ROUND(r.n_active::DOUBLE / cs.n_cohort, 6) AS retention
 FROM r JOIN cs USING (cw)"""
+
+    # mirrors extras/novelty.ngram_novelty: distinct k-shingles per doc
+    # (docs under k tokens get none), winner = min doc_id per shingle,
+    # novelty = one mirrored IEEE division rounded half-away at 6dp
+    k = NGRAM_K
+    sql["ngram_novelty"] = f"""{toks}
+, sh AS (SELECT doc_id,
+         CASE WHEN len(tokens) < {k} THEN []::VARCHAR[]
+              ELSE list_distinct(list_transform(range(1, len(tokens) - {k - 2}),
+                   i -> array_to_string(list_slice(tokens, i, i + {k - 1}), ' ')))
+         END AS shingles
+  FROM toks)
+, p AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+, w AS (SELECT s, min(doc_id) AS winner FROM p GROUP BY s)
+, agg AS (SELECT p.doc_id, count(*)::BIGINT AS n_ngrams,
+                 coalesce(sum(CASE WHEN w.winner = p.doc_id THEN 1 END), 0)::BIGINT AS n_novel
+          FROM p JOIN w USING (s) GROUP BY p.doc_id)
+SELECT sh.doc_id,
+       coalesce(agg.n_ngrams, 0) AS n_ngrams,
+       coalesce(agg.n_novel, 0) AS n_novel,
+       CASE WHEN coalesce(agg.n_ngrams, 0) = 0 THEN 0.0
+            ELSE ROUND(agg.n_novel::DOUBLE / agg.n_ngrams, 6) END AS novelty
+FROM sh LEFT JOIN agg USING (doc_id)"""
+
+    # mirrors extras/divergence.lang_unigram_kl term-for-term: exact
+    # integer counts, p_l / p_g single IEEE divisions, per-term
+    # contribution floor-quantized at 1e-6 and summed as an integer
+    sql["lang_kl"] = f"""{toks}
+, u AS (SELECT lang, unnest(tokens) AS t FROM toks)
+, c AS (SELECT lang, t, count(*)::BIGINT AS c FROM u GROUP BY lang, t)
+, g AS (SELECT t, sum(c)::BIGINT AS cg FROM c GROUP BY t)
+, nl AS (SELECT lang, sum(c)::BIGINT AS nl FROM c GROUP BY lang)
+, tot AS (SELECT sum(c)::BIGINT AS n FROM c)
+SELECT c.lang, nl.nl AS n_tokens,
+       (sum(floor((c.c::DOUBLE / nl.nl)
+                  * log2((c.c::DOUBLE / nl.nl) / (g.cg::DOUBLE / tot.n))
+                  * 1000000.0)::BIGINT))::DOUBLE / 1000000.0 AS kl_bits
+FROM c JOIN g USING (t) JOIN nl USING (lang) CROSS JOIN tot
+GROUP BY c.lang, nl.nl"""
+
+    # mirrors extras/markov.event_type_transitions: LEAD over the same
+    # (ts, event_id) order, integer counts, one mirrored division
+    sql["event_transitions"] = """WITH nx AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events),
+c AS (SELECT prev_type, next_type, count(*)::BIGINT AS n
+      FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, n,
+       ROUND(n::DOUBLE / (sum(n) OVER (PARTITION BY prev_type))::DOUBLE, 6) AS p
+FROM c"""
+
+    # winner-per-cluster over the EXACT minhash cluster replication
+    # (subquery reuse of _minhash_clusters_sql); token law == toks CTE
+    stop2 = _stoplist_sql()
+    sql["cluster_winners"] = f"""WITH cl AS (SELECT * FROM ({_minhash_clusters_sql()}) z),
+cnt AS (
+  SELECT doc_id,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+             t -> length(t) BETWEEN 2 AND 45
+                  AND NOT list_contains({stop2}, t)))::BIGINT AS n_tokens
+  FROM documents),
+sel AS (SELECT cl.cluster_id, cl.doc_id, cnt.n_tokens,
+               row_number() OVER (PARTITION BY cl.cluster_id
+                                  ORDER BY cnt.n_tokens DESC, cl.doc_id ASC) AS rn,
+               count(*) OVER (PARTITION BY cl.cluster_id)::BIGINT AS n_docs
+        FROM cl JOIN cnt USING (doc_id))
+SELECT cluster_id, doc_id AS winner_doc_id, n_tokens AS winner_tokens, n_docs
+FROM sel WHERE rn = 1"""
 
     return sql
