@@ -47,6 +47,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # a time budget covers as many as possible.
     return {
         # --- not yet driver-recorded (SQL-oracled) ---
+        "mad_outliers": eq.q_mad_outliers,
+        "quality_filter": eq.q_quality_filter,
+        "source_quality": eq.q_source_quality,
         "ngram_novelty": eq.q_ngram_novelty,
         "lang_kl": eq.q_lang_kl,
         "event_transitions": eq.q_event_transitions,
@@ -260,4 +263,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_kl": m["lang_kl"],
         "event_transitions": m["event_transitions"],
         "cluster_winners": m["cluster_winners"],
+        "mad_outliers": m["mad_outliers"],
+        "quality_filter": m["quality_filter"],
+        "source_quality": m["source_quality"],
     }

@@ -2355,6 +2355,51 @@ def q_retention(sf_dir: str):
     return retention_cohorts(ev)
 
 
+def q_mad_outliers(sf_dir: str):
+    """Robust outlier rows: events where |value − med(type)| > 3·mad(type)
+    — the heavy-tail-safe screen before value aggregation.  med/mad are
+    the mad_value oracle's exact quantile law; the corpus never
+    shuffles (O(types) stats broadcast into a map filter)."""
+    import ray.data as rd
+
+    from .extras.stats import mad_outlier_rows
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+    return mad_outlier_rows(
+        ev, key_col="event_type", val_col="value", id_col="event_id", k=3.0
+    )
+
+
+def q_quality_filter(sf_dir: str):
+    """Drop-the-bottom-decile length gate: docs strictly above the
+    corpus-wide exact p10 of n_tokens.  At 100 TB pass a persisted
+    (doc_id, n_tokens) table instead of recomputing the counts for the
+    filter pass."""
+    from .extras.stats import global_quantile_filter
+    from .extras.textstats import doc_token_counts
+
+    counts = doc_token_counts(_docs_text(sf_dir))
+    return global_quantile_filter(
+        counts, id_col="doc_id", val_col="n_tokens", q=0.1
+    )
+
+
+def q_source_quality(sf_dir: str):
+    """Per-source curation profile (n_docs / n_tokens / mean_tokens /
+    doc_share) — the domain-level blocklist view."""
+    import ray.data as rd
+
+    from .extras.curate import source_stats
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    return source_stats(ds)
+
+
 def q_ngram_novelty(sf_dir: str):
     """Per-doc k-gram novelty: fraction of the doc's distinct trigrams
     whose corpus-wide first occurrence (min doc_id) is this doc — the
@@ -3666,6 +3711,59 @@ c AS (SELECT prev_type, next_type, count(*)::BIGINT AS n
 SELECT prev_type, next_type, n,
        ROUND(n::DOUBLE / (sum(n) OVER (PARTITION BY prev_type))::DOUBLE, 6) AS p
 FROM c"""
+
+    # outlier screen over the mad_value quantile law: med/mad replicated
+    # with the same interpolation expression, then two mirrored IEEE ops
+    sql["mad_outliers"] = """WITH vals AS (
+  SELECT event_type, list_sort(list(value)) AS arr, count(*)::BIGINT AS n
+  FROM events GROUP BY event_type),
+med AS (
+  SELECT event_type, n, arr,
+         round(arr[floor(0.5 * (n - 1))::BIGINT + 1]
+                 * (1.0 - (0.5 * (n - 1) - floor(0.5 * (n - 1))))
+               + arr[ceil(0.5 * (n - 1))::BIGINT + 1]
+                 * (0.5 * (n - 1) - floor(0.5 * (n - 1))), 6) AS med
+  FROM vals),
+dev AS (
+  SELECT event_type, n, med,
+         list_sort(list_transform(arr, x -> abs(x - med))) AS darr
+  FROM med),
+m AS (
+  SELECT event_type, med,
+         round(darr[floor(0.5 * (n - 1))::BIGINT + 1]
+                 * (1.0 - (0.5 * (n - 1) - floor(0.5 * (n - 1))))
+               + darr[ceil(0.5 * (n - 1))::BIGINT + 1]
+                 * (0.5 * (n - 1) - floor(0.5 * (n - 1))), 6) AS mad
+  FROM dev)
+SELECT e.event_id, e.event_type, e.value
+FROM events e JOIN m USING (event_type)
+WHERE abs(e.value - m.med) > 3.0 * m.mad"""
+
+    # threshold = quantile_cont's interpolation expression over the
+    # sorted token counts, 6dp-rounded before the strict > compare
+    sql["quality_filter"] = f"""{toks}
+, c AS (SELECT doc_id, len(tokens)::BIGINT AS n_tokens FROM toks)
+, arr AS (SELECT list_sort(list(n_tokens)) AS a, count(*)::BIGINT AS n FROM c)
+, thr AS (SELECT round(a[floor(0.1 * (n - 1))::BIGINT + 1]
+                   * (1.0 - (0.1 * (n - 1) - floor(0.1 * (n - 1))))
+                 + a[ceil(0.1 * (n - 1))::BIGINT + 1]
+                   * (0.1 * (n - 1) - floor(0.1 * (n - 1))), 6) AS t
+          FROM arr)
+SELECT c.doc_id, c.n_tokens FROM c CROSS JOIN thr
+WHERE c.n_tokens::DOUBLE > thr.t"""
+
+    stop3 = _stoplist_sql()
+    sql["source_quality"] = f"""WITH c AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+             t -> length(t) BETWEEN 2 AND 45
+                  AND NOT list_contains({stop3}, t))))::BIGINT AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(n_docs)::BIGINT AS t FROM c)
+SELECT c.source, c.n_docs, c.n_tokens,
+       ROUND(c.n_tokens::DOUBLE / c.n_docs, 6) AS mean_tokens,
+       ROUND(c.n_docs::DOUBLE / tot.t, 6) AS doc_share
+FROM c CROSS JOIN tot"""
 
     # winner-per-cluster over the EXACT minhash cluster replication
     # (subquery reuse of _minhash_clusters_sql); token law == toks CTE

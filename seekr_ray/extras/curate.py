@@ -94,3 +94,69 @@ def curate_corpus(
     return key_filter_join(
         survivors, winners, left_key="doc_id", right_key="keep_doc_id"
     )
+
+
+def source_stats(docs_ds, *, source_col: str = "source", text_col: str = "text"):
+    """Per-source curation profile: ``(source, n_docs, n_tokens,
+    mean_tokens, doc_share)`` — the domain-level view a blocklist
+    decision reads (a source whose mean token count collapses is
+    boilerplate; one whose share explodes is a crawler trap).
+
+    Plan (100 TB honest): classic combiner — per-block partial
+    (source, docs, tokens) rows, ONE tiny groupby over O(sources)
+    keys, then the two mirrored IEEE divisions on the reduced table
+    with the exact global doc count broadcast from the same reduce.
+    """
+    import pyarrow as pa
+
+    from .textstats import round6, simple_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc: dict[str, list[int]] = {}
+        for src, text in zip(
+            batch[source_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            e = acc.setdefault(src, [0, 0])
+            e[0] += 1
+            e[1] += len(simple_tokens(text or ""))
+        return pa.table(
+            {
+                source_col: pa.array(list(acc.keys()), pa.string()),
+                "n_docs": pa.array([v[0] for v in acc.values()], pa.int64()),
+                "n_tokens": pa.array([v[1] for v in acc.values()], pa.int64()),
+            }
+        )
+
+    reduced = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(source_col)
+        .sum(["n_docs", "n_tokens"])
+    ).materialize()  # O(sources) rows; read twice below
+    total = 0
+    for b in reduced.iter_batches(batch_format="pyarrow"):
+        total += int(pa.compute.sum(b["sum(n_docs)"]).as_py() or 0)
+    total_f = float(total)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nd = batch["sum(n_docs)"].to_numpy(zero_copy_only=False)
+        nt = batch["sum(n_tokens)"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                source_col: batch[source_col],
+                "n_docs": pa.array(nd, pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "mean_tokens": pa.array(
+                    [
+                        round6(float(t) / float(d))
+                        for t, d in zip(nt.tolist(), nd.tolist())
+                    ],
+                    pa.float64(),
+                ),
+                "doc_share": pa.array(
+                    [round6(float(d) / total_f) for d in nd.tolist()],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return reduced.map_batches(finish, batch_format="pyarrow")

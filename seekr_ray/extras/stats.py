@@ -866,3 +866,107 @@ def grouped_mad(ds, *, key_col: str, val_col: str):
         .groupby(key_col)
         .map_groups(per_group, batch_format="pyarrow")
     )
+
+
+def mad_outlier_rows(
+    ds,
+    *,
+    key_col: str,
+    val_col: str,
+    id_col: str,
+    k: float = 3.0,
+):
+    """Robust outlier screen: rows where ``|v − med(group)| > k·mad(group)``
+    — the heavy-tail-safe filter a curation pipeline runs before price /
+    value aggregation (z-scores blow up when the tail itself drags the
+    mean; MAD does not).
+
+    Plan (100 TB honest): per-group ``(med, mad)`` comes from
+    ``grouped_mad`` (same quantile law the ``mad_value`` oracle pins);
+    that O(groups) table broadcasts into a stateless map filter — the
+    corpus itself NEVER shuffles.  The comparison is two mirrored IEEE
+    ops (one subtraction, one multiplication) on the 6dp-rounded
+    med/mad, so the keep set is parallelism-invariant.
+
+    Output: ``(id_col, key_col, val_col)`` of the outlier rows only.
+    """
+    stats: dict = {}
+    for b in grouped_mad(ds, key_col=key_col, val_col=val_col).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for key, med, mad in zip(
+            b[key_col].to_pylist(), b["med"].to_pylist(), b["mad"].to_pylist()
+        ):
+            stats[key] = (med, mad)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        med = np.array([stats[x][0] for x in keys], np.float64)
+        mad = np.array([stats[x][1] for x in keys], np.float64)
+        v = _np_col(batch, val_col).astype(np.float64)
+        mask = np.abs(v - med) > k * mad
+        return batch.select([id_col, key_col, val_col]).filter(
+            pa.array(mask)
+        )
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def global_quantile_filter(
+    counts_ds,
+    *,
+    id_col: str,
+    val_col: str,
+    q: float = 0.1,
+):
+    """Rows strictly above the corpus-wide exact continuous q-quantile
+    of an INTEGER-valued column — the "drop the bottom decile" length /
+    quality gate of a curation pipeline.
+
+    Plan (100 TB honest): the quantile is computed from an exact VALUE
+    histogram — per-block ``np.unique`` partials, one tiny groupby over
+    the (bounded) distinct-value domain, then the interpolated rank
+    lookup over cumulative counts on the driver (O(distinct values),
+    never O(rows)).  The threshold broadcasts into a stateless map
+    filter; the rows never shuffle.  The interpolation expression is
+    ``quantile_cont``'s exact form, mirrored by the oracle over a
+    sorted list, and the threshold is 6dp-rounded before the strict
+    ``>`` compare so the keep set is parallelism-invariant.
+
+    Output: ``(id_col, val_col)`` of the kept rows.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals, cnt = np.unique(_np_col(batch, val_col), return_counts=True)
+        return pa.table(
+            {
+                "v": pa.array(vals, pa.int64()),
+                "c": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    hist = (
+        counts_ds.select_columns([val_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .sum("c")
+    ).to_pandas()
+    vals = hist["v"].to_numpy()
+    cnts = hist["sum(c)"].to_numpy()
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    pos = q * (n - 1)
+    lo_i = int(math.floor(pos))
+    hi_i = int(math.ceil(pos))
+    frac = pos - lo_i
+    lo_v = float(vals[np.searchsorted(cum, lo_i, side="right")])
+    hi_v = float(vals[np.searchsorted(cum, hi_i, side="right")])
+    thr = round6(lo_v * (1.0 - frac) + hi_v * frac)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        v = _np_col(batch, val_col).astype(np.float64)
+        return batch.select([id_col, val_col]).filter(pa.array(v > thr))
+
+    return counts_ds.map_batches(flt, batch_format="pyarrow")
