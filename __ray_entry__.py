@@ -47,6 +47,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # a time budget covers as many as possible.
     return {
         # --- not yet driver-recorded (SQL-oracled) ---
+        "user_features": eq.q_user_features,
+        "degree_stats": eq.q_degree_stats,
+        "simhash_pairs": eq.q_simhash_pairs,
         "mad_outliers": eq.q_mad_outliers,
         "quality_filter": eq.q_quality_filter,
         "source_quality": eq.q_source_quality,
@@ -266,4 +269,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": m["mad_outliers"],
         "quality_filter": m["quality_filter"],
         "source_quality": m["source_quality"],
+        "user_features": m["user_features"],
+        "degree_stats": m["degree_stats"],
+        "simhash_pairs": m["simhash_pairs"],
     }

@@ -2355,6 +2355,53 @@ def q_retention(sf_dir: str):
     return retention_cohorts(ev)
 
 
+def q_user_features(sf_dir: str):
+    """Per-user activity profile (counts, distinct days/types, value
+    sum/mean, first/last ts) — the feature-engineering stage."""
+    import ray.data as rd
+
+    from .extras.features import user_activity_features
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type", "value"],
+    )
+    return user_activity_features(ev)
+
+
+def q_degree_stats(sf_dir: str):
+    """Per-node in/out degree over the lineitem order→part bipartite
+    graph (the pagerank_lineitem node law: 2·orderkey / 2·partkey+1)."""
+    import ray.data as rd
+
+    from .extras.features import degree_stats
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(2 * ok, pa.int64()),
+                "dst": pa.array(2 * pk + 1, pa.int64()),
+            }
+        )
+
+    return degree_stats(ds.map_batches(to_edges, batch_format="pyarrow"))
+
+
+def q_simhash_pairs(sf_dir: str):
+    """Banded simhash near-dup pairs (≤3-bit hamming) — the scale path
+    over the simhash entry's fingerprints."""
+    from .extras.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs_text(sf_dir))
+
+
 def q_mad_outliers(sf_dir: str):
     """Robust outlier rows: events where |value − med(type)| > 3·mad(type)
     — the heavy-tail-safe screen before value aggregation.  med/mad are
@@ -3764,6 +3811,41 @@ SELECT c.source, c.n_docs, c.n_tokens,
        ROUND(c.n_tokens::DOUBLE / c.n_docs, 6) AS mean_tokens,
        ROUND(c.n_docs::DOUBLE / tot.t, 6) AS doc_share
 FROM c CROSS JOIN tot"""
+
+    # integer-µs day truncation, exact distinct counts; value sums follow
+    # the events_hourly/running_value precedent (2dp values sum exactly)
+    sql["user_features"] = """SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT date_trunc('day', ts))::BIGINT AS n_active_days,
+       count(DISTINCT event_type)::BIGINT AS n_types,
+       round(sum(round(value * 100)) / 100, 6) AS value_sum,
+       round((sum(round(value * 100)) / 100) / count(*), 6) AS value_mean,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM events GROUP BY user_id"""
+
+    sql["degree_stats"] = """WITH e AS (
+  SELECT DISTINCT 2 * l_orderkey AS s, 2 * l_partkey + 1 AS t FROM lineitem),
+outd AS (SELECT s AS node_id, count(*)::BIGINT AS out_deg FROM e GROUP BY s),
+ind AS (SELECT t AS node_id, count(*)::BIGINT AS in_deg FROM e GROUP BY t)
+SELECT node_id, coalesce(out_deg, 0)::BIGINT AS out_deg,
+       coalesce(in_deg, 0)::BIGINT AS in_deg
+FROM outd FULL OUTER JOIN ind USING (node_id)"""
+
+    # banded simhash pairs over the simhash entry's own fingerprint SQL:
+    # identical 16-bit banding, xor+popcount verify — bit-equal by
+    # construction, recall exact by pigeonhole (3 flips < 4 bands)
+    sql["simhash_pairs"] = f"""WITH s AS (SELECT * FROM ({sql["simhash"]}) z),
+f AS (SELECT doc_id,
+             CASE WHEN simhash < 0
+                  THEN (simhash::HUGEINT + 18446744073709551616::HUGEINT)::UBIGINT
+                  ELSE simhash::UBIGINT END AS u
+      FROM s),
+b AS (SELECT doc_id, u, j, ((u >> (16 * j)) & 65535::UBIGINT) AS bv
+      FROM f CROSS JOIN range(0, 4) g(j)),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.u AS ua, y.u AS ub
+         FROM b x JOIN b y ON x.j = y.j AND x.bv = y.bv AND x.doc_id < y.doc_id)
+SELECT a, b, bit_count(xor(ua, ub))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(ua, ub)) <= 3"""
 
     # winner-per-cluster over the EXACT minhash cluster replication
     # (subquery reuse of _minhash_clusters_sql); token law == toks CTE

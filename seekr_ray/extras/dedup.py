@@ -1271,3 +1271,113 @@ def ngram_jaccard_pairs_prefix(
         .groupby(["a", "b"])
         .map_groups(dedup_pair, batch_format="pyarrow")
     )
+
+
+def simhash_near_pairs(
+    docs_ds,
+    *,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+    text_col: str = "text",
+):
+    """Banded simhash near-dup pairs: ``(a, b, hamming)`` for doc pairs
+    whose 64-bit simhash fingerprints differ in ≤ ``max_hamming`` bits.
+
+    This is the SCALE PATH for simhash dedup (simhash_fingerprints
+    computes the fingerprints; this finds the close pairs without an
+    O(n²) cross join): the fingerprint splits into ``num_bands``
+    16-bit bands and only docs sharing an exact band value in the same
+    band position ever meet — by pigeonhole, any pair within hamming
+    ``d < num_bands`` shares at least one intact band, so recall is
+    exact (the oracle mirrors the same banding, so the compare is
+    bit-equal by construction, not by probabilistic luck).
+
+    Exchange: ONE groupby keyed by (band_idx, band_value) — candidate
+    volume is O(Σ bucket²), tiny on fingerprint-diverse corpora; a
+    follow-up bucketed distinct collapses pairs found in multiple
+    bands.  Verify (xor + popcount) is vectorized per group.
+    """
+    if num_bands * 16 != 64:
+        raise ValueError("num_bands must split a 64-bit fingerprint")
+    if max_hamming >= num_bands:
+        raise ValueError("recall guarantee needs max_hamming < num_bands")
+    fps = simhash_fingerprints(docs_ds, text_col=text_col)
+
+    def band(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        u = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        outs = []
+        for j in range(num_bands):
+            bv = ((u >> np.uint64(16 * j)) & np.uint64(0xFFFF)).astype(
+                np.int64
+            )
+            outs.append(
+                pa.table(
+                    {
+                        "key": pa.array(
+                            np.int64(j) * np.int64(1 << 16) + bv, pa.int64()
+                        ),
+                        "doc_id": pa.array(doc, pa.int64()),
+                        "u": pa.array(u.view(np.int64), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        u = group["u"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.argsort(doc, kind="stable")
+        doc, u = doc[order], u[order]
+        ia, ib = np.triu_indices(len(doc), k=1)
+        if not len(ia):
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        x = u[ia] ^ u[ib]
+        ham = (
+            np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "a": pa.array(doc[ia[keep]], pa.int64()),
+                "b": pa.array(doc[ib[keep]], pa.int64()),
+                "hamming": pa.array(ham[keep], pa.int64()),
+            }
+        )
+
+    def distinct_pairs(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["_b"])
+        order = pc.sort_indices(
+            t, sort_keys=[("a", "ascending"), ("b", "ascending")]
+        )
+        t = t.take(order)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        keep = np.empty(len(a), bool)
+        if len(a):
+            keep[0] = True
+            keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return t.filter(pa.array(keep))
+
+    def tag_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_b", pa.array((a % 64).astype(np.int64), pa.int64())
+        )
+
+    return (
+        fps.map_batches(band, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .map_batches(tag_pair_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(distinct_pairs, batch_format="pyarrow")
+    )
