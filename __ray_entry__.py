@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # a time budget covers as many as possible.
     return {
         # --- not yet driver-recorded (SQL-oracled) ---
+        "rrf_fusion": eq.q_rrf_fusion,
+        "hourly_burst": eq.q_hourly_burst,
         "user_features": eq.q_user_features,
         "degree_stats": eq.q_degree_stats,
         "simhash_pairs": eq.q_simhash_pairs,
@@ -272,4 +274,6 @@ def oracle_sql() -> dict[str, str]:
         "user_features": m["user_features"],
         "degree_stats": m["degree_stats"],
         "simhash_pairs": m["simhash_pairs"],
+        "rrf_fusion": m["rrf_fusion"],
+        "hourly_burst": m["hourly_burst"],
     }

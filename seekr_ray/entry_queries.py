@@ -2355,6 +2355,63 @@ def q_retention(sf_dir: str):
     return retention_cohorts(ev)
 
 
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of the tf·idf and BM25 top-20 lists
+    (k=60): ``rrf = 1/(60+r_tfidf) + 1/(60+r_bm25)``, absent list
+    contributing 0 — the standard hybrid-retrieval merge over the two
+    scorer paths the engine already serves.  Ranks are assigned from
+    the ROUNDED scores (doc_id tiebreak) on both sides so the fusion
+    is deterministic; the fuse itself runs on 2×20 rows."""
+    def ranks(tbl: pa.Table) -> dict[int, int]:
+        df = tbl.to_pandas().sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        )
+        return {int(d): i + 1 for i, d in enumerate(df["doc_id"])}
+
+    r1 = ranks(q_search_tfidf_topk(sf_dir))
+    r2 = ranks(q_search_bm25_topk(sf_dir))
+    docs = sorted(set(r1) | set(r2))
+    a = [1.0 / (60.0 + r1[d]) if d in r1 else 0.0 for d in docs]
+    b = [1.0 / (60.0 + r2[d]) if d in r2 else 0.0 for d in docs]
+    return pa.table(
+        {
+            "doc_id": pa.array(docs, pa.int64()),
+            "rank_tfidf": pa.array([r1.get(d, 0) for d in docs], pa.int64()),
+            "rank_bm25": pa.array([r2.get(d, 0) for d in docs], pa.int64()),
+            "rrf": pa.array(
+                [round6(x + y) for x, y in zip(a, b)], pa.float64()
+            ),
+        }
+    )
+
+
+def q_hourly_burst(sf_dir: str):
+    """Burst detection: hourly (event_type, window) count z-scored
+    against the type's own hourly baseline (exact integer sufficient
+    statistics — the grouped_zscore law), keeping windows with rounded
+    z > 2.0.  The anomaly screen of a streaming-ingest pipeline."""
+    import ray.data as rd
+
+    from .extras.stats import grouped_zscore
+    from .extras.windows import tumbling_agg
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+    counts = tumbling_agg(ev, unit="hour").select_columns(
+        ["window", "event_type", "n"]
+    )
+    z = grouped_zscore(
+        counts, key_col="event_type", val_col="n", id_col="window", scale=1
+    )
+
+    def keep_bursts(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["z"], 2.0))
+
+    return z.map_batches(keep_bursts, batch_format="pyarrow")
+
+
 def q_user_features(sf_dir: str):
     """Per-user activity profile (counts, distinct days/types, value
     sum/mean, first/last ts) — the feature-engineering stage."""
@@ -3830,6 +3887,40 @@ ind AS (SELECT t AS node_id, count(*)::BIGINT AS in_deg FROM e GROUP BY t)
 SELECT node_id, coalesce(out_deg, 0)::BIGINT AS out_deg,
        coalesce(in_deg, 0)::BIGINT AS in_deg
 FROM outd FULL OUTER JOIN ind USING (node_id)"""
+
+    # RRF over the two search oracles' own SQL; ranks re-derived from the
+    # ROUNDED scores with doc_id tiebreak on BOTH sides (deterministic),
+    # contributions added tfidf-first (fixed FP order)
+    sql["rrf_fusion"] = f"""WITH t1 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM ({sql["search_tfidf_topk"]}) x),
+t2 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM ({sql["search_bm25_topk"]}) y),
+u AS (SELECT doc_id FROM t1 UNION SELECT doc_id FROM t2)
+SELECT u.doc_id,
+       coalesce(t1.r, 0)::BIGINT AS rank_tfidf,
+       coalesce(t2.r, 0)::BIGINT AS rank_bm25,
+       round((CASE WHEN t1.r IS NULL THEN 0.0 ELSE 1.0 / (60.0 + t1.r) END)
+           + (CASE WHEN t2.r IS NULL THEN 0.0 ELSE 1.0 / (60.0 + t2.r) END),
+             6) AS rrf
+FROM u LEFT JOIN t1 USING (doc_id) LEFT JOIN t2 USING (doc_id)"""
+
+    # grouped_zscore law at scale 1 (counts are already integers); the
+    # strict > runs on the 6dp-ROUNDED z so the keep set cannot flip
+    sql["hourly_burst"] = """WITH h AS (
+  SELECT date_trunc('hour', ts) AS window, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, count(*)::DOUBLE AS cnt,
+             sum(n)::DOUBLE AS s, sum(n * n)::DOUBLE AS ss
+      FROM h GROUP BY event_type)
+SELECT h.window, h.event_type,
+       round((h.n - s.s / s.cnt)
+             / sqrt(s.ss / s.cnt - (s.s / s.cnt) * (s.s / s.cnt)), 6) AS z
+FROM h JOIN s USING (event_type)
+WHERE s.ss / s.cnt - (s.s / s.cnt) * (s.s / s.cnt) > 0
+  AND round((h.n - s.s / s.cnt)
+            / sqrt(s.ss / s.cnt - (s.s / s.cnt) * (s.s / s.cnt)), 6) > 2.0"""
 
     # banded simhash pairs over the simhash entry's own fingerprint SQL:
     # identical 16-bit banding, xor+popcount verify — bit-equal by
