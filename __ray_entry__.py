@@ -47,6 +47,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # a time budget covers as many as possible.
     return {
         # --- not yet driver-recorded (SQL-oracled) ---
+        "skipgram_counts": eq.q_skipgram_counts,
+        "top_terms_per_lang": eq.q_top_terms_per_lang,
+        "zipf_fit": eq.q_zipf_fit,
         "rrf_fusion": eq.q_rrf_fusion,
         "hourly_burst": eq.q_hourly_burst,
         "user_features": eq.q_user_features,
@@ -276,4 +279,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": m["simhash_pairs"],
         "rrf_fusion": m["rrf_fusion"],
         "hourly_burst": m["hourly_burst"],
+        "skipgram_counts": m["skipgram_counts"],
+        "top_terms_per_lang": m["top_terms_per_lang"],
+        "zipf_fit": m["zipf_fit"],
     }

@@ -2355,6 +2355,37 @@ def q_retention(sf_dir: str):
     return retention_cohorts(ev)
 
 
+def q_skipgram_counts(sf_dir: str):
+    """Positional skip-gram pair counts (window 2) — the word2vec/GloVe
+    training-pair extraction; unordered pairs, ONE bucketed sum."""
+    from .extras.skipgram import skipgram_pair_counts
+
+    return skipgram_pair_counts(_docs_text(sf_dir), window=2)
+
+
+def q_top_terms_per_lang(sf_dir: str):
+    """Each language's 10 most frequent tokens (count DESC, token ASC)
+    — vocabulary profiling without a global sort."""
+    import ray.data as rd
+
+    from .extras.topk_terms import top_terms_per_group
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+    return top_terms_per_group(ds, group_col="lang", k=10)
+
+
+def q_zipf_fit(sf_dir: str):
+    """Zipf's-law OLS fit (ln freq on ln rank) over the corpus unigram
+    distribution — every regression term floor-quantized at 1e-6 and
+    summed as exact integers; ranks derived from the count histogram,
+    no global sort."""
+    from .extras.zipf import zipf_fit
+
+    return zipf_fit(_docs_text(sf_dir))
+
+
 def q_rrf_fusion(sf_dir: str):
     """Reciprocal-rank fusion of the tf·idf and BM25 top-20 lists
     (k=60): ``rrf = 1/(60+r_tfidf) + 1/(60+r_bm25)``, absent list
@@ -3887,6 +3918,53 @@ ind AS (SELECT t AS node_id, count(*)::BIGINT AS in_deg FROM e GROUP BY t)
 SELECT node_id, coalesce(out_deg, 0)::BIGINT AS out_deg,
        coalesce(in_deg, 0)::BIGINT AS in_deg
 FROM outd FULL OUTER JOIN ind USING (node_id)"""
+
+    # unordered positional pairs; least/greatest on ASCII-only tokens ==
+    # Python byte-order min/max
+    sql["skipgram_counts"] = f"""{toks}
+, pos AS (SELECT doc_id, unnest(tokens) AS t,
+                 unnest(range(len(tokens))) AS p
+          FROM toks)
+SELECT least(a.t, b.t) AS tok_a, greatest(a.t, b.t) AS tok_b,
+       count(*)::BIGINT AS n
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + 2
+GROUP BY 1, 2"""
+
+    sql["top_terms_per_lang"] = f"""{toks}
+, u AS (SELECT lang, unnest(tokens) AS t FROM toks)
+, c AS (SELECT lang, t, count(*)::BIGINT AS c FROM u GROUP BY lang, t)
+SELECT lang, t AS token, c, rn FROM (
+  SELECT lang, t, c,
+         row_number() OVER (PARTITION BY lang ORDER BY c DESC, t ASC) AS rn
+  FROM c
+) WHERE rn <= 10"""
+
+    # mirrors extras/zipf.zipf_fit term-for-term: rank 1-based by
+    # (count DESC, token ASC) — though the quantized terms depend only on
+    # (rank, count), so the tie order cannot matter — ln/floor-1e6
+    # integer sums, then the OLS expression on the de-quantized sums
+    sql["zipf_fit"] = f"""{toks}
+, u AS (SELECT unnest(tokens) AS t FROM toks)
+, c AS (SELECT t, count(*)::BIGINT AS c FROM u GROUP BY t)
+, r AS (SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS rank FROM c)
+, q AS (SELECT floor(ln(rank) * 1000000.0)::BIGINT AS qx,
+               floor(ln(c) * 1000000.0)::BIGINT AS qy,
+               floor(ln(rank) * ln(c) * 1000000.0)::BIGINT AS qxy,
+               floor(ln(rank) * ln(rank) * 1000000.0)::BIGINT AS qxx
+        FROM r)
+, s AS (SELECT count(*)::BIGINT AS v,
+               (sum(qx)::BIGINT)::DOUBLE / 1000000.0 AS sx,
+               (sum(qy)::BIGINT)::DOUBLE / 1000000.0 AS sy,
+               (sum(qxy)::BIGINT)::DOUBLE / 1000000.0 AS sxy,
+               (sum(qxx)::BIGINT)::DOUBLE / 1000000.0 AS sxx
+        FROM q)
+, f AS (SELECT v, sx, sy,
+               (v::DOUBLE * sxy - sx * sy) / (v::DOUBLE * sxx - sx * sx)
+                   AS slope_raw
+        FROM s)
+SELECT v AS n_terms, round(slope_raw, 6) AS slope,
+       round((sy - slope_raw * sx) / v::DOUBLE, 6) AS intercept
+FROM f"""
 
     # RRF over the two search oracles' own SQL; ranks re-derived from the
     # ROUNDED scores with doc_id tiebreak on BOTH sides (deterministic),
