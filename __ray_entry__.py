@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # a time budget covers as many as possible.
     return {
         # --- not yet driver-recorded (SQL-oracled) ---
+        "top_unshipped_orders": eq.q_top_unshipped_orders,
+        "embedding_drift": eq.q_embedding_drift,
         "skipgram_counts": eq.q_skipgram_counts,
         "top_terms_per_lang": eq.q_top_terms_per_lang,
         "zipf_fit": eq.q_zipf_fit,
@@ -282,4 +284,6 @@ def oracle_sql() -> dict[str, str]:
         "skipgram_counts": m["skipgram_counts"],
         "top_terms_per_lang": m["top_terms_per_lang"],
         "zipf_fit": m["zipf_fit"],
+        "top_unshipped_orders": m["top_unshipped_orders"],
+        "embedding_drift": m["embedding_drift"],
     }

@@ -2355,6 +2355,158 @@ def q_retention(sf_dir: str):
     return retention_cohorts(ev)
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1995-03-15"
+
+
+def q_top_unshipped_orders(sf_dir: str):
+    """TPC-H Q3 analog: top-10 not-yet-shipped orders by revenue for
+    one market segment — the classic selective 3-way join + top-k.
+
+    Plan (100 TB honest): customer and the date-filtered orders are the
+    SMALL sides after their filters — both reduce where they live and
+    broadcast (`ray.put`) into the lineitem scan, which never shuffles;
+    revenue accumulates in exact 1e-4-dollar integers (the
+    priority_revenue law) so the top-k order is deterministic.  At a
+    scale where filtered orders outgrow a broadcast, swap the lookup
+    for the real `Dataset.join` path priority_revenue demonstrates.
+    """
+    import ray
+    import ray.data as rd
+
+    cutoff = np.datetime64(Q3_CUTOFF, "us")
+
+    cust_keys: set = set()
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    for b in cust.iter_batches(batch_format="pyarrow"):
+        m = pc.equal(b["c_mktsegment"], Q3_SEGMENT)
+        cust_keys.update(b["c_custkey"].filter(m).to_pylist())
+
+    order_date: dict = {}
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    for b in orders.iter_batches(batch_format="pyarrow"):
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        od = pc.cast(b["o_orderdate"], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        keep = od < cutoff
+        for o, c, d in zip(ok[keep], ck[keep], od[keep]):
+            if int(c) in cust_keys:
+                order_date[int(o)] = d
+    oref = ray.put(order_date)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        omap = ray.get(oref)
+        sd = pc.cast(batch["l_shipdate"], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        keep = sd > cutoff
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        hit = np.fromiter((int(o) in omap for o in ok), bool, len(ok))
+        ok, price, disc = ok[hit], price[hit], disc[hit]
+        rev = np.rint(price * 100.0) * (100.0 - np.rint(disc * 100.0))
+        un, inv = np.unique(ok, return_inverse=True)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(un, pa.int64()),
+                "o_orderdate": pa.array(
+                    np.array([omap[int(o)] for o in un], "datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "rev_part": pa.array(
+                    np.bincount(inv, weights=rev).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    top = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderkey", "o_orderdate"])
+        .sum("rev_part")
+        .sort(
+            ["sum(rev_part)", "o_orderdate", "o_orderkey"],
+            descending=[True, False, False],
+        )
+        .limit(10)
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(top["o_orderkey"], pa.int64()),
+            "o_orderdate": pa.array(top["o_orderdate"], pa.timestamp("us")),
+            "revenue": pa.array(
+                [round6(v / 10000.0) for v in top["sum(rev_part)"]],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def q_embedding_drift(sf_dir: str):
+    """Dataset-shift probe: cosine between the exact quantized centroids
+    of two deterministic md5-parity halves of the embedding corpus (≈1.0
+    means the halves are exchangeable; the A/B ingestion check).  One
+    row: (n_a, n_b, cosine).  Per-dim products floor-quantized at 1e-6
+    and summed as integers before the single mirrored cosine."""
+    import ray.data as rd
+
+    from .extras.stats import _md5_le64
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+
+    def add_split(batch: pa.Table) -> pa.Table:
+        h = _md5_le64(batch["vec_id"].to_pylist())
+        return pa.table(
+            {
+                "split": pa.array((h % 2).astype(np.int64), pa.int64()),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    from .extras.similarity import label_centroids
+
+    cents = pa.concat_tables(
+        label_centroids(
+            ds.map_batches(add_split, batch_format="pyarrow"),
+            label_col="split",
+            vec_col="embedding",
+        ).iter_batches(batch_format="pyarrow")
+    ).to_pandas()
+    a = cents[cents["split"] == 0].sort_values("dim")
+    b = cents[cents["split"] == 1].sort_values("dim")
+    av = a["centroid"].to_numpy()
+    bv = b["centroid"].to_numpy()
+    dq = int(np.floor(av * bv * 1e6).astype(np.int64).sum())
+    naq = int(np.floor(av * av * 1e6).astype(np.int64).sum())
+    nbq = int(np.floor(bv * bv * 1e6).astype(np.int64).sum())
+    cos = (dq / 1_000_000) / (
+        math.sqrt(naq / 1_000_000) * math.sqrt(nbq / 1_000_000)
+    )
+    return pa.table(
+        {
+            "n_a": pa.array([int(a["n"].iloc[0])], pa.int64()),
+            "n_b": pa.array([int(b["n"].iloc[0])], pa.int64()),
+            "cosine": pa.array([round6(cos)], pa.float64()),
+        }
+    )
+
+
 def q_skipgram_counts(sf_dir: str):
     """Positional skip-gram pair counts (window 2) — the word2vec/GloVe
     training-pair extraction; unordered pairs, ONE bucketed sum."""
@@ -3918,6 +4070,45 @@ ind AS (SELECT t AS node_id, count(*)::BIGINT AS in_deg FROM e GROUP BY t)
 SELECT node_id, coalesce(out_deg, 0)::BIGINT AS out_deg,
        coalesce(in_deg, 0)::BIGINT AS in_deg
 FROM outd FULL OUTER JOIN ind USING (node_id)"""
+
+    # TPC-H Q3 analog; ORDER BY the exact 1e-4-dollar integer revenue so
+    # the top-10 cut is deterministic (priority_revenue quantization law)
+    sql["top_unshipped_orders"] = f"""SELECT o_orderkey, o_orderdate,
+       round(sum(round(l_extendedprice * 100) * (100 - round(l_discount * 100)))
+             / 10000, 6) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY sum(round(l_extendedprice * 100) * (100 - round(l_discount * 100))) DESC,
+         o_orderdate, o_orderkey
+LIMIT 10"""
+
+    # md5-parity halves (hash_split law), label_centroids quantization,
+    # per-dim products floor-quantized into integer sums, one mirrored
+    # cosine expression
+    sql["embedding_drift"] = f"""WITH sp AS (
+  SELECT (md5_number_upper(vec_id::VARCHAR) % 2)::BIGINT AS split, embedding
+  FROM embeddings),
+c AS (SELECT split, i AS dim, count(*)::BIGINT AS n,
+             round(sum(floor(embedding[i + 1]::DOUBLE * {CENTROID_SCALE}))
+                   / {CENTROID_SCALE}.0 / count(*), 6) AS v
+      FROM sp, range(0, {EMB_DIM}) t(i)
+      GROUP BY split, i),
+p AS (SELECT a.v AS av, b.v AS bv, a.n AS na, b.n AS nb
+      FROM c a JOIN c b ON a.dim = b.dim AND a.split = 0 AND b.split = 1),
+s AS (SELECT any_value(na)::BIGINT AS n_a, any_value(nb)::BIGINT AS n_b,
+             sum(floor(av * bv * 1000000.0))::BIGINT AS dq,
+             sum(floor(av * av * 1000000.0))::BIGINT AS naq,
+             sum(floor(bv * bv * 1000000.0))::BIGINT AS nbq
+      FROM p)
+SELECT n_a, n_b,
+       round((dq::DOUBLE / 1000000.0)
+             / (sqrt(naq::DOUBLE / 1000000.0) * sqrt(nbq::DOUBLE / 1000000.0)),
+             6) AS cosine
+FROM s"""
 
     # unordered positional pairs; least/greatest on ASCII-only tokens ==
     # Python byte-order min/max
