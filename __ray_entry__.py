@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # a time budget covers as many as possible.
     return {
         # --- not yet driver-recorded (SQL-oracled) ---
+        "phash_pairs": eq.q_phash_pairs,  # rows-only: binary decode
         "top_unshipped_orders": eq.q_top_unshipped_orders,
         "embedding_drift": eq.q_embedding_drift,
         "skipgram_counts": eq.q_skipgram_counts,

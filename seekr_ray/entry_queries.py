@@ -2355,6 +2355,21 @@ def q_retention(sf_dir: str):
     return retention_cohorts(ev)
 
 
+def q_phash_pairs(sf_dir: str):
+    """Near-duplicate IMAGE pairs via perceptual aHash + the banded
+    hamming machinery (rows-only: binary P6 decode is not
+    SQL-expressible; the pair law itself is pinned by the simhash_pairs
+    oracle over the shared banded_hamming_pairs kernel and by pytest
+    against a brute-force popcount)."""
+    import ray.data as rd
+
+    from .extras.multimodal import image_phash_pairs, synthesize_image_table
+
+    n = max(_corpus_rows_for(sf_dir) // 2, 50)
+    media = rd.from_arrow(synthesize_image_table(n)).repartition(4)
+    return image_phash_pairs(media)
+
+
 Q3_SEGMENT = "BUILDING"
 Q3_CUTOFF = "1995-03-15"
 

@@ -1297,15 +1297,37 @@ def simhash_near_pairs(
     follow-up bucketed distinct collapses pairs found in multiple
     bands.  Verify (xor + popcount) is vectorized per group.
     """
+    fps = simhash_fingerprints(docs_ds, text_col=text_col)
+    return banded_hamming_pairs(
+        fps,
+        max_hamming=max_hamming,
+        num_bands=num_bands,
+        id_col="doc_id",
+        hash_col="simhash",
+    )
+
+
+def banded_hamming_pairs(
+    fps_ds,
+    *,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+):
+    """Generic banded hamming-pair finder over any 64-bit fingerprint
+    column (signed int64 two's-complement) — shared by the simhash text
+    path and the perceptual-hash image path (extras/multimodal).  Same
+    pigeonhole recall guarantee and exchange shape as
+    ``simhash_near_pairs``."""
     if num_bands * 16 != 64:
         raise ValueError("num_bands must split a 64-bit fingerprint")
     if max_hamming >= num_bands:
         raise ValueError("recall guarantee needs max_hamming < num_bands")
-    fps = simhash_fingerprints(docs_ds, text_col=text_col)
 
     def band(batch: pa.Table) -> pa.Table:
-        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
-        u = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        doc = batch[id_col].to_numpy(zero_copy_only=False)
+        u = batch[hash_col].to_numpy(zero_copy_only=False).view(np.uint64)
         outs = []
         for j in range(num_bands):
             bv = ((u >> np.uint64(16 * j)) & np.uint64(0xFFFF)).astype(
@@ -1374,7 +1396,7 @@ def simhash_near_pairs(
         )
 
     return (
-        fps.map_batches(band, batch_format="pyarrow")
+        fps_ds.map_batches(band, batch_format="pyarrow")
         .groupby("key")
         .map_groups(pairs_in_bucket, batch_format="pyarrow")
         .map_batches(tag_pair_bucket, batch_format="pyarrow")

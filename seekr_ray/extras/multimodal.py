@@ -399,3 +399,106 @@ def extract_media_features(media_ds, feature_dim: int = FEATURE_DIM, batch_size:
         fn_constructor_kwargs={"feature_dim": feature_dim},
         concurrency=(1, 4),
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image near-dup
+# ---------------------------------------------------------------------------
+
+
+def ahash64(pixels: np.ndarray) -> int:
+    """64-bit average hash of an (h, w, 3) uint8 image: grayscale by
+    integer channel mean, 8×8 block-mean downsample (deterministic
+    floor-edge bins — no interpolation library), threshold at the 64-cell
+    mean.  The classic aHash: robust to small noise/brightness jitter,
+    cheap enough for a per-batch loop over thousands of images."""
+    gray = pixels.astype(np.uint32).sum(axis=2) // 3
+    h, w = gray.shape
+    ye = (np.arange(9) * h) // 8
+    xe = (np.arange(9) * w) // 8
+    cells = np.empty((8, 8), np.float64)
+    for i in range(8):
+        for j in range(8):
+            block = gray[ye[i] : max(ye[i + 1], ye[i] + 1),
+                         xe[j] : max(xe[j + 1], xe[j] + 1)]
+            cells[i, j] = block.mean()
+    bits = (cells > cells.mean()).reshape(64)
+    v = 0
+    for i in range(64):
+        if bits[i]:
+            v |= 1 << i
+    return v
+
+
+class _AHasher:
+    """Actor-pool stage: (media_id, payload) -> (media_id, phash int64).
+    Non-P6 payloads are skipped (hash applies to decodable images)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            if not payload or not payload.startswith(b"P6"):
+                continue
+            v = ahash64(decode_ppm(payload))
+            ids.append(mid)
+            hashes.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "phash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
+def image_phash_pairs(
+    media_ds,
+    *,
+    max_hamming: int = 3,
+    batch_size: int = 64,
+):
+    """Near-duplicate IMAGE pairs: aHash fingerprints from an actor-pool
+    decode stage (small batches — binary rows are wide), then the same
+    banded hamming-pair machinery as the simhash text path
+    (extras/dedup.banded_hamming_pairs, pigeonhole-exact recall).
+    Output: (a, b, hamming) over media_ids."""
+    from .dedup import banded_hamming_pairs
+
+    fps = media_ds.map_batches(
+        _AHasher,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+    )
+    return banded_hamming_pairs(
+        fps, max_hamming=max_hamming, id_col="media_id", hash_col="phash"
+    )
+
+
+def synthesize_image_table(
+    n_rows: int, seed: int = 7, dup_every: int = 5
+) -> pa.Table:
+    """Deterministic image corpus WITH planted near-dup families: every
+    ``dup_every``-th image is its family base with ±1 pixel noise (aHash
+    is invariant to that), the rest are independent draws — so the
+    near-dup pair set is non-vacuous by construction."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    rows = {"media_id": [], "kind": [], "payload": [],
+            "width": [], "height": [], "sample_rate": []}
+    for i in range(n_rows):
+        if i % dup_every == 0:
+            noise = rng.integers(-1, 2, size=base.shape)
+            pixels = np.clip(
+                base.astype(np.int32) + noise, 0, 255
+            ).astype(np.uint8)
+        else:
+            pixels = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        rows["media_id"].append(i)
+        rows["kind"].append("image")
+        rows["payload"].append(encode_ppm(pixels))
+        rows["width"].append(32)
+        rows["height"].append(32)
+        rows["sample_rate"].append(0)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
