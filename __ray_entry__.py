@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # a time budget covers as many as possible.
     return {
         # --- not yet driver-recorded (SQL-oracled) ---
+        "source_overlap": eq.q_source_overlap,
         "phash_pairs": eq.q_phash_pairs,  # rows-only: binary decode
         "top_unshipped_orders": eq.q_top_unshipped_orders,
         "embedding_drift": eq.q_embedding_drift,
@@ -287,4 +288,5 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit": m["zipf_fit"],
         "top_unshipped_orders": m["top_unshipped_orders"],
         "embedding_drift": m["embedding_drift"],
+        "source_overlap": m["source_overlap"],
     }

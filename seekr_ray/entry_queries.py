@@ -2355,6 +2355,19 @@ def q_retention(sf_dir: str):
     return retention_cohorts(ev)
 
 
+def q_source_overlap(sf_dir: str):
+    """Pairwise shingle-Jaccard between document sources — the
+    cross-corpus contamination / redundancy matrix."""
+    import ray.data as rd
+
+    from .extras.overlap import source_overlap_matrix
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    return source_overlap_matrix(ds, k=NGRAM_K)
+
+
 def q_phash_pairs(sf_dir: str):
     """Near-duplicate IMAGE pairs via perceptual aHash + the banded
     hamming machinery (rows-only: binary P6 decode is not
@@ -4085,6 +4098,32 @@ ind AS (SELECT t AS node_id, count(*)::BIGINT AS in_deg FROM e GROUP BY t)
 SELECT node_id, coalesce(out_deg, 0)::BIGINT AS out_deg,
        coalesce(in_deg, 0)::BIGINT AS in_deg
 FROM outd FULL OUTER JOIN ind USING (node_id)"""
+
+    # distinct (source, shingle) sets, inner-join pairs (zero-overlap
+    # pairs omitted on BOTH sides), one mirrored jaccard division
+    stop4 = _stoplist_sql()
+    src_tokens = (
+        "list_filter(regexp_extract_all(lower(text), '[a-z]+'), "
+        f"t -> length(t) BETWEEN 2 AND 45 AND NOT list_contains({stop4}, t))"
+    )
+    sql["source_overlap"] = f"""WITH dt AS (
+  SELECT source, {src_tokens} AS tokens FROM documents),
+sh AS (SELECT source,
+       CASE WHEN len(tokens) < {NGRAM_K} THEN []::VARCHAR[]
+            ELSE list_distinct(list_transform(range(1, len(tokens) - {NGRAM_K - 2}),
+                 i -> array_to_string(list_slice(tokens, i, i + {NGRAM_K - 1}), ' ')))
+       END AS shingles
+  FROM dt),
+p AS (SELECT DISTINCT source, s
+      FROM (SELECT source, unnest(shingles) AS s FROM sh)),
+tot AS (SELECT source, count(*)::BIGINT AS n FROM p GROUP BY source),
+pr AS (SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_shared
+       FROM p a JOIN p b ON a.s = b.s AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT pr.src_a, pr.src_b, pr.n_shared, ta.n AS n_a, tb.n AS n_b,
+       ROUND(pr.n_shared::DOUBLE / (ta.n + tb.n - pr.n_shared), 6) AS jaccard
+FROM pr JOIN tot ta ON ta.source = pr.src_a
+        JOIN tot tb ON tb.source = pr.src_b"""
 
     # TPC-H Q3 analog; ORDER BY the exact 1e-4-dollar integer revenue so
     # the top-10 cut is deterministic (priority_revenue quantization law)

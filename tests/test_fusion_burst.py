@@ -43,3 +43,34 @@ def test_hourly_burst_threshold():
     ).to_pandas()
     assert (out["z"] > 2.0).all()
     assert set(out.columns) == {"window", "event_type", "z"}
+
+
+def test_source_overlap_law():
+    """Hand-built two-source overlap: shared trigram counted once,
+    jaccard = inter / union of distinct shingle sets."""
+    import ray.data as rd
+
+    from seekr_ray.extras.overlap import source_overlap_matrix
+
+    tbl = pa.table(
+        {
+            "source": pa.array(["s1", "s1", "s2", "s3"]),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta",  # s1: {abg, bgd}
+                    "alpha beta gamma",  # s1 dup shingle abg (distinct!)
+                    "alpha beta gamma zeta",  # s2: {abg, bgz}
+                    "omega psi chi",  # s3: {opc} -- no overlap
+                ]
+            ),
+        }
+    )
+    out = (
+        source_overlap_matrix(rd.from_arrow(tbl).repartition(2), k=3)
+        .to_pandas()
+        .set_index(["src_a", "src_b"])
+    )
+    row = out.loc[("s1", "s2")]
+    assert row["n_shared"] == 1 and row["n_a"] == 2 and row["n_b"] == 2
+    assert row["jaccard"] == round(1 / 3, 6)
+    assert ("s1", "s3") not in out.index  # zero-overlap pairs omitted
