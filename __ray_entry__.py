@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # a time budget covers as many as possible.
     return {
         # --- not yet driver-recorded (SQL-oracled) ---
+        "value_trend": eq.q_value_trend,
+        "transition_entropy": eq.q_transition_entropy,
         "source_overlap": eq.q_source_overlap,
         "phash_pairs": eq.q_phash_pairs,  # rows-only: binary decode
         "top_unshipped_orders": eq.q_top_unshipped_orders,
@@ -289,4 +291,6 @@ def oracle_sql() -> dict[str, str]:
         "top_unshipped_orders": m["top_unshipped_orders"],
         "embedding_drift": m["embedding_drift"],
         "source_overlap": m["source_overlap"],
+        "value_trend": m["value_trend"],
+        "transition_entropy": m["transition_entropy"],
     }

@@ -2355,6 +2355,34 @@ def q_retention(sf_dir: str):
     return retention_cohorts(ev)
 
 
+def q_value_trend(sf_dir: str):
+    """Per-event-type OLS trend of value over time (dollars/day) —
+    drift detection with exact integer sufficient statistics."""
+    import ray.data as rd
+
+    from .extras.stats import grouped_trend
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+    return grouped_trend(ev, key_col="event_type", ts_col="ts", val_col="value")
+
+
+def q_transition_entropy(sf_dir: str):
+    """Per-prev-type Shannon entropy of the next-event distribution
+    (predictability profile), quantized-term exact."""
+    import ray.data as rd
+
+    from .extras.markov import transition_entropy
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return transition_entropy(ev)
+
+
 def q_source_overlap(sf_dir: str):
     """Pairwise shingle-Jaccard between document sources — the
     cross-corpus contamination / redundancy matrix."""
@@ -4098,6 +4126,50 @@ ind AS (SELECT t AS node_id, count(*)::BIGINT AS in_deg FROM e GROUP BY t)
 SELECT node_id, coalesce(out_deg, 0)::BIGINT AS out_deg,
        coalesce(in_deg, 0)::BIGINT AS in_deg
 FROM outd FULL OUTER JOIN ind USING (node_id)"""
+
+    # integer days x, integer cents y: all five sufficient statistics
+    # are exact integers (HUGEINT sums == Python ints); the final
+    # slope/intercept expression is mirrored op-for-op, CASE-guarded on
+    # zero x-variance
+    sql["value_trend"] = """WITH q AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000)::BIGINT AS x,
+         round(value * 100)::BIGINT AS y
+  FROM events),
+s AS (SELECT event_type, count(*)::BIGINT AS n,
+             sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+             sum(x * y)::HUGEINT AS sxy, sum(x * x)::HUGEINT AS sxx
+      FROM q GROUP BY event_type),
+f AS (SELECT event_type, n,
+             n::DOUBLE AS nf, sx::DOUBLE AS sxf, sy::DOUBLE AS syf,
+             sxy::DOUBLE AS sxyf, sxx::DOUBLE AS sxxf
+      FROM s),
+g AS (SELECT event_type, n, nf, sxf, syf,
+             nf * sxxf - sxf * sxf AS den,
+             (nf * sxyf - sxf * syf) AS num
+      FROM f)
+SELECT event_type, n,
+       CASE WHEN den > 0.0 THEN round((num / den) / 100.0, 6)
+            ELSE 0.0 END AS slope,
+       CASE WHEN den > 0.0
+            THEN round(((syf - (num / den) * sxf) / nf) / 100.0, 6)
+            ELSE 0.0 END AS intercept
+FROM g"""
+
+    # same LEAD counts as event_transitions; each term −p·log2(p)
+    # floor-quantized at 1e-6 and summed as an exact integer
+    sql["transition_entropy"] = """WITH nx AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events),
+c AS (SELECT prev_type, next_type, count(*)::BIGINT AS n
+      FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT prev_type, sum(n)::BIGINT AS tot FROM c GROUP BY prev_type)
+SELECT c.prev_type, t.tot AS n_total,
+       (sum(floor((-(c.n::DOUBLE / t.tot) * log2(c.n::DOUBLE / t.tot))
+                  * 1000000.0)::BIGINT))::DOUBLE / 1000000.0 AS entropy
+FROM c JOIN t USING (prev_type)
+GROUP BY c.prev_type, t.tot"""
 
     # distinct (source, shingle) sets, inner-join pairs (zero-overlap
     # pairs omitted on BOTH sides), one mirrored jaccard division

@@ -104,3 +104,40 @@ def event_type_transitions(
         .groupby("prev_type")
         .map_groups(attach_p, batch_format="pyarrow")
     )
+
+
+def transition_entropy(events_ds, *, num_buckets: int = 64, **kw):
+    """Per-prev-type Shannon entropy of the next-type distribution —
+    the predictability profile of the event stream (0 bits = scripted
+    bot behavior, high bits = organic).  Derived from the SAME exact
+    transition counts as ``event_type_transitions``; each term
+    ``−p·log2(p)`` floor-quantized at 1e-6 and summed as an integer
+    (the token_entropy discipline), so the result is order-invariant
+    and SQL-replicable.
+
+    Output: ``(prev_type, n_total, entropy)``.
+    """
+    from .textstats import ENTROPY_SCALE
+
+    counts = event_type_transitions(events_ds, num_buckets=num_buckets, **kw)
+
+    def per_prev(group: pa.Table) -> pa.Table:
+        n = group["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = float(int(n.sum()))
+        p = n / tot
+        q = np.floor(-(p) * np.log2(p) * ENTROPY_SCALE).astype(np.int64)
+        return pa.table(
+            {
+                "prev_type": group["prev_type"].slice(0, 1),
+                "n_total": pa.array([int(tot)], pa.int64()),
+                "entropy": pa.array(
+                    [float(int(q.sum())) / ENTROPY_SCALE], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        counts.select_columns(["prev_type", "next_type", "n"])
+        .groupby("prev_type")
+        .map_groups(per_prev, batch_format="pyarrow")
+    )

@@ -970,3 +970,98 @@ def global_quantile_filter(
         return batch.select([id_col, val_col]).filter(pa.array(v > thr))
 
     return counts_ds.map_batches(flt, batch_format="pyarrow")
+
+
+def grouped_trend(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+):
+    """Per-group OLS trend of value over time — drift detection (a
+    rising per-type mean flags inflation/spam; a collapsing one flags a
+    broken feed).
+
+    x = integer DAYS since epoch (``µs // 86.4e9`` — day granularity
+    keeps x² sums inside exact-integer range), y = exact integer cents.
+    ALL five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are exact
+    integers folded per block and summed through ONE tiny groupby, so
+    the fit is parallelism-invariant; the final slope/intercept are one
+    mirrored float expression over the de-quantized sums (slope in
+    dollars/day).  Python-int accumulation on the Ray side matches the
+    oracle's HUGEINT sums (driver sums must stay < 2^53 for the exact
+    DOUBLE cast — holds to ~10¹² rows at this value range).
+
+    Output: ``(key_col, n, slope, intercept)``; zero-variance-x groups
+    emit slope = intercept = 0.0 (CASE-mirrored).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_pylist()
+        t = pc.cast(batch[ts_col], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        x = (t.view("int64") // 86_400_000_000).astype(np.int64)
+        y = np.rint(_np_col(batch, val_col) * 100.0).astype(np.int64)
+        acc: dict = {}
+        for key, xi, yi in zip(k, x.tolist(), y.tolist()):
+            e = acc.setdefault(key, [0, 0, 0, 0, 0])
+            e[0] += 1
+            e[1] += xi
+            e[2] += yi
+            e[3] += xi * yi
+            e[4] += xi * xi
+        keys = list(acc.keys())
+        return pa.table(
+            {
+                key_col: pa.array(keys, pa.string()),
+                "n": pa.array([acc[k][0] for k in keys], pa.int64()),
+                "sx": pa.array([acc[k][1] for k in keys], pa.int64()),
+                "sy": pa.array([acc[k][2] for k in keys], pa.int64()),
+                "sxy": pa.array([acc[k][3] for k in keys], pa.int64()),
+                "sxx": pa.array([acc[k][4] for k in keys], pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out_k, out_n, out_s, out_i = [], [], [], []
+        for key, n, sx, sy, sxy, sxx in zip(
+            batch[key_col].to_pylist(),
+            batch["sum(n)"].to_pylist(),
+            batch["sum(sx)"].to_pylist(),
+            batch["sum(sy)"].to_pylist(),
+            batch["sum(sxy)"].to_pylist(),
+            batch["sum(sxx)"].to_pylist(),
+        ):
+            nf, sxf, syf = float(n), float(sx), float(sy)
+            sxyf, sxxf = float(sxy), float(sxx)
+            den = nf * sxxf - sxf * sxf
+            if den > 0.0:
+                slope_cents = (nf * sxyf - sxf * syf) / den
+                slope = round6(slope_cents / 100.0)
+                intercept = round6(
+                    ((syf - slope_cents * sxf) / nf) / 100.0
+                )
+            else:
+                slope = intercept = 0.0
+            out_k.append(key)
+            out_n.append(int(n))
+            out_s.append(slope)
+            out_i.append(intercept)
+        return pa.table(
+            {
+                key_col: pa.array(out_k, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "slope": pa.array(out_s, pa.float64()),
+                "intercept": pa.array(out_i, pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, ts_col, val_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .sum(["n", "sx", "sy", "sxy", "sxx"])
+        .map_batches(finish, batch_format="pyarrow")
+    )

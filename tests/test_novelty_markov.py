@@ -258,3 +258,96 @@ def test_cluster_winners_empty():
     )
     out = dedup_cluster_winners(_docs([(1, "alpha beta")]), empty)
     assert isinstance(out, pa.Table) and out.num_rows == 0
+
+
+def test_grouped_trend_known_line():
+    """Points on an exact line recover its slope/intercept."""
+    import ray.data as rd
+
+    from seekr_ray.extras.stats import grouped_trend
+
+    days = pd.to_datetime(["1970-01-01", "1970-01-02", "1970-01-03", "1970-01-04"])
+    # y = 2.00 + 0.50*x dollars (x in days) for type "a"; constant for "b"
+    tbl = pa.table(
+        {
+            "event_type": pa.array(["a", "a", "a", "a"]),
+            "ts": pa.array(days, pa.timestamp("us")),
+            "value": pa.array([2.0, 2.5, 3.0, 3.5], pa.float64()),
+        }
+    )
+    out = (
+        pa.concat_tables(
+            grouped_trend(
+                rd.from_arrow(tbl).repartition(2),
+                key_col="event_type",
+                ts_col="ts",
+                val_col="value",
+            ).iter_batches(batch_format="pyarrow")
+        )
+        .to_pandas()
+        .set_index("event_type")
+    )
+    assert out.loc["a", "slope"] == 0.5
+    assert out.loc["a", "intercept"] == 2.0
+    assert out.loc["a", "n"] == 4
+
+
+def test_grouped_trend_zero_variance_guard():
+    import ray.data as rd
+
+    from seekr_ray.extras.stats import grouped_trend
+
+    same_day = pd.to_datetime(["1970-01-05 01:00", "1970-01-05 23:00"])
+    tbl = pa.table(
+        {
+            "event_type": pa.array(["c", "c"]),
+            "ts": pa.array(same_day, pa.timestamp("us")),
+            "value": pa.array([1.0, 9.0], pa.float64()),
+        }
+    )
+    out = (
+        pa.concat_tables(
+            grouped_trend(
+                rd.from_arrow(tbl),
+                key_col="event_type",
+                ts_col="ts",
+                val_col="value",
+            ).iter_batches(batch_format="pyarrow")
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    assert out["slope"] == 0.0 and out["intercept"] == 0.0
+
+
+def test_transition_entropy_law():
+    """Uniform 2-way next distribution -> 1 bit; deterministic -> 0."""
+    import ray.data as rd
+
+    from seekr_ray.extras.markov import transition_entropy
+
+    # user 1: a->b, a->c (via two a's), so a has next {b, c} once each;
+    # b->a deterministic
+    ts = pd.to_datetime(
+        ["2025-01-01 00:00", "2025-01-01 00:01", "2025-01-01 00:02",
+         "2025-01-01 00:03", "2025-01-01 00:04"]
+    )
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 1], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(["a", "b", "a", "c", "a"]),
+        }
+    )
+    out = (
+        pa.concat_tables(
+            transition_entropy(
+                rd.from_arrow(tbl).repartition(2)
+            ).iter_batches(batch_format="pyarrow")
+        )
+        .to_pandas()
+        .set_index("prev_type")
+    )
+    assert out.loc["a", "n_total"] == 2 and out.loc["a", "entropy"] == 1.0
+    assert out.loc["b", "entropy"] == 0.0 and out.loc["c", "entropy"] == 0.0
