@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # a time budget covers as many as possible.
     return {
         # --- not yet driver-recorded (SQL-oracled) ---
+        "copurchase": eq.q_copurchase,
         "value_trend": eq.q_value_trend,
         "transition_entropy": eq.q_transition_entropy,
         "source_overlap": eq.q_source_overlap,
@@ -293,4 +294,5 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": m["source_overlap"],
         "value_trend": m["value_trend"],
         "transition_entropy": m["transition_entropy"],
+        "copurchase": m["copurchase"],
     }

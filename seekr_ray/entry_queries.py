@@ -2355,6 +2355,20 @@ def q_retention(sf_dir: str):
     return retention_cohorts(ev)
 
 
+def q_copurchase(sf_dir: str):
+    """Market-basket part pairs with support ≥ 2 orders + lift —
+    the association-rule primitive over lineitem baskets."""
+    import ray.data as rd
+
+    from .extras.basket import copurchase_lift
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+    return copurchase_lift(li, min_support=2)
+
+
 def q_value_trend(sf_dir: str):
     """Per-event-type OLS trend of value over time (dollars/day) —
     drift detection with exact integer sufficient statistics."""
@@ -4126,6 +4140,22 @@ ind AS (SELECT t AS node_id, count(*)::BIGINT AS in_deg FROM e GROUP BY t)
 SELECT node_id, coalesce(out_deg, 0)::BIGINT AS out_deg,
        coalesce(in_deg, 0)::BIGINT AS in_deg
 FROM outd FULL OUTER JOIN ind USING (node_id)"""
+
+    # distinct (order, item), pair support via self-join, lift as ONE
+    # mirrored division of exact integer products
+    sql["copurchase"] = """WITH di AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+n AS (SELECT count(DISTINCT o)::BIGINT AS n_total FROM di),
+m AS (SELECT i, count(*)::BIGINT AS n_i FROM di GROUP BY i),
+pr AS (SELECT a.i AS item_a, b.i AS item_b, count(*)::BIGINT AS n_ab
+       FROM di a JOIN di b ON a.o = b.o AND a.i < b.i
+       GROUP BY 1, 2
+       HAVING count(*) >= 2)
+SELECT pr.item_a, pr.item_b, pr.n_ab, ma.n_i AS n_a, mb.n_i AS n_b,
+       ROUND((pr.n_ab * n.n_total)::DOUBLE / (ma.n_i * mb.n_i), 6) AS lift
+FROM pr JOIN m ma ON ma.i = pr.item_a
+        JOIN m mb ON mb.i = pr.item_b
+        CROSS JOIN n"""
 
     # integer days x, integer cents y: all five sufficient statistics
     # are exact integers (HUGEINT sums == Python ints); the final

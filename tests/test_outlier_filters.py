@@ -132,3 +132,30 @@ def test_source_stats_exact():
     assert out.loc["s1", "mean_tokens"] == round6(5 / 2)
     assert out.loc["s1", "doc_share"] == round6(2 / 3)
     assert out.loc["s2", "n_docs"] == 1 and out.loc["s2", "n_tokens"] == 4
+
+
+def test_copurchase_lift_law():
+    import ray.data as rd
+
+    from seekr_ray.extras.basket import copurchase_lift
+    from seekr_ray.extras.textstats import round6
+
+    # orders: {1,2} x2 (support 2), {1,3} x1 (below min_support),
+    # duplicate line of item 1 in order 10 (distinct-order counting)
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array(
+                [10, 10, 10, 20, 20, 30, 30, 40], pa.int64()
+            ),
+            "l_partkey": pa.array([1, 1, 2, 1, 2, 1, 3, 3], pa.int64()),
+        }
+    )
+    out = copurchase_lift(
+        rd.from_arrow(tbl).repartition(3), min_support=2
+    ).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["item_a"], row["item_b"]) == (1, 2)
+    assert row["n_ab"] == 2 and row["n_a"] == 3 and row["n_b"] == 2
+    # 4 distinct orders total
+    assert row["lift"] == round6(2 * 4 / (3 * 2))
