@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # a time budget covers as many as possible.
     return {
         # --- not yet driver-recorded (SQL-oracled) ---
+        "cumulative_users": eq.q_cumulative_users,
+        "compress_ratio": eq.q_compress_ratio,  # rows-only: zlib
         "copurchase": eq.q_copurchase,
         "value_trend": eq.q_value_trend,
         "transition_entropy": eq.q_transition_entropy,
@@ -295,4 +297,5 @@ def oracle_sql() -> dict[str, str]:
         "value_trend": m["value_trend"],
         "transition_entropy": m["transition_entropy"],
         "copurchase": m["copurchase"],
+        "cumulative_users": m["cumulative_users"],
     }

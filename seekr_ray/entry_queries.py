@@ -2355,6 +2355,28 @@ def q_retention(sf_dir: str):
     return retention_cohorts(ev)
 
 
+def q_cumulative_users(sf_dir: str):
+    """Cumulative distinct users per day (growth curve) — exact via
+    first-active-day attribution, no running sketch."""
+    import ray.data as rd
+
+    from .extras.cumulative import cumulative_users_by_day
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return cumulative_users_by_day(ev)
+
+
+def q_compress_ratio(sf_dir: str):
+    """Per-doc zlib compression ratio (Gopher-style repetitiveness
+    proxy).  Rows-only: DuckDB has no compression scalar; semantics
+    pinned by pytest against direct zlib."""
+    from .extras.compressq import compression_ratio
+
+    return compression_ratio(_docs_text(sf_dir))
+
+
 def q_copurchase(sf_dir: str):
     """Market-basket part pairs with support ≥ 2 orders + lift —
     the association-rule primitive over lineitem baskets."""
@@ -4140,6 +4162,16 @@ ind AS (SELECT t AS node_id, count(*)::BIGINT AS in_deg FROM e GROUP BY t)
 SELECT node_id, coalesce(out_deg, 0)::BIGINT AS out_deg,
        coalesce(in_deg, 0)::BIGINT AS in_deg
 FROM outd FULL OUTER JOIN ind USING (node_id)"""
+
+    # first-active-day attribution; cumulative via window sum over the
+    # O(days) histogram — all integer counts
+    sql["cumulative_users"] = """WITH f AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS day FROM events
+  GROUP BY user_id),
+h AS (SELECT day, count(*)::BIGINT AS n_new FROM f GROUP BY day)
+SELECT day::TIMESTAMP AS day, n_new,
+       (sum(n_new) OVER (ORDER BY day))::BIGINT AS n_cumulative
+FROM h"""
 
     # distinct (order, item), pair support via self-join, lift as ONE
     # mirrored division of exact integer products
