@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # a time budget covers as many as possible.
     return {
         # --- not yet driver-recorded (SQL-oracled) ---
+        "conversion_lag": eq.q_conversion_lag,
+        "basket_sizes": eq.q_basket_sizes,
         "cumulative_users": eq.q_cumulative_users,
         "compress_ratio": eq.q_compress_ratio,  # rows-only: zlib
         "copurchase": eq.q_copurchase,
@@ -298,4 +300,6 @@ def oracle_sql() -> dict[str, str]:
         "transition_entropy": m["transition_entropy"],
         "copurchase": m["copurchase"],
         "cumulative_users": m["cumulative_users"],
+        "conversion_lag": m["conversion_lag"],
+        "basket_sizes": m["basket_sizes"],
     }

@@ -2355,6 +2355,39 @@ def q_retention(sf_dir: str):
     return retention_cohorts(ev)
 
 
+CONVERT_TYPE = "purchase"
+
+
+def q_conversion_lag(sf_dir: str):
+    """Per-user µs from their FIRST event to their FIRST 'purchase' —
+    the funnel-timing metric (non-converting users omitted; a first
+    event that IS the purchase yields lag 0).  ONE user-bucketed
+    co-partition; integer-µs arithmetic."""
+    import ray.data as rd
+
+    from .extras.funnel import conversion_lag
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+    return conversion_lag(ev, target_type=CONVERT_TYPE)
+
+
+def q_basket_sizes(sf_dir: str):
+    """Distribution of distinct items per order: (n_items, n_orders) —
+    the basket-shape profile behind co-purchase support thresholds."""
+    import ray.data as rd
+
+    from .extras.basket import basket_size_histogram
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+    return basket_size_histogram(li)
+
+
 def q_cumulative_users(sf_dir: str):
     """Cumulative distinct users per day (growth curve) — exact via
     first-active-day attribution, no running sketch."""
@@ -4162,6 +4195,19 @@ ind AS (SELECT t AS node_id, count(*)::BIGINT AS in_deg FROM e GROUP BY t)
 SELECT node_id, coalesce(out_deg, 0)::BIGINT AS out_deg,
        coalesce(in_deg, 0)::BIGINT AS in_deg
 FROM outd FULL OUTER JOIN ind USING (node_id)"""
+
+    sql["conversion_lag"] = f"""WITH f AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+c AS (SELECT user_id, min(ts) AS convert_ts FROM events
+      WHERE event_type = '{CONVERT_TYPE}' GROUP BY user_id)
+SELECT f.user_id, f.first_ts, c.convert_ts,
+       (epoch_us(c.convert_ts) - epoch_us(f.first_ts))::BIGINT AS lag_us
+FROM f JOIN c USING (user_id)"""
+
+    sql["basket_sizes"] = """WITH di AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+sz AS (SELECT o, count(*)::BIGINT AS n_items FROM di GROUP BY o)
+SELECT n_items, count(*)::BIGINT AS n_orders FROM sz GROUP BY n_items"""
 
     # first-active-day attribution; cumulative via window sum over the
     # O(days) histogram — all integer counts

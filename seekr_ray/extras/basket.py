@@ -123,3 +123,61 @@ def copurchase_lift(
             "lift": pa.array(lift, pa.float64()),
         }
     )
+
+
+def basket_size_histogram(
+    lineitem_ds,
+    *,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    num_buckets: int = 64,
+):
+    """(n_items, n_orders) — how many orders contain exactly k distinct
+    items.  Same one-shuffle co-partition plan as ``copurchase_lift``;
+    the count-of-counts reduce is O(max basket size)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        o = batch[order_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((o % num_buckets).astype(np.int64), pa.int64()),
+                "o": pa.array(o, pa.int64()),
+                "i": batch[item_col],
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        o = group["o"].to_numpy(zero_copy_only=False)
+        i = group["i"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, o))
+        o, i = o[order], i[order]
+        keep = np.ones(len(o), bool)
+        if len(o) > 1:
+            keep[1:] = (o[1:] != o[:-1]) | (i[1:] != i[:-1])
+        o = o[keep]
+        _, per_order = np.unique(o, return_counts=True)
+        sizes, n_orders = np.unique(per_order, return_counts=True)
+        return pa.table(
+            {
+                "n_items": pa.array(sizes, pa.int64()),
+                "n": pa.array(n_orders, pa.int64()),
+            }
+        )
+
+    out = (
+        lineitem_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("n_items")
+        .sum("n")
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_items": batch["n_items"],
+                "n_orders": batch["sum(n)"],
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")

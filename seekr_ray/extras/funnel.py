@@ -105,3 +105,84 @@ def funnel_stages(
         .groupby("_b")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def conversion_lag(
+    events_ds,
+    *,
+    target_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_buckets: int = 64,
+):
+    """Per-user microseconds from their FIRST event (any type) to their
+    FIRST ``target_type`` event — the funnel-timing metric.  Users who
+    never convert are omitted; a user whose very first event converts
+    reports 0.
+
+    ONE hash(user)-bucketed co-partition of three projected columns;
+    per-bucket vectorized min/min-where reduce; integer-µs arithmetic
+    (parallelism-invariant).  Output: ``(user_id, first_ts,
+    convert_ts, lag_us)`` with timestamps pinned to [us].
+    """
+    import pyarrow.compute as pc
+
+    def tag(batch):
+        import pyarrow as pa
+
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        t = pc.cast(batch[ts_col], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "_b": pa.array((k % num_buckets).astype(np.int64), pa.int64()),
+                "k": pa.array(k, pa.int64()),
+                "t": pa.array(t.view("int64"), pa.int64()),
+                "y": batch[type_col],
+            }
+        )
+
+    def per_bucket(group):
+        import pyarrow as pa
+
+        k = group["k"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        is_target = pc.equal(group["y"], target_type).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((t, k))
+        k, t, is_target = k[order], t[order], is_target[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], k[1:] != k[:-1])) if len(k) else []
+        )
+        ends = np.append(starts[1:], len(k))
+        out_k, out_f, out_c = [], [], []
+        for lo, hi in zip(starts, ends):
+            hits = np.flatnonzero(is_target[lo:hi])
+            if len(hits):
+                out_k.append(int(k[lo]))
+                out_f.append(int(t[lo]))
+                out_c.append(int(t[lo + hits[0]]))
+        first = np.array(out_f, np.int64)
+        conv = np.array(out_c, np.int64)
+        return pa.table(
+            {
+                key_col: pa.array(out_k, pa.int64()),
+                "first_ts": pa.array(
+                    first.astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "convert_ts": pa.array(
+                    conv.astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "lag_us": pa.array(conv - first, pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.select_columns([key_col, ts_col, type_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

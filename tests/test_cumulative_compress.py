@@ -80,3 +80,60 @@ def test_compression_ratio_signal():
     assert out.loc[1, "ratio"] < 0.1  # repetitive compresses hard
     assert out.loc[2, "ratio"] > 0.5  # noise barely compresses
     assert out.loc[3, "ratio"] == 0.0 and out.loc[3, "n_bytes"] == 0
+
+
+def test_conversion_lag_law():
+    import ray.data as rd
+
+    from seekr_ray.extras.funnel import conversion_lag
+
+    ts = pd.to_datetime(
+        [
+            "2025-01-01 00:00",  # u1 first (view)
+            "2025-01-01 01:00",  # u1 purchase -> lag 1h
+            "2025-01-02 00:00",  # u2 purchase immediately -> lag 0
+            "2025-01-03 00:00",  # u3 never converts -> omitted
+        ]
+    )
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(["view", "purchase", "purchase", "view"]),
+        }
+    )
+    out = (
+        _collect(
+            conversion_lag(
+                rd.from_arrow(tbl).repartition(2), target_type="purchase"
+            )
+        )
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2]
+    assert out.loc[1, "lag_us"] == 3_600_000_000
+    assert out.loc[2, "lag_us"] == 0
+
+
+def test_basket_size_histogram():
+    import ray.data as rd
+
+    from seekr_ray.extras.basket import basket_size_histogram
+
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 1, 2, 2, 3, 3], pa.int64()),
+            "l_partkey": pa.array([7, 8, 8, 7, 9, 5, 5], pa.int64()),
+        }
+    )
+    out = (
+        _collect(basket_size_histogram(rd.from_arrow(tbl).repartition(3)))
+        .to_pandas()
+        .set_index("n_items")
+        .sort_index()
+    )
+    # order 1: {7,8} -> 2 items (dup line collapses); order 2: 2; order 3: 1
+    assert out.loc[1, "n_orders"] == 1
+    assert out.loc[2, "n_orders"] == 2
