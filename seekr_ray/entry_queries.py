@@ -2355,6 +2355,44 @@ def q_retention(sf_dir: str):
     return retention_cohorts(ev)
 
 
+def q_lang_quality_gate(sf_dir: str):
+    """Per-LANGUAGE adaptive length gate: docs strictly above their own
+    lang's exact p10 token count (a global threshold over-prunes
+    low-resource slices)."""
+    import ray.data as rd
+
+    from .extras.stats import grouped_quantile_filter
+    from .extras.textstats import simple_tokens
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "n_tokens": pa.array(
+                    [
+                        len(simple_tokens(t or ""))
+                        for t in batch["text"].to_pylist()
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return grouped_quantile_filter(
+        docs.map_batches(counts, batch_format="pyarrow"),
+        key_col="lang",
+        id_col="doc_id",
+        val_col="n_tokens",
+        q=0.1,
+    )
+
+
 CONVERT_TYPE = "purchase"
 
 
@@ -4195,6 +4233,22 @@ ind AS (SELECT t AS node_id, count(*)::BIGINT AS in_deg FROM e GROUP BY t)
 SELECT node_id, coalesce(out_deg, 0)::BIGINT AS out_deg,
        coalesce(in_deg, 0)::BIGINT AS in_deg
 FROM outd FULL OUTER JOIN ind USING (node_id)"""
+
+    # per-lang interpolated threshold, same quantile_cont expression as
+    # quality_filter but PARTITIONED; strict > on the rounded threshold
+    sql["lang_quality_gate"] = f"""{toks}
+, c AS (SELECT doc_id, lang, len(tokens)::BIGINT AS n_tokens FROM toks)
+, arr AS (SELECT lang, list_sort(list(n_tokens)) AS a, count(*)::BIGINT AS n
+          FROM c GROUP BY lang)
+, thr AS (SELECT lang,
+                 round(a[floor(0.1 * (n - 1))::BIGINT + 1]
+                     * (1.0 - (0.1 * (n - 1) - floor(0.1 * (n - 1))))
+                   + a[ceil(0.1 * (n - 1))::BIGINT + 1]
+                     * (0.1 * (n - 1) - floor(0.1 * (n - 1))), 6) AS t
+          FROM arr)
+SELECT c.doc_id, c.lang, c.n_tokens
+FROM c JOIN thr USING (lang)
+WHERE c.n_tokens::DOUBLE > thr.t"""
 
     sql["conversion_lag"] = f"""WITH f AS (
   SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),

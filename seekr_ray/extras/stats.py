@@ -1065,3 +1065,74 @@ def grouped_trend(
         .sum(["n", "sx", "sy", "sxy", "sxx"])
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def grouped_quantile_filter(
+    ds,
+    *,
+    key_col: str,
+    id_col: str,
+    val_col: str,
+    q: float = 0.1,
+):
+    """Rows strictly above their OWN group's exact continuous
+    q-quantile — the per-language/per-source adaptive quality gate (a
+    global threshold over-prunes low-resource slices; a per-group one
+    keeps each slice's top (1−q)).
+
+    Plan: per-group thresholds from the exact VALUE histogram per group
+    (per-block ``np.unique`` partials over (group, value) — O(groups ×
+    distinct values) exchange, never O(rows)), interpolated with
+    ``quantile_cont``'s expression over cumulative counts, 6dp-rounded,
+    then broadcast into a stateless map filter.  The corpus never
+    shuffles.
+
+    Output: ``(id_col, key_col, val_col)`` of the kept rows.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key_col: batch[key_col],
+                "v": pc.cast(batch[val_col], pa.int64()),
+            }
+        )
+        g = t.group_by([key_col, "v"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                key_col: g[key_col],
+                "v": g["v"],
+                "c": g["count_all"],
+            }
+        )
+
+    hist = (
+        ds.select_columns([key_col, val_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "v"])
+        .sum("c")
+    ).to_pandas()  # O(groups x distinct values)
+    thresholds: dict = {}
+    for key, sub in hist.groupby(key_col):
+        sub = sub.sort_values("v")
+        vals = sub["v"].to_numpy()
+        cnts = sub["sum(c)"].to_numpy()
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        pos = q * (n - 1)
+        lo_i = int(math.floor(pos))
+        hi_i = int(math.ceil(pos))
+        frac = pos - lo_i
+        lo_v = float(vals[np.searchsorted(cum, lo_i, side="right")])
+        hi_v = float(vals[np.searchsorted(cum, hi_i, side="right")])
+        thresholds[key] = round6(lo_v * (1.0 - frac) + hi_v * frac)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        thr = np.array([thresholds[k] for k in keys], np.float64)
+        v = _np_col(batch, val_col).astype(np.float64)
+        return batch.select([id_col, key_col, val_col]).filter(
+            pa.array(v > thr)
+        )
+
+    return ds.map_batches(flt, batch_format="pyarrow")

@@ -159,3 +159,44 @@ def test_copurchase_lift_law():
     assert row["n_ab"] == 2 and row["n_a"] == 3 and row["n_b"] == 2
     # 4 distinct orders total
     assert row["lift"] == round6(2 * 4 / (3 * 2))
+
+
+def test_grouped_quantile_filter_per_group_thresholds():
+    import ray.data as rd
+
+    from seekr_ray.extras.stats import (
+        grouped_quantile_filter,
+        quantile_cont,
+    )
+    from seekr_ray.extras.textstats import round6
+
+    rng = np.random.default_rng(13)
+    # group "x" long docs, group "y" short docs: a per-group gate keeps
+    # y's top slice that a global p25 would have dropped entirely
+    vx = rng.integers(100, 200, 80)
+    vy = rng.integers(1, 20, 80)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(160), pa.int64()),
+            "lang": pa.array(["x"] * 80 + ["y"] * 80),
+            "n_tokens": pa.array(
+                np.concatenate([vx, vy]), pa.int64()
+            ),
+        }
+    )
+    out = _collect(
+        grouped_quantile_filter(
+            rd.from_arrow(tbl).repartition(5),
+            key_col="lang",
+            id_col="doc_id",
+            val_col="n_tokens",
+            q=0.25,
+        )
+    ).to_pandas()
+    tx = round6(quantile_cont(np.sort(vx.astype(np.float64)), 0.25))
+    ty = round6(quantile_cont(np.sort(vy.astype(np.float64)), 0.25))
+    expect = {i for i, v in enumerate(vx) if float(v) > tx} | {
+        80 + i for i, v in enumerate(vy) if float(v) > ty
+    }
+    assert set(out["doc_id"]) == expect
+    assert (out["lang"] == "y").sum() > 0  # low-resource slice survives
