@@ -2384,8 +2384,9 @@ def q_lang_quality_gate(sf_dir: str):
             }
         )
 
+    # two consumers (per-group histograms + keep pass): tokenize once
     return grouped_quantile_filter(
-        docs.map_batches(counts, batch_format="pyarrow"),
+        docs.map_batches(counts, batch_format="pyarrow").materialize(),
         key_col="lang",
         id_col="doc_id",
         val_col="n_tokens",
@@ -2745,8 +2746,12 @@ def q_hourly_burst(sf_dir: str):
         os.path.join(sf_dir, "events.parquet"),
         columns=["ts", "event_type", "value"],
     )
-    counts = tumbling_agg(ev, unit="hour").select_columns(
-        ["window", "event_type", "n"]
+    # grouped_zscore reads its input twice (moments + map); materialize
+    # the O(types x hours) counts so the tumbling agg runs once
+    counts = (
+        tumbling_agg(ev, unit="hour")
+        .select_columns(["window", "event_type", "n"])
+        .materialize()
     )
     z = grouped_zscore(
         counts, key_col="event_type", val_col="n", id_col="window", scale=1
@@ -2831,7 +2836,10 @@ def q_quality_filter(sf_dir: str):
     from .extras.stats import global_quantile_filter
     from .extras.textstats import doc_token_counts
 
-    counts = doc_token_counts(_docs_text(sf_dir))
+    # the filter consumes counts twice (histogram + keep pass);
+    # materialize the narrow (doc_id, n_tokens) table so the text is
+    # tokenized once — at 100 TB write it to parquet instead
+    counts = doc_token_counts(_docs_text(sf_dir)).materialize()
     return global_quantile_filter(
         counts, id_col="doc_id", val_col="n_tokens", q=0.1
     )
