@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # a time budget covers as many as possible.
     return {
         # --- not yet driver-recorded (SQL-oracled) ---
+        "ppr_lineitem": eq.q_ppr_lineitem,
         "lang_quality_gate": eq.q_lang_quality_gate,
         "conversion_lag": eq.q_conversion_lag,
         "basket_sizes": eq.q_basket_sizes,
@@ -304,4 +305,5 @@ def oracle_sql() -> dict[str, str]:
         "conversion_lag": m["conversion_lag"],
         "basket_sizes": m["basket_sizes"],
         "lang_quality_gate": m["lang_quality_gate"],
+        "ppr_lineitem": m["ppr_lineitem"],
     }

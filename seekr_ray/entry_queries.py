@@ -283,6 +283,83 @@ def q_pagerank_lineitem(sf_dir: str):
     )
 
 
+PPR_SEEDS_MOD = 16
+
+
+def q_ppr_lineitem(sf_dir: str):
+    """Personalized PageRank (restart on the deterministic seed set
+    node % 16 == 1) over the same order→part bipartite graph — the
+    local-relevance / recommendation variant of pagerank_lineitem; both
+    driver-numpy and distributed paths run the identical seeded update
+    (asserted equal by pytest)."""
+    import ray.data as rd
+
+    from .graph.pagerank import dedup_edges, personalized_pagerank_fixed_iters
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(ok * 2, pa.int64()),
+                "dst": pa.array(pk * 2 + 1, pa.int64()),
+            }
+        )
+
+    edges = dedup_edges(ds.map_batches(to_edges, batch_format="pyarrow"))
+    tbl = personalized_pagerank_fixed_iters(
+        edges,
+        seeds_mod=PPR_SEEDS_MOD,
+        damping=PAGERANK_FIXED_DAMPING,
+        n_iters=PAGERANK_FIXED_ITERS,
+    )
+    pr = tbl["ppr"].to_numpy(zero_copy_only=False)
+    pr6 = np.copysign(np.floor(np.abs(pr) * 1e6 + 0.5), pr) / 1e6
+    return pa.table({"node": tbl["node"], "ppr": pa.array(pr6, pa.float64())})
+
+
+def _ppr_lineitem_sql(k: int, d: float, m: int) -> str:
+    """Unrolled K-iteration PERSONALIZED PageRank: the teleport terms
+    land only on the seed rows (CASE), mirroring _pagerank_numpy's
+    seeded update expression-for-expression."""
+    parts = [
+        f"""WITH edges AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outdeg AS MATERIALIZED (SELECT src AS node, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+sc AS (SELECT count(*)::DOUBLE AS s FROM nodes WHERE node % {m} = 1),
+r0 AS MATERIALIZED (SELECT node,
+        CASE WHEN node % {m} = 1 THEN 1.0 / (SELECT s FROM sc) ELSE 0.0 END AS pr
+      FROM nodes)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+d{i - 1} AS (SELECT coalesce(sum(r.pr), 0) AS dm
+  FROM r{i - 1} r LEFT JOIN outdeg o ON r.node = o.node WHERE o.node IS NULL),
+r{i} AS MATERIALIZED (
+  SELECT n.node,
+         {d} * coalesce(c.contrib, 0)
+         + CASE WHEN n.node % {m} = 1
+                THEN (1 - {d}) / (SELECT s FROM sc)
+                     + {d} * (SELECT dm FROM d{i - 1}) / (SELECT s FROM sc)
+                ELSE 0.0 END AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.pr / o.deg) AS contrib
+    FROM edges e JOIN r{i - 1} r ON r.node = e.src JOIN outdeg o ON o.node = e.src
+    GROUP BY e.dst) c ON c.node = n.node
+)"""
+        )
+    parts.append(f"\nSELECT node, round(pr, 6) AS ppr FROM r{k}")
+    return "".join(parts)
+
+
 def _pagerank_lineitem_sql(k: int, d: float) -> str:
     """Unrolled K-iteration PageRank in plain SQL (MATERIALIZED per step
     so CTE inlining stays linear in K)."""
@@ -3199,6 +3276,10 @@ FROM reach GROUP BY node"""
 
     sql["pagerank_lineitem"] = _pagerank_lineitem_sql(
         PAGERANK_FIXED_ITERS, PAGERANK_FIXED_DAMPING
+    )
+
+    sql["ppr_lineitem"] = _ppr_lineitem_sql(
+        PAGERANK_FIXED_ITERS, PAGERANK_FIXED_DAMPING, PPR_SEEDS_MOD
     )
 
     sql["bool_and"] = f"""{toks}

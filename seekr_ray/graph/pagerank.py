@@ -230,10 +230,16 @@ def _pagerank_numpy(
     damping: float,
     epsilon: float,
     n_iters: int | None = None,
+    seeds_mod: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact reference math over edge arrays.  Returns (node_ids, ranks).
     ``n_iters`` switches from ε-convergence to exactly that many
-    synchronous iterations (the SQL-oracle-comparable form)."""
+    synchronous iterations (the SQL-oracle-comparable form).
+
+    ``seeds_mod``: when set, runs PERSONALIZED PageRank — the teleport
+    mass restarts on the seed set ``{node % seeds_mod == 1}`` instead of
+    uniformly (the recommendation / local-relevance variant); None keeps
+    the classic update bit-identical to before the parameter existed."""
     nodes = np.union1d(src, dst)
     n = len(nodes)
     if n == 0:
@@ -242,7 +248,16 @@ def _pagerank_numpy(
     di = np.searchsorted(nodes, dst)
     outdeg = np.zeros(n, dtype=np.int64)
     np.add.at(outdeg, si, 1)
-    p = np.full(n, 1.0 / n)
+    if seeds_mod is None:
+        seed_mask = None
+        p = np.full(n, 1.0 / n)
+    else:
+        seed_mask = nodes % seeds_mod == 1
+        s = int(seed_mask.sum())
+        if s == 0:
+            raise ValueError("empty personalization seed set")
+        p = np.zeros(n)
+        p[seed_mask] = 1.0 / s
     dangling_nodes = outdeg == 0
     inv_out = np.zeros(n)
     nz = outdeg > 0
@@ -252,7 +267,15 @@ def _pagerank_numpy(
         dangling = p[dangling_nodes].sum()
         contrib = np.zeros(n)
         np.add.at(contrib, di, p[si] * inv_out[si])
-        new_p = (1 - damping) / n + damping * contrib + damping * dangling / n
+        if seed_mask is None:
+            new_p = (
+                (1 - damping) / n + damping * contrib + damping * dangling / n
+            )
+        else:
+            new_p = damping * contrib
+            new_p[seed_mask] = new_p[seed_mask] + (
+                (1 - damping) / s + damping * dangling / s
+            )
         converged = (
             done + 1 >= n_iters
             if n_iters is not None
@@ -316,12 +339,17 @@ def _graph_metadata(edges_ds) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _pagerank_distributed(
-    edges_ds, damping: float, epsilon: float, n_iters: int | None = None
+    edges_ds,
+    damping: float,
+    epsilon: float,
+    n_iters: int | None = None,
+    seeds_mod: int | None = None,
 ):
     """Distributed power iteration: edges stay a Dataset; the driver holds
     only O(V) numpy arrays (8 B/node — ranks), broadcast once per
     iteration; contribs are vectorized searchsorted+take with per-batch
-    partial sums before the ``groupby(dst).sum`` exchange."""
+    partial sums before the ``groupby(dst).sum`` exchange.
+    ``seeds_mod``: personalized-restart variant (see _pagerank_numpy)."""
     import ray
     import ray.data as rd
 
@@ -338,7 +366,16 @@ def _pagerank_distributed(
     nz = outdeg_arr > 0
     inv_out[nz] = 1.0 / outdeg_arr[nz]
     dangling_mask = ~nz
-    ranks = np.full(n, 1.0 / n)
+    if seeds_mod is None:
+        seed_mask = None
+        ranks = np.full(n, 1.0 / n)
+    else:
+        seed_mask = nodes_arr % seeds_mod == 1
+        s = int(seed_mask.sum())
+        if s == 0:
+            raise ValueError("empty personalization seed set")
+        ranks = np.zeros(n)
+        ranks[seed_mask] = 1.0 / s
 
     edges = edges_ds.materialize()
 
@@ -374,9 +411,15 @@ def _pagerank_distributed(
             di = np.searchsorted(nodes_arr, b["dst"].to_numpy(zero_copy_only=False))
             contrib[di] = b["sum(c)"].to_numpy(zero_copy_only=False)
         dangling = ranks[dangling_mask].sum()
-        new_ranks = (
-            (1 - damping) / n + damping * contrib + damping * dangling / n
-        )
+        if seed_mask is None:
+            new_ranks = (
+                (1 - damping) / n + damping * contrib + damping * dangling / n
+            )
+        else:
+            new_ranks = damping * contrib
+            new_ranks[seed_mask] = new_ranks[seed_mask] + (
+                (1 - damping) / s + damping * dangling / s
+            )
         delta = np.max(np.abs(new_ranks - ranks))
         ranks = new_ranks
         done += 1
@@ -469,6 +512,51 @@ def pagerank_fixed_iters(
             edges_ds, damping, 0.0, n_iters=n_iters
         ).rename_columns(["node", "page_rank"])
     return tbl
+
+
+def personalized_pagerank_fixed_iters(
+    edges_ds,
+    *,
+    seeds_mod: int = 16,
+    damping: float = 0.85,
+    n_iters: int = 4,
+    driver_edge_limit: int = 50_000_000,
+):
+    """Personalized PageRank, K synchronous iterations: the teleport
+    mass restarts on the deterministic seed set ``{node % seeds_mod ==
+    1}`` — the local-relevance / recommendation variant of A5 (scores
+    decay with distance from the seeds instead of measuring global
+    centrality).  Same count()-gated driver-numpy / distributed path
+    selection as ``pagerank_fixed_iters``; both paths run the identical
+    seeded update.  Output: (node, ppr)."""
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "ppr": pa.array([], pa.float64()),
+            }
+        )
+    if n_edges <= driver_edge_limit:
+        head = edges_ds.to_pandas(limit=None)
+        nodes, ranks = _pagerank_numpy(
+            head["src"].to_numpy(),
+            head["dst"].to_numpy(),
+            damping,
+            0.0,
+            n_iters=n_iters,
+            seeds_mod=seeds_mod,
+        )
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "ppr": pa.array(ranks, pa.float64()),
+            }
+        )
+    return _pagerank_distributed(
+        edges_ds, damping, 0.0, n_iters=n_iters, seeds_mod=seeds_mod
+    ).rename_columns(["node", "ppr"])
 
 
 _EMPTY_PR = pa.table(

@@ -120,3 +120,42 @@ def test_fixed_iters_paths_agree(ray_session):
     via_3 = pagerank_fixed_iters(edges_ds, n_iters=3)
     d3 = dict(zip(via_3["node"].to_pylist(), via_3["page_rank"].to_pylist()))
     assert any(not math.isclose(d1[n], d3[n], abs_tol=1e-12) for n in d1)
+
+
+def test_ppr_numpy_vs_distributed_equal(ray_session):
+    """Personalized PageRank: the seeded distributed iteration equals
+    the seeded driver-numpy iteration bit-for-bit at 6dp, mass stays
+    ~1, and non-seed-reachable nodes score 0."""
+    import ray.data as rd
+
+    from seekr_ray.graph.pagerank import personalized_pagerank_fixed_iters
+
+    edges = _edges()
+    tbl = pa.table(
+        {
+            "src": pa.array([a for a, _ in edges], pa.int64()),
+            "dst": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(3)
+    drv = (
+        personalized_pagerank_fixed_iters(ds, seeds_mod=2, n_iters=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    dist = (
+        personalized_pagerank_fixed_iters(
+            ds, seeds_mod=2, n_iters=4, driver_edge_limit=1
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert list(drv["node"]) == list(dist["node"])
+    assert np.allclose(drv["ppr"], dist["ppr"], atol=1e-12)
+    assert abs(drv["ppr"].sum() - 1.0) < 1e-6
+    # seeds (odd nodes) hold teleport mass; everything is >= 0
+    assert (drv["ppr"] >= 0).all()
+    seeds = drv[drv["node"] % 2 == 1]
+    assert (seeds["ppr"] > 0).all()
