@@ -142,6 +142,25 @@ def cmd_extend(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    import ray
+
+    from .stages.merge import merge_indexes
+
+    _init_ray(args.num_cpus)
+    metrics = merge_indexes(
+        args.index_a,
+        args.index_b,
+        args.out_dir,
+        key_cols=args.key_cols.split(","),
+        links_path=args.links or None,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(metrics, indent=1, sort_keys=True))
+    ray.shutdown()
+    return 0
+
+
 def cmd_compact(args) -> int:
     import ray
 
@@ -244,6 +263,25 @@ def main(argv=None) -> int:
     e.add_argument("--content-col", default="content")
     e.add_argument("--num-cpus", type=int, default=None)
     e.set_defaults(fn=cmd_extend)
+
+    m = sub.add_parser(
+        "merge",
+        help="merge two independently built indexes into a new one — "
+        "shard-parallel build topology; identical to a unified build "
+        "over the concatenated corpora, without re-tokenizing",
+    )
+    m.add_argument("--index-a", required=True)
+    m.add_argument("--index-b", required=True)
+    m.add_argument("--out-dir", required=True)
+    m.add_argument("--key-cols", default="repo,path,commit")
+    m.add_argument(
+        "--links", default=None,
+        help="union-graph links parquet for the PageRank recompute "
+        "(subgraph ranks are not mergeable; omit to serve rank 0.0)",
+    )
+    m.add_argument("--num-cpus", type=int, default=None)
+    m.add_argument("--no-resume", action="store_true")
+    m.set_defaults(fn=cmd_merge)
 
     c = sub.add_parser(
         "compact",
