@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_decontaminate": eq.q_bloom_decontaminate,
         "bpe_pair_counts": eq.q_bpe_pair_counts,
         "cap_per_lang": eq.q_cap_per_lang,
+        "token_budget_sample": eq.q_token_budget_sample,
         "semdedup_pairs": eq.q_semdedup_pairs,
         "pack_by_lang": eq.q_pack_by_lang,
         "hll_users_by_type": eq.q_hll_users_by_type,
@@ -246,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decontaminate": m["bloom_decontaminate"],
         "bpe_pair_counts": m["bpe_pair_counts"],
         "cap_per_lang": m["cap_per_lang"],
+        "token_budget_sample": m["token_budget_sample"],
         "semdedup_pairs": m["semdedup_pairs"],
         "pack_by_lang": m["pack_by_lang"],
         "hll_users_by_type": m["hll_users_by_type"],

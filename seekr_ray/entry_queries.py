@@ -1682,6 +1682,36 @@ def q_semdedup_pairs(sf_dir: str):
 
 
 CAP_PER_LANG = 20  # per-language doc quota for the cap_per_lang entry
+TOKEN_BUDGET = 2500  # per-language token budget (partial at sf0.001-0.1)
+
+
+def q_token_budget_sample(sf_dir: str):
+    """Exact token-budget mixing: per language, keep docs in the
+    stateless md5 order while the inclusive running token total stays
+    <= TOKEN_BUDGET — the tokens-form mixture recipe (cap_per_lang is
+    the docs-form, mixture_sample the rate-form).  Three-phase exact
+    distributed scan, no global sort (extras/budget.py)."""
+    import ray.data as rd
+
+    from .extras.budget import token_budget_sample
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+    out = (
+        token_budget_sample(docs, budget=TOKEN_BUDGET, group_col="lang")
+        .to_pandas()
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+        }
+    )
 
 
 def q_cap_per_lang(sf_dir: str):
@@ -3805,6 +3835,17 @@ ORDER BY a, b"""
              ORDER BY md5_number_upper(doc_id::VARCHAR), doc_id) AS rn
   FROM documents)
 WHERE rn <= {CAP_PER_LANG} ORDER BY lang, doc_id"""
+
+    sql["token_budget_sample"] = f"""{toks}
+, n AS (
+  SELECT lang, doc_id, len(tokens)::BIGINT AS n_tokens,
+         md5_number_upper(doc_id::VARCHAR) AS h
+  FROM toks)
+SELECT lang, doc_id, n_tokens FROM (
+  SELECT lang, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id) AS cum
+  FROM n)
+WHERE cum <= {TOKEN_BUDGET} ORDER BY lang, doc_id"""
 
     sql["bpe_pair_counts"] = f"""{toks}
 , wf AS (
