@@ -792,6 +792,70 @@ class QueryEngine:
         return self._taat_arrays(ids_list, contribs, k)
 
     # ------------------------------------------------------------------
+    # scatter-gather: doc-range-restricted top-k (service.py)
+    # ------------------------------------------------------------------
+
+    def search_topk_range(
+        self,
+        query: str,
+        k: int = 10,
+        lo: int = 0,
+        hi: int = 1 << 62,  # == _MAX_DOC (defined below this method)
+        mode: str = "auto",
+        scorer: str = "tfidf",
+    ) -> list[tuple[int, float]]:
+        """Top-k restricted to doc ids in ``[lo, hi)`` — the per-shard
+        half of scatter-gather serving (``SearchService.search_topk_
+        scatter``): W actors each score one doc-id range of the SAME
+        query in parallel and the caller merges the W top-k lists.
+
+        Exact by construction: a doc's score depends only on its own
+        postings plus global constants (idf, avgdl, pagerank), so
+        partitioning the doc space partitions the candidates, never the
+        scores, and every global top-k doc is in its range's top-k.
+        Posting lists are doc_id-sorted, so the restriction is two
+        searchsorted cuts per term — no decode beyond the slice ever
+        happens on the TAAT path, and WAND's block-max pruning applies
+        within the slice.  Plain free-text queries only (boolean/phrase
+        carry reference semantics that are whole-corpus by definition —
+        route those to ``search_topk``)."""
+        q = (query or "").strip()
+        if detect_operator(q) or is_quoted(q):
+            raise ValueError(
+                "search_topk_range serves plain free-text queries; "
+                "boolean/phrase queries go through search_topk"
+            )
+        stems, _ = tokenize_and_stem(q)
+        self.store.postings_many(stems)
+        terms = []
+        for s in stems:
+            tp = self.store.postings(s)
+            if tp is not None:
+                terms.append(tp)
+        if not terms:
+            return []
+        if scorer == "bm25":
+            contribs = [self._bm25_contribs(t) for t in terms]
+        elif scorer == "tfidf":
+            contribs = [t.tfs * t.idf for t in terms]
+        else:
+            raise ValueError(f"unknown scorer {scorer!r}")
+        ids_list = []
+        cut = []
+        for t, c in zip(terms, contribs):
+            i0 = int(np.searchsorted(t.doc_ids, lo, side="left"))
+            i1 = int(np.searchsorted(t.doc_ids, hi, side="left"))
+            ids_list.append(t.doc_ids[i0:i1])
+            cut.append(c[i0:i1])
+        if mode == "wand":
+            ubs = [
+                self.cfg.tfidf_weight * (float(c.max()) if c.size else 0.0)
+                for c in cut
+            ]
+            return self._wand_arrays(ids_list, cut, ubs, k)
+        return self._taat_arrays(ids_list, cut, k)
+
+    # ------------------------------------------------------------------
     # serving (BackendManager.search analog)
     # ------------------------------------------------------------------
 

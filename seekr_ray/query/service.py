@@ -31,6 +31,13 @@ class _EngineActor:
     def search_topk(self, query: str, k: int, mode: str) -> list:
         return self.engine.search_topk(query, k, mode=mode)
 
+    def search_topk_range(
+        self, query: str, k: int, lo: int, hi: int, mode: str, scorer: str
+    ) -> list:
+        return self.engine.search_topk_range(
+            query, k, lo=lo, hi=hi, mode=mode, scorer=scorer
+        )
+
     def suggest(self, query: str, limit: int) -> list:
         return self.engine.suggest(query, limit)
 
@@ -52,6 +59,7 @@ class SearchService:
     ):
         # each actor appends to its own part files (query_log.py), so one
         # shared log_dir needs no cross-actor coordination
+        self.index_dir = index_dir
         self.actors = [
             _EngineActor.remote(index_dir, query_log_dir)
             for _ in range(num_actors)
@@ -85,6 +93,50 @@ class SearchService:
             self._pick(q).search_topk.remote(q, k, "auto") for q in queries
         ]
         return ray.get(refs)
+
+    def _range_bounds(self) -> list[tuple[int, int]]:
+        """One contiguous doc-id range per actor, split along the id
+        partitions (doc_id = pid << 40 | rank, stages/doc_table.py), so
+        every doc lands in exactly one range.  pid-aligned bounds are
+        even enough for the fixture's hash-uniform pids; a skewed corpus
+        would derive bounds from the docs parquet's per-pid footer
+        counts instead (same O(P) metadata, no data read)."""
+        from ..build import load_meta
+        from ..config import DOC_ID_PARTITION_SHIFT, IndexConfig
+
+        meta = load_meta(self.index_dir)
+        n_pid = IndexConfig.from_dict(meta["config"]).num_id_partitions
+        w = len(self.actors)
+        edges = [round(i * n_pid / w) for i in range(w + 1)]
+        return [
+            (edges[i] << DOC_ID_PARTITION_SHIFT,
+             edges[i + 1] << DOC_ID_PARTITION_SHIFT)
+            for i in range(w)
+            if edges[i] < edges[i + 1]
+        ]
+
+    def search_topk_scatter(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "auto",
+        scorer: str = "tfidf",
+    ) -> list:
+        """Scatter-gather top-k: every actor scores one doc-id range of
+        the SAME query in parallel, the driver merges the per-range
+        top-k lists under the global tie rule (score desc, doc_id asc).
+        Exact — equal to the single-engine result by test — and the
+        latency path for queries whose posting lists dwarf one core
+        (10^12-doc hot terms): wall time is the slowest RANGE, not the
+        whole list.  Plain free-text queries only (see
+        ``QueryEngine.search_topk_range``)."""
+        refs = [
+            a.search_topk_range.remote(query, k, lo, hi, mode, scorer)
+            for a, (lo, hi) in zip(self.actors, self._range_bounds())
+        ]
+        merged = [t for part in ray.get(refs) for t in part]
+        merged.sort(key=lambda t: (-t[1], t[0]))
+        return merged[:k]
 
     def suggest(self, query: str, limit: int = 5) -> list:
         return ray.get(self._pick(query).suggest.remote(query, limit))
