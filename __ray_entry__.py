@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": eq.q_bpe_merges,
         "bpe_token_counts": eq.q_bpe_token_counts,
         "corpus_index_manifest": eq.q_corpus_index_manifest,
+        "corpus_merge_parity": eq.q_corpus_merge_parity,
         "corpus_search": eq.q_corpus_search,
         "corpus_search_bm25": eq.q_corpus_search_bm25,
         "corpus_pagerank": eq.q_corpus_pagerank,

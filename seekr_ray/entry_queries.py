@@ -1847,6 +1847,83 @@ def _corpus_index(sf_dir: str) -> str:
     return index_dir
 
 
+def q_corpus_merge_parity(sf_dir: str):
+    """Self-checking shard-merge parity (stages/merge.py): build two
+    indexes over the fixture corpus halves, merge them, and require the
+    result IDENTICAL to the unified corpus index — doc ids, (term, df,
+    idf) stats, and (doc_id, score) search results across the whole
+    QUERY_SET.  Any divergence raises, failing the driver entry; the
+    recorded rows are the merged manifest (partition, n_terms,
+    n_postings) with the parity flag."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from .build import build_index, read_docs_table
+    from .config import IndexConfig
+    from .fixtures import QUERY_SET, cached_corpus_path, cached_links_path
+    from .query.engine import QueryEngine
+    from .stages.merge import merge_indexes
+    from .stages.segments import read_manifest
+
+    n = _corpus_rows_for(sf_dir)
+    unified_dir = _corpus_index(sf_dir)
+    merged_dir = f"/tmp/seekr_entry_index_n{n}_v3_merged"
+    if not os.path.exists(os.path.join(merged_dir, "meta.json")):
+        corpus = _pq.read_table(cached_corpus_path(n))
+        half = n // 2
+        cfg = IndexConfig(
+            num_term_partitions=8, num_id_partitions=8, hot_df_threshold=2000
+        )
+        shards = {}
+        for name, tbl in (
+            ("a", corpus.slice(0, half)),
+            ("b", corpus.slice(half)),
+        ):
+            path = f"/tmp/seekr_entry_shard_n{n}_{name}.parquet"
+            _pq.write_table(tbl, path)
+            idx = f"/tmp/seekr_entry_index_n{n}_v3_shard_{name}"
+            if not os.path.exists(os.path.join(idx, "meta.json")):
+                build_index(
+                    rd.read_parquet(path), idx, cfg,
+                    key_cols=["repo", "path", "commit"], input_path=path,
+                )
+            shards[name] = idx
+        merge_indexes(
+            shards["a"], shards["b"], merged_dir,
+            key_cols=["repo", "path", "commit"],
+            links_path=cached_links_path(n),
+        )
+
+    # parity gate — identical docs, stats, and scores, or raise
+    def docs_of(d):
+        t = read_docs_table(d, columns=["doc_id", "content_sha256"])
+        return sorted(
+            zip(t["doc_id"].to_pylist(), t["content_sha256"].to_pylist())
+        )
+
+    assert docs_of(merged_dir) == docs_of(unified_dir), "docs diverge"
+    em, eu = QueryEngine(merged_dir), QueryEngine(unified_dir)
+    for qid, query, k in QUERY_SET:
+        rm = [(d, round(s, 9)) for d, s in em.search_topk(query, k)]
+        ru = [(d, round(s, 9)) for d, s in eu.search_topk(query, k)]
+        assert rm == ru, f"search diverges on {qid}"
+
+    rows = read_manifest(merged_dir)
+    parts = sorted(rows)
+    return pa.table(
+        {
+            "partition": pa.array(parts, pa.int64()),
+            "n_terms": pa.array(
+                [int(rows[p].get("n_terms", 0)) for p in parts], pa.int64()
+            ),
+            "n_postings": pa.array(
+                [int(rows[p].get("n_postings", 0)) for p in parts], pa.int64()
+            ),
+            "parity": pa.array([True] * len(parts), pa.bool_()),
+        }
+    )
+
+
 def q_corpus_index_manifest(sf_dir: str):
     """Per-partition lineage/metrics of the corpus index build."""
     from .stages.segments import read_manifest
