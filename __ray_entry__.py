@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_users": eq.q_cumulative_users,
         "compress_ratio": eq.q_compress_ratio,  # rows-only: zlib
         "copurchase": eq.q_copurchase,
+        "triangles": eq.q_triangles,
         "value_trend": eq.q_value_trend,
         "transition_entropy": eq.q_transition_entropy,
         "source_overlap": eq.q_source_overlap,
@@ -304,6 +305,7 @@ def oracle_sql() -> dict[str, str]:
         "value_trend": m["value_trend"],
         "transition_entropy": m["transition_entropy"],
         "copurchase": m["copurchase"],
+        "triangles": m["triangles"],
         "cumulative_users": m["cumulative_users"],
         "conversion_lag": m["conversion_lag"],
         "basket_sizes": m["basket_sizes"],

@@ -2647,6 +2647,24 @@ def q_copurchase(sf_dir: str):
     return copurchase_lift(li, min_support=2)
 
 
+def q_triangles(sf_dir: str):
+    """Triangle count of the co-purchase graph (distinct canonical part
+    pairs sharing an order) — degree-oriented compact-forward, the
+    O(m^1.5) wedge-probe bound with per-bucket vectorized kernels."""
+    import ray.data as rd
+
+    from .extras.triangles import cooccurrence_edges, triangle_count
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+    edges = cooccurrence_edges(
+        li, group_col="l_orderkey", item_col="l_partkey"
+    )
+    return triangle_count(edges)
+
+
 def q_value_trend(sf_dir: str):
     """Per-event-type OLS trend of value over time (dollars/day) —
     drift detection with exact integer sufficient statistics."""
@@ -4495,6 +4513,18 @@ SELECT pr.item_a, pr.item_b, pr.n_ab, ma.n_i AS n_a, mb.n_i AS n_b,
 FROM pr JOIN m ma ON ma.i = pr.item_a
         JOIN m mb ON mb.i = pr.item_b
         CROSS JOIN n"""
+
+    # canonical co-purchase edges (a < b); triangles counted once each
+    # as x < y < z wedges probed against the edge set — the SQL mirror
+    # of the compact-forward enumeration
+    sql["triangles"] = """WITH di AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+e AS (SELECT DISTINCT a.i AS a, b.i AS b
+      FROM di a JOIN di b ON a.o = b.o AND a.i < b.i)
+SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges,
+       (SELECT count(*) FROM e e1
+          JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)::BIGINT AS n_triangles"""
 
     # integer days x, integer cents y: all five sufficient statistics
     # are exact integers (HUGEINT sums == Python ints); the final
