@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compress_ratio": eq.q_compress_ratio,  # rows-only: zlib
         "copurchase": eq.q_copurchase,
         "triangles": eq.q_triangles,
+        "cosine_pairs": eq.q_cosine_pairs,
         "value_trend": eq.q_value_trend,
         "transition_entropy": eq.q_transition_entropy,
         "source_overlap": eq.q_source_overlap,
@@ -306,6 +307,7 @@ def oracle_sql() -> dict[str, str]:
         "transition_entropy": m["transition_entropy"],
         "copurchase": m["copurchase"],
         "triangles": m["triangles"],
+        "cosine_pairs": m["cosine_pairs"],
         "cumulative_users": m["cumulative_users"],
         "conversion_lag": m["conversion_lag"],
         "basket_sizes": m["basket_sizes"],

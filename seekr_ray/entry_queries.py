@@ -2647,6 +2647,23 @@ def q_copurchase(sf_dir: str):
     return copurchase_lift(li, min_support=2)
 
 
+APSS_THRESHOLD = 0.4
+APSS_MAX_DF = 100
+
+
+def q_cosine_pairs(sf_dir: str):
+    """All-pairs bag-of-words cosine >= threshold over the df-capped
+    term space — the lexical (inverted-index self-join) complement of
+    the embedding near-dup path; exact integer dots and norms."""
+    from .extras.apss import cosine_pairs
+
+    return cosine_pairs(
+        _docs_text(sf_dir),
+        threshold=APSS_THRESHOLD,
+        max_df=APSS_MAX_DF,
+    )
+
+
 def q_triangles(sf_dir: str):
     """Triangle count of the co-purchase graph (distinct canonical part
     pairs sharing an order) — degree-oriented compact-forward, the
@@ -4513,6 +4530,25 @@ SELECT pr.item_a, pr.item_b, pr.n_ab, ma.n_i AS n_a, mb.n_i AS n_b,
 FROM pr JOIN m ma ON ma.i = pr.item_a
         JOIN m mb ON mb.i = pr.item_b
         CROSS JOIN n"""
+
+    # exact-integer tf dots and squared norms over the df-capped term
+    # space; the cosine expression (BIGINT product -> DOUBLE -> sqrt ->
+    # divide) is mirrored op-for-op by extras/apss.py finish()
+    sql["cosine_pairs"] = f"""{toks},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(tokens) AS term FROM toks) GROUP BY 1, 2),
+kept AS (SELECT term FROM tf GROUP BY term HAVING count(*) <= {APSS_MAX_DF}),
+ftf AS (SELECT tf.* FROM tf JOIN kept USING (term)),
+nrm AS (SELECT doc_id, sum(tf * tf)::BIGINT AS norm2 FROM ftf GROUP BY doc_id),
+dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              sum(a.tf * b.tf)::BIGINT AS dot
+       FROM ftf a JOIN ftf b ON a.term = b.term AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT doc_a, doc_b, dot, na.norm2 AS norm2_a, nb.norm2 AS norm2_b,
+       round(dot::DOUBLE / sqrt((na.norm2 * nb.norm2)::DOUBLE), 6) AS cosine
+FROM dt JOIN nrm na ON na.doc_id = dt.doc_a
+        JOIN nrm nb ON nb.doc_id = dt.doc_b
+WHERE dot::DOUBLE / sqrt((na.norm2 * nb.norm2)::DOUBLE) >= {APSS_THRESHOLD}"""
 
     # canonical co-purchase edges (a < b); triangles counted once each
     # as x < y < z wedges probed against the edge set — the SQL mirror

@@ -1,0 +1,311 @@
+"""All-pairs sparse cosine similarity (APSS) over bag-of-words vectors.
+
+The lexical complement of the embedding near-dup family
+(extras/dedup.py cosine / extras/similarity.py ANN): document pairs
+whose raw-term-frequency vectors have cosine >= threshold, computed
+EXACTLY with integer sufficient statistics — dot products and squared
+norms are int64 sums, the final ``dot / sqrt(norm2_a * norm2_b)`` is
+one IEEE-exact expression mirrored op-for-op by the SQL oracle.
+
+Shape (term-partitioned, the classic inverted-index self-join):
+
+1. token rows (md5(token)-bucketed) — every posting of a term lands in
+   ONE bucket, so per-bucket df counts are globally correct;
+2. fused per-bucket kernel: df filter (``max_df``) + pair partial dots
+   (triu per term, locally combined by packed pair key) + per-doc
+   norm partials, emitted as one tagged stream;
+3. one groupby routes pair partials to hash(pair) buckets and norm
+   partials to hash(doc) buckets and sums both;
+4. two co-partition passes (the extras/joins.py union+groupby kernel)
+   stamp norm2_a / norm2_b onto each pair; threshold filter last.
+
+``max_df`` is the semantic scale lever: cosine is computed over the
+term space with df <= max_df.  Stop-like terms contribute near-zero
+angle information but O(df^2) pair partials — at 10^12 docs the
+unfiltered self-join is quadratic in the hottest term's df, so the
+df cap is load-bearing, not an optimization (PPJoin-style prefix
+filtering, which stays exact, lives in extras/dedup.py for Jaccard).
+
+Doc ids pack into uint64 halves (must fit uint32 — asserted; wider id
+spaces would switch to the 128-bit md5 pairing the dedup modules use).
+Squared norms are bounded by (max tf)^2 * doc terms, so the int64
+``norm2_a * norm2_b`` product in the cosine stays far from overflow
+for any document under ~2^15 tokens; the kernel asserts it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from .textstats import simple_tokens
+
+
+def _tok_bucket(token: str, num_buckets: int) -> int:
+    return int.from_bytes(
+        hashlib.md5(token.encode()).digest()[:8], "little"
+    ) % num_buckets
+
+
+def _pack(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if len(a) and (a.max() >= (1 << 32) or b.max() >= (1 << 32)):
+        raise ValueError("cosine_pairs packs doc ids into uint32 halves")
+    return (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+
+
+def cosine_pairs(
+    docs_ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    num_buckets: int = 64,
+):
+    """Pairs (doc_a < doc_b) with bag-of-words cosine >= ``threshold``
+    over the df-capped term space.  Output:
+    (doc_a, doc_b, dot, norm2_a, norm2_b, cosine[6dp])."""
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        out_b, out_t, out_d, out_f = [], [], [], []
+        for did, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            acc: dict[str, int] = {}
+            for t in simple_tokens(text or ""):
+                acc[t] = acc.get(t, 0) + 1
+            for t, c in acc.items():
+                out_b.append(_tok_bucket(t, num_buckets))
+                out_t.append(t)
+                out_d.append(did)
+                out_f.append(c)
+        return pa.table(
+            {
+                "_tb": pa.array(out_b, pa.int64()),
+                "term": pa.array(out_t, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "tf": pa.array(out_f, pa.int64()),
+            }
+        )
+
+    def per_term_bucket(group: pa.Table) -> pa.Table:
+        """df filter + pair partial dots + norm partials, one pass."""
+        terms = group["term"].to_numpy(zero_copy_only=False)
+        docs = group["doc_id"].to_numpy(zero_copy_only=False)
+        tfs = group["tf"].to_numpy(zero_copy_only=False)
+        codes, inv = np.unique(terms, return_inverse=True)
+        df = np.bincount(inv, minlength=len(codes))
+        if max_df is not None:
+            keep = df[inv] <= max_df
+            inv, docs, tfs = inv[keep], docs[keep], tfs[keep]
+        order = np.lexsort((docs, inv))
+        inv, docs, tfs = inv[order], docs[order], tfs[order]
+
+        # pair partials: triu per term run
+        starts = np.flatnonzero(
+            np.concatenate(([True], inv[1:] != inv[:-1])) if len(inv) else []
+        )
+        ends = np.append(starts[1:], len(inv))
+        pk_parts, pv_parts = [], []
+        for lo, hi in zip(starts, ends):
+            d = hi - lo
+            if d < 2:
+                continue
+            xi, yi = np.triu_indices(d, k=1)
+            pk_parts.append(_pack(docs[lo:hi][xi], docs[lo:hi][yi]))
+            pv_parts.append(tfs[lo:hi][xi] * tfs[lo:hi][yi])
+        if pk_parts:
+            pk = np.concatenate(pk_parts)
+            pv = np.concatenate(pv_parts)
+            upk, pinv = np.unique(pk, return_inverse=True)  # local combine
+            pdot = np.zeros(len(upk), np.int64)
+            np.add.at(pdot, pinv, pv)  # exact int64 accumulation
+        else:
+            upk = np.empty(0, np.uint64)
+            pdot = np.empty(0, np.int64)
+
+        # norm partials (over the SAME filtered term space)
+        udoc, dinv = (
+            np.unique(docs, return_inverse=True)
+            if len(docs)
+            else (np.empty(0, np.int64), np.empty(0, np.int64))
+        )
+        n2 = np.zeros(len(udoc), np.int64)
+        np.add.at(n2, dinv, tfs * tfs)
+
+        pa_arr = (upk >> np.uint64(32)).astype(np.int64)
+        pb_arr = (upk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        kind = np.concatenate(
+            [np.zeros(len(upk), np.int8), np.ones(len(udoc), np.int8)]
+        )
+        a = np.concatenate([pa_arr, udoc.astype(np.int64)])
+        b = np.concatenate([pb_arr, np.full(len(udoc), -1, np.int64)])
+        v = np.concatenate([pdot, n2])
+        # route: pairs by hash(pair), norms by hash(doc)
+        rb = np.concatenate(
+            [
+                (upk % np.uint64(num_buckets)).astype(np.int64),
+                (udoc % num_buckets).astype(np.int64),
+            ]
+        )
+        return pa.table(
+            {
+                "_rb": pa.array(rb, pa.int64()),
+                "kind": pa.array(kind, pa.int8()),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+            }
+        )
+
+    def sum_bucket(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        a = group["a"].to_numpy(zero_copy_only=False)
+        b = group["b"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        out = {"kind": [], "a": [], "b": [], "v": []}
+        for k in (0, 1):
+            m = kind == k
+            if not m.any():
+                continue
+            if k == 0:
+                key = _pack(a[m], b[m])
+            else:
+                key = a[m].astype(np.uint64)
+            uk, kinv = np.unique(key, return_inverse=True)
+            sv = np.zeros(len(uk), np.int64)
+            np.add.at(sv, kinv, v[m])  # exact int64 accumulation
+            out["kind"].append(np.full(len(uk), k, np.int8))
+            if k == 0:
+                out["a"].append((uk >> np.uint64(32)).astype(np.int64))
+                out["b"].append(
+                    (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                )
+            else:
+                out["a"].append(uk.astype(np.int64))
+                out["b"].append(np.full(len(uk), -1, np.int64))
+            out["v"].append(sv)
+        if not out["kind"]:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.int8()),
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate(out["kind"]), pa.int8()),
+                "a": pa.array(np.concatenate(out["a"]), pa.int64()),
+                "b": pa.array(np.concatenate(out["b"]), pa.int64()),
+                "v": pa.array(np.concatenate(out["v"]), pa.int64()),
+            }
+        )
+
+    summed = (
+        docs_ds.map_batches(tok_rows, batch_format="pyarrow")
+        .groupby("_tb")
+        .map_groups(per_term_bucket, batch_format="pyarrow")
+        .groupby("_rb")
+        .map_groups(sum_bucket, batch_format="pyarrow")
+        .materialize()  # consumed by the pair stream and both attach passes
+    )
+
+    def split(kind_val: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            m = pa.compute.equal(batch["kind"], kind_val)
+            return batch.filter(m)
+
+        return fn
+
+    pairs = summed.map_batches(split(0), batch_format="pyarrow")
+    norms = summed.map_batches(split(1), batch_format="pyarrow")
+
+    def attach(pair_ds, key_field: str, out: str, carry: list[str]):
+        """Co-partition pairs with (doc, norm2) on hash(pair[key_field])
+        and stamp the norm onto each pair row."""
+
+        def tag_norm(batch: pa.Table) -> pa.Table:
+            d = batch["a"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            cols = {
+                "_b": pa.array(d % num_buckets, pa.int64()),
+                "_side": pa.array(np.zeros(len(d), np.int8), pa.int8()),
+                key_field: pa.array(d, pa.int64()),
+                out: pa.array(v, pa.int64()),
+            }
+            for c in carry:
+                cols[c] = pa.array(np.zeros(len(d), np.int64), pa.int64())
+            return pa.table(cols)
+
+        def tag_pair(batch: pa.Table) -> pa.Table:
+            k = batch[key_field].to_numpy(zero_copy_only=False)
+            cols = {
+                "_b": pa.array(k % num_buckets, pa.int64()),
+                "_side": pa.array(np.ones(len(k), np.int8), pa.int8()),
+                key_field: pa.array(k, pa.int64()),
+                out: pa.array(np.zeros(len(k), np.int64), pa.int64()),
+            }
+            for c in carry:
+                cols[c] = batch[c]
+            return pa.table(cols)
+
+        def per_bucket(group: pa.Table) -> pa.Table:
+            side = group["_side"].to_numpy(zero_copy_only=False).astype(bool)
+            k = group[key_field].to_numpy(zero_copy_only=False)
+            vv = group[out].to_numpy(zero_copy_only=False)
+            nodes, nv = k[~side], vv[~side]
+            o = np.argsort(nodes)
+            nodes, nv = nodes[o], nv[o]
+            pk = k[side]
+            pos = np.searchsorted(nodes, pk)
+            cols = {key_field: pa.array(pk, pa.int64())}
+            for c in carry:
+                cols[c] = pa.array(
+                    group[c].to_numpy(zero_copy_only=False)[side], pa.int64()
+                )
+            cols[out] = pa.array(nv[pos], pa.int64())
+            return pa.table(cols)
+
+        tagged = norms.map_batches(tag_norm, batch_format="pyarrow").union(
+            pair_ds.map_batches(tag_pair, batch_format="pyarrow")
+        )
+        return tagged.groupby("_b").map_groups(
+            per_bucket, batch_format="pyarrow"
+        )
+
+    pairs = pairs.map_batches(
+        lambda t: t.select(["a", "b", "v"]).rename_columns(
+            ["doc_a", "doc_b", "dot"]
+        ),
+        batch_format="pyarrow",
+    )
+    with_na = attach(pairs, "doc_a", "norm2_a", carry=["doc_b", "dot"])
+    with_nb = attach(
+        with_na, "doc_b", "norm2_b", carry=["doc_a", "dot", "norm2_a"]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        dot = batch["dot"].to_numpy(zero_copy_only=False)
+        na = batch["norm2_a"].to_numpy(zero_copy_only=False)
+        nb = batch["norm2_b"].to_numpy(zero_copy_only=False)
+        prod = na * nb  # int64; bounded — see module docstring
+        assert (prod >= 0).all(), "norm2 product overflowed int64"
+        # one mirrored expression: dot::DOUBLE / sqrt((na*nb)::DOUBLE)
+        cos = dot.astype(np.float64) / np.sqrt(prod.astype(np.float64))
+        m = cos >= threshold
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"].filter(pa.array(m)),
+                "doc_b": batch["doc_b"].filter(pa.array(m)),
+                "dot": pa.array(dot[m], pa.int64()),
+                "norm2_a": pa.array(na[m], pa.int64()),
+                "norm2_b": pa.array(nb[m], pa.int64()),
+                "cosine": pa.array(np.round(cos[m], 6), pa.float64()),
+            }
+        )
+
+    return with_nb.map_batches(finish, batch_format="pyarrow")
