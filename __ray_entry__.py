@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase": eq.q_copurchase,
         "triangles": eq.q_triangles,
         "cosine_pairs": eq.q_cosine_pairs,
+        "corpus_diff": eq.q_corpus_diff,
         "value_trend": eq.q_value_trend,
         "transition_entropy": eq.q_transition_entropy,
         "source_overlap": eq.q_source_overlap,
@@ -308,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase": m["copurchase"],
         "triangles": m["triangles"],
         "cosine_pairs": m["cosine_pairs"],
+        "corpus_diff": m["corpus_diff"],
         "cumulative_users": m["cumulative_users"],
         "conversion_lag": m["conversion_lag"],
         "basket_sizes": m["basket_sizes"],

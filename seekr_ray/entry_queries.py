@@ -2650,6 +2650,47 @@ def q_copurchase(sf_dir: str):
 APSS_THRESHOLD = 0.4
 APSS_MAX_DF = 100
 
+# deterministic snapshot simulation for q_corpus_diff: old drops
+# doc_id % 17 == 0, new drops % 13 == 0 and edits % 7 == 0
+DIFF_OLD_MOD, DIFF_NEW_MOD, DIFF_EDIT_MOD = 17, 13, 7
+
+
+def q_corpus_diff(sf_dir: str):
+    """Per-key added/removed/changed/unchanged across two deterministic
+    snapshots of the documents table — the incremental-rebuild planner
+    input (what stages/extend.py actually has to touch)."""
+    import hashlib
+
+    from .extras.diff import snapshot_diff
+
+    def hashed(drop_mod: int, edit: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            txts = batch["text"].to_pylist()
+            out_i, out_h = [], []
+            for i, t in zip(ids, txts):
+                if i % drop_mod == 0:
+                    continue
+                s = t + ".v2" if (edit and i % DIFF_EDIT_MOD == 0) else t
+                out_i.append(i)
+                out_h.append(hashlib.md5(s.encode()).hexdigest())
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_i, pa.int64()),
+                    "content_hash": pa.array(out_h, pa.string()),
+                }
+            )
+
+        return fn
+
+    old = _docs_text(sf_dir).map_batches(
+        hashed(DIFF_OLD_MOD, edit=False), batch_format="pyarrow"
+    )
+    new = _docs_text(sf_dir).map_batches(
+        hashed(DIFF_NEW_MOD, edit=True), batch_format="pyarrow"
+    )
+    return snapshot_diff(old, new)
+
 
 def q_cosine_pairs(sf_dir: str):
     """All-pairs bag-of-words cosine >= threshold over the df-capped
@@ -4530,6 +4571,23 @@ SELECT pr.item_a, pr.item_b, pr.n_ab, ma.n_i AS n_a, mb.n_i AS n_b,
 FROM pr JOIN m ma ON ma.i = pr.item_a
         JOIN m mb ON mb.i = pr.item_b
         CROSS JOIN n"""
+
+    # the same md5 content hashes and modular drop/edit rules as
+    # q_corpus_diff; FULL OUTER JOIN is the classification mirror
+    sql["corpus_diff"] = f"""WITH old AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+  WHERE doc_id % {DIFF_OLD_MOD} <> 0),
+nw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {DIFF_EDIT_MOD} = 0 THEN md5(text || '.v2')
+              ELSE md5(text) END AS h
+  FROM documents WHERE doc_id % {DIFF_NEW_MOD} <> 0)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.h <> n.h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id"""
 
     # exact-integer tf dots and squared norms over the df-capped term
     # space; the cosine expression (BIGINT product -> DOUBLE -> sqrt ->
