@@ -2705,6 +2705,106 @@ def q_cosine_pairs(sf_dir: str):
     )
 
 
+KCORE_K = 2
+KCORE_MIN_SUPPORT = 2
+KCORE_SQL_MAX_ROUNDS = 24  # >> observed peel depth (5 at sf0.1)
+
+
+def q_kcore(sf_dir: str):
+    """k-core of the support-thresholded co-purchase graph — iterative
+    degree peel to the unique fixpoint; (node, in-core degree)."""
+    import ray.data as rd
+
+    from .extras.kcore import k_core
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+
+    # distinct (order, part) -> canonical pairs with support >= 2,
+    # hash(group)-bucketed like cooccurrence_edges but support-counted
+    def tag(batch: pa.Table) -> pa.Table:
+        g = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "_b": pa.array(g % 64, pa.int64()),
+                "g": pa.array(g, pa.int64()),
+                "i": pa.array(
+                    batch["l_partkey"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def pairs_per_bucket(group: pa.Table) -> pa.Table:
+        g = group["g"].to_numpy(zero_copy_only=False)
+        i = group["i"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, g))
+        g, i = g[order], i[order]
+        keep = np.ones(len(g), bool)
+        if len(g) > 1:
+            keep[1:] = (g[1:] != g[:-1]) | (i[1:] != i[:-1])
+        g, i = g[keep], i[keep]
+        starts = np.flatnonzero(
+            np.concatenate(([True], g[1:] != g[:-1])) if len(g) else []
+        )
+        ends = np.append(starts[1:], len(g))
+        out_a, out_b = [], []
+        for lo, hi in zip(starts, ends):
+            items = i[lo:hi]
+            if len(items) < 2:
+                continue
+            xi, yi = np.triu_indices(len(items), k=1)
+            out_a.append(items[xi])
+            out_b.append(items[yi])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        k = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+        uk, cnt = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "_pb": pa.array(
+                    (uk % np.uint64(64)).astype(np.int64), pa.int64()
+                ),
+                "k": pa.array(uk, pa.uint64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def support_bucket(group: pa.Table) -> pa.Table:
+        k = group["k"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        tot = np.zeros(len(uk), np.int64)
+        np.add.at(tot, inv, n)
+        m = tot >= KCORE_MIN_SUPPORT
+        uk = uk[m]
+        return pa.table(
+            {
+                "a": pa.array(
+                    (uk >> np.uint64(32)).astype(np.int64), pa.int64()
+                ),
+                "b": pa.array(
+                    (uk & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    edges = (
+        li.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(pairs_per_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(support_bucket, batch_format="pyarrow")
+    )
+    return k_core(edges, k=KCORE_K)
+
+
 def q_triangles(sf_dir: str):
     """Triangle count of the co-purchase graph (distinct canonical part
     pairs sharing an order) — degree-oriented compact-forward, the
@@ -4571,6 +4671,33 @@ SELECT pr.item_a, pr.item_b, pr.n_ab, ma.n_i AS n_a, mb.n_i AS n_b,
 FROM pr JOIN m ma ON ma.i = pr.item_a
         JOIN m mb ON mb.i = pr.item_b
         CROSS JOIN n"""
+
+    # iterated peel via recursive CTE: each iteration's working table is
+    # the surviving edge set; both endpoint-degree subqueries evaluate
+    # against it, so removal is simultaneous — the kernel's semantics.
+    # Rows carry an iteration counter; the fixpoint propagates unchanged
+    # to it = MAX_ROUNDS, which the final select picks (an empty core
+    # ends the recursion early and yields zero rows).
+    sql["kcore"] = f"""WITH RECURSIVE di AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+e AS (SELECT a.i AS a, b.i AS b FROM di a JOIN di b ON a.o = b.o AND a.i < b.i
+      GROUP BY 1, 2 HAVING count(*) >= {KCORE_MIN_SUPPORT}),
+peel(a, b, it) AS (
+  SELECT a, b, 0 FROM e
+  UNION ALL
+  SELECT p.a, p.b, p.it + 1 FROM peel p
+  WHERE p.it < {KCORE_SQL_MAX_ROUNDS}
+    AND p.a IN (SELECT n FROM (SELECT a AS n FROM peel
+                               UNION ALL SELECT b FROM peel) q
+                GROUP BY n HAVING count(*) >= {KCORE_K})
+    AND p.b IN (SELECT n FROM (SELECT a AS n FROM peel
+                               UNION ALL SELECT b FROM peel) q2
+                GROUP BY n HAVING count(*) >= {KCORE_K})
+),
+core AS (SELECT a, b FROM peel WHERE it = {KCORE_SQL_MAX_ROUNDS})
+SELECT n AS node, count(*)::BIGINT AS deg
+FROM (SELECT a AS n FROM core UNION ALL SELECT b FROM core) u
+GROUP BY n"""
 
     # the same md5 content hashes and modular drop/edit rules as
     # q_corpus_diff; FULL OUTER JOIN is the classification mirror

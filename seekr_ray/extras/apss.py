@@ -224,58 +224,7 @@ def cosine_pairs(
     pairs = summed.map_batches(split(0), batch_format="pyarrow")
     norms = summed.map_batches(split(1), batch_format="pyarrow")
 
-    def attach(pair_ds, key_field: str, out: str, carry: list[str]):
-        """Co-partition pairs with (doc, norm2) on hash(pair[key_field])
-        and stamp the norm onto each pair row."""
-
-        def tag_norm(batch: pa.Table) -> pa.Table:
-            d = batch["a"].to_numpy(zero_copy_only=False)
-            v = batch["v"].to_numpy(zero_copy_only=False)
-            cols = {
-                "_b": pa.array(d % num_buckets, pa.int64()),
-                "_side": pa.array(np.zeros(len(d), np.int8), pa.int8()),
-                key_field: pa.array(d, pa.int64()),
-                out: pa.array(v, pa.int64()),
-            }
-            for c in carry:
-                cols[c] = pa.array(np.zeros(len(d), np.int64), pa.int64())
-            return pa.table(cols)
-
-        def tag_pair(batch: pa.Table) -> pa.Table:
-            k = batch[key_field].to_numpy(zero_copy_only=False)
-            cols = {
-                "_b": pa.array(k % num_buckets, pa.int64()),
-                "_side": pa.array(np.ones(len(k), np.int8), pa.int8()),
-                key_field: pa.array(k, pa.int64()),
-                out: pa.array(np.zeros(len(k), np.int64), pa.int64()),
-            }
-            for c in carry:
-                cols[c] = batch[c]
-            return pa.table(cols)
-
-        def per_bucket(group: pa.Table) -> pa.Table:
-            side = group["_side"].to_numpy(zero_copy_only=False).astype(bool)
-            k = group[key_field].to_numpy(zero_copy_only=False)
-            vv = group[out].to_numpy(zero_copy_only=False)
-            nodes, nv = k[~side], vv[~side]
-            o = np.argsort(nodes)
-            nodes, nv = nodes[o], nv[o]
-            pk = k[side]
-            pos = np.searchsorted(nodes, pk)
-            cols = {key_field: pa.array(pk, pa.int64())}
-            for c in carry:
-                cols[c] = pa.array(
-                    group[c].to_numpy(zero_copy_only=False)[side], pa.int64()
-                )
-            cols[out] = pa.array(nv[pos], pa.int64())
-            return pa.table(cols)
-
-        tagged = norms.map_batches(tag_norm, batch_format="pyarrow").union(
-            pair_ds.map_batches(tag_pair, batch_format="pyarrow")
-        )
-        return tagged.groupby("_b").map_groups(
-            per_bucket, batch_format="pyarrow"
-        )
+    from .copart import attach_value
 
     pairs = pairs.map_batches(
         lambda t: t.select(["a", "b", "v"]).rename_columns(
@@ -283,9 +232,25 @@ def cosine_pairs(
         ),
         batch_format="pyarrow",
     )
-    with_na = attach(pairs, "doc_a", "norm2_a", carry=["doc_b", "dot"])
-    with_nb = attach(
-        with_na, "doc_b", "norm2_b", carry=["doc_a", "dot", "norm2_a"]
+    with_na = attach_value(
+        pairs,
+        norms,
+        key_col="doc_a",
+        out_col="norm2_a",
+        carry=["doc_b", "dot"],
+        num_buckets=num_buckets,
+        lookup_key="a",
+        lookup_value="v",
+    )
+    with_nb = attach_value(
+        with_na,
+        norms,
+        key_col="doc_b",
+        out_col="norm2_b",
+        carry=["doc_a", "dot", "norm2_a"],
+        num_buckets=num_buckets,
+        lookup_key="a",
+        lookup_value="v",
     )
 
     def finish(batch: pa.Table) -> pa.Table:

@@ -1,0 +1,98 @@
+"""Shared hash-bucketed co-partition lookup-attach kernel.
+
+The repo's alternative to ``Dataset.join`` for (big table) x (keyed
+lookup) attaches: tag both sides with hash(key) % num_buckets, union,
+one ``groupby(bucket).map_groups`` — every target row meets every
+lookup row of its key in one group, where a sorted searchsorted stamp
+is vectorized.  One exchange of O(|target| + |lookup|) rows; used by
+extras/triangles.py (degree attach), extras/apss.py (norm attach) and
+extras/kcore.py (per-round degree attach).  Chained ``Dataset.join``
+hash-shuffle operators stall multi-join plans at low parallelism
+(observed: two chained joins at num_cpus=4 never complete), and a
+groupby co-partition is one exchange instead of two anyway.
+
+Contract: every key_col / carry / value column is int64 (ids, counts,
+packed keys — the repo's graph/pair row shape); every target key MUST
+exist in the lookup (asserted per bucket) — the callers all attach
+values derived FROM the target rows themselves, so a miss is a bug,
+not data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def attach_value(
+    target_ds,
+    lookup_ds,
+    *,
+    key_col: str,
+    out_col: str,
+    carry: list[str],
+    num_buckets: int = 64,
+    lookup_key: str = "node",
+    lookup_value: str = "value",
+):
+    """Stamp ``lookup[lookup_value]`` onto each target row as
+    ``out_col``, matching ``target[key_col] == lookup[lookup_key]``.
+    Output columns: (key_col, *carry, out_col), all int64."""
+
+    def tag_lookup(batch: pa.Table) -> pa.Table:
+        n = batch[lookup_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[lookup_value].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        cols = {
+            "_b": pa.array(n % num_buckets, pa.int64()),
+            "_side": pa.array(np.zeros(len(n), np.int8), pa.int8()),
+            key_col: pa.array(n, pa.int64()),
+            out_col: pa.array(v, pa.int64()),
+        }
+        for c in carry:
+            cols[c] = pa.array(np.zeros(len(n), np.int64), pa.int64())
+        return pa.table(cols)
+
+    def tag_target(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {
+            "_b": pa.array(k % num_buckets, pa.int64()),
+            "_side": pa.array(np.ones(len(k), np.int8), pa.int8()),
+            key_col: pa.array(k, pa.int64()),
+            out_col: pa.array(np.zeros(len(k), np.int64), pa.int64()),
+        }
+        for c in carry:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        side = group["_side"].to_numpy(zero_copy_only=False).astype(bool)
+        k = group[key_col].to_numpy(zero_copy_only=False)
+        vv = group[out_col].to_numpy(zero_copy_only=False)
+        nodes, nv = k[~side], vv[~side]
+        o = np.argsort(nodes)
+        nodes, nv = nodes[o], nv[o]
+        tk = k[side]
+        pos = np.searchsorted(nodes, tk)
+        if len(tk) and (
+            not len(nodes)
+            or (pos >= len(nodes)).any()
+            or (nodes[np.minimum(pos, len(nodes) - 1)] != tk).any()
+        ):
+            raise KeyError(f"attach_value: target key missing in lookup "
+                           f"({key_col})")
+        cols = {key_col: pa.array(tk, pa.int64())}
+        for c in carry:
+            cols[c] = pa.array(
+                group[c].to_numpy(zero_copy_only=False)[side], pa.int64()
+            )
+        cols[out_col] = pa.array(
+            nv[pos] if len(tk) else np.empty(0, np.int64), pa.int64()
+        )
+        return pa.table(cols)
+
+    tagged = lookup_ds.map_batches(tag_lookup, batch_format="pyarrow").union(
+        target_ds.map_batches(tag_target, batch_format="pyarrow")
+    )
+    return tagged.groupby("_b").map_groups(per_bucket, batch_format="pyarrow")

@@ -253,61 +253,26 @@ def _count_distributed(edges, a_col, b_col, num_buckets, m) -> pa.Table:
         lambda t: t.rename_columns(["a", "b"]), batch_format="pyarrow"
     )
 
-    def _attach_deg(edge_ds, key: str, out: str, carry: list[str]):
-        """Co-partition edges with degrees on hash(edge[key]) and stamp
-        edge rows with the key endpoint's degree as column ``out``."""
+    from .copart import attach_value
 
-        def tag_deg(batch: pa.Table) -> pa.Table:
-            n = batch["node"].to_numpy(zero_copy_only=False)
-            d = batch["deg"].to_numpy(zero_copy_only=False)
-            cols = {
-                "_b": pa.array(n % num_buckets, pa.int64()),
-                "_side": pa.array(np.zeros(len(n), np.int8), pa.int8()),
-                key: pa.array(n, pa.int64()),
-                out: pa.array(d, pa.int64()),
-            }
-            for c in carry:
-                cols[c] = pa.array(np.zeros(len(n), np.int64), pa.int64())
-            return pa.table(cols)
-
-        def tag_edge(batch: pa.Table) -> pa.Table:
-            k = batch[key].to_numpy(zero_copy_only=False)
-            cols = {
-                "_b": pa.array(k % num_buckets, pa.int64()),
-                "_side": pa.array(np.ones(len(k), np.int8), pa.int8()),
-                key: pa.array(k, pa.int64()),
-                out: pa.array(np.zeros(len(k), np.int64), pa.int64()),
-            }
-            for c in carry:
-                cols[c] = batch[c]
-            return pa.table(cols)
-
-        def per_bucket(group: pa.Table) -> pa.Table:
-            side = group["_side"].to_numpy(zero_copy_only=False).astype(bool)
-            k = group[key].to_numpy(zero_copy_only=False)
-            dn = group[out].to_numpy(zero_copy_only=False)
-            nodes, degs = k[~side], dn[~side]
-            order = np.argsort(nodes)
-            nodes, degs = nodes[order], degs[order]
-            ek = k[side]
-            pos = np.searchsorted(nodes, ek)
-            cols = {key: pa.array(ek, pa.int64())}
-            for c in carry:
-                cols[c] = pa.array(
-                    group[c].to_numpy(zero_copy_only=False)[side], pa.int64()
-                )
-            cols[out] = pa.array(degs[pos], pa.int64())
-            return pa.table(cols)
-
-        tagged = degrees.map_batches(tag_deg, batch_format="pyarrow").union(
-            edge_ds.map_batches(tag_edge, batch_format="pyarrow")
-        )
-        return tagged.groupby("_b").map_groups(
-            per_bucket, batch_format="pyarrow"
-        )
-
-    with_da = _attach_deg(ed, "a", "deg_a", carry=["b"])
-    with_both = _attach_deg(with_da, "b", "deg_b", carry=["a", "deg_a"])
+    with_da = attach_value(
+        ed,
+        degrees,
+        key_col="a",
+        out_col="deg_a",
+        carry=["b"],
+        num_buckets=num_buckets,
+        lookup_value="deg",
+    )
+    with_both = attach_value(
+        with_da,
+        degrees,
+        key_col="b",
+        out_col="deg_b",
+        carry=["a", "deg_a"],
+        num_buckets=num_buckets,
+        lookup_value="deg",
+    )
 
     def orient(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False)
