@@ -283,6 +283,88 @@ def q_pagerank_lineitem(sf_dir: str):
     )
 
 
+HITS_FIXED_ITERS = 4
+
+
+def q_hits_lineitem(sf_dir: str):
+    """Fixed-iteration L1-normalized HITS over the same order→part
+    bipartite graph as pagerank_lineitem: orders are pure hubs, parts
+    pure authorities; (node, hub, authority), 6dp half-away rounding
+    mirroring the SQL oracle's round()."""
+    import ray.data as rd
+
+    from .graph.hits import hits_fixed_iters
+    from .graph.pagerank import dedup_edges
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(ok * 2, pa.int64()),
+                "dst": pa.array(pk * 2 + 1, pa.int64()),
+            }
+        )
+
+    edges = dedup_edges(ds.map_batches(to_edges, batch_format="pyarrow"))
+    tbl = hits_fixed_iters(edges, n_iters=HITS_FIXED_ITERS)
+
+    def r6(col: str) -> pa.Array:
+        v = tbl[col].to_numpy(zero_copy_only=False)
+        return pa.array(
+            np.copysign(np.floor(np.abs(v) * 1e6 + 0.5), v) / 1e6,
+            pa.float64(),
+        )
+
+    return pa.table(
+        {"node": tbl["node"], "hub": r6("hub"), "authority": r6("authority")}
+    )
+
+
+def _hits_lineitem_sql(k: int) -> str:
+    """Unrolled K-iteration L1-normalized HITS (MATERIALIZED per step,
+    the _pagerank_lineitem_sql discipline)."""
+    parts = [
+        """WITH edges AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nc AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+h0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nc) AS s FROM nodes)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+ar{i} AS MATERIALIZED (
+  SELECT n.node, coalesce(c.v, 0) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(h.s) AS v
+    FROM edges e JOIN h{i - 1} h ON h.node = e.src
+    GROUP BY e.dst) c ON c.node = n.node),
+a{i} AS MATERIALIZED (
+  SELECT node, v / (SELECT sum(v) FROM ar{i}) AS s FROM ar{i}),
+hr{i} AS MATERIALIZED (
+  SELECT n.node, coalesce(c.v, 0) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, sum(a.s) AS v
+    FROM edges e JOIN a{i} a ON a.node = e.dst
+    GROUP BY e.src) c ON c.node = n.node),
+h{i} AS MATERIALIZED (
+  SELECT node, v / (SELECT sum(v) FROM hr{i}) AS s FROM hr{i})"""
+        )
+    parts.append(
+        f"""
+SELECT h{k}.node, round(h{k}.s, 6) AS hub, round(a{k}.s, 6) AS authority
+FROM h{k} JOIN a{k} ON a{k}.node = h{k}.node"""
+    )
+    return "".join(parts)
+
+
 PPR_SEEDS_MOD = 16
 
 
@@ -2648,7 +2730,7 @@ def q_copurchase(sf_dir: str):
 
 
 APSS_THRESHOLD = 0.4
-APSS_MAX_DF = 100
+APSS_MAX_DF_FRAC = 0.2  # df cap scales with corpus size
 
 # deterministic snapshot simulation for q_corpus_diff: old drops
 # doc_id % 17 == 0, new drops % 13 == 0 and edits % 7 == 0
@@ -2701,7 +2783,7 @@ def q_cosine_pairs(sf_dir: str):
     return cosine_pairs(
         _docs_text(sf_dir),
         threshold=APSS_THRESHOLD,
-        max_df=APSS_MAX_DF,
+        max_df_frac=APSS_MAX_DF_FRAC,
     )
 
 
@@ -3560,6 +3642,8 @@ FROM reach GROUP BY node"""
     sql["pagerank_lineitem"] = _pagerank_lineitem_sql(
         PAGERANK_FIXED_ITERS, PAGERANK_FIXED_DAMPING
     )
+
+    sql["hits_lineitem"] = _hits_lineitem_sql(HITS_FIXED_ITERS)
 
     sql["ppr_lineitem"] = _ppr_lineitem_sql(
         PAGERANK_FIXED_ITERS, PAGERANK_FIXED_DAMPING, PPR_SEEDS_MOD
@@ -4722,7 +4806,8 @@ FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id"""
     sql["cosine_pairs"] = f"""{toks},
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
        FROM (SELECT doc_id, unnest(tokens) AS term FROM toks) GROUP BY 1, 2),
-kept AS (SELECT term FROM tf GROUP BY term HAVING count(*) <= {APSS_MAX_DF}),
+kept AS (SELECT term FROM tf GROUP BY term
+         HAVING count(*) <= {APSS_MAX_DF_FRAC} * (SELECT count(*) FROM documents)),
 ftf AS (SELECT tf.* FROM tf JOIN kept USING (term)),
 nrm AS (SELECT doc_id, sum(tf * tf)::BIGINT AS norm2 FROM ftf GROUP BY doc_id),
 dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -62,11 +62,22 @@ def cosine_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_df: int | None = None,
+    max_df_frac: float | None = None,
     num_buckets: int = 64,
 ):
     """Pairs (doc_a < doc_b) with bag-of-words cosine >= ``threshold``
-    over the df-capped term space.  Output:
+    over the df-capped term space.  ``max_df_frac`` is the
+    corpus-size-relative form of the cap (df <= frac · N, one cheap
+    parquet-footer count()) — the scale-correct default, since an
+    absolute cap silently empties the term space as N grows.  Output:
     (doc_a, doc_b, dot, norm2_a, norm2_b, cosine[6dp])."""
+    if max_df is not None and max_df_frac is not None:
+        raise ValueError("pass max_df or max_df_frac, not both")
+    df_cap: float | None = max_df
+    if max_df_frac is not None:
+        # float multiply mirrored exactly by the SQL oracle's
+        # `count(*) <= frac * (SELECT count(*) FROM documents)`
+        df_cap = max_df_frac * docs_ds.count()
 
     def tok_rows(batch: pa.Table) -> pa.Table:
         out_b, out_t, out_d, out_f = [], [], [], []
@@ -97,8 +108,8 @@ def cosine_pairs(
         tfs = group["tf"].to_numpy(zero_copy_only=False)
         codes, inv = np.unique(terms, return_inverse=True)
         df = np.bincount(inv, minlength=len(codes))
-        if max_df is not None:
-            keep = df[inv] <= max_df
+        if df_cap is not None:
+            keep = df[inv] <= df_cap
             inv, docs, tfs = inv[keep], docs[keep], tfs[keep]
         order = np.lexsort((docs, inv))
         inv, docs, tfs = inv[order], docs[order], tfs[order]

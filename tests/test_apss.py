@@ -93,6 +93,18 @@ def test_max_df_cap_bounds_pair_space(ray_session):
     assert len(capped) <= len(uncapped)
 
 
+def test_max_df_frac_matches_absolute(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_tbl())
+    # frac * 6 docs = 2.4 -> same kept set as absolute cap 2
+    assert _run(ds, threshold=0.1, max_df_frac=0.4) == _brute(
+        0.1, max_df=2
+    )
+    with pytest.raises(ValueError):
+        cosine_pairs(ds, threshold=0.1, max_df=2, max_df_frac=0.5)
+
+
 def test_threshold_filters(ray_session):
     import ray.data as rd
 
