@@ -2792,12 +2792,12 @@ KCORE_MIN_SUPPORT = 2
 KCORE_SQL_MAX_ROUNDS = 24  # >> observed peel depth (5 at sf0.1)
 
 
-def q_kcore(sf_dir: str):
-    """k-core of the support-thresholded co-purchase graph — iterative
-    degree peel to the unique fixpoint; (node, in-core degree)."""
+def _copurchase_support_edges(sf_dir: str, min_support: int):
+    """Distinct canonical part pairs sharing >= min_support orders —
+    the support-thresholded co-purchase graph feeding q_kcore and
+    q_bfs_hops.  hash(order)-bucketed pair emission with per-bucket
+    support partials, then hash(pair)-bucketed global support sum."""
     import ray.data as rd
-
-    from .extras.kcore import k_core
 
     li = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -2864,7 +2864,7 @@ def q_kcore(sf_dir: str):
         uk, inv = np.unique(k, return_inverse=True)
         tot = np.zeros(len(uk), np.int64)
         np.add.at(tot, inv, n)
-        m = tot >= KCORE_MIN_SUPPORT
+        m = tot >= min_support
         uk = uk[m]
         return pa.table(
             {
@@ -2877,14 +2877,37 @@ def q_kcore(sf_dir: str):
             }
         )
 
-    edges = (
+    return (
         li.map_batches(tag, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(pairs_per_bucket, batch_format="pyarrow")
         .groupby("_pb")
         .map_groups(support_bucket, batch_format="pyarrow")
     )
+
+
+def q_kcore(sf_dir: str):
+    """k-core of the support-thresholded co-purchase graph — iterative
+    degree peel to the unique fixpoint; (node, in-core degree)."""
+    from .extras.kcore import k_core
+
+    edges = _copurchase_support_edges(sf_dir, KCORE_MIN_SUPPORT)
     return k_core(edges, k=KCORE_K)
+
+
+BFS_MAX_DIST_SQL = 64  # recursion guard >> any observed eccentricity
+
+
+def q_bfs_hops(sf_dir: str):
+    """Hop distance from the minimum part node over the
+    support-thresholded co-purchase graph — (node, dist) for the
+    reachable component."""
+    from .graph.bfs import bfs_hops
+
+    edges = _copurchase_support_edges(sf_dir, KCORE_MIN_SUPPORT)
+    edges = edges.materialize()
+    seed = edges.min("a")  # canonical a < b, so min endpoint == min(a)
+    return bfs_hops(edges, sources=[int(seed)])
 
 
 def q_triangles(sf_dir: str):
@@ -4782,6 +4805,22 @@ core AS (SELECT a, b FROM peel WHERE it = {KCORE_SQL_MAX_ROUNDS})
 SELECT n AS node, count(*)::BIGINT AS deg
 FROM (SELECT a AS n FROM core UNION ALL SELECT b FROM core) u
 GROUP BY n"""
+
+    # breadth-first walk as a recursive CTE over the symmetrized edge
+    # set; UNION dedups (node, dist) pairs so each is expanded once,
+    # min(dist) at the end collapses longer walks — BFS hop distances
+    sql["bfs_hops"] = f"""WITH RECURSIVE di AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+e AS (SELECT a.i AS a, b.i AS b FROM di a JOIN di b ON a.o = b.o AND a.i < b.i
+      GROUP BY 1, 2 HAVING count(*) >= {KCORE_MIN_SUPPORT}),
+sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+walk(node, dist) AS (
+  SELECT (SELECT min(a) FROM e), 0
+  UNION
+  SELECT s.v, w.dist + 1 FROM walk w JOIN sym s ON s.u = w.node
+  WHERE w.dist < {BFS_MAX_DIST_SQL}
+)
+SELECT node, min(dist)::BIGINT AS dist FROM walk GROUP BY node"""
 
     # the same md5 content hashes and modular drop/edit rules as
     # q_corpus_diff; FULL OUTER JOIN is the classification mirror
