@@ -2836,16 +2836,9 @@ def _copurchase_support_edges(sf_dir: str, min_support: int):
             np.concatenate(([True], g[1:] != g[:-1])) if len(g) else []
         )
         ends = np.append(starts[1:], len(g))
-        out_a, out_b = [], []
-        for lo, hi in zip(starts, ends):
-            items = i[lo:hi]
-            if len(items) < 2:
-                continue
-            xi, yi = np.triu_indices(len(items), k=1)
-            out_a.append(items[xi])
-            out_b.append(items[yi])
-        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
-        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        from .extras.copart import pairs_within_runs
+
+        a, b = pairs_within_runs(i, starts, ends)
         k = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
         uk, cnt = np.unique(k, return_counts=True)
         return pa.table(

@@ -114,22 +114,20 @@ def cosine_pairs(
         order = np.lexsort((docs, inv))
         inv, docs, tfs = inv[order], docs[order], tfs[order]
 
-        # pair partials: triu per term run
+        # pair partials: triu per term run, vectorized by run-length
+        # class (copart.pairs_within_runs) over positions so both the
+        # doc ids and the tf products index the same pairs
+        from .copart import pairs_within_runs
+
         starts = np.flatnonzero(
             np.concatenate(([True], inv[1:] != inv[:-1])) if len(inv) else []
         )
         ends = np.append(starts[1:], len(inv))
-        pk_parts, pv_parts = [], []
-        for lo, hi in zip(starts, ends):
-            d = hi - lo
-            if d < 2:
-                continue
-            xi, yi = np.triu_indices(d, k=1)
-            pk_parts.append(_pack(docs[lo:hi][xi], docs[lo:hi][yi]))
-            pv_parts.append(tfs[lo:hi][xi] * tfs[lo:hi][yi])
-        if pk_parts:
-            pk = np.concatenate(pk_parts)
-            pv = np.concatenate(pv_parts)
+        posi = np.arange(len(inv), dtype=np.int64)
+        px, py = pairs_within_runs(posi, starts, ends)
+        if len(px):
+            pk = _pack(docs[px], docs[py])
+            pv = tfs[px] * tfs[py]
             upk, pinv = np.unique(pk, return_inverse=True)  # local combine
             pdot = np.zeros(len(upk), np.int64)
             np.add.at(pdot, pinv, pv)  # exact int64 accumulation

@@ -24,6 +24,34 @@ import numpy as np
 import pyarrow as pa
 
 
+def pairs_within_runs(
+    values: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """All within-run index pairs (i < j), vectorized by run-LENGTH
+    class: one ``triu_indices`` per distinct run length, broadcast over
+    every run of that length at once — replaces the per-run Python
+    loop (one triu call per source/group) that dominated wedge/pair
+    emission kernels (triangles, APSS, co-occurrence) on graphs with
+    many small runs.  Returns the two paired VALUE arrays."""
+    d = ends - starts
+    total = int((d * (d - 1) // 2).sum())
+    out_x = np.empty(total, values.dtype)
+    out_y = np.empty(total, values.dtype)
+    off = 0
+    for length in np.unique(d):
+        if length < 2:
+            continue
+        s = starts[d == length]
+        xi, yi = np.triu_indices(int(length), k=1)
+        n = len(s) * len(xi)
+        np.take(values, (s[:, None] + xi[None, :]).ravel(),
+                out=out_x[off: off + n])
+        np.take(values, (s[:, None] + yi[None, :]).ravel(),
+                out=out_y[off: off + n])
+        off += n
+    return out_x, out_y
+
+
 def attach_value(
     target_ds,
     lookup_ds,

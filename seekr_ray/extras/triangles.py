@@ -79,18 +79,10 @@ def cooccurrence_edges(
             np.concatenate(([True], g[1:] != g[:-1])) if len(g) else []
         )
         ends = np.append(starts[1:], len(g))
-        out_a, out_b = [], []
-        for lo, hi in zip(starts, ends):
-            items = i[lo:hi]
-            d = len(items)
-            if d < 2:
-                continue
-            xi, yi = np.triu_indices(d, k=1)
-            out_a.append(items[xi])
-            out_b.append(items[yi])
-        if out_a:
-            a = np.concatenate(out_a)
-            b = np.concatenate(out_b)
+        from .copart import pairs_within_runs
+
+        a, b = pairs_within_runs(i, starts, ends)
+        if len(a):
             # local dedup shrinks the exchange
             k = np.unique(_pack(a, b))
             a = (k >> np.uint64(32)).astype(np.int64)
@@ -133,26 +125,18 @@ def cooccurrence_edges(
 
 def _wedges_of(sources: np.ndarray, targets: np.ndarray):
     """Per-source all-pairs over oriented adjacency (sorted by source):
-    canonical (min, max) wedge endpoints, vectorized per source run."""
+    canonical (min, max) wedge endpoints, vectorized by run-length
+    class (copart.pairs_within_runs)."""
+    from .copart import pairs_within_runs
+
     order = np.lexsort((targets, sources))
     u, v = sources[order], targets[order]
     starts = np.flatnonzero(
         np.concatenate(([True], u[1:] != u[:-1])) if len(u) else []
     )
     ends = np.append(starts[1:], len(u))
-    wa, wb = [], []
-    for lo, hi in zip(starts, ends):
-        nb = v[lo:hi]
-        d = len(nb)
-        if d < 2:
-            continue
-        xi, yi = np.triu_indices(d, k=1)
-        x, y = nb[xi], nb[yi]
-        wa.append(np.minimum(x, y))
-        wb.append(np.maximum(x, y))
-    if not wa:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    return np.concatenate(wa), np.concatenate(wb)
+    x, y = pairs_within_runs(v, starts, ends)
+    return np.minimum(x, y), np.maximum(x, y)
 
 
 def _count_driver(a: np.ndarray, b: np.ndarray) -> int:
@@ -167,11 +151,14 @@ def _count_driver(a: np.ndarray, b: np.ndarray) -> int:
     wa, wb = _wedges_of(u, v)
     if not len(wa):
         return 0
-    ek = np.sort(_pack(a, b))
-    wk = _pack(wa, wb)
-    pos = np.searchsorted(ek, wk)
-    pos = np.minimum(pos, len(ek) - 1)
-    return int((ek[pos] == wk).sum())
+    # count probes edge-side: sort the wedge keys once, then each edge
+    # key contributes its (hi - lo) occurrence count — two searchsorted
+    # calls over E probes instead of a W-sized gather+compare
+    wk = np.sort(_pack(wa, wb))
+    ek = _pack(a, b)
+    lo = np.searchsorted(wk, ek, side="left")
+    hi = np.searchsorted(wk, ek, side="right")
+    return int((hi - lo).sum())
 
 
 def triangle_count(
@@ -294,13 +281,16 @@ def _count_distributed(edges, a_col, b_col, num_buckets, m) -> pa.Table:
         u = group["u"].to_numpy(zero_copy_only=False)
         v = group["v"].to_numpy(zero_copy_only=False)
         wa, wb = _wedges_of(u, v)
-        k = _pack(wa, wb)
+        k, cnt = np.unique(_pack(wa, wb), return_counts=True)
+        # local combine: the same wedge pair from many sources in this
+        # bucket ships once with its multiplicity, not once per source
         return pa.table(
             {
                 "_kb": pa.array(
                     (k % np.uint64(num_buckets)).astype(np.int64), pa.int64()
                 ),
                 "k": pa.array(k, pa.uint64()),
+                "w": pa.array(cnt.astype(np.int64), pa.int64()),
                 "is_edge": pa.array(np.zeros(len(k), np.int8), pa.int8()),
             }
         )
@@ -321,6 +311,7 @@ def _count_distributed(edges, a_col, b_col, num_buckets, m) -> pa.Table:
                     (k % np.uint64(num_buckets)).astype(np.int64), pa.int64()
                 ),
                 "k": pa.array(k, pa.uint64()),
+                "w": pa.array(np.zeros(len(k), np.int64), pa.int64()),
                 "is_edge": pa.array(np.ones(len(k), np.int8), pa.int8()),
             }
         )
@@ -329,14 +320,19 @@ def _count_distributed(edges, a_col, b_col, num_buckets, m) -> pa.Table:
 
     def match_bucket(group: pa.Table) -> pa.Table:
         k = group["k"].to_numpy(zero_copy_only=False)
+        w = group["w"].to_numpy(zero_copy_only=False)
         is_e = group["is_edge"].to_numpy(zero_copy_only=False).astype(bool)
-        ek = np.sort(k[is_e])
-        wk = k[~is_e]
+        ek = k[is_e]
+        order = np.argsort(k[~is_e])
+        wk = k[~is_e][order]
+        ww = w[~is_e][order]
         if not len(ek) or not len(wk):
             n = 0
         else:
-            pos = np.minimum(np.searchsorted(ek, wk), len(ek) - 1)
-            n = int((ek[pos] == wk).sum())
+            cw = np.concatenate(([0], np.cumsum(ww)))
+            lo = np.searchsorted(wk, ek, side="left")
+            hi = np.searchsorted(wk, ek, side="right")
+            n = int((cw[hi] - cw[lo]).sum())
         return pa.table({"n": pa.array([n], pa.int64())})
 
     partials = (
