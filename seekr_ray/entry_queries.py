@@ -2889,6 +2889,17 @@ def q_kcore(sf_dir: str):
 
 
 BFS_MAX_DIST_SQL = 64  # recursion guard >> any observed eccentricity
+LPA_FIXED_ITERS = 4
+
+
+def q_lpa_communities(sf_dir: str):
+    """Synchronous label-propagation communities over the
+    support-thresholded co-purchase graph — (node, label) after exactly
+    K mode-adoption rounds with min-label tie-break."""
+    from .graph.lpa import lpa_communities
+
+    edges = _copurchase_support_edges(sf_dir, KCORE_MIN_SUPPORT)
+    return lpa_communities(edges, n_iters=LPA_FIXED_ITERS)
 
 
 def q_bfs_hops(sf_dir: str):
@@ -4798,6 +4809,33 @@ core AS (SELECT a, b FROM peel WHERE it = {KCORE_SQL_MAX_ROUNDS})
 SELECT n AS node, count(*)::BIGINT AS deg
 FROM (SELECT a AS n FROM core UNION ALL SELECT b FROM core) u
 GROUP BY n"""
+
+    # synchronous LPA unrolled: each round is one grouped count of
+    # (node, neighbor-label) pairs over the symmetrized edges, mode
+    # picked by row_number ordered (count DESC, label ASC) — the
+    # kernel's exact tie-break; every node has >= 1 neighbor so all
+    # update each round
+    lpa_head = f"""WITH di AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+e AS (SELECT a.i AS a, b.i AS b FROM di a JOIN di b ON a.o = b.o AND a.i < b.i
+      GROUP BY 1, 2 HAVING count(*) >= {KCORE_MIN_SUPPORT}),
+sym AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym)"""
+    lpa_parts = [lpa_head]
+    for i in range(1, LPA_FIXED_ITERS + 1):
+        lpa_parts.append(
+            f""",
+l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label) AS rn
+    FROM (SELECT s.v AS node, l.label, count(*)::BIGINT AS c
+          FROM sym s JOIN l{i - 1} l ON l.node = s.u GROUP BY 1, 2))
+  WHERE rn = 1)"""
+        )
+    lpa_parts.append(f"\nSELECT node, label FROM l{LPA_FIXED_ITERS}")
+    sql["lpa_communities"] = "".join(lpa_parts)
 
     # breadth-first walk as a recursive CTE over the symmetrized edge
     # set; UNION dedups (node, dist) pairs so each is expanded once,
