@@ -474,6 +474,20 @@ r{i} AS MATERIALIZED (
     return "".join(parts)
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def q_containment(sf_dir: str):
+    """Directed shingle-containment pairs (|S(src) ∩ S(dst)| / |S(src)|
+    >= t) — the asymmetric near-copy relation Jaccard misses (quotes,
+    excerpts, templates)."""
+    from .extras.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs_text(sf_dir), k=NGRAM_K, threshold=CONTAINMENT_THRESHOLD
+    )
+
+
 def q_jaccard_clusters(sf_dir: str):
     """Connected components over the exact trigram-Jaccard pair graph
     (min-label propagation; cluster_id = min doc_id in component) —
@@ -3635,6 +3649,31 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
         / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
       >= {NGRAM_JACCARD_THRESHOLD}"""
+
+    # same shingle CTE as ngram_jaccard; intersections via the exploded
+    # shingle self-join; each unordered pair yields up to two directed
+    # rows with the src side's size as the denominator
+    sql["containment"] = f"""{toks}
+, sh AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(tokens) = 0 THEN []::VARCHAR[]
+              WHEN len(tokens) < {NGRAM_K} THEN [array_to_string(tokens, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(tokens) - {NGRAM_K - 2}),
+                   i -> array_to_string(list_slice(tokens, i, i + {NGRAM_K - 1}), ' ')))
+         END AS shingles
+  FROM toks
+),
+sz AS (SELECT doc_id, len(shingles)::BIGINT AS sz FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+it AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS inter
+       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+d AS (SELECT a AS src_doc, b AS in_doc, inter FROM it
+      UNION ALL SELECT b, a, inter FROM it)
+SELECT d.src_doc, d.in_doc, d.inter, z.sz AS size_src,
+       round(d.inter::DOUBLE / z.sz, 6) AS containment
+FROM d JOIN sz z ON z.doc_id = d.src_doc
+WHERE d.inter::DOUBLE / z.sz >= {CONTAINMENT_THRESHOLD}"""
 
     sql["jaccard_clusters"] = f"""{toks.replace("WITH toks", "WITH RECURSIVE toks")}
 , sh AS MATERIALIZED (

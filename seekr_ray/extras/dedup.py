@@ -1403,3 +1403,167 @@ def banded_hamming_pairs(
         .groupby("_b")
         .map_groups(distinct_pairs, batch_format="pyarrow")
     )
+
+
+# -- containment join ---------------------------------------------------------
+
+
+def containment_pairs(
+    docs_ds,
+    *,
+    k: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+):
+    """Directed pairs where |S(src) ∩ S(dst)| / |S(src)| >= threshold
+    over k-shingle sets — the ASYMMETRIC near-copy relation Jaccard
+    misses: a short document quoted wholesale inside a long one has
+    high containment but low Jaccard (the union is dominated by the
+    long side), so quote / excerpt / template detection needs this
+    form.  Output: (src_doc, in_doc, inter, size_src, containment).
+
+    Shape is the APSS discipline (extras/apss.py), not the block-pair
+    jaccard form: md5(shingle)-bucketed posting rows make per-bucket
+    intersection partials globally correct; pairs_within_runs emits
+    canonical pair partials per shingle run; one groupby sums them;
+    two copart.attach_value passes stamp |S(a)| and |S(b)|; each
+    canonical pair then yields up to two directed rows.  Intersection
+    counts use 64-bit shingle hashes — equal to the string-set SQL
+    oracle up to a ~2^-64 collision (the ngram_jaccard_pairs note).
+    """
+    from .copart import attach_value, pairs_within_runs
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        out_b, out_h, out_d = [], [], []
+        size_d, size_n = [], []
+        for did, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            h = np.unique(_shingle_hashes(simple_tokens(text or ""), k))
+            out_h.append(h)
+            out_d.append(np.full(len(h), did, np.int64))
+            size_d.append(did)
+            size_n.append(len(h))
+        h = np.concatenate(out_h) if out_h else np.empty(0, np.uint64)
+        d = np.concatenate(out_d) if out_d else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "_sb": pa.array(
+                    (h % np.uint64(num_buckets)).astype(np.int64), pa.int64()
+                ),
+                "h": pa.array(h, pa.uint64()),
+                "doc_id": pa.array(d, pa.int64()),
+            }
+        )
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        ids, ns = [], []
+        for did, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            ids.append(did)
+            ns.append(
+                len(np.unique(_shingle_hashes(simple_tokens(text or ""), k)))
+            )
+        return pa.table(
+            {
+                "node": pa.array(ids, pa.int64()),
+                "value": pa.array(ns, pa.int64()),
+            }
+        )
+
+    def inter_partials(group: pa.Table) -> pa.Table:
+        h = group["h"].to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], h[1:] != h[:-1])) if len(h) else []
+        )
+        ends = np.append(starts[1:], len(h))
+        x, y = pairs_within_runs(d, starts, ends)
+        if len(x) and (x.max() >= (1 << 32) or y.max() >= (1 << 32)):
+            raise ValueError(
+                "containment_pairs packs doc ids into uint32 halves"
+            )
+        key = (x.astype(np.uint64) << np.uint64(32)) | y.astype(np.uint64)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "_pb": pa.array(
+                    (uk % np.uint64(num_buckets)).astype(np.int64), pa.int64()
+                ),
+                "k": pa.array(uk, pa.uint64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def sum_pairs(group: pa.Table) -> pa.Table:
+        key = group["k"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(key, return_inverse=True)
+        tot = np.zeros(len(uk), np.int64)
+        np.add.at(tot, inv, n)
+        return pa.table(
+            {
+                "doc_a": pa.array(
+                    (uk >> np.uint64(32)).astype(np.int64), pa.int64()
+                ),
+                "doc_b": pa.array(
+                    (uk & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()
+                ),
+                "inter": pa.array(tot, pa.int64()),
+            }
+        )
+
+    size_ds = docs_ds.map_batches(sizes, batch_format="pyarrow").materialize()
+    pairs = (
+        docs_ds.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("_sb")
+        .map_groups(inter_partials, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(sum_pairs, batch_format="pyarrow")
+    )
+    with_a = attach_value(
+        pairs,
+        size_ds,
+        key_col="doc_a",
+        out_col="size_a",
+        carry=["doc_b", "inter"],
+        num_buckets=num_buckets,
+    )
+    with_b = attach_value(
+        with_a,
+        size_ds,
+        key_col="doc_b",
+        out_col="size_b",
+        carry=["doc_a", "inter", "size_a"],
+        num_buckets=num_buckets,
+    )
+
+    def directed(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        it = batch["inter"].to_numpy(zero_copy_only=False)
+        sa = batch["size_a"].to_numpy(zero_copy_only=False)
+        sb = batch["size_b"].to_numpy(zero_copy_only=False)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        inter = np.concatenate([it, it])
+        ssz = np.concatenate([sa, sb])
+        # one mirrored expression: inter::DOUBLE / size_src
+        c = inter.astype(np.float64) / ssz.astype(np.float64)
+        m = c >= threshold
+        return pa.table(
+            {
+                "src_doc": pa.array(src[m], pa.int64()),
+                "in_doc": pa.array(dst[m], pa.int64()),
+                "inter": pa.array(inter[m], pa.int64()),
+                "size_src": pa.array(ssz[m], pa.int64()),
+                "containment": pa.array(np.round(c[m], 6), pa.float64()),
+            }
+        )
+
+    return with_b.map_batches(directed, batch_format="pyarrow")
