@@ -3411,15 +3411,37 @@ def _stoplist_sql() -> str:
 
 
 def _toks_cte() -> str:
+    # Row-form tokenization: unnest to rows, hash anti-join the stopword
+    # set, re-aggregate ordered lists.  Value-identical to the original
+    # list_filter(list_contains(...)) form but ~60x faster in DuckDB —
+    # list_contains over a ~700-word constant list is an O(|stopwords|)
+    # linear scan PER TOKEN, while `t NOT IN (SELECT w FROM sw)` builds
+    # one hash table.  The LEFT JOIN + coalesce keeps docs whose raw or
+    # kept token list is empty (they must appear with [] not vanish).
     stop = _stoplist_sql()
-    return f"""WITH toks AS (
-  SELECT doc_id, lang,
-         regexp_extract_all(lower(text), '[a-z]+') AS raw,
-         list_filter(regexp_extract_all(lower(text), '[a-z]+'),
-                     t -> length(t) BETWEEN 2 AND 45
-                          AND NOT list_contains({stop}, t)) AS tokens,
-         text
+    return f"""WITH sw AS (SELECT unnest({stop}) AS w),
+tok_rows AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z]+')) + 1)) AS i
   FROM documents
+),
+tok_agg AS (
+  SELECT doc_id,
+         list(t ORDER BY i) AS raw,
+         list(t ORDER BY i) FILTER (
+           WHERE length(t) BETWEEN 2 AND 45 AND t NOT IN (SELECT w FROM sw)
+         ) AS tokens,
+         count(*) FILTER (WHERE t IN (SELECT w FROM sw)) AS n_stop
+  FROM tok_rows GROUP BY doc_id
+),
+toks AS (
+  SELECT d.doc_id, d.lang,
+         coalesce(a.raw, []::VARCHAR[]) AS raw,
+         coalesce(a.tokens, []::VARCHAR[]) AS tokens,
+         coalesce(a.n_stop, 0)::BIGINT AS n_stop,
+         d.text
+  FROM documents d LEFT JOIN tok_agg a USING (doc_id)
 )"""
 
 
@@ -3452,7 +3474,7 @@ def _minhash_clusters_sql() -> str:
         f"({j}, {int(a[j])}::UBIGINT, {int(b[j])}::UBIGINT)"
         for j in range(len(a))
     )
-    toks = _toks_cte().replace("WITH toks", "WITH RECURSIVE toks")
+    toks = _toks_cte().replace("WITH ", "WITH RECURSIVE ", 1)
     return f"""{toks}
 , sh AS MATERIALIZED (
   SELECT doc_id,
@@ -3568,7 +3590,7 @@ SELECT doc_id,
             THEN round(list_aggregate(list_transform(tokens, t -> length(t)), 'avg'), 6)
             ELSE 0.0 END AS mean_token_len,
        CASE WHEN len(raw) > 0
-            THEN round(len(list_filter(raw, t -> list_contains({stop}, t)))::DOUBLE / len(raw), 6)
+            THEN round(n_stop::DOUBLE / len(raw), 6)
             ELSE 0.0 END AS stopword_ratio,
        CASE WHEN length(text) > 0
             THEN round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text), 6)
@@ -3578,8 +3600,7 @@ FROM toks"""
     sql["langid"] = f"""{toks}
 SELECT doc_id,
        CASE WHEN len(raw) > 0
-                 AND len(list_filter(raw, t -> list_contains({stop}, t)))::DOUBLE / len(raw)
-                     >= {LANGID_THRESHOLD}
+                 AND n_stop::DOUBLE / len(raw) >= {LANGID_THRESHOLD}
             THEN 'en' ELSE 'other' END AS pred_lang
 FROM toks"""
 
@@ -3675,7 +3696,7 @@ SELECT d.src_doc, d.in_doc, d.inter, z.sz AS size_src,
 FROM d JOIN sz z ON z.doc_id = d.src_doc
 WHERE d.inter::DOUBLE / z.sz >= {CONTAINMENT_THRESHOLD}"""
 
-    sql["jaccard_clusters"] = f"""{toks.replace("WITH toks", "WITH RECURSIVE toks")}
+    sql["jaccard_clusters"] = f"""{toks.replace("WITH ", "WITH RECURSIVE ", 1)}
 , sh AS MATERIALIZED (
   SELECT doc_id,
          CASE WHEN len(tokens) = 0 THEN []::VARCHAR[]
@@ -3949,8 +3970,7 @@ FROM lineitem l JOIN b USING (l_returnflag)"""
 , q AS (
   SELECT doc_id, lang, len(tokens) AS n_tokens,
          CASE WHEN len(raw) > 0
-              THEN len(list_filter(raw, t -> list_contains({stop}, t)))::DOUBLE
-                   / len(raw)
+              THEN n_stop::DOUBLE / len(raw)
               ELSE 0.0 END AS stop_ratio,
          CASE WHEN length(text) > 0
               THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
@@ -4563,18 +4583,20 @@ FROM ex"""
     # events.event_type with the shared token filter (the doc vocab
     # alone has no distance-1 pairs — vacuous-oracle guard).
     stop = _stoplist_sql()
-    fuzzy_tok = (
-        "list_filter(regexp_extract_all(lower({c}), '[a-z]+'), "
-        f"t -> length(t) BETWEEN 2 AND 45 AND NOT list_contains({stop}, t))"
-    )
-    sql["fuzzy_pairs"] = f"""WITH src AS (
-  SELECT unnest({fuzzy_tok.format(c='text')}) AS t FROM documents
+    fuzzy_tok = "unnest(regexp_extract_all(lower({c}), '[a-z]+'))"
+    sql["fuzzy_pairs"] = f"""WITH sw AS (SELECT unnest({stop}) AS w),
+raw_src AS (
+  SELECT {fuzzy_tok.format(c='text')} AS t FROM documents
   UNION ALL
-  SELECT unnest({fuzzy_tok.format(c='p_name')}) FROM part
+  SELECT {fuzzy_tok.format(c='p_name')} FROM part
   UNION ALL
-  SELECT unnest({fuzzy_tok.format(c='p_type')}) FROM part
+  SELECT {fuzzy_tok.format(c='p_type')} FROM part
   UNION ALL
-  SELECT unnest({fuzzy_tok.format(c='event_type')}) FROM events
+  SELECT {fuzzy_tok.format(c='event_type')} FROM events
+)
+, src AS (
+  SELECT t FROM raw_src
+  WHERE length(t) BETWEEN 2 AND 45 AND t NOT IN (SELECT w FROM sw)
 )
 , u AS (SELECT DISTINCT t FROM src)
 , v AS (SELECT t, unnest(list_prepend(t,
@@ -4736,12 +4758,21 @@ SELECT c.doc_id, c.n_tokens FROM c CROSS JOIN thr
 WHERE c.n_tokens::DOUBLE > thr.t"""
 
     stop3 = _stoplist_sql()
-    sql["source_quality"] = f"""WITH c AS (
-  SELECT source, count(*)::BIGINT AS n_docs,
-         sum(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
-             t -> length(t) BETWEEN 2 AND 45
-                  AND NOT list_contains({stop3}, t))))::BIGINT AS n_tokens
-  FROM documents GROUP BY source),
+    # row-form + hash anti-join (see _toks_cte rationale); docs with zero
+    # kept tokens still count in n_docs via the separate per-source count
+    sql["source_quality"] = f"""WITH sw AS (SELECT unnest({stop3}) AS w),
+r AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+  FROM documents),
+tk AS (
+  SELECT source, count(*)::BIGINT AS n_tokens FROM r
+  WHERE length(t) BETWEEN 2 AND 45 AND t NOT IN (SELECT w FROM sw)
+  GROUP BY source),
+c AS (
+  SELECT d.source, count(*)::BIGINT AS n_docs,
+         coalesce(any_value(tk.n_tokens), 0)::BIGINT AS n_tokens
+  FROM documents d LEFT JOIN tk ON d.source = tk.source
+  GROUP BY d.source),
 tot AS (SELECT sum(n_docs)::BIGINT AS t FROM c)
 SELECT c.source, c.n_docs, c.n_tokens,
        ROUND(c.n_tokens::DOUBLE / c.n_docs, 6) AS mean_tokens,
@@ -4987,13 +5018,9 @@ GROUP BY c.prev_type, t.tot"""
 
     # distinct (source, shingle) sets, inner-join pairs (zero-overlap
     # pairs omitted on BOTH sides), one mirrored jaccard division
-    stop4 = _stoplist_sql()
-    src_tokens = (
-        "list_filter(regexp_extract_all(lower(text), '[a-z]+'), "
-        f"t -> length(t) BETWEEN 2 AND 45 AND NOT list_contains({stop4}, t))"
-    )
-    sql["source_overlap"] = f"""WITH dt AS (
-  SELECT source, {src_tokens} AS tokens FROM documents),
+    sql["source_overlap"] = f"""{toks}
+, dt AS (
+  SELECT d.source, t.tokens FROM toks t JOIN documents d USING (doc_id)),
 sh AS (SELECT source,
        CASE WHEN len(tokens) < {NGRAM_K} THEN []::VARCHAR[]
             ELSE list_distinct(list_transform(range(1, len(tokens) - {NGRAM_K - 2}),
@@ -5149,14 +5176,10 @@ FROM cand WHERE bit_count(xor(ua, ub)) <= 3"""
 
     # winner-per-cluster over the EXACT minhash cluster replication
     # (subquery reuse of _minhash_clusters_sql); token law == toks CTE
-    stop2 = _stoplist_sql()
     sql["cluster_winners"] = f"""WITH cl AS (SELECT * FROM ({_minhash_clusters_sql()}) z),
 cnt AS (
-  SELECT doc_id,
-         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
-             t -> length(t) BETWEEN 2 AND 45
-                  AND NOT list_contains({stop2}, t)))::BIGINT AS n_tokens
-  FROM documents),
+  SELECT doc_id, len(tokens)::BIGINT AS n_tokens
+  FROM ({toks} SELECT doc_id, tokens FROM toks) z2),
 sel AS (SELECT cl.cluster_id, cl.doc_id, cnt.n_tokens,
                row_number() OVER (PARTITION BY cl.cluster_id
                                   ORDER BY cnt.n_tokens DESC, cl.doc_id ASC) AS rn,
