@@ -1087,6 +1087,53 @@ def q_revenue_rollup(sf_dir: str):
     )
 
 
+def q_revenue_cube(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus) revenue — the full
+    2-key grouping-set lattice (detail, both one-key subtotal sets, and
+    the grand total).  Same single-pass discipline as q_revenue_rollup:
+    detail cells from ONE partial-agg pass, every coarser set derived
+    from those O(cells) rows; the b-only set CUBE adds over ROLLUP is
+    one more O(cells) re-group, not a second scan of the input."""
+    import ray.data as rd
+
+    from .extras.stats import cube_agg
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+
+    # exact integer cents → parallelism-invariant sums (q_revenue_rollup)
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "l_extendedprice": pa.array(cents, pa.float64()),
+            }
+        )
+
+    out = cube_agg(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        key_cols=["l_returnflag", "l_linestatus"],
+        val_col="l_extendedprice",
+    )
+    return pa.table(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "l_linestatus": out["l_linestatus"],
+            "n": out["n"],
+            "total": pa.array(
+                [round6(v / 100.0) for v in out["total"].to_pylist()],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def q_event_sample(sf_dir: str):
     """Deterministic uniform 500-sample of events: the k smallest
     md5(event_id) keys, per-block partial top-k (distributed-reservoir
@@ -2261,6 +2308,46 @@ def q_corr_qty_discount(sf_dir: str):
         x_scale=1,
         y_scale=100,
     )
+
+
+def q_spearman_qty_discount(sf_dir: str):
+    """Per-returnflag Spearman rank correlation (average tie ranks)
+    between quantity and discount — monotonic association, robust to the
+    value scale Pearson (q_corr_qty_discount) is tied to.  Exact: the
+    per-group joint histogram is the only exchange, doubled tie ranks
+    are integers, and the float finish is mirrored term-for-term by the
+    oracle."""
+    import ray.data as rd
+
+    from .extras.stats import grouped_spearman
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+    return grouped_spearman(
+        ds,
+        key_col="l_returnflag",
+        x_col="l_quantity",
+        y_col="l_discount",
+        x_scale=1,
+        y_scale=100,
+    )
+
+
+def q_user_type_profile(sf_dir: str):
+    """Per-user sorted distinct event-type profile string — the
+    string_agg(DISTINCT ... ORDER BY ...) set-valued feature; exchange
+    bounded by the type domain per user, never by event count."""
+    import ray.data as rd
+
+    from .extras.features import user_type_profile
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    return user_type_profile(ds)
 
 
 def q_mode_event_type(sf_dir: str):
@@ -4033,6 +4120,52 @@ FROM lineitem GROUP BY l_returnflag"""
        count(*)::BIGINT AS n,
        round(sum(round(l_extendedprice * 100)) / 100, 6) AS total
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
+    sql["revenue_cube"] = """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*)::BIGINT AS n,
+       round(sum(round(l_extendedprice * 100)) / 100, 6) AS total
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"""
+
+    sql["user_type_profile"] = """SELECT user_id,
+       count(*)::BIGINT AS n_types,
+       string_agg(event_type, '|' ORDER BY event_type) AS type_profile
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY user_id"""
+
+    # doubled average tie ranks 2r = 2*cum_below + c + 1 are integers;
+    # BIGINT sums (HUGEINT accumulate) cast to DOUBLE in the exact order
+    # grouped_spearman replicates
+    sql["spearman_qty_discount"] = """WITH b AS (
+  SELECT l_returnflag AS g, round(l_quantity)::BIGINT AS x,
+         round(l_discount * 100)::BIGINT AS y FROM lineitem),
+j AS (SELECT g, x, y, count(*)::BIGINT AS n FROM b GROUP BY g, x, y),
+cx AS (SELECT g, x, sum(n)::BIGINT AS c FROM j GROUP BY g, x),
+rx AS (SELECT g, x,
+       (2 * (sum(c) OVER (PARTITION BY g ORDER BY x
+                          ROWS UNBOUNDED PRECEDING) - c) + c + 1)::BIGINT AS r2
+       FROM cx),
+cy AS (SELECT g, y, sum(n)::BIGINT AS c FROM j GROUP BY g, y),
+ry AS (SELECT g, y,
+       (2 * (sum(c) OVER (PARTITION BY g ORDER BY y
+                          ROWS UNBOUNDED PRECEDING) - c) + c + 1)::BIGINT AS r2
+       FROM cy),
+s AS (
+  SELECT j.g, sum(j.n)::DOUBLE AS n,
+         sum(j.n * rx.r2)::DOUBLE AS sx,
+         sum(j.n * ry.r2)::DOUBLE AS sy,
+         sum(j.n * rx.r2 * ry.r2)::DOUBLE AS sxy,
+         sum(j.n * rx.r2 * rx.r2)::DOUBLE AS sxx,
+         sum(j.n * ry.r2 * ry.r2)::DOUBLE AS syy
+  FROM j JOIN rx ON j.g = rx.g AND j.x = rx.x
+         JOIN ry ON j.g = ry.g AND j.y = ry.y
+  GROUP BY j.g)
+SELECT g AS l_returnflag, n::BIGINT AS n,
+       CASE WHEN (sxx - sx * sx / n) * (syy - sy * sy / n) > 0
+            THEN round((sxy - sx * sy / n)
+                 / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+            ELSE 0.0 END AS spearman
+FROM s"""
 
     sql["event_sample"] = f"""SELECT event_id FROM events
 ORDER BY md5_number_upper(event_id::VARCHAR), event_id LIMIT {KSAMPLE_K}"""

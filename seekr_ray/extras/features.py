@@ -159,3 +159,46 @@ def degree_stats(edges_ds, *, num_buckets: int = 64):
         )
 
     return summed.map_batches(rename, batch_format="pyarrow")
+
+
+def user_type_profile(events_ds, *, key_col: str = "user_id",
+                      type_col: str = "event_type", sep: str = "|"):
+    """Per-user sorted distinct event-type profile string — the
+    ``string_agg(DISTINCT t, sep ORDER BY t)`` aggregate, the classic
+    set-valued feature SQL engines special-case and Ray Data lacks.
+
+    Per-batch pair dedup (an Arrow group_by with no aggregates) shrinks
+    the exchange to O(distinct pairs seen per block); one
+    groupby(user).map_groups then sorts each user's small distinct set
+    and joins it.  The exchange and the group state are both bounded by
+    the TYPE domain per user, never by event count.  Byte-order string
+    sort == DuckDB's default binary collation, so the oracle compares
+    bit-exactly.
+
+    Output: ``(key_col, n_types, type_profile)``.
+    """
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select([key_col, type_col])
+            .group_by([key_col, type_col])
+            .aggregate([])
+        )
+
+    def profile(group: pa.Table) -> pa.Table:
+        types = sorted(set(group[type_col].to_pylist()))
+        return pa.table(
+            {
+                key_col: pa.array([group[key_col][0].as_py()],
+                                  group[key_col].type),
+                "n_types": pa.array([len(types)], pa.int64()),
+                "type_profile": pa.array([sep.join(types)], pa.string()),
+            }
+        )
+
+    return (
+        events_ds.select_columns([key_col, type_col])
+        .map_batches(dedup, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(profile, batch_format="pyarrow")
+    )

@@ -424,7 +424,81 @@ def rollup_agg(ds, *, key_cols: list[str], val_col: str, all_label: str = "ALL")
             a_col: pa.array(rows_a, pa.string()),
             b_col: pa.array(rows_b, pa.string()),
             "n": pa.array(rows_n, pa.int64()),
-            "total": pa.array([round6(v) for v in rows_s], pa.float64()),
+            # raw sums on purpose: callers that rescale (e.g. cents →
+            # dollars) must round ONCE, at the final unit, like the SQL
+            # ROUND(sum/100, 6) — rounding here too would double-round
+            # (ray) vs single-round (SQL) and diverge at |Σ|·1e6 ≥ 2^52
+            "total": pa.array(rows_s, pa.float64()),
+        }
+    )
+
+
+def cube_agg(ds, *, key_cols: list[str], val_col: str, all_label: str = "ALL"):
+    """GROUP BY CUBE(a, b): detail cells, per-a subtotals, per-b
+    subtotals, and the grand total — the full 2-key grouping-set
+    lattice, with ``all_label`` for SQL's NULL grouping marker (same
+    sentinel rationale as :func:`rollup_agg`).
+
+    Like rollup_agg, the input is aggregated ONCE into detail cells;
+    all three coarser sets are derived from those O(cells) rows on the
+    driver instead of re-shuffling the input per grouping set.  The
+    b-only subtotal (the set ROLLUP lacks) is just a second O(cells)
+    re-group of the detail frame.
+    Output: ``(*key_cols, n, total)``.
+    """
+    assert len(key_cols) == 2, "cube_agg implements the 2-key cube"
+    a_col, b_col = key_cols
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tbl = batch.select([a_col, b_col, val_col])
+        agg = tbl.group_by([a_col, b_col]).aggregate(
+            [(val_col, "count"), (val_col, "sum")]
+        )
+        return pa.table(
+            {
+                a_col: agg[a_col],
+                b_col: agg[b_col],
+                "n_p": pc.cast(agg[f"{val_col}_count"], pa.int64()),
+                "s_p": pc.cast(agg[f"{val_col}_sum"], pa.float64()),
+            }
+        )
+
+    import pandas as pd
+
+    detail = (
+        ds.select_columns([a_col, b_col, val_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([a_col, b_col])
+        .sum(["n_p", "s_p"])
+    ).to_pandas()
+    detail = detail.rename(columns={"sum(n_p)": "n", "sum(s_p)": "s"})
+    detail = detail.sort_values([a_col, b_col]).reset_index(drop=True)
+    sub_a = detail.groupby(a_col, sort=True, as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum")
+    )
+    sub_a[b_col] = all_label
+    sub_b = detail.groupby(b_col, sort=True, as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum")
+    )
+    sub_b[a_col] = all_label
+    grand = pd.DataFrame(
+        {
+            a_col: [all_label],
+            b_col: [all_label],
+            "n": [int(detail["n"].sum())],
+            "s": [float(detail["s"].sum())],
+        }
+    )
+    out = pd.concat(
+        [detail, sub_a, sub_b, grand], ignore_index=True
+    )[[a_col, b_col, "n", "s"]]
+    return pa.table(
+        {
+            a_col: pa.array(out[a_col].astype(str), pa.string()),
+            b_col: pa.array(out[b_col].astype(str), pa.string()),
+            "n": pa.array(out["n"].astype(np.int64), pa.int64()),
+            # raw sums — same single-round contract as rollup_agg
+            "total": pa.array(out["s"].tolist(), pa.float64()),
         }
     )
 
@@ -595,6 +669,107 @@ def grouped_corr(
         key_col,
         [(c, "sum") for c in ["_n", "_sx", "_sy", "_sxy", "_sxx", "_syy"]],
     ).map_batches(finalize, batch_format="pyarrow")
+
+
+def grouped_spearman(
+    ds,
+    *,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 1,
+    y_scale: int = 1,
+):
+    """Per-group Spearman rank correlation with AVERAGE tie ranks, from
+    exact integer sufficient statistics over the per-group joint (x, y)
+    histogram.
+
+    One distributed ``groupby(key, x, y).sum`` builds the joint counts —
+    O(distinct pairs) rows, the only exchange; the raw rows never leave
+    their blocks un-aggregated.  Doubled average ranks
+    ``2·r(v) = 2·cum_below + c + 1`` are integers (the usual half-integer
+    tie rank, times 2), so every weighted rank sum is an exact integer
+    accumulated in arbitrary-precision Python (the SQL side sums BIGINT
+    → HUGEINT); the constant factor 2 cancels in the correlation.  The
+    final Pearson-on-ranks float expression is replicated
+    operation-for-operation by the SQL oracle.
+
+    Designed for BOUNDED-CARDINALITY axes: the joint histogram is
+    O(groups × |X| × |Y|) and is collected to the driver (documented
+    domain bound, not data-size bound — e.g. integral quantities ×
+    2dp discounts).  For unbounded axes, rank per group with the
+    global_value_rank prefix-sum discipline instead and feed the ranked
+    rows to grouped_corr.
+
+    Output: ``(key_col, n, spearman)``.
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.rint(_np_col(batch, x_col) * x_scale).astype(np.int64)
+        y = np.rint(_np_col(batch, y_col) * y_scale).astype(np.int64)
+        tbl = pa.table(
+            {
+                key_col: batch[key_col],
+                "_x": pa.array(x, pa.int64()),
+                "_y": pa.array(y, pa.int64()),
+            }
+        )
+        agg = tbl.group_by([key_col, "_x", "_y"]).aggregate([([], "count_all")])
+        return agg.rename_columns([key_col, "_x", "_y", "_n"])
+
+    joint = (
+        ds.select_columns([key_col, x_col, y_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "_x", "_y"])
+        .sum("_n")
+    ).to_pandas()
+    joint = joint.rename(columns={"sum(_n)": "_n"})
+
+    def rank2_map(sub: pd.DataFrame, axis: str) -> dict[int, int]:
+        # doubled average rank per distinct value: 2·cum_below + c + 1
+        c = sub.groupby(axis)["_n"].sum().sort_index()
+        cum_below = c.cumsum().shift(fill_value=0)
+        return {
+            int(v): int(2 * int(cb) + int(cc) + 1)
+            for v, cb, cc in zip(c.index, cum_below, c)
+        }
+
+    keys, ns, rhos = [], [], []
+    for g, sub in joint.groupby(key_col, sort=True):
+        rx = rank2_map(sub, "_x")
+        ry = rank2_map(sub, "_y")
+        n_i = 0
+        sx = sy = sxy = sxx = syy = 0  # exact Python ints
+        for xv, yv, nn in zip(sub["_x"], sub["_y"], sub["_n"]):
+            nn = int(nn)
+            a = rx[int(xv)]
+            b = ry[int(yv)]
+            n_i += nn
+            sx += nn * a
+            sy += nn * b
+            sxy += nn * a * b
+            sxx += nn * a * a
+            syy += nn * b * b
+        # float conversion + op order mirrored by the SQL oracle
+        n_f, sx_f, sy_f = float(n_i), float(sx), float(sy)
+        sxy_f, sxx_f, syy_f = float(sxy), float(sxx), float(syy)
+        var_prod = (sxx_f - sx_f * sx_f / n_f) * (syy_f - sy_f * sy_f / n_f)
+        rho = (
+            (sxy_f - sx_f * sy_f / n_f) / math.sqrt(var_prod)
+            if var_prod > 0.0
+            else 0.0
+        )
+        keys.append(g)
+        ns.append(n_i)
+        rhos.append(round6(rho))
+    return pa.table(
+        {
+            key_col: pa.array(keys, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "spearman": pa.array(rhos, pa.float64()),
+        }
+    )
 
 
 def grouped_mode(ds, *, key_col: str, val_col: str, num_buckets: int = 64):

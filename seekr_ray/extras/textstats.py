@@ -27,18 +27,40 @@ MIN_LEN, MAX_LEN = 2, 45
 
 
 def round6(x: float) -> float:
-    """Half-away-from-zero rounding to 6dp — matches SQL ROUND(x, 6).
+    """Half-away-from-zero rounding to 6dp — bit-exact replication of
+    DuckDB ``ROUND(x, 6)`` on DOUBLE (std::round(x*1e6)/1e6), verified
+    against DuckDB on a 12k-value sweep across magnitudes 1e-6..1e30.
+
+    Two traps the naive ``floor(|x|*1e6 + 0.5)`` falls into (it broke
+    value-hash compares on large money sums):
+    - ``+ 0.5`` round-ties-to-even when ``|x|*1e6`` ≥ 2^52 (ulp ≥ 1),
+      silently bumping integral products up one — std::round compares
+      the fractional part instead, so we do too;
+    - above 2^52 the product grid is integral: std::round is identity
+      on it, and the result must be ``product/1e6`` (NOT x — the
+      multiply-divide round trip is what DuckDB returns).
     Python's round() is banker's rounding and disagrees with DuckDB on
-    exact halves (e.g. 0.8203125), which broke value-hash compares."""
+    exact halves (e.g. 0.8203125) — still avoided."""
     import math
 
-    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+    a = abs(x) * 1e6
+    if a >= 2**52 or a != a:  # identity grid, inf, or NaN
+        r = a
+    else:
+        f = math.floor(a)
+        r = f + 1.0 if a - f >= 0.5 else f
+    return math.copysign(r, x) / 1e6
 
 
 def round6_arr(x: np.ndarray) -> np.ndarray:
-    """Vectorized ``round6`` (same half-away-from-zero formula) for
-    O(rows) outputs where a per-element Python loop would dominate."""
-    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+    """Vectorized ``round6`` (same std::round replication) for O(rows)
+    outputs where a per-element Python loop would dominate."""
+    a = np.abs(x) * 1e6
+    f = np.floor(a)
+    with np.errstate(invalid="ignore"):  # inf - inf in the dead branch
+        r = np.where(a - f >= 0.5, f + 1.0, f)
+    r = np.where(a >= 2**52, a, r)  # also propagates inf; NaN via f
+    return np.copysign(r, x) / 1e6
 
 
 def simple_tokens(text: str) -> list[str]:

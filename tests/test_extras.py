@@ -814,3 +814,37 @@ def test_random_projection_preserves_distances(ray_session):
         np.mean(within),
         np.mean(cross),
     )
+
+
+def test_user_type_profile_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from seekr_ray.extras.features import user_type_profile
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 60, size=2500),
+            "event_type": rng.choice(
+                ["view", "click", "purchase", "share", "login"], size=2500
+            ),
+        }
+    )
+    got = (
+        user_type_profile(rd.from_pandas(df).repartition(6))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ref = (
+        df.groupby("user_id")["event_type"]
+        .agg(lambda s: "|".join(sorted(set(s))))
+        .reset_index(name="type_profile")
+    )
+    assert got["user_id"].tolist() == ref["user_id"].tolist()
+    assert got["type_profile"].tolist() == ref["type_profile"].tolist()
+    assert got["n_types"].tolist() == [
+        p.count("|") + 1 for p in ref["type_profile"]
+    ]

@@ -416,3 +416,111 @@ def test_kmeans_fit_matches_numpy_mirror(ray_session, rng):
     per_cid = step.groupby("cid")["n"].first()
     assert per_cid.sum() == n
     assert set(step["dim"]) == set(range(dim))
+
+
+def test_cube_levels_consistent(ray_session, rng):
+    from seekr_ray.extras.stats import cube_agg
+
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["p", "q"], size=2000),
+            "b": rng.choice(["s", "t", "u"], size=2000),
+            "v": rng.uniform(0.0, 10.0, size=2000),
+        }
+    )
+    got = cube_agg(_ds(df), key_cols=["a", "b"], val_col="v").to_pandas()
+    detail = got[(got["a"] != "ALL") & (got["b"] != "ALL")]
+    sub_a = got[(got["a"] != "ALL") & (got["b"] == "ALL")]
+    sub_b = got[(got["a"] == "ALL") & (got["b"] != "ALL")]
+    grand = got[(got["a"] == "ALL") & (got["b"] == "ALL")]
+    # full 2-key lattice: 6 detail + 2 a-subtotals + 3 b-subtotals + grand
+    assert (len(detail), len(sub_a), len(sub_b), len(grand)) == (6, 2, 3, 1)
+    assert detail["n"].sum() == len(df) == int(grand["n"].iloc[0])
+    for b, s in sub_b.set_index("b")["n"].items():
+        assert s == (df["b"] == b).sum()
+    ref = df.groupby(["a", "b"])["v"].sum()
+    for _, r in detail.iterrows():
+        assert abs(r["total"] - ref[(r["a"], r["b"])]) < 1e-5
+    for b, s in sub_b.set_index("b")["total"].items():
+        assert abs(s - df.loc[df["b"] == b, "v"].sum()) < 1e-5
+
+
+def test_grouped_spearman_matches_pandas(ray_session, rng):
+    from seekr_ray.extras.stats import grouped_spearman
+
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], size=3000),
+            # heavy ties on both axes (the average-rank path); integral
+            # floats so pandas and the quantized kernel tie identically
+            "x": rng.integers(0, 12, size=3000).astype(float),
+            "y": rng.integers(0, 40, size=3000).astype(float),
+        }
+    )
+    # inject monotone association so rho is far from 0
+    df.loc[df["g"] == "a", "y"] += 2.0 * df.loc[df["g"] == "a", "x"]
+    got = (
+        grouped_spearman(
+            _ds(df), key_col="g", x_col="x", y_col="y", x_scale=1, y_scale=1
+        )
+        .to_pandas()
+        .set_index("g")
+    )
+    for g, sub in df.groupby("g"):
+        # spearman == pearson over average ranks (no scipy dependency)
+        ref = (
+            sub["x"].rank(method="average").corr(sub["y"].rank(method="average"))
+        )
+        assert got.loc[g, "n"] == len(sub)
+        assert abs(got.loc[g, "spearman"] - ref) < 5.1e-7
+
+
+def test_grouped_spearman_parallelism_invariant(ray_session, rng):
+    import ray.data as rd
+
+    from seekr_ray.extras.stats import grouped_spearman
+
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], size=2000),
+            "x": rng.integers(0, 8, size=2000).astype(float),
+            "y": 0.01 * rng.integers(0, 25, size=2000),
+        }
+    )
+    outs = []
+    for parts in (1, 7):
+        t = grouped_spearman(
+            rd.from_pandas(df).repartition(parts),
+            key_col="g",
+            x_col="x",
+            y_col="y",
+            x_scale=1,
+            y_scale=100,
+        ).to_pandas()
+        outs.append(t.sort_values("g").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # bit-identical
+
+
+def test_round6_matches_duckdb_double_round():
+    """round6/round6_arr replicate DuckDB ROUND(x, 6) on DOUBLE exactly —
+    including the >= 2^52-product identity grid and the near-tie cases
+    the old floor(+0.5) formula got wrong (ties-to-even on the add)."""
+    import duckdb
+
+    from seekr_ray.extras.textstats import round6, round6_arr
+
+    rng2 = np.random.default_rng(17)
+    vals = []
+    for mag in (1e-4, 1.0, 1e4, 1e8, 5e8, 2e9, 8e9, 1e10, 1e12, 1e15):
+        v = rng2.uniform(mag / 2, mag, 40)
+        vals.extend(v.tolist())
+        vals.extend((np.round(v * 100) / 100).tolist())
+        vals.extend((-v[:10]).tolist())
+    vals.extend([0.8203125, -0.8203125, 2.5e-6, -2.5e-6, 0.0])
+    con = duckdb.connect()
+    q = "SELECT " + ", ".join(f"round('{v!r}'::DOUBLE, 6)" for v in vals)
+    duck = [float(g) for g in con.execute(q).fetchone()]
+    got_scalar = [round6(float(v)) for v in vals]
+    got_arr = round6_arr(np.asarray(vals, np.float64)).tolist()
+    assert duck == got_scalar
+    assert duck == got_arr
