@@ -2350,6 +2350,36 @@ def q_user_type_profile(sf_dir: str):
     return user_type_profile(ds)
 
 
+def q_hourly_filled(sf_dir: str):
+    """Dense hourly event counts per type — zero-filled gap hours on the
+    [min, max] hour grid (time-series resample step).  Counts aggregate
+    distributedly; the O(span × types) grid is clock-bounded driver
+    work."""
+    import ray.data as rd
+
+    from .extras.windows import dense_hourly_counts
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+    return dense_hourly_counts(ds)
+
+
+def q_last_click_locf(sf_dir: str):
+    """Per-user carry-forward of the most recent 'click' timestamp to
+    every subsequent event (IGNORE-NULLS running max — the LOCF window
+    LAG can't express); rows before a user's first click omitted."""
+    import ray.data as rd
+
+    from .extras.windows import locf_per_group
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return locf_per_group(ds, mark_type="click")
+
+
 def q_mode_event_type(sf_dir: str):
     """Per-user modal event type (ties → lexicographically smallest) —
     integer counts, fully deterministic."""
@@ -4120,6 +4150,27 @@ FROM lineitem GROUP BY l_returnflag"""
        count(*)::BIGINT AS n,
        round(sum(round(l_extendedprice * 100)) / 100, 6) AS total
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
+    sql["hourly_filled"] = """WITH b AS (
+  SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM b),
+grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS window
+         FROM bounds),
+types AS (SELECT DISTINCT event_type FROM b),
+c AS (SELECT h, event_type, count(*)::BIGINT AS n FROM b GROUP BY h, event_type)
+SELECT g.window, t.event_type, coalesce(c.n, 0)::BIGINT AS n
+FROM grid g CROSS JOIN types t
+LEFT JOIN c ON c.h = g.window AND c.event_type = t.event_type"""
+
+    sql["last_click_locf"] = """SELECT event_id, user_id,
+       epoch_us(last_ts)::BIGINT AS last_mark_us
+FROM (
+  SELECT event_id, user_id,
+         max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS last_ts
+  FROM events)
+WHERE last_ts IS NOT NULL"""
 
     sql["revenue_cube"] = """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        coalesce(l_linestatus, 'ALL') AS l_linestatus,

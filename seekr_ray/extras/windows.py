@@ -480,3 +480,129 @@ def running_sum_per_group(
         .groupby("_b")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def dense_hourly_counts(events_ds, *, type_col: str = "event_type",
+                        ts_col: str = "ts"):
+    """Per event-type hourly counts on a DENSE hour grid — gap filling:
+    hours with no events appear with n = 0, the resample/zero-fill step
+    every time-series pipeline needs before windowed models.
+
+    Counts aggregate distributedly (tumbling_agg discipline: per-batch
+    partial groupby, one O(cells) exchange); the dense grid is then
+    O(span-hours × |types|) — bounded by the clock and the type domain,
+    never by event count — so materializing it driver-side and
+    left-merging the counts is the scale-true plan.
+
+    Output: ``(window, event_type, n)`` over [min hour, max hour] ×
+    distinct types.
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = pc.cast(
+            pc.floor_temporal(batch[ts_col], unit="hour"), pa.timestamp("us")
+        )
+        tbl = pa.table({"window": win, type_col: batch[type_col]})
+        agg = tbl.group_by(["window", type_col]).aggregate([([], "count_all")])
+        return agg.rename_columns(["window", type_col, "n_part"])
+
+    cells = (
+        events_ds.select_columns([ts_col, type_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["window", type_col])
+        .sum("n_part")
+    ).to_pandas()
+    cells = cells.rename(columns={"sum(n_part)": "n"})
+    cells["window"] = cells["window"].astype("datetime64[us]")
+    hours = pd.date_range(
+        cells["window"].min(), cells["window"].max(), freq="h"
+    ).astype("datetime64[us]")
+    types = sorted(cells[type_col].unique())
+    grid = pd.MultiIndex.from_product(
+        [hours, types], names=["window", type_col]
+    ).to_frame(index=False)
+    out = grid.merge(cells, on=["window", type_col], how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    return pa.table(
+        {
+            "window": pa.array(out["window"], pa.timestamp("us")),
+            type_col: pa.array(out[type_col], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+        }
+    )
+
+
+def locf_per_group(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    mark_type: str = "click",
+    num_buckets: int = 64,
+):
+    """Per-key last-observation-carried-forward: for every event, the
+    timestamp of the key's most recent ``mark_type`` event at or before
+    it in (ts, id) order — SQL's ``max(CASE WHEN type = mark THEN ts
+    END) OVER (PARTITION BY key ORDER BY ts, id ROWS UNBOUNDED
+    PRECEDING)``, the IGNORE-NULLS carry-forward window LAG can't
+    express.  Rows before the key's first mark are omitted (no NULLs
+    into the value-hash compare).
+
+    Same hash-bucket co-location plan as lag_gaps_per_group; inside a
+    bucket the carry is one segmented cummax (pandas C kernel) over the
+    (key, ts, id)-sorted rows.  Integer microseconds ⇒ exact.
+
+    Output: ``(id_col, key_col, last_mark_us)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        t = pc.cast(batch[ts_col], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        is_mark = pc.equal(batch[type_col], mark_type).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "_b": pa.array(
+                    (k % num_buckets).astype(np.int32), pa.int32()
+                ),
+                "k": pa.array(k, pa.int64()),
+                "t": pa.array(t.view("int64"), pa.int64()),
+                "i": batch[id_col],
+                "m": pa.array(is_mark, pa.bool_()),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        k = group["k"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        i = group["i"].to_numpy(zero_copy_only=False)
+        m = group["m"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, t, k))
+        k, t, i, m = k[order], t[order], i[order], m[order]
+        marked = np.where(m, t, np.int64(np.iinfo(np.int64).min))
+        carried = (
+            pd.Series(marked).groupby(pd.Series(k)).cummax().to_numpy()
+        )
+        keep = carried != np.iinfo(np.int64).min
+        return pa.table(
+            {
+                id_col: pa.array(i[keep], pa.int64()),
+                key_col: pa.array(k[keep], pa.int64()),
+                "last_mark_us": pa.array(carried[keep], pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.select_columns([key_col, ts_col, id_col, type_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -414,3 +414,63 @@ def test_token_entropy_hand_computed(ray_session):
     assert abs(want - 0.918296) < 1e-5  # true H(2/3,1/3)
     assert got.loc[2, "entropy"] == 0.0 and got.loc[2, "n_tokens"] == 3
     assert got.loc[3, "entropy"] == 0.0 and got.loc[3, "n_tokens"] == 0
+
+
+def test_dense_hourly_counts_zero_fills(ray_session):
+    from seekr_ray.extras.windows import dense_hourly_counts
+
+    # three types, deliberate multi-hour holes in the middle
+    ts = pd.to_datetime(
+        ["2024-01-01 00:10", "2024-01-01 00:40", "2024-01-01 03:05",
+         "2024-01-01 07:59", "2024-01-01 00:20", "2024-01-01 07:01"]
+    ).astype("datetime64[us]")
+    df = pd.DataFrame(
+        {"ts": ts, "event_type": ["a", "a", "a", "a", "b", "c"]}
+    )
+    got = dense_hourly_counts(_ds(df, 3)).to_pandas()
+    # grid = 8 hours x 3 types, zero-filled
+    assert len(got) == 8 * 3
+    assert got["n"].sum() == len(df)
+    g = got.set_index(["window", "event_type"])["n"]
+    assert g[(pd.Timestamp("2024-01-01 00:00"), "a")] == 2
+    assert g[(pd.Timestamp("2024-01-01 01:00"), "a")] == 0  # filled hole
+    assert g[(pd.Timestamp("2024-01-01 07:00"), "c")] == 1
+    assert g[(pd.Timestamp("2024-01-01 05:00"), "b")] == 0
+    assert str(got["window"].dtype) == "datetime64[us]"
+
+
+def test_locf_matches_pandas_carry_forward(ray_session):
+    from seekr_ray.extras.windows import locf_per_group
+
+    rng = np.random.RandomState(11)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 9, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.randint(0, 10**5, n), unit="s"
+            ).astype("datetime64[us]"),
+            "event_type": rng.choice(["click", "view", "buy"], n),
+        }
+    )
+    got = (
+        locf_per_group(_ds(df, 5), mark_type="click", num_buckets=7)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # pandas reference: running max of click-ts per user in (ts, id) order
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    marked = ref["ts"].astype("int64").where(ref["event_type"] == "click")
+    # cummax keeps NaN at NaN positions — carry forward within user
+    cm = marked.groupby(ref["user_id"]).cummax()
+    ref["last"] = cm.groupby(ref["user_id"]).ffill()
+    ref = ref.dropna(subset=["last"]).sort_values("event_id")
+    assert got["event_id"].tolist() == ref["event_id"].tolist()
+    assert got["last_mark_us"].tolist() == [int(v) for v in ref["last"]]
+    # a click event carries its own timestamp (inclusive frame)
+    first_click = df[df["event_type"] == "click"].iloc[0]
+    row = got[got["event_id"] == first_click["event_id"]]
+    # Timestamp.value is ns; the kernel emits µs
+    assert int(row["last_mark_us"].iloc[0]) == first_click["ts"].value // 1000
