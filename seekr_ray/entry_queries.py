@@ -3615,11 +3615,21 @@ hsh AS MATERIALIZED (
   FROM toks
 ),
 perms(j, a, b) AS (VALUES {perm_vals}),
+hr AS MATERIALIZED (SELECT doc_id, unnest(hshingles) AS h FROM hsh),
+-- permute DISTINCT shingle hashes once, then join back for the per-doc
+-- min: the UHUGEINT mulmod runs O(distinct · perms) times instead of
+-- O(occurrences · perms) inside a grouped aggregate — ~14x faster in
+-- DuckDB, value-identical (min over equal h gives equal permuted v)
+dh AS (SELECT DISTINCT h FROM hr),
+pv AS MATERIALIZED (
+  SELECT dh.h, p.j,
+         ((p.a::UHUGEINT * (dh.h % {p61}) + p.b) % {p61})::UBIGINT AS v
+  FROM dh CROSS JOIN perms p
+),
 sig AS MATERIALIZED (
-  SELECT s.doc_id, p.j,
-         min(((p.a::UHUGEINT * (s.h % {p61}) + p.b) % {p61})::UBIGINT) AS mv
-  FROM (SELECT doc_id, unnest(hshingles) AS h FROM hsh) s CROSS JOIN perms p
-  GROUP BY s.doc_id, p.j
+  SELECT s.doc_id, pv.j, min(pv.v) AS mv
+  FROM hr s JOIN pv ON s.h = pv.h
+  GROUP BY s.doc_id, pv.j
   UNION ALL
   SELECT h.doc_id, p.j, 0::UBIGINT AS mv
   FROM hsh h CROSS JOIN perms p WHERE len(h.hshingles) = 0
@@ -3770,8 +3780,12 @@ SELECT doc_id, round(score_raw, 6) AS score FROM (
        count(*)::BIGINT AS n_copies
 FROM documents GROUP BY text"""
 
-    sql["ngram_jaccard"] = f"""{toks}
-, sh AS (
+    # row-form intersection: count shared shingles via a self-join on
+    # shingle rows instead of O(n^2) pairwise list_intersect — only
+    # co-occurring pairs are touched, value-identical (|A∪B| =
+    # |A|+|B|−|A∩B| on the distinct sets; a zero-intersection or empty
+    # pair can never reach a positive threshold in either form)
+    jac_pairs_cte = f"""sh AS (
   SELECT doc_id,
          CASE WHEN len(tokens) = 0 THEN []::VARCHAR[]
               WHEN len(tokens) < {NGRAM_K} THEN [array_to_string(tokens, ' ')]
@@ -3779,14 +3793,24 @@ FROM documents GROUP BY text"""
                    i -> array_to_string(list_slice(tokens, i, i + {NGRAM_K - 1}), ' ')))
          END AS shingles
   FROM toks
-)
-SELECT a.doc_id AS a, b.doc_id AS b,
-  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-        / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-        / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
-      >= {NGRAM_JACCARD_THRESHOLD}"""
+),
+sz AS (SELECT doc_id, len(shingles) AS m FROM sh),
+sr AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS i
+  FROM sr x JOIN sr y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT inter.a, inter.b,
+         round(inter.i::DOUBLE / (sa.m + sb.m - inter.i), 6) AS jaccard
+  FROM inter JOIN sz sa ON sa.doc_id = inter.a
+             JOIN sz sb ON sb.doc_id = inter.b
+)"""
+    sql["ngram_jaccard"] = f"""{toks}
+, {jac_pairs_cte}
+SELECT a, b, jaccard FROM jac
+WHERE jaccard >= {NGRAM_JACCARD_THRESHOLD}"""
 
     # same shingle CTE as ngram_jaccard; intersections via the exploded
     # shingle self-join; each unordered pair yields up to two directed
@@ -3814,21 +3838,9 @@ FROM d JOIN sz z ON z.doc_id = d.src_doc
 WHERE d.inter::DOUBLE / z.sz >= {CONTAINMENT_THRESHOLD}"""
 
     sql["jaccard_clusters"] = f"""{toks.replace("WITH ", "WITH RECURSIVE ", 1)}
-, sh AS MATERIALIZED (
-  SELECT doc_id,
-         CASE WHEN len(tokens) = 0 THEN []::VARCHAR[]
-              WHEN len(tokens) < {NGRAM_K} THEN [array_to_string(tokens, ' ')]
-              ELSE list_distinct(list_transform(range(1, len(tokens) - {NGRAM_K - 2}),
-                   i -> array_to_string(list_slice(tokens, i, i + {NGRAM_K - 1}), ' ')))
-         END AS shingles
-  FROM toks
-),
+, {jac_pairs_cte},
 pairs AS MATERIALIZED (
-  SELECT a.doc_id AS a, b.doc_id AS b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-          / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
-        >= {NGRAM_JACCARD_THRESHOLD}
+  SELECT a, b FROM jac WHERE jaccard >= {NGRAM_JACCARD_THRESHOLD}
 ),
 edges AS (SELECT a AS s, b AS t FROM pairs UNION ALL SELECT b AS s, a AS t FROM pairs),
 reach(node, label) AS (
