@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 from .extras.textstats import (
     LANGID_THRESHOLD,
     round6,
+    round6_arr,
     doc_fingerprints,
     doc_token_counts,
     langid_heuristic,
@@ -2350,6 +2351,182 @@ def q_user_type_profile(sf_dir: str):
     return user_type_profile(ds)
 
 
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 pricing summary: per (returnflag, linestatus) the four
+    classic sums (qty, base price, discounted price, charge), three
+    means, and the row count, over a shipdate cutoff.  Exact integer
+    sufficient statistics — cents × integer-percent products
+    (pc·(100−disc)·(100+tax)) sum as int64, every float division is
+    mirrored operation-for-operation by the oracle.  Ceiling: per-group
+    Σ pc·1e4 must stay < 2^63 (fine to ~sf10; carry decimal128 partials
+    beyond)."""
+    import ray.data as rd
+
+    cutoff = np.datetime64("2001-06-30T00:00:00", "us")
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = ship <= cutoff
+        q = np.rint(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+        ).astype(np.int64)
+        pc = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            * 100.0
+        ).astype(np.int64)
+        dp = np.rint(
+            batch["l_discount"].to_numpy(zero_copy_only=False)[keep] * 100.0
+        ).astype(np.int64)
+        tp = np.rint(
+            batch["l_tax"].to_numpy(zero_copy_only=False)[keep] * 100.0
+        ).astype(np.int64)
+        pdp = pc * (100 - dp)
+        tbl = pa.table(
+            {
+                "l_returnflag": pa.array(
+                    batch["l_returnflag"].to_numpy(zero_copy_only=False)[
+                        keep
+                    ],
+                    pa.string(),
+                ),
+                "l_linestatus": pa.array(
+                    batch["l_linestatus"].to_numpy(zero_copy_only=False)[
+                        keep
+                    ],
+                    pa.string(),
+                ),
+                "_n": pa.array(np.ones(len(q), np.int64), pa.int64()),
+                "_sq": pa.array(q, pa.int64()),
+                "_spc": pa.array(pc, pa.int64()),
+                "_sdp": pa.array(pdp, pa.int64()),
+                "_sch": pa.array(pdp * (100 + tp), pa.int64()),
+                "_sdisc": pa.array(dp, pa.int64()),
+            }
+        )
+        agg = tbl.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [(c, "sum") for c in ["_n", "_sq", "_spc", "_sdp", "_sch", "_sdisc"]]
+        )
+        # strip Arrow's _sum suffixes so the Dataset groupby re-sums them
+        return pa.table(
+            {
+                "l_returnflag": agg["l_returnflag"],
+                "l_linestatus": agg["l_linestatus"],
+                **{
+                    c: agg[f"{c}_sum"]
+                    for c in ["_n", "_sq", "_spc", "_sdp", "_sch", "_sdisc"]
+                },
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["sum(_n)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sq = batch["sum(_sq)"].to_numpy(zero_copy_only=False)
+        spc = batch["sum(_spc)"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        sdp = batch["sum(_sdp)"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        sch = batch["sum(_sch)"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        sdisc = batch["sum(_sdisc)"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pa.array(sq, pa.int64()),
+                "sum_base_price": pa.array(
+                    round6_arr(spc / 100.0), pa.float64()
+                ),
+                "sum_disc_price": pa.array(
+                    round6_arr(sdp / 10000.0), pa.float64()
+                ),
+                "sum_charge": pa.array(
+                    round6_arr(sch / 1000000.0), pa.float64()
+                ),
+                "avg_qty": pa.array(
+                    round6_arr(sq.astype(np.float64) / n), pa.float64()
+                ),
+                "avg_price": pa.array(
+                    round6_arr(spc / 100.0 / n), pa.float64()
+                ),
+                "avg_disc": pa.array(
+                    round6_arr(sdisc / 100.0 / n), pa.float64()
+                ),
+                "count_order": pa.array(
+                    n.astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["_n", "_sq", "_spc", "_sdp", "_sch", "_sdisc"])
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def q_chi2_lang_source(sf_dir: str):
+    """Chi-square independence test of documents lang × source — the
+    categorical-association screen of a data profiler.  Exact integer
+    contingency counts cross the exchange; each cell's (o−e)²/e
+    contribution is floor-quantized at 1e-6 and summed as an integer
+    (order-free, the lang_kl convention), so the statistic is bit-stable
+    at any parallelism and SQL-replicable."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "source"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["lang", "source"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["lang", "source", "_c"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .sum("_c")
+    ).to_pandas()
+    cells = cells.rename(columns={"sum(_c)": "o"})
+    n = int(cells["o"].sum())
+    r = cells.groupby("lang")["o"].sum()
+    c = cells.groupby("source")["o"].sum()
+    quant = 0
+    for _, row in cells.iterrows():
+        e = float(r[row["lang"]]) * float(c[row["source"]]) / float(n)
+        o = float(row["o"])
+        quant += int(np.floor((o - e) * (o - e) / e * 1000000.0))
+    dof = (len(r) - 1) * (len(c) - 1)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "dof": pa.array([dof], pa.int64()),
+            "chi2": pa.array([quant / 1000000.0], pa.float64()),
+        }
+    )
+
+
 def q_hourly_filled(sf_dir: str):
     """Dense hourly event counts per type — zero-filled gap hours on the
     [min, max] hour grid (time-series resample step).  Counts aggregate
@@ -4162,6 +4339,49 @@ FROM lineitem GROUP BY l_returnflag"""
        count(*)::BIGINT AS n,
        round(sum(round(l_extendedprice * 100)) / 100, 6) AS total
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
+    sql["pricing_summary"] = """WITH b AS (
+  SELECT l_returnflag, l_linestatus,
+         round(l_quantity)::BIGINT AS q,
+         round(l_extendedprice * 100)::BIGINT AS pc,
+         round(l_discount * 100)::BIGINT AS dp,
+         round(l_tax * 100)::BIGINT AS tp
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'),
+s AS (
+  SELECT l_returnflag, l_linestatus,
+         count(*)::BIGINT AS n, sum(q)::BIGINT AS sq,
+         sum(pc)::BIGINT AS spc,
+         sum(pc * (100 - dp))::BIGINT AS sdp,
+         sum(pc * (100 - dp) * (100 + tp))::BIGINT AS sch,
+         sum(dp)::BIGINT AS sdisc
+  FROM b GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus,
+       sq AS sum_qty,
+       round(spc::DOUBLE / 100, 6) AS sum_base_price,
+       round(sdp::DOUBLE / 10000, 6) AS sum_disc_price,
+       round(sch::DOUBLE / 1000000, 6) AS sum_charge,
+       round(sq::DOUBLE / n, 6) AS avg_qty,
+       round(spc::DOUBLE / 100 / n, 6) AS avg_price,
+       round(sdisc::DOUBLE / 100 / n, 6) AS avg_disc,
+       n AS count_order
+FROM s"""
+
+    # cell contributions floor-quantized at 1e-6 and integer-summed
+    # (lang_kl convention) — float-addition-order-free on both sides
+    sql["chi2_lang_source"] = """WITH cells AS (
+  SELECT lang, source, count(*)::BIGINT AS o FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, sum(o)::BIGINT AS rt FROM cells GROUP BY lang),
+c AS (SELECT source, sum(o)::BIGINT AS ct FROM cells GROUP BY source),
+tot AS (SELECT sum(o)::BIGINT AS n FROM cells)
+SELECT tot.n,
+       ((SELECT count(*) FROM r) - 1)::BIGINT
+       * ((SELECT count(*) FROM c) - 1)::BIGINT AS dof,
+       (sum(floor((cells.o::DOUBLE - (r.rt::DOUBLE * c.ct / tot.n))
+                  * (cells.o::DOUBLE - (r.rt::DOUBLE * c.ct / tot.n))
+                  / (r.rt::DOUBLE * c.ct / tot.n)
+                  * 1000000.0)::BIGINT))::DOUBLE / 1000000.0 AS chi2
+FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN tot
+GROUP BY tot.n"""
 
     sql["hourly_filled"] = """WITH b AS (
   SELECT date_trunc('hour', ts) AS h, event_type FROM events),

@@ -524,3 +524,52 @@ def test_round6_matches_duckdb_double_round():
     got_arr = round6_arr(np.asarray(vals, np.float64)).tolist()
     assert duck == got_scalar
     assert duck == got_arr
+
+
+def test_chi2_lang_source_hand_computed(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from seekr_ray.entry_queries import q_chi2_lang_source
+
+    # 2x2 contingency with known chi2: [[10, 20], [30, 40]]
+    rows = (
+        [("en", "s1")] * 10 + [("en", "s2")] * 20
+        + [("de", "s1")] * 30 + [("de", "s2")] * 40
+    )
+    df = pd.DataFrame(rows, columns=["lang", "source"])
+    df["doc_id"] = np.arange(len(df), dtype=np.int64)
+    df["text"] = "x"
+    df["n_chars"] = 1
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    got = q_chi2_lang_source(str(tmp_path)).to_pandas()
+    assert int(got["n"].iloc[0]) == 100
+    assert int(got["dof"].iloc[0]) == 1
+    # hand: e = [[28,42],[12,18]] for de/en rows... compute directly
+    o = np.array([[10.0, 20.0], [30.0, 40.0]])
+    r = o.sum(1, keepdims=True)
+    c = o.sum(0, keepdims=True)
+    e = r * c / o.sum()
+    ref = ((o - e) ** 2 / e).sum()
+    assert abs(got["chi2"].iloc[0] - ref) < 5e-6
+
+
+def test_pricing_summary_parallelism_invariant(ray_session):
+    from seekr_ray.entry_queries import q_pricing_summary
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        q_pricing_summary(sf)
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    b = (
+        q_pricing_summary(sf)
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)  # bit-identical across runs
+    # charge decomposes: sum_charge <= sum_base_price * 1.1 etc. sanity
+    assert (a["sum_disc_price"] <= a["sum_base_price"]).all()
+    assert (a["sum_charge"] >= a["sum_disc_price"]).all()
