@@ -2351,6 +2351,75 @@ def q_user_type_profile(sf_dir: str):
     return user_type_profile(ds)
 
 
+def q_interleave_order(sf_dir: str):
+    """Balanced deterministic source interleaving for training epochs:
+    per-source md5 rank via the prefix-sum discipline, global position
+    from the closed form over the O(sources) size table (no global
+    sort)."""
+    import ray.data as rd
+
+    from .extras.split import interleave_order
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    )
+    return interleave_order(ds, key_col="source", id_col="doc_id")
+
+
+KANON_K = 5
+KANON_CHARS_BUCKET = 256
+
+
+def q_kanon_risk(sf_dir: str):
+    """k-anonymity risk screen: quasi-identifier combinations
+    (lang, source, n_chars bucket) occurring fewer than k times — the
+    re-identification audit a release pipeline runs before publishing.
+    Integer bucket arithmetic, one O(groups) exchange."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "source", "n_chars"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nb = (
+            batch["n_chars"].to_numpy(zero_copy_only=False)
+            // KANON_CHARS_BUCKET
+        ).astype(np.int64)
+        tbl = pa.table(
+            {
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "size_bucket": pa.array(nb, pa.int64()),
+            }
+        )
+        agg = tbl.group_by(["lang", "source", "size_bucket"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["lang", "source", "size_bucket", "_c"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch["sum(_c)"], pa.int64())
+        keep = pc.less(n, KANON_K)
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "size_bucket": batch["size_bucket"],
+                "n": n,
+            }
+        ).filter(keep)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source", "size_bucket"])
+        .sum("_c")
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1 pricing summary: per (returnflag, linestatus) the four
     classic sums (qty, base price, discounted price, charge), three
@@ -4339,6 +4408,24 @@ FROM lineitem GROUP BY l_returnflag"""
        count(*)::BIGINT AS n,
        round(sum(round(l_extendedprice * 100)) / 100, 6) AS total
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
+    sql["interleave_order"] = """WITH r AS (
+  SELECT doc_id, source,
+         (row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5_number_upper('' || doc_id::VARCHAR), doc_id
+          ) - 1)::BIGINT AS src_rank
+  FROM documents)
+SELECT doc_id, source, src_rank,
+       (row_number() OVER (ORDER BY src_rank, source) - 1)::BIGINT AS global_pos
+FROM r"""
+
+    sql["kanon_risk"] = f"""SELECT lang, source,
+       (n_chars // {KANON_CHARS_BUCKET})::BIGINT AS size_bucket,
+       count(*)::BIGINT AS n
+FROM documents
+GROUP BY lang, source, n_chars // {KANON_CHARS_BUCKET}
+HAVING count(*) < {KANON_K}"""
 
     sql["pricing_summary"] = """WITH b AS (
   SELECT l_returnflag, l_linestatus,

@@ -462,3 +462,102 @@ def negative_samples(
     return ds.select_columns([id_col]).map_batches(
         gen, batch_format="pyarrow"
     )
+
+
+def interleave_order(
+    ds,
+    *,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    num_buckets: int = 256,
+):
+    """Balanced deterministic source interleaving: every row gets its
+    position in the (per-key md5 rank, key) lexicographic order — the
+    "mix sources evenly through the epoch" primitive (round-robin while
+    every key still has rows), with no RNG and no global sort.
+
+    Per-key rank uses the global_shuffle three-phase prefix-sum, co-
+    keyed by (key, hash-range bucket).  The GLOBAL position then needs
+    no second exchange: in (rank, key) order, a row at (r, k) is
+    preceded by exactly ``Σ_k' min(n_k', r)`` rows of lower rank plus
+    ``#{k' < k : n_k' > r}`` same-rank rows of earlier keys — a closed
+    form over the O(keys) size table, broadcast once and evaluated
+    vectorized per batch (keys assumed ≤ ~thousands; at web scale the
+    key domain is sources/datasets, not documents).
+
+    Output: ``(id_col, key_col, src_rank, global_pos)``.
+    """
+    import ray
+
+    from .stats import _md5_le64
+
+    bits = int(num_buckets).bit_length() - 1
+    if num_buckets < 2 or (1 << bits) != num_buckets:
+        raise ValueError("num_buckets must be a power of two >= 2")
+    shift = np.uint64(64 - bits)
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        h = _md5_le64(ids, salt)
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch[id_col].type),
+                key_col: batch[key_col],
+                "_h": pa.array(h, pa.uint64()),
+                "_bkt": pa.array((h >> shift).astype(np.int64), pa.int64()),
+            }
+        )
+
+    keyed = (
+        ds.select_columns([id_col, key_col])
+        .map_batches(narrow, batch_format="pyarrow")
+        .materialize()  # two consumers: counts + local rank
+    )
+    counts = (
+        keyed.groupby([key_col, "_bkt"])
+        .count()
+        .to_pandas()
+        .sort_values([key_col, "_bkt"])
+    )
+    bases: dict = {}
+    sizes: dict = {}
+    for key, sub in counts.groupby(key_col, sort=True):
+        c = sub["count()"].to_numpy()
+        b = np.concatenate(([0], np.cumsum(c)[:-1]))
+        for bkt, base in zip(sub["_bkt"].to_numpy(), b):
+            bases[(key, int(bkt))] = int(base)
+        sizes[key] = int(c.sum())
+    keys_sorted = sorted(sizes)
+    key_idx = {k: i for i, k in enumerate(keys_sorted)}
+    n_arr = np.array([sizes[k] for k in keys_sorted], np.int64)
+    n_sorted = np.sort(n_arr)
+    n_prefix = np.concatenate(([0], np.cumsum(n_sorted)))
+    bcast = ray.put((bases, key_idx, n_arr, n_sorted, n_prefix))
+
+    def local_rank(group: pa.Table) -> pa.Table:
+        bases_, key_idx_, n_arr_, n_sorted_, n_prefix_ = ray.get(bcast)
+        key = group[key_col][0].as_py()
+        base = bases_[(key, int(group["_bkt"][0].as_py()))]
+        h = group["_h"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        r = base + np.arange(len(order), dtype=np.int64)
+        # closed-form global position in (rank, key) order
+        c = np.searchsorted(n_sorted_, r, side="right")
+        lower = n_prefix_[c] + (len(n_arr_) - c) * r
+        ki = key_idx_[key]
+        ties = ((n_arr_[None, :ki] > r[:, None]).sum(axis=1)
+                if ki else np.zeros(len(r), np.int64))
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], group[id_col].type),
+                key_col: pa.array([key] * len(order), group[key_col].type),
+                "src_rank": pa.array(r, pa.int64()),
+                "global_pos": pa.array(lower + ties, pa.int64()),
+            }
+        )
+
+    return keyed.groupby([key_col, "_bkt"]).map_groups(
+        local_rank, batch_format="pyarrow"
+    )

@@ -573,3 +573,48 @@ def test_pricing_summary_parallelism_invariant(ray_session):
     # charge decomposes: sum_charge <= sum_base_price * 1.1 etc. sanity
     assert (a["sum_disc_price"] <= a["sum_base_price"]).all()
     assert (a["sum_charge"] >= a["sum_disc_price"]).all()
+
+
+def test_interleave_order_balanced_and_invariant(ray_session):
+    import ray.data as rd
+
+    from seekr_ray.extras.split import interleave_order
+
+    rng2 = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(900, dtype=np.int64),
+            "source": rng2.choice(["s_a", "s_b", "s_c"], size=900,
+                                  p=[0.5, 0.3, 0.2]),
+        }
+    )
+    outs = []
+    for parts in (2, 9):
+        t = (
+            interleave_order(
+                rd.from_pandas(df).repartition(parts),
+                key_col="source",
+                id_col="doc_id",
+                num_buckets=16,
+            )
+            .to_pandas()
+            .sort_values("global_pos")
+            .reset_index(drop=True)
+        )
+        outs.append(t)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # layout-invariant
+    got = outs[0]
+    # positions are a permutation of 0..n-1
+    assert got["global_pos"].tolist() == list(range(len(df)))
+    # round-robin while every source has rows: in any prefix ending on a
+    # full rank boundary, per-source counts differ by at most 1 until a
+    # source is exhausted
+    sizes = df["source"].value_counts()
+    n_min = int(sizes.min())
+    k = len(sizes)
+    prefix = got.head(n_min * k)
+    counts = prefix["source"].value_counts()
+    assert counts.max() - counts.min() <= 1
+    # per-source ranks are dense 0..n_s-1
+    for s, sub in got.groupby("source"):
+        assert sorted(sub["src_rank"]) == list(range(int(sizes[s])))
