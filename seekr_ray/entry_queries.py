@@ -284,6 +284,96 @@ def q_pagerank_lineitem(sf_dir: str):
     )
 
 
+def q_pagerank_weighted(sf_dir: str):
+    """Edge-weighted PageRank over the order→part graph, weight =
+    summed quantity per (order, part): transition mass w_e / W_src
+    instead of 1/outdeg.  Same fixed-K synchronous discipline as
+    pagerank_lineitem; integer weights aggregate exactly before the
+    float iteration."""
+    import ray.data as rd
+
+    from .graph.wpagerank import wpagerank_fixed_iters
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.rint(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        tbl = pa.table(
+            {
+                "src": pa.array(ok * 2, pa.int64()),
+                "dst": pa.array(pk * 2 + 1, pa.int64()),
+                "w": pa.array(q, pa.int64()),
+            }
+        )
+        agg = tbl.group_by(["src", "dst"]).aggregate([("w", "sum")])
+        return agg.rename_columns(["src", "dst", "w"])
+
+    edges = (
+        ds.map_batches(to_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .sum("w")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b["src"],
+                    "dst": b["dst"],
+                    "w": pc.cast(b["sum(w)"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    tbl = wpagerank_fixed_iters(
+        edges, damping=PAGERANK_FIXED_DAMPING, n_iters=PAGERANK_FIXED_ITERS
+    )
+    pr = tbl["page_rank"].to_numpy(zero_copy_only=False)
+    pr6 = np.copysign(np.floor(np.abs(pr) * 1e6 + 0.5), pr) / 1e6
+    return pa.table(
+        {"node": tbl["node"], "page_rank": pa.array(pr6, pa.float64())}
+    )
+
+
+def _pagerank_weighted_sql(k: int, d: float) -> str:
+    """Unrolled K-iteration WEIGHTED PageRank (w_e / W_src transition),
+    mirroring _wpagerank_numpy's float order per term."""
+    parts = [
+        """WITH edges AS MATERIALIZED (
+  SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst,
+         sum(round(l_quantity)::BIGINT)::BIGINT AS w
+  FROM lineitem GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outw AS MATERIALIZED (SELECT src AS node, sum(w)::DOUBLE AS wsum FROM edges GROUP BY src),
+nc AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nc) AS pr FROM nodes)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+d{i - 1} AS (SELECT coalesce(sum(r.pr), 0) AS dm
+  FROM r{i - 1} r LEFT JOIN outw o ON r.node = o.node WHERE o.node IS NULL),
+r{i} AS MATERIALIZED (
+  SELECT n.node,
+         (1 - {d}) / (SELECT n FROM nc)
+         + {d} * coalesce(c.contrib, 0)
+         + {d} * (SELECT dm FROM d{i - 1}) / (SELECT n FROM nc) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.pr * (e.w / o.wsum)) AS contrib
+    FROM edges e JOIN r{i - 1} r ON r.node = e.src JOIN outw o ON o.node = e.src
+    GROUP BY e.dst) c ON c.node = n.node
+)"""
+        )
+    parts.append(f"\nSELECT node, round(pr, 6) AS page_rank FROM r{k}")
+    return "".join(parts)
+
+
 HITS_FIXED_ITERS = 4
 
 
@@ -4102,6 +4192,9 @@ FROM reach GROUP BY node"""
     sql["fingerprints"] = _fingerprints_sql()
 
     sql["pagerank_lineitem"] = _pagerank_lineitem_sql(
+        PAGERANK_FIXED_ITERS, PAGERANK_FIXED_DAMPING
+    )
+    sql["pagerank_weighted"] = _pagerank_weighted_sql(
         PAGERANK_FIXED_ITERS, PAGERANK_FIXED_DAMPING
     )
 
