@@ -2510,6 +2510,20 @@ def q_kanon_risk(sf_dir: str):
     )
 
 
+def q_sliding_distinct_users(sf_dir: str):
+    """Trailing-24h unique users per hour (dense grid) — exact sliding
+    COUNT(DISTINCT) via per-user interval union + diff markers; marker
+    volume is O(activity spells), never O(grid × events)."""
+    import ray.data as rd
+
+    from .extras.windows import sliding_distinct_users
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return sliding_distinct_users(ds, window_hours=24)
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1 pricing summary: per (returnflag, linestatus) the four
     classic sums (qty, base price, discounted price, charge), three
@@ -4519,6 +4533,16 @@ FROM r"""
 FROM documents
 GROUP BY lang, source, n_chars // {KANON_CHARS_BUCKET}
 HAVING count(*) < {KANON_K}"""
+
+    sql["sliding_distinct_users"] = """WITH b AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),
+bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM b),
+grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g
+         FROM bounds)
+SELECT grid.g AS window, count(DISTINCT b.user_id)::BIGINT AS n_users
+FROM grid LEFT JOIN b
+  ON b.h > grid.g - INTERVAL 24 HOUR AND b.h <= grid.g
+GROUP BY grid.g"""
 
     sql["pricing_summary"] = """WITH b AS (
   SELECT l_returnflag, l_linestatus,

@@ -606,3 +606,131 @@ def locf_per_group(
         .groupby("_b")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def sliding_distinct_users(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_hours: int = 24,
+    num_buckets: int = 64,
+):
+    """Trailing-window COUNT(DISTINCT user) per hour on the dense hour
+    grid — the sliding-uniques series (DAU-style) that naive SQL solves
+    with an O(grid × events) range join and that never scales that way.
+
+    Exact distributed plan: dedup to (user, hour) pairs (one bucketed
+    groupby — the only event-volume exchange), then per user (hash-
+    bucket co-partition) merge each hour h into the interval
+    [h, h + window) and UNION overlapping intervals, so a user active
+    in many nearby hours still counts once; each merged interval emits
+    ±1 diff markers.  Marker volume is O(activity spells), not events;
+    the dense prefix sum over the clock-bounded hour grid runs on the
+    driver.  Window = hours (h − window, h] inclusive of the current
+    hour bucket.
+
+    Output: ``(window, n_users)`` over [min hour, max hour].
+    """
+    import numpy as np
+
+    us_per_hour = 3_600_000_000
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        t = pc.cast(
+            pc.floor_temporal(batch[ts_col], unit="hour"), pa.timestamp("us")
+        ).to_numpy(zero_copy_only=False)
+        h = (t.view("int64") // us_per_hour).astype(np.int64)
+        tbl = pa.table(
+            {
+                "_b": pa.array(
+                    (k % num_buckets).astype(np.int32), pa.int32()
+                ),
+                "k": pa.array(k, pa.int64()),
+                "h": pa.array(h, pa.int64()),
+            }
+        )
+        return tbl.group_by(["_b", "k", "h"]).aggregate([])
+
+    def markers(group: pa.Table) -> pa.Table:
+        k = group["k"].to_numpy(zero_copy_only=False)
+        h = group["h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, k))
+        k, h = k[order], h[order]
+        # interval starts: new user, or gap >= window from previous hour
+        new_user = np.zeros(len(k), bool)
+        new_user[0] = True
+        if len(k) > 1:
+            new_user[1:] = k[1:] != k[:-1]
+        gap = np.zeros(len(k), bool)
+        if len(k) > 1:
+            gap[1:] = h[1:] - h[:-1] >= window_hours
+        start = new_user | gap
+        starts_h = h[start]
+        # interval end = last hour of the run + window
+        idx = np.flatnonzero(start)
+        last = np.concatenate([idx[1:] - 1, [len(h) - 1]])
+        ends_h = h[last] + window_hours
+        # separate run-end flag column: it pins the grid's upper bound
+        # (the max event hour may sit inside a merged run, never at a
+        # start) and cannot be cancelled by coincident ±1 markers
+        return pa.table(
+            {
+                "hour": pa.array(
+                    np.concatenate([starts_h, ends_h, h[last]]), pa.int64()
+                ),
+                "d": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(len(starts_h), np.int64),
+                            -np.ones(len(ends_h), np.int64),
+                            np.zeros(len(last), np.int64),
+                        ]
+                    ),
+                    pa.int64(),
+                ),
+                "e": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(len(starts_h), np.int64),
+                            np.zeros(len(ends_h), np.int64),
+                            np.ones(len(last), np.int64),
+                        ]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    deltas = (
+        events_ds.select_columns([key_col, ts_col])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(markers, batch_format="pyarrow")
+        .groupby("hour")
+        .sum(["d", "e"])
+    ).to_pandas()
+    deltas = deltas.rename(
+        columns={"sum(d)": "d", "sum(e)": "e"}
+    ).sort_values("hour")
+    # dense clock grid between the observed event-hour bounds; the first
+    # marker is always a start (+1) so min(hour) is the true min event hour
+    lo = int(deltas["hour"].min())
+    hi = int(deltas.loc[deltas["e"] > 0, "hour"].max())
+    hours = np.arange(lo, hi + 1, dtype=np.int64)
+    diff = np.zeros(len(hours) + window_hours + 1, np.int64)
+    for hh, dd in zip(deltas["hour"], deltas["d"]):
+        off = int(hh) - lo
+        if 0 <= off < len(diff):
+            diff[off] += int(dd)
+    n = np.cumsum(diff)[: len(hours)]
+    return pa.table(
+        {
+            "window": pa.array(
+                (hours * us_per_hour).view("datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "n_users": pa.array(n, pa.int64()),
+        }
+    )

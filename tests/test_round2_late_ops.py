@@ -474,3 +474,35 @@ def test_locf_matches_pandas_carry_forward(ray_session):
     row = got[got["event_id"] == first_click["event_id"]]
     # Timestamp.value is ns; the kernel emits µs
     assert int(row["last_mark_us"].iloc[0]) == first_click["ts"].value // 1000
+
+
+def test_sliding_distinct_users_matches_bruteforce(ray_session):
+    from seekr_ray.extras.windows import sliding_distinct_users
+
+    rng = np.random.RandomState(13)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 25, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.randint(0, 14 * 86400, n), unit="s"
+            ).astype("datetime64[us]"),
+        }
+    )
+    got = (
+        sliding_distinct_users(_ds(df, 5), window_hours=24)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    # brute force: for every grid hour, distinct users in (h-24h, h]
+    hours = df["ts"].dt.floor("h")
+    lo, hi = hours.min(), hours.max()
+    grid = pd.date_range(lo, hi, freq="h")
+    ref = []
+    for g in grid:
+        mask = (hours > g - pd.Timedelta(hours=24)) & (hours <= g)
+        ref.append(df.loc[mask, "user_id"].nunique())
+    assert got["window"].tolist() == list(grid)
+    assert got["n_users"].tolist() == ref
+    # windows where nobody was active in the trailing day exist & are 0
+    assert (np.array(ref) == got["n_users"].to_numpy()).all()
