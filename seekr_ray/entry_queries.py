@@ -3268,6 +3268,24 @@ def q_cosine_pairs(sf_dir: str):
     )
 
 
+KNN_K = 3
+KNN_EPS = 0.1
+
+
+def q_knn_graph(sf_dir: str):
+    """ε-thresholded top-k cosine neighbors per doc (the kNN similarity
+    graph): APSS pair generation + one bucketed vectorized segment
+    head-k; rank by (rounded cosine desc, neighbor id asc)."""
+    from .extras.apss import knn_graph
+
+    return knn_graph(
+        _docs_text(sf_dir),
+        k=KNN_K,
+        eps=KNN_EPS,
+        max_df_frac=APSS_MAX_DF_FRAC,
+    )
+
+
 KCORE_K = 2
 KCORE_MIN_SUPPORT = 2
 KCORE_SQL_MAX_ROUNDS = 24  # >> observed peel depth (5 at sf0.1)
@@ -5563,7 +5581,8 @@ FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id"""
     # exact-integer tf dots and squared norms over the df-capped term
     # space; the cosine expression (BIGINT product -> DOUBLE -> sqrt ->
     # divide) is mirrored op-for-op by extras/apss.py finish()
-    sql["cosine_pairs"] = f"""{toks},
+    def _cosine_pairs_sql(threshold: float) -> str:
+        return f"""{toks},
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
        FROM (SELECT doc_id, unnest(tokens) AS term FROM toks) GROUP BY 1, 2),
 kept AS (SELECT term FROM tf GROUP BY term
@@ -5578,7 +5597,18 @@ SELECT doc_a, doc_b, dot, na.norm2 AS norm2_a, nb.norm2 AS norm2_b,
        round(dot::DOUBLE / sqrt((na.norm2 * nb.norm2)::DOUBLE), 6) AS cosine
 FROM dt JOIN nrm na ON na.doc_id = dt.doc_a
         JOIN nrm nb ON nb.doc_id = dt.doc_b
-WHERE dot::DOUBLE / sqrt((na.norm2 * nb.norm2)::DOUBLE) >= {APSS_THRESHOLD}"""
+WHERE dot::DOUBLE / sqrt((na.norm2 * nb.norm2)::DOUBLE) >= {threshold}"""
+
+    sql["cosine_pairs"] = _cosine_pairs_sql(APSS_THRESHOLD)
+
+    sql["knn_graph"] = f"""WITH pr AS ({_cosine_pairs_sql(KNN_EPS)}),
+sym AS (SELECT doc_a AS src, doc_b AS dst, cosine FROM pr
+        UNION ALL SELECT doc_b, doc_a, cosine FROM pr),
+rk AS (SELECT src, dst, cosine,
+              row_number() OVER (PARTITION BY src
+                                 ORDER BY cosine DESC, dst) AS rank
+       FROM sym)
+SELECT src, dst, rank::BIGINT AS rank, cosine FROM rk WHERE rank <= {KNN_K}"""
 
     # canonical co-purchase edges (a < b); triangles counted once each
     # as x < y < z wedges probed against the edge set — the SQL mirror

@@ -283,3 +283,73 @@ def cosine_pairs(
         )
 
     return with_nb.map_batches(finish, batch_format="pyarrow")
+
+
+def knn_graph(
+    docs_ds,
+    *,
+    k: int = 3,
+    eps: float = 0.1,
+    max_df_frac: float = 0.2,
+    num_buckets: int = 64,
+):
+    """ε-thresholded k-nearest-neighbor graph over bag-of-words cosine:
+    each doc's top-``k`` neighbors (cosine ≥ ``eps``), ranked by
+    (rounded cosine desc, neighbor id asc) — the doc-similarity graph
+    near-dup clustering and diversity sampling consume.
+
+    Built on :func:`cosine_pairs` (the inverted-index self-join does the
+    heavy lifting; ε keeps the candidate set sub-quadratic the standard
+    way), then symmetrized and reduced per source with one hash-bucketed
+    vectorized segment-head-k — no per-doc Python, no global sort.
+    Docs whose best neighbor sits below ε simply have < k rows.
+
+    Output: ``(src, dst, rank, cosine)`` with rank 1-based.
+    """
+    pairs = cosine_pairs(docs_ds, threshold=eps, max_df_frac=max_df_frac)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        c = batch["cosine"].to_numpy(zero_copy_only=False)
+        src = np.concatenate([a, b])
+        return pa.table(
+            {
+                "_b": pa.array(
+                    (src % num_buckets).astype(np.int64), pa.int64()
+                ),
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+                "cosine": pa.array(np.concatenate([c, c]), pa.float64()),
+            }
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        src = group["src"].to_numpy(zero_copy_only=False)
+        dst = group["dst"].to_numpy(zero_copy_only=False)
+        cos = group["cosine"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, -cos, src))
+        src, dst, cos = src[order], dst[order], cos[order]
+        starts = np.zeros(len(src), bool)
+        if len(src):
+            starts[0] = True
+            starts[1:] = src[1:] != src[:-1]
+        run_start = np.maximum.accumulate(
+            np.where(starts, np.arange(len(src)), 0)
+        )
+        rank = np.arange(len(src)) - run_start + 1
+        keep = rank <= k
+        return pa.table(
+            {
+                "src": pa.array(src[keep], pa.int64()),
+                "dst": pa.array(dst[keep], pa.int64()),
+                "rank": pa.array(rank[keep].astype(np.int64), pa.int64()),
+                "cosine": pa.array(cos[keep], pa.float64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(sym, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(topk, batch_format="pyarrow")
+    )

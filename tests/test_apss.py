@@ -132,3 +132,59 @@ def test_wide_doc_ids_rejected(ray_session):
     )
     with pytest.raises(Exception):
         cosine_pairs(rd.from_arrow(tbl), threshold=0.1).to_pandas()
+
+
+def test_knn_graph_topk_semantics(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from seekr_ray.extras.apss import cosine_pairs, knn_graph
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": [
+                "window agg rollup cube lattice pivot grouping sets",
+                "window agg rollup pivot grouping sets spark table",
+                "window agg rollup cube lattice pivot sets",
+                "streaming shuffle exchange backpressure spill",
+                "streaming shuffle exchange spill operators",
+                "vector index quantize probe recall",
+                "vector index quantize recall centroid",
+                "totally unrelated prose about gardening flowers",
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(3)
+    got = (
+        knn_graph(ds, k=2, eps=0.05, max_df_frac=1.0)
+        .to_pandas()
+        .sort_values(["src", "rank"])
+        .reset_index(drop=True)
+    )
+    # reference: symmetrize the pair set, take top-2 per src
+    pairs = cosine_pairs(
+        rd.from_pandas(docs).repartition(3), threshold=0.05, max_df_frac=1.0
+    ).to_pandas()
+    sym = pd.concat(
+        [
+            pairs.rename(columns={"doc_a": "src", "doc_b": "dst"}),
+            pairs.rename(columns={"doc_b": "src", "doc_a": "dst"}),
+        ]
+    )[["src", "dst", "cosine"]]
+    ref = (
+        sym.sort_values(["src", "cosine", "dst"],
+                        ascending=[True, False, True])
+        .groupby("src")
+        .head(2)
+        .reset_index(drop=True)
+    )
+    assert got["src"].tolist() == ref["src"].tolist()
+    assert got["dst"].tolist() == ref["dst"].tolist()
+    assert got["cosine"].tolist() == ref["cosine"].tolist()
+    # ranks are 1-based and dense per src
+    for _, sub in got.groupby("src"):
+        assert sub["rank"].tolist() == list(range(1, len(sub) + 1))
+    # per-src fanout never exceeds k
+    assert got.groupby("src").size().max() <= 2
