@@ -2510,6 +2510,130 @@ def q_kanon_risk(sf_dir: str):
     )
 
 
+def q_gini_revenue(sf_dir: str):
+    """Exact Gini coefficient of per-customer order revenue — the
+    concentration/inequality summary; rank-weighted sum via bucketed
+    prefix-sum ranks, arbitrary-precision partials."""
+    import ray.data as rd
+
+    from .extras.stats import gini_coefficient
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        tbl = pa.table(
+            {"o_custkey": batch["o_custkey"], "cents": pa.array(c, pa.int64())}
+        )
+        agg = tbl.group_by(["o_custkey"]).aggregate([("cents", "sum")])
+        return agg.rename_columns(["o_custkey", "cents"])
+
+    rev = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .sum("cents")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "o_custkey": b["o_custkey"],
+                    "cents": pc.cast(b["sum(cents)"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return gini_coefficient(rev, val_col="cents", id_col="o_custkey")
+
+
+def q_fano_burstiness(sf_dir: str):
+    """Per-event-type Fano factor (var/mean of hourly counts over
+    observed hours) — the burstiness screen; integer sufficient
+    statistics only."""
+    import ray.data as rd
+
+    from .extras.stats import grouped_fano
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def hour_bucket(batch: pa.Table) -> pa.Table:
+        h = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="hour"), pa.timestamp("us")
+        )
+        return pa.table({"event_type": batch["event_type"], "hour": h})
+
+    return grouped_fano(
+        ds.map_batches(hour_bucket, batch_format="pyarrow"),
+        key_col="event_type",
+        bucket_col="hour",
+    )
+
+
+AB_SALT = "ab1"
+
+
+def q_ab_test_z(sf_dir: str):
+    """Two-proportion z-test between md5-hash split arms: arm =
+    md5(salt || user) % 2, conversion = user has >= 1 purchase event.
+    Integer counts are the only exchange; the pooled-variance z
+    expression is mirrored term-for-term."""
+    import ray.data as rd
+
+    from .extras.stats import _md5_le64
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+
+    def per_user(batch: pa.Table) -> pa.Table:
+        tbl = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "conv": pc.cast(
+                    pc.equal(batch["event_type"], "purchase"), pa.int64()
+                ),
+            }
+        )
+        agg = tbl.group_by(["user_id"]).aggregate([("conv", "max")])
+        return agg.rename_columns(["user_id", "conv"])
+
+    users = (
+        ds.map_batches(per_user, batch_format="pyarrow")
+        .groupby("user_id")
+        .max("conv")
+    ).to_pandas()
+    # arms are O(2): the user reduce above is the only exchange, the
+    # arm assignment + z finish run on the tiny per-user frame...
+    # at web scale fold the arm tag into per_user and groupby the arm
+    arm = _md5_le64(users["user_id"].tolist(), AB_SALT) % 2
+    conv = users["max(conv)"].to_numpy().astype(np.int64)
+    n_a = int((arm == 0).sum())
+    n_b = int((arm == 1).sum())
+    c_a = int(conv[arm == 0].sum())
+    c_b = int(conv[arm == 1].sum())
+    p_a = float(c_a) / float(n_a)
+    p_b = float(c_b) / float(n_b)
+    p = float(c_a + c_b) / float(n_a + n_b)
+    se = math.sqrt(p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b))
+    z = (p_a - p_b) / se if se > 0 else 0.0
+    return pa.table(
+        {
+            "n_a": pa.array([n_a], pa.int64()),
+            "n_b": pa.array([n_b], pa.int64()),
+            "conv_a": pa.array([c_a], pa.int64()),
+            "conv_b": pa.array([c_b], pa.int64()),
+            "z": pa.array([round6(z)], pa.float64()),
+        }
+    )
+
+
 def q_sliding_distinct_users(sf_dir: str):
     """Trailing-24h unique users per hour (dense grid) — exact sliding
     COUNT(DISTINCT) via per-user interval union + diff markers; marker
@@ -4551,6 +4675,56 @@ FROM r"""
 FROM documents
 GROUP BY lang, source, n_chars // {KANON_CHARS_BUCKET}
 HAVING count(*) < {KANON_K}"""
+
+    sql["gini_revenue"] = """WITH rev AS (
+  SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+  FROM orders GROUP BY 1),
+rk AS (SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS i
+       FROM rev),
+s AS (SELECT count(*)::BIGINT AS n, sum(cents) AS sx, sum(i * cents) AS si
+      FROM rk)
+SELECT n,
+       round(2.0 * si::DOUBLE / (n::DOUBLE * sx::DOUBLE)
+             - (n + 1)::DOUBLE / n::DOUBLE, 6) AS gini
+FROM s"""
+
+    sql["fano_burstiness"] = """WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS sc,
+             sum(c * c)::BIGINT AS sc2
+      FROM c GROUP BY 1)
+SELECT event_type, n AS n_buckets,
+       CASE WHEN sc::DOUBLE / n::DOUBLE > 0
+            THEN round((sc2::DOUBLE / n::DOUBLE
+                        - (sc::DOUBLE / n::DOUBLE) * (sc::DOUBLE / n::DOUBLE))
+                       / (sc::DOUBLE / n::DOUBLE), 6)
+            ELSE 0.0 END AS fano
+FROM s"""
+
+    sql["ab_test_z"] = f"""WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS conv
+  FROM events GROUP BY user_id),
+t AS (SELECT (md5_number_upper('{AB_SALT}' || user_id::VARCHAR) % 2)::BIGINT AS arm,
+             conv
+      FROM u),
+s AS (SELECT
+  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+  sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)::BIGINT AS c_a,
+  sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)::BIGINT AS c_b
+  FROM t)
+SELECT n_a, n_b, c_a AS conv_a, c_b AS conv_b,
+  CASE WHEN sqrt(((c_a + c_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                 * (1.0 - (c_a + c_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                 * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)) > 0
+       THEN round((c_a::DOUBLE / n_a::DOUBLE - c_b::DOUBLE / n_b::DOUBLE)
+            / sqrt(((c_a + c_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                   * (1.0 - (c_a + c_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                   * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)), 6)
+       ELSE 0.0 END AS z
+FROM s"""
 
     sql["sliding_distinct_users"] = """WITH b AS (
   SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),

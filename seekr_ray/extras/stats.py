@@ -1311,3 +1311,159 @@ def grouped_quantile_filter(
         )
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def gini_coefficient(ds, *, val_col: str, id_col: str, num_bins: int = 4096):
+    """Exact Gini coefficient of a nonnegative integer value column —
+    the inequality summary (revenue concentration, token-budget skew)
+    curation dashboards report.
+
+    Needs the rank-weighted sum Σ rank·x over the GLOBAL (value, id)
+    order; computed with the global_value_rank bucket discipline: value-
+    range buckets, driver prefix-sums the O(bins) counts, each bucket
+    sorts locally and reduces to three partials (n, Σx, Σ(rank+1)·x).
+    The rank-weighted partial can exceed int64 (rank ~ n), so buckets
+    emit it as a decimal STRING and the driver sums arbitrary-precision
+    Python ints — exact at any scale, O(bins) driver rows.  The final
+    float expression G = 2·Σi·x / (n·Σx) − (n+1)/n is mirrored by the
+    SQL oracle term for term.
+
+    Output: one row ``(n, gini)``.
+    """
+    import ray
+
+    lo = ds.min(val_col)
+    hi = ds.max(val_col)
+    if lo is None:
+        raise ValueError("empty dataset")
+    width = (float(hi) - float(lo)) / num_bins or 1.0
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        v = _np_col(batch, val_col).astype(np.float64)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, num_bins - 1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "_v": pa.array(
+                    _np_col(batch, val_col).astype(np.int64), pa.int64()
+                ),
+                "_bin": pa.array(b, pa.int64()),
+            }
+        )
+
+    keyed = (
+        ds.select_columns([id_col, val_col])
+        .map_batches(narrow, batch_format="pyarrow")
+        .materialize()
+    )
+    counts = keyed.groupby("_bin").count().to_pandas().sort_values("_bin")
+    bases = dict(
+        zip(
+            counts["_bin"].to_numpy(),
+            np.concatenate(
+                ([0], np.cumsum(counts["count()"].to_numpy())[:-1])
+            ),
+        )
+    )
+    bases_ref = ray.put(bases)
+
+    def partials(group: pa.Table) -> pa.Table:
+        base = ray.get(bases_ref)[int(group["_bin"][0].as_py())]
+        v = group["_v"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, v))
+        v = v[order]
+        rank1 = base + np.arange(1, len(v) + 1, dtype=np.int64)
+        si = sum(int(a) * int(b) for a, b in zip(rank1, v))  # exact
+        return pa.table(
+            {
+                "n": pa.array([len(v)], pa.int64()),
+                "sx": pa.array([int(v.sum())], pa.int64()),
+                "si_dec": pa.array([str(si)], pa.string()),
+            }
+        )
+
+    parts = (
+        keyed.groupby("_bin")
+        .map_groups(partials, batch_format="pyarrow")
+    ).to_pandas()
+    n = int(parts["n"].sum())
+    sx = int(parts["sx"].sum())
+    si = sum(int(s) for s in parts["si_dec"])
+    if n == 0 or sx == 0:
+        g = 0.0
+    else:
+        g = 2.0 * float(si) / (float(n) * float(sx)) - float(n + 1) / float(n)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "gini": pa.array([round6(g)], pa.float64()),
+        }
+    )
+
+
+def grouped_fano(ds, *, key_col: str, bucket_col: str):
+    """Per-key Fano factor (index of dispersion, var_pop/mean) of the
+    per-bucket event counts — the burstiness screen over OBSERVED
+    buckets (hours with ≥1 event).  Integer sufficient statistics
+    (n buckets, Σc, Σc²) are the only exchange; the float finish is
+    mirrored by the SQL oracle.
+
+    Output: ``(key_col, n_buckets, fano)``.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select([key_col, bucket_col]).group_by(
+            [key_col, bucket_col]
+        ).aggregate([([], "count_all")])
+        return agg.rename_columns([key_col, bucket_col, "_c"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, bucket_col])
+        .sum("_c")
+    )
+
+    def stats_rows(batch: pa.Table) -> pa.Table:
+        c = pc.cast(batch["sum(_c)"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        tbl = pa.table(
+            {
+                key_col: batch[key_col],
+                "_n": pa.array(np.ones(len(c), np.int64), pa.int64()),
+                "_sc": pa.array(c, pa.int64()),
+                "_sc2": pa.array(c * c, pa.int64()),
+            }
+        )
+        agg = tbl.group_by([key_col]).aggregate(
+            [("_n", "sum"), ("_sc", "sum"), ("_sc2", "sum")]
+        )
+        return agg.rename_columns([key_col, "_n", "_sc", "_sc2"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["sum(_n)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sc = batch["sum(_sc)"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        sc2 = batch["sum(_sc2)"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        mean = sc / n
+        var = sc2 / n - mean * mean
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fano = np.where(mean > 0, var / mean, 0.0)
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "n_buckets": pa.array(n.astype(np.int64), pa.int64()),
+                "fano": pa.array(round6_arr(fano), pa.float64()),
+            }
+        )
+
+    return (
+        cells.map_batches(stats_rows, batch_format="pyarrow")
+        .groupby(key_col)
+        .sum(["_n", "_sc", "_sc2"])
+        .map_batches(finalize, batch_format="pyarrow")
+    )

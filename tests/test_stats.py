@@ -618,3 +618,64 @@ def test_interleave_order_balanced_and_invariant(ray_session):
     # per-source ranks are dense 0..n_s-1
     for s, sub in got.groupby("source"):
         assert sorted(sub["src_rank"]) == list(range(int(sizes[s])))
+
+
+def test_gini_coefficient_known_values(ray_session):
+    import ray.data as rd
+
+    from seekr_ray.extras.stats import gini_coefficient
+
+    # perfectly equal values -> gini == 0 (up to the (n+1)/n finite form)
+    eq = pd.DataFrame(
+        {"id": np.arange(100, dtype=np.int64),
+         "v": np.full(100, 7, np.int64)}
+    )
+    g0 = gini_coefficient(
+        rd.from_pandas(eq).repartition(4), val_col="v", id_col="id"
+    ).to_pandas()
+    assert abs(g0["gini"].iloc[0]) < 1e-9
+    # one owner holds everything -> gini -> (n-1)/n
+    one = pd.DataFrame(
+        {"id": np.arange(50, dtype=np.int64),
+         "v": np.concatenate([np.zeros(49, np.int64), [1000]])}
+    )
+    g1 = gini_coefficient(
+        rd.from_pandas(one).repartition(3), val_col="v", id_col="id"
+    ).to_pandas()
+    assert abs(g1["gini"].iloc[0] - 49 / 50) < 1e-9
+    # random values: match the direct sorted-rank formula
+    rng2 = np.random.default_rng(21)
+    v = rng2.integers(0, 10_000, 600)
+    df = pd.DataFrame({"id": np.arange(600, dtype=np.int64), "v": v})
+    got = gini_coefficient(
+        rd.from_pandas(df).repartition(5), val_col="v", id_col="id"
+    ).to_pandas()
+    sv = np.sort(v)
+    ref = 2 * np.sum(np.arange(1, 601) * sv) / (600 * sv.sum()) - 601 / 600
+    assert abs(got["gini"].iloc[0] - ref) < 5.1e-7
+
+
+def test_grouped_fano_matches_reference(ray_session):
+    import ray.data as rd
+
+    from seekr_ray.extras.stats import grouped_fano
+
+    rng2 = np.random.default_rng(31)
+    df = pd.DataFrame(
+        {
+            "k": rng2.choice(["a", "b"], 5000),
+            "bucket": rng2.integers(0, 40, 5000),
+        }
+    )
+    got = (
+        grouped_fano(
+            rd.from_pandas(df).repartition(6), key_col="k", bucket_col="bucket"
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    for k, sub in df.groupby("k"):
+        c = sub.groupby("bucket").size().to_numpy().astype(float)
+        ref = c.var() / c.mean()  # var_pop (ddof=0 default in numpy)
+        assert got.loc[k, "n_buckets"] == len(c)
+        assert abs(got.loc[k, "fano"] - ref) < 5.1e-7
