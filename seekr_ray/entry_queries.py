@@ -2510,6 +2510,16 @@ def q_kanon_risk(sf_dir: str):
     )
 
 
+def q_local_clustering(sf_dir: str):
+    """Per-node local clustering coefficient over the support-≥2
+    co-purchase graph (same edges as q_kcore): per-source wedge-probe
+    attribution, count()-gated driver/distributed paths."""
+    from .extras.lcc import local_clustering
+
+    edges = _copurchase_support_edges(sf_dir, KCORE_MIN_SUPPORT)
+    return local_clustering(edges)
+
+
 def q_gini_revenue(sf_dir: str):
     """Exact Gini coefficient of per-customer order revenue — the
     concentration/inequality summary; rank-weighted sum via bucketed
@@ -4675,6 +4685,28 @@ FROM r"""
 FROM documents
 GROUP BY lang, source, n_chars // {KANON_CHARS_BUCKET}
 HAVING count(*) < {KANON_K}"""
+
+    sql["local_clustering"] = f"""WITH di AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+e AS (SELECT a.i AS a, b.i AS b FROM di a JOIN di b ON a.o = b.o AND a.i < b.i
+      GROUP BY 1, 2 HAVING count(*) >= {KCORE_MIN_SUPPORT}),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+tn AS (SELECT node, count(*)::BIGINT AS t FROM (
+         SELECT x AS node FROM tri
+         UNION ALL SELECT y FROM tri
+         UNION ALL SELECT z FROM tri) q
+       GROUP BY node),
+deg AS (SELECT node, count(*)::BIGINT AS d FROM (
+          SELECT a AS node FROM e UNION ALL SELECT b FROM e) q
+        GROUP BY node)
+SELECT deg.node, deg.d AS degree, coalesce(tn.t, 0)::BIGINT AS n_tri,
+       CASE WHEN deg.d >= 2
+            THEN round(2.0 * coalesce(tn.t, 0)::DOUBLE
+                       / (deg.d::DOUBLE * (deg.d - 1)::DOUBLE), 6)
+            ELSE 0.0 END AS lcc
+FROM deg LEFT JOIN tn USING (node)"""
 
     sql["gini_revenue"] = """WITH rev AS (
   SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
