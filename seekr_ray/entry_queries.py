@@ -2510,6 +2510,186 @@ def q_kanon_risk(sf_dir: str):
     )
 
 
+_CORR_COLS = [
+    ("l_quantity", 1),
+    ("l_extendedprice", 100),
+    ("l_discount", 100),
+    ("l_tax", 100),
+]
+
+
+def q_corr_matrix(sf_dir: str):
+    """Pairwise Pearson correlation matrix over four lineitem measures
+    in ONE pass: every Σx, Σx², Σxy partial is an exact integer
+    aggregated per block, so the 6 correlations cost one narrow scan —
+    the profiling step that would otherwise re-read the fact table per
+    pair.  Float finish per pair mirrored by the oracle."""
+    import ray.data as rd
+
+    cols = [c for c, _ in _CORR_COLS]
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=cols
+    )
+    names = [c.replace("l_", "") for c in cols]
+    pairs = [
+        (i, j) for i in range(len(cols)) for j in range(len(cols)) if i < j
+    ]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xs = [
+            np.rint(
+                batch[c].to_numpy(zero_copy_only=False) * s
+            ).astype(np.int64)
+            for c, s in _CORR_COLS
+        ]
+        out = {"_n": pa.array([len(xs[0])], pa.int64())}
+        for i, x in enumerate(xs):
+            out[f"_s{i}"] = pa.array([int(x.sum())], pa.int64())
+            out[f"_q{i}"] = pa.array([int((x * x).sum())], pa.int64())
+        for i, j in pairs:
+            out[f"_p{i}{j}"] = pa.array(
+                [int((xs[i] * xs[j]).sum())], pa.int64()
+            )
+        return pa.table(out)
+
+    agg_cols = (
+        ["_n"]
+        + [f"_s{i}" for i in range(len(cols))]
+        + [f"_q{i}" for i in range(len(cols))]
+        + [f"_p{i}{j}" for i, j in pairs]
+    )
+    summed = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sum(agg_cols)
+    )
+    g = {k.replace("sum(", "").rstrip(")"): v for k, v in summed.items()}
+    n = float(g["_n"])
+    out_a, out_b, out_c = [], [], []
+    for i, j in pairs:
+        sx, sy = float(g[f"_s{i}"]), float(g[f"_s{j}"])
+        sxx, syy = float(g[f"_q{i}"]), float(g[f"_q{j}"])
+        sxy = float(g[f"_p{i}{j}"])
+        var_prod = (sxx - sx * sx / n) * (syy - sy * sy / n)
+        r = (sxy - sx * sy / n) / math.sqrt(var_prod) if var_prod > 0 else 0.0
+        out_a.append(names[i])
+        out_b.append(names[j])
+        out_c.append(round6(r))
+    return pa.table(
+        {
+            "col_a": pa.array(out_a, pa.string()),
+            "col_b": pa.array(out_b, pa.string()),
+            "corr": pa.array(out_c, pa.float64()),
+        }
+    )
+
+
+def q_benford_price(sf_dir: str):
+    """Benford first-digit screen over order totals: observed counts of
+    the leading cent digit vs log10(1 + 1/d) expectations, with the
+    floor-quantized chi2 contribution per digit (order-free sum) — the
+    fraud/synthetic-data smell test.  Digit extraction is pure integer
+    division, bit-equal to the VARCHAR-substring SQL."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
+    )
+
+    def digits(batch: pa.Table) -> pa.Table:
+        c = np.rint(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        d = np.abs(c)
+        for _ in range(18):
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        tbl = pa.table({"digit": pa.array(d, pa.int64())})
+        agg = tbl.group_by(["digit"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["digit", "_c"])
+
+    counts = (
+        ds.map_batches(digits, batch_format="pyarrow")
+        .groupby("digit")
+        .sum("_c")
+    ).to_pandas()
+    counts = counts.rename(columns={"sum(_c)": "n"}).sort_values("digit")
+    total = int(counts["n"].sum())
+    digs, ns, exps, chis = [], [], [], []
+    for d, n_d in zip(counts["digit"], counts["n"]):
+        e = float(total) * math.log10(1.0 + 1.0 / float(d))
+        contrib = (float(n_d) - e) * (float(n_d) - e) / e
+        digs.append(int(d))
+        ns.append(int(n_d))
+        exps.append(round6(e))
+        chis.append(math.floor(contrib * 1000000.0) / 1000000.0)
+    return pa.table(
+        {
+            "digit": pa.array(digs, pa.int64()),
+            "n": pa.array(ns, pa.int64()),
+            "expected": pa.array(exps, pa.float64()),
+            "chi2_part": pa.array(chis, pa.float64()),
+        }
+    )
+
+
+def q_seasonality_strength(sf_dir: str):
+    """Hour-of-day seasonality strength per event type: one-way ANOVA
+    eta² of the per-(date, hour) counts grouped by hour-of-day — how
+    much of the hourly-count variance the clock explains.  Integer
+    sufficient statistics per (type, hod) are the only exchange; the
+    SS_between / SS_total float finish is mirrored by the oracle."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def cell_counts(batch: pa.Table) -> pa.Table:
+        h = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="hour"), pa.timestamp("us")
+        )
+        tbl = pa.table({"event_type": batch["event_type"], "h": h})
+        agg = tbl.group_by(["event_type", "h"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["event_type", "h", "_c"])
+
+    cells = (
+        ds.map_batches(cell_counts, batch_format="pyarrow")
+        .groupby(["event_type", "h"])
+        .sum("_c")
+    ).to_pandas()
+    cells = cells.rename(columns={"sum(_c)": "c"})
+    cells["hod"] = cells["h"].astype("datetime64[us]").dt.hour.astype("int64")
+    types, etas, nh = [], [], []
+    for t, sub in cells.groupby("event_type", sort=True):
+        n = len(sub)
+        sc = int(sub["c"].sum())
+        sc2 = int((sub["c"].astype("int64") ** 2).sum())
+        ss_total = float(sc2) - float(sc) * float(sc) / float(n)
+        # per-hod contributions floor-quantized at 1e-6 and integer-
+        # summed (the chi2/lang_kl convention) — float-order-free on
+        # both sides
+        sb_q = 0
+        for _, hs in sub.groupby("hod", sort=True):
+            shc = int(hs["c"].sum())
+            sb_q += math.floor(
+                float(shc) * float(shc) / float(len(hs)) * 1000000.0
+            )
+        ss_between = float(sb_q) / 1000000.0 - float(sc) * float(sc) / float(n)
+        eta2 = ss_between / ss_total if ss_total > 0 else 0.0
+        types.append(t)
+        nh.append(n)
+        etas.append(round6(eta2))
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n_hours": pa.array(nh, pa.int64()),
+            "eta2": pa.array(etas, pa.float64()),
+        }
+    )
+
+
 def q_local_clustering(sf_dir: str):
     """Per-node local clustering coefficient over the support-≥2
     co-purchase graph (same edges as q_kcore): per-source wedge-probe
@@ -4685,6 +4865,75 @@ FROM r"""
 FROM documents
 GROUP BY lang, source, n_chars // {KANON_CHARS_BUCKET}
 HAVING count(*) < {KANON_K}"""
+
+    corr_pairs_sql = []
+    corr_sums = ["count(*)::DOUBLE AS n"]
+    for i, (c, s) in enumerate(_CORR_COLS):
+        corr_sums.append(
+            f"sum(round({c} * {s})::BIGINT)::DOUBLE AS s{i}"
+        )
+        corr_sums.append(
+            f"sum(round({c} * {s})::BIGINT * round({c} * {s})::BIGINT)::DOUBLE AS q{i}"
+        )
+    _cnames = [c for c, _ in _CORR_COLS]
+    for i in range(len(_CORR_COLS)):
+        for j in range(len(_CORR_COLS)):
+            if i < j:
+                ci, si = _CORR_COLS[i]
+                cj, sj = _CORR_COLS[j]
+                corr_sums.append(
+                    f"sum(round({ci} * {si})::BIGINT * round({cj} * {sj})::BIGINT)::DOUBLE AS p{i}{j}"
+                )
+                corr_pairs_sql.append(
+                    f"""SELECT '{ci.replace("l_", "")}' AS col_a,
+       '{cj.replace("l_", "")}' AS col_b,
+       CASE WHEN (q{i} - s{i} * s{i} / n) * (q{j} - s{j} * s{j} / n) > 0
+            THEN round((p{i}{j} - s{i} * s{j} / n)
+                 / sqrt((q{i} - s{i} * s{i} / n) * (q{j} - s{j} * s{j} / n)), 6)
+            ELSE 0.0 END AS corr
+FROM s"""
+                )
+    sql["corr_matrix"] = (
+        "WITH s AS (SELECT "
+        + ", ".join(corr_sums)
+        + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(corr_pairs_sql)
+    )
+
+    sql["benford_price"] = """WITH d AS (
+  SELECT substr(abs(round(o_totalprice * 100)::BIGINT)::VARCHAR, 1, 1)::BIGINT
+         AS digit
+  FROM orders),
+c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+tot AS (SELECT sum(n)::BIGINT AS t FROM c)
+SELECT digit, n,
+       round(tot.t::DOUBLE * log10(1.0 + 1.0 / digit::DOUBLE), 6) AS expected,
+       floor((n::DOUBLE - tot.t::DOUBLE * log10(1.0 + 1.0 / digit::DOUBLE))
+             * (n::DOUBLE - tot.t::DOUBLE * log10(1.0 + 1.0 / digit::DOUBLE))
+             / (tot.t::DOUBLE * log10(1.0 + 1.0 / digit::DOUBLE))
+             * 1000000.0)::BIGINT::DOUBLE / 1000000.0 AS chi2_part
+FROM c CROSS JOIN tot"""
+
+    sql["seasonality_strength"] = """WITH cells AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+hc AS (SELECT event_type, extract(hour FROM h)::BIGINT AS hod, c FROM cells),
+t AS (SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS sc,
+             sum(c * c)::BIGINT AS sc2
+      FROM hc GROUP BY 1),
+hs AS (SELECT event_type, hod, sum(c)::BIGINT AS shc, count(*)::BIGINT AS cnt
+       FROM hc GROUP BY 1, 2),
+sb AS (SELECT event_type,
+              sum(floor(shc::DOUBLE * shc::DOUBLE / cnt::DOUBLE
+                        * 1000000.0)::BIGINT)::BIGINT AS sbq
+       FROM hs GROUP BY 1)
+SELECT t.event_type, t.n AS n_hours,
+       CASE WHEN sc2::DOUBLE - sc::DOUBLE * sc::DOUBLE / n::DOUBLE > 0
+            THEN round((sbq::DOUBLE / 1000000.0
+                        - sc::DOUBLE * sc::DOUBLE / n::DOUBLE)
+                       / (sc2::DOUBLE - sc::DOUBLE * sc::DOUBLE / n::DOUBLE), 6)
+            ELSE 0.0 END AS eta2
+FROM t JOIN sb USING (event_type)"""
 
     sql["local_clustering"] = f"""WITH di AS (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),

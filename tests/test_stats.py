@@ -679,3 +679,41 @@ def test_grouped_fano_matches_reference(ray_session):
         ref = c.var() / c.mean()  # var_pop (ddof=0 default in numpy)
         assert got.loc[k, "n_buckets"] == len(c)
         assert abs(got.loc[k, "fano"] - ref) < 5.1e-7
+
+
+def test_corr_matrix_and_benford_and_seasonality(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from seekr_ray.entry_queries import (
+        q_benford_price,
+        q_corr_matrix,
+        q_seasonality_strength,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cm = q_corr_matrix(sf).to_pandas()
+    assert len(cm) == 6 and (cm["corr"].abs() <= 1.0).all()
+    # pandas reference for one pair (quantized like the kernel)
+    li = pd.read_parquet(
+        f"{sf}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice"],
+    )
+    ref = (
+        np.rint(li["l_quantity"]).corr(np.rint(li["l_extendedprice"] * 100))
+    )
+    got = cm.set_index(["col_a", "col_b"]).loc[
+        ("quantity", "extendedprice"), "corr"
+    ]
+    assert abs(got - ref) < 5.1e-7
+
+    bf = q_benford_price(sf).to_pandas()
+    assert set(bf["digit"]) <= set(range(1, 10))
+    assert bf["n"].sum() == len(pd.read_parquet(f"{sf}/orders.parquet"))
+    # expected counts follow log10(1 + 1/d) shares of the total
+    tot = bf["n"].sum()
+    for _, r in bf.iterrows():
+        assert abs(r["expected"] - tot * np.log10(1 + 1 / r["digit"])) < 1e-3
+
+    ss = q_seasonality_strength(sf).to_pandas()
+    assert (ss["eta2"] >= 0).all() and (ss["eta2"] <= 1.0).all()
+    assert len(ss) == 5
