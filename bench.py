@@ -168,6 +168,18 @@ def run_bench() -> dict:
     timings["bm25_p50_ms"] = round(statistics.median(blat), 3)
     timings["bm25_p95_ms"] = round(blat[int(len(blat) * 0.95) - 1], 3)
 
+    # 3c. block-max WAND BM25 (mode="bmw") on the same plain subset —
+    # the north-star scorer path; block tables warm after the first pass
+    engine.bm25_topk("parse buffer", 10, mode="bmw")
+    wlat = []
+    for q, k in plain * 5:
+        t0 = time.monotonic()
+        engine.bm25_topk(q, k, mode="bmw")
+        wlat.append((time.monotonic() - t0) * 1000)
+    wlat.sort()
+    timings["bm25_bmw_p50_ms"] = round(statistics.median(wlat), 3)
+    timings["bm25_bmw_p95_ms"] = round(wlat[int(len(wlat) * 0.95) - 1], 3)
+
     total = timings["corpus_build_sec"] + timings["documents_build_sec"]
     result = {
         "metric": "index_build_plus_query",

@@ -85,8 +85,11 @@ def cmd_query(args) -> int:
     from .query.engine import QueryEngine
 
     engine = QueryEngine(args.index_dir)
+    mode = getattr(args, "mode", "auto")
     if getattr(args, "scorer", "tfidf") == "bm25":
-        hits = engine.bm25_topk(args.q, k=(args.page + 1) * args.size)
+        hits = engine.bm25_topk(
+            args.q, k=(args.page + 1) * args.size, mode=mode
+        )
         page = hits[args.page * args.size : (args.page + 1) * args.size]
         out = {
             "results": [{"doc_id": d, "score": s} for d, s in page],
@@ -314,6 +317,14 @@ def main(argv=None) -> int:
         help="tfidf = reference formula (0.7 tf·idf + 0.3 pagerank); "
         "bm25 = k1=1.2/b=0.75 with the same pagerank blend "
         "(plain free-text queries only)",
+    )
+    q.add_argument(
+        "--mode",
+        choices=["auto", "wand", "bmw"],
+        default="auto",
+        help="top-k evaluation strategy for --scorer bm25: auto = "
+        "vectorized TAAT, wand = plain WAND, bmw = block-max WAND "
+        "(all rank-identical)",
     )
     q.set_defaults(fn=cmd_query)
 

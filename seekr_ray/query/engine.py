@@ -22,10 +22,16 @@ Faithful-path semantics (the oracle-checked contract):
 * LRU query cache of 1000 (``QP.java:25-37``) and an unbounded phrase
   cache (``QueryIndex.java:112``).
 
-The WAND path (``search_topk``) serves the common case — plain free-text
-query, top-k — using per-term upper bounds ``0.7·block_max_tf·idf`` plus
-the global ``0.3·max_pagerank`` static bound; it is asserted equal to the
-faithful path in tests (FIXTURES.md §5 "WAND").
+The top-k fast paths (``search_topk`` / ``bm25_topk``) serve the common
+case — plain free-text query, top-k — three rank-identical ways:
+"auto" vectorized TAAT (numpy, exact, wins at in-memory segment scale),
+"wand" plain WAND (one global ``0.7·max_contrib`` bound per term plus
+the ``0.3·max_pagerank`` static bound), and "bmw" block-max WAND
+(Ding & Suel WSDM'11: per-64-posting block maxima let the pivot loop
+skip whole candidate windows without evaluating a document — the
+pruning path for k << candidate-count over long posting lists).  All
+are asserted equal to the faithful path in tests (FIXTURES.md §5
+"WAND", tests/test_bmw.py).
 """
 
 from __future__ import annotations
@@ -49,6 +55,31 @@ from .parser import (
 from .snippets import generate_snippet
 from .sidecar import open_sidecar
 from .store import SegmentStore
+
+# postings per block-max WAND block: small enough that one block's max is
+# a tight bound over its docs, large enough that the per-block metadata is
+# ~3% of the posting list (two 8-byte values per 64 postings)
+_BMW_BLOCK = 64
+
+
+def _block_meta(
+    ids: np.ndarray, contrib: np.ndarray, block: int = _BMW_BLOCK
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-block (last_doc_id, max_contrib) over a doc_id-sorted posting
+    array — the block-max WAND skip table (Ding & Suel, WSDM'11).  One
+    vectorized pad-reshape-max; O(n/block) output."""
+    m = len(ids)
+    if m == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    nb = (m + block - 1) // block
+    pad = nb * block - m
+    if pad:
+        cpad = np.concatenate([contrib, np.full(pad, -np.inf)])
+    else:
+        cpad = contrib
+    blk_max = cpad.reshape(nb, block).max(axis=1)
+    last_idx = np.minimum(np.arange(1, nb + 1) * block - 1, m - 1)
+    return ids[last_idx].astype(np.int64, copy=False), blk_max
 
 
 class DocumentData:
@@ -123,6 +154,17 @@ class QueryEngine:
         self._doclen = None  # doclen sidecar, lazy (first bm25 call)
         self._bm25_cache: OrderedDict[str, np.ndarray] = OrderedDict()
         self._bm25_cache_max = 4096
+        # block-max WAND metadata: per-(term, scorer) arrays of per-block
+        # (last_doc_id, max_contrib) at _BMW_BLOCK postings/block —
+        # computed lazily from the decoded posting arrays (one vectorized
+        # reshape-max per term), cached because the index is immutable
+        self._blockmeta_cache: OrderedDict[
+            tuple[str, str], tuple[np.ndarray, np.ndarray]
+        ] = OrderedDict()
+        self._blockmeta_cache_max = 4096
+        # instrumentation for the pruning tests: full evaluations and
+        # block skips performed by the last _wand_arrays/_bmw_arrays call
+        self.wand_stats = {"evals": 0, "block_skips": 0}
 
     # ------------------------------------------------------------------
     # QP.search / processQuery
@@ -407,10 +449,11 @@ class QueryEngine:
         path for boolean/phrase queries.
 
         ``mode``: "auto" = vectorized term-at-a-time (exact, numpy — wins
-        at in-memory segment scale), "wand" = block-max WAND
-        (document-at-a-time with per-block upper bounds — the pruning
-        path for k << candidate-count over cold segments), "faithful" =
-        the dict-based reference-semantics path.  All three are asserted
+        at in-memory segment scale), "wand" = plain WAND (one global
+        upper bound per term), "bmw" = block-max WAND (per-block upper
+        bounds skip whole candidate windows — the pruning path for
+        k << candidate-count over cold segments), "faithful" = the
+        dict-based reference-semantics path.  All four are asserted
         rank-identical in tests."""
         if not self.use_wand or mode == "faithful":
             result = self.query(query)
@@ -437,6 +480,8 @@ class QueryEngine:
             return []
         if mode == "wand":
             return self._wand(terms, k)
+        if mode == "bmw":
+            return self._bmw(terms, k, scorer="tfidf")
         return self._taat(terms, k)
 
     def _phrase_topk(self, query: str, k: int) -> list[tuple[int, float]]:
@@ -630,6 +675,23 @@ class QueryEngine:
         ]
         return self._wand_arrays([t.doc_ids for t in terms], contribs, ubs, k)
 
+    def _bmw(self, terms, k: int, scorer: str = "tfidf") -> list[tuple[int, float]]:
+        if scorer == "bm25":
+            contribs = [self._bm25_contribs(t) for t in terms]
+        else:
+            contribs = [t.tfs * t.idf for t in terms]
+        ubs = [
+            self.cfg.tfidf_weight * (float(c.max()) if c.size else 0.0)
+            for c in contribs
+        ]
+        metas = [
+            self._term_block_meta(t.term, scorer, t.doc_ids, c)
+            for t, c in zip(terms, contribs)
+        ]
+        return self._bmw_arrays(
+            [t.doc_ids for t in terms], contribs, ubs, k, metas=metas
+        )
+
     def _wand_arrays(
         self,
         ids_list: list[np.ndarray],
@@ -654,6 +716,7 @@ class QueryEngine:
         pos = [0] * n  # cursor per term
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top k
         threshold = -np.inf
+        evals = 0
 
         def cur_doc(i: int) -> int:
             ids = ids_list[i]
@@ -681,6 +744,7 @@ class QueryEngine:
                 break
             if cur_doc(order[0]) == pivot_doc:
                 # fully evaluate pivot_doc
+                evals += 1
                 score = 0.0
                 for i in range(n):
                     ids = ids_list[i]
@@ -705,6 +769,158 @@ class QueryEngine:
                     pos[i] = int(
                         np.searchsorted(ids_list[i], pivot_doc, side="left")
                     )
+        self.wand_stats = {"evals": evals, "block_skips": 0}
+        out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+        return [(-d, float(s)) for s, d in out]
+
+    def _term_block_meta(
+        self, term: str, scorer: str, ids: np.ndarray, contrib: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Cached per-(term, scorer) block-max metadata — the index is
+        immutable, so the (last_doc, max_contrib) tables never change."""
+        key = (scorer, term)
+        cached = self._blockmeta_cache.get(key)
+        if cached is not None:
+            self._blockmeta_cache.move_to_end(key)
+            return cached
+        meta = _block_meta(ids, contrib)
+        self._blockmeta_cache[key] = meta
+        if len(self._blockmeta_cache) > self._blockmeta_cache_max:
+            self._blockmeta_cache.popitem(last=False)
+        return meta
+
+    def _bmw_arrays(
+        self,
+        ids_list: list[np.ndarray],
+        contribs: list[np.ndarray],
+        ubs: list[float],
+        k: int,
+        metas: list[tuple[np.ndarray, np.ndarray]] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Block-max WAND core (Ding & Suel, WSDM'11): the WAND pivot
+        loop plus a per-block refinement.  After the global-UB pivot is
+        found, the per-block maxima of the blocks holding each leading
+        term's first posting >= pivot bound every candidate in
+        ``[pivot_doc, min(block_last, next_term_doc - 1)]`` at once — if
+        that bound can't beat the heap threshold the whole window is
+        skipped without evaluating a single document.  Rank-identical to
+        plain WAND / TAAT by construction (the block bound dominates each
+        doc's true score; asserted by tests/test_bmw.py).
+
+        ``metas`` carries precomputed (blk_last_doc, blk_max_contrib)
+        per term — pass it when slicing (search_topk_range) computes
+        fresh tables; omitted, tables build vectorized from the arrays.
+        """
+        w_tfidf = self.cfg.tfidf_weight
+        w_pr = self.cfg.pagerank_weight
+        static_ub = w_pr * self.max_pagerank
+        pr_sidecar = self._pr
+
+        def pr_of(doc_id: int) -> float:
+            if pr_sidecar is None:
+                return 0.0
+            return pr_sidecar.get_one(doc_id)
+
+        n = len(ids_list)
+        if metas is None:
+            metas = [
+                _block_meta(ids, c) for ids, c in zip(ids_list, contribs)
+            ]
+        blk_last = [m[0] for m in metas]
+        blk_max = [m[1] for m in metas]
+        lens = [len(ids) for ids in ids_list]
+        pos = [0] * n
+        heap: list[tuple[float, int]] = []
+        threshold = -np.inf
+        evals = 0
+        skips = 0
+
+        def cur_doc(i: int) -> int:
+            p = pos[i]
+            return int(ids_list[i][p]) if p < lens[i] else _MAX_DOC
+
+        while True:
+            order = sorted(range(n), key=cur_doc)
+            if cur_doc(order[0]) == _MAX_DOC:
+                break
+            # global-UB pivot selection (identical to plain WAND)
+            acc = static_ub
+            pivot_idx = None
+            for j, i in enumerate(order):
+                if cur_doc(i) == _MAX_DOC:
+                    break
+                acc += ubs[i]
+                if acc > threshold:
+                    pivot_idx = j
+                    break
+            if pivot_idx is None:
+                break
+            pivot_doc = cur_doc(order[pivot_idx])
+            if pivot_doc == _MAX_DOC:
+                break
+            # block-max refinement: bound every doc in the window
+            # [pivot_doc, d_limit] by the leading terms' current-block
+            # maxima (terms past the pivot have cur_doc > d_limit and
+            # cannot touch the window; doc_ids are unique per list, so
+            # docs <= blk_last sit inside the cursor's block)
+            block_acc = 0.0
+            d_limit = _MAX_DOC
+            for j in range(pivot_idx + 1):
+                i = order[j]
+                q = int(
+                    np.searchsorted(ids_list[i], pivot_doc, side="left")
+                )
+                if q < lens[i]:
+                    b = q // _BMW_BLOCK
+                    block_acc += float(blk_max[i][b])
+                    d_limit = min(d_limit, int(blk_last[i][b]))
+            nxt = (
+                cur_doc(order[pivot_idx + 1]) if pivot_idx + 1 < n else _MAX_DOC
+            )
+            d_limit = min(d_limit, nxt - 1)
+            if (
+                d_limit >= pivot_doc
+                and static_ub + w_tfidf * block_acc <= threshold
+            ):
+                # nothing in [pivot_doc, d_limit] can enter the heap —
+                # hop every leading cursor past the window in one move
+                target = d_limit + 1
+                for j in range(pivot_idx + 1):
+                    i = order[j]
+                    if cur_doc(i) < target:
+                        pos[i] = int(
+                            np.searchsorted(
+                                ids_list[i], target, side="left"
+                            )
+                        )
+                skips += 1
+                continue
+            if cur_doc(order[0]) == pivot_doc:
+                evals += 1
+                score = 0.0
+                for i in range(n):
+                    ids = ids_list[i]
+                    p = pos[i]
+                    if p < lens[i] and int(ids[p]) == pivot_doc:
+                        score += contribs[i][p]
+                        pos[i] += 1
+                score = w_tfidf * score + w_pr * pr_of(pivot_doc)
+                item = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                    if len(heap) == k:
+                        threshold = heap[0][0] - 1e-12
+                else:
+                    if item > heap[0]:
+                        heapq.heapreplace(heap, item)
+                        threshold = heap[0][0] - 1e-12
+            else:
+                for j in range(pivot_idx):
+                    i = order[j]
+                    pos[i] = int(
+                        np.searchsorted(ids_list[i], pivot_doc, side="left")
+                    )
+        self.wand_stats = {"evals": evals, "block_skips": skips}
         out = sorted(heap, key=lambda it: (-it[0], -it[1]))
         return [(-d, float(s)) for s, d in out]
 
@@ -789,6 +1005,8 @@ class QueryEngine:
                 for c in contribs
             ]
             return self._wand_arrays(ids_list, contribs, ubs, k)
+        if mode == "bmw":
+            return self._bmw(terms, k, scorer="bm25")
         return self._taat_arrays(ids_list, contribs, k)
 
     # ------------------------------------------------------------------
@@ -847,11 +1065,15 @@ class QueryEngine:
             i1 = int(np.searchsorted(t.doc_ids, hi, side="left"))
             ids_list.append(t.doc_ids[i0:i1])
             cut.append(c[i0:i1])
-        if mode == "wand":
+        if mode in ("wand", "bmw"):
             ubs = [
                 self.cfg.tfidf_weight * (float(c.max()) if c.size else 0.0)
                 for c in cut
             ]
+            if mode == "bmw":
+                # slices get fresh block tables (cheap: one reshape-max
+                # over the cut arrays; cache keys are whole-list only)
+                return self._bmw_arrays(ids_list, cut, ubs, k)
             return self._wand_arrays(ids_list, cut, ubs, k)
         return self._taat_arrays(ids_list, cut, k)
 
