@@ -165,6 +165,8 @@ class QueryEngine:
         # instrumentation for the pruning tests: full evaluations and
         # block skips performed by the last _wand_arrays/_bmw_arrays call
         self.wand_stats = {"evals": 0, "block_skips": 0}
+        # ... and chunk decode counts of the last _topk_cold call
+        self.cold_stats = {"chunks_total": 0, "chunks_decoded": 0}
 
     # ------------------------------------------------------------------
     # QP.search / processQuery
@@ -470,6 +472,12 @@ class QueryEngine:
         if is_quoted((query or "").strip()):
             return self._phrase_topk((query or "").strip(), k)
         stems, stem_to_original = tokenize_and_stem(query or "")
+        if mode == "bmw_cold":
+            cold = self._topk_cold(stems, k, scorer="tfidf")
+            if cold is not None:
+                return cold
+            # legacy segment files without chunk metadata: warm BMW
+            mode = "bmw"
         self.store.postings_many(stems)
         terms = []
         for s in stems:
@@ -925,6 +933,253 @@ class QueryEngine:
         return [(-d, float(s)) for s, d in out]
 
     # ------------------------------------------------------------------
+    # chunk-lazy cold block-max WAND (mode="bmw_cold")
+    # ------------------------------------------------------------------
+
+    def _chunk_ub(self, scorer: str, idf: float, max_tf: float) -> float:
+        """Provable upper bound on any posting's contribution in a chunk,
+        from persisted metadata alone (no decode).
+
+        tfidf: contrib = tf·idf <= max_tf·idf (idf >= 0, monotone).
+        bm25:  contrib = idf·(k1+1)·c / (c + k1·(1-b+b·dl/avgdl)) with
+        c = tf·dl (normalized storage) or c = tf (dl==0 fallback docs).
+        Substituting c = tf·dl gives
+        idf(k1+1) / (1 + k1(1-b)/c + k1·b/(tf·avgdl)) — dropping the
+        middle term and tf <= max_tf bounds the normalized case; the
+        dl==0 case is idf(k1+1)·c/(c+k1(1-b)), increasing in c <= max_tf.
+        The max of the two covers every posting."""
+        if max_tf <= 0.0:
+            return 0.0
+        if scorer == "tfidf":
+            return idf * max_tf
+        k1, b = self.bm25_k1, self.bm25_b
+        avgdl = self._doclen_sidecar().avg
+        avgdl = avgdl if avgdl > 0 else 1.0
+        b1 = idf * (k1 + 1.0) / (1.0 + k1 * b / (max_tf * avgdl))
+        b2 = idf * (k1 + 1.0) * max_tf / (max_tf + k1 * (1.0 - b))
+        return max(b1, b2)
+
+    def _chunk_contribs(
+        self, scorer: str, idf: float, ids: np.ndarray, tfs: np.ndarray
+    ) -> np.ndarray:
+        """Exact per-posting contribution for one decoded chunk — the
+        chunk-local form of ``_bm25_contribs`` (same expressions)."""
+        if scorer == "tfidf":
+            return tfs * idf
+        dl_sc = self._doclen_sidecar()
+        avgdl = dl_sc.avg
+        dl = dl_sc.get(ids, default=0.0)
+        c = np.where(dl > 0, np.rint(tfs * dl), np.rint(tfs))
+        k1, b = self.bm25_k1, self.bm25_b
+        denom = c + k1 * (1.0 - b + b * dl / (avgdl if avgdl > 0 else 1.0))
+        return idf * ((c * (k1 + 1.0)) / denom)
+
+    def _topk_cold(
+        self, stems: list[str], k: int, scorer: str
+    ) -> list[tuple[int, float]] | None:
+        """Chunk-lazy block-max WAND: every CHUNK of every query term is
+        its own posting-list unit (each (term, doc) posting lives in
+        exactly one chunk, so summing across units == summing across
+        terms), undecoded units are represented purely by their persisted
+        (min_doc, max_doc, max_tf) metadata, and a unit decodes its
+        ids/tfs only when the pivot loop needs a posting inside it.
+        Units the threshold proves irrelevant are never read — serving
+        memory and decode work scale with chunks TOUCHED, not with df
+        (the eager paths decode a hot term's entire posting list; at
+        10^12-doc scale that is the per-actor ceiling).
+
+        Returns None when any query term's segment files predate the
+        chunk-metadata columns — callers fall back to the warm paths."""
+        lazies = []
+        for s in dict.fromkeys(stems):
+            lz = self.store.postings_meta(s)
+            if lz is None:
+                if self.store.term_stat(s) is not None:
+                    return None  # legacy segment files: no chunk metadata
+                continue  # term absent from the index
+            lazies.append(lz)
+        # duplicate query stems double-count in the reference formula —
+        # weight each unique term's contribs by its multiplicity
+        mult = {}
+        for s in stems:
+            mult[s] = mult.get(s, 0) + 1
+        w_tfidf = self.cfg.tfidf_weight
+        w_pr = self.cfg.pagerank_weight
+        static_ub = w_pr * self.max_pagerank
+        pr_sidecar = self._pr
+
+        def pr_of(doc_id: int) -> float:
+            if pr_sidecar is None:
+                return 0.0
+            return pr_sidecar.get_one(doc_id)
+
+        # flatten to chunk units
+        u_ltp: list = []  # owning LazyTermPostings
+        u_chunk: list[int] = []
+        u_mult: list[float] = []
+        for lz in lazies:
+            m = float(mult[lz.term])
+            for ci in range(len(lz.chunks)):
+                u_ltp.append(lz)
+                u_chunk.append(ci)
+                u_mult.append(m)
+        n = len(u_ltp)
+        if n == 0:
+            return []
+        u_min = [lz.chunks[ci].min_doc for lz, ci in zip(u_ltp, u_chunk)]
+        u_max = [lz.chunks[ci].max_doc for lz, ci in zip(u_ltp, u_chunk)]
+        u_ub_raw = [
+            m * self._chunk_ub(scorer, lz.idf, lz.chunks[ci].max_tf)
+            for lz, ci, m in zip(u_ltp, u_chunk, u_mult)
+        ]
+        u_ub = [w_tfidf * u for u in u_ub_raw]
+        # per-unit state: None = undecoded (cursor at min_doc),
+        # (ids, contribs, blk_last, blk_max) once decoded; -1 pos marks
+        # exhausted-without-decode
+        dec: list[tuple | None] = [None] * n
+        pos = [0] * n
+        exhausted = [False] * n
+        evals = 0
+        skips = 0
+
+        def decode_unit(u: int) -> None:
+            lz, ci = u_ltp[u], u_chunk[u]
+            ids, tfs = lz.decode(ci)
+            contribs = u_mult[u] * self._chunk_contribs(
+                scorer, lz.idf, ids, tfs
+            )
+            last, mx = _block_meta(ids, contribs)
+            dec[u] = (ids, contribs, last, mx)
+
+        def cur_doc(u: int) -> int:
+            if exhausted[u]:
+                return _MAX_DOC
+            d = dec[u]
+            if d is None:
+                return u_min[u]
+            if pos[u] < len(d[0]):
+                return int(d[0][pos[u]])
+            return _MAX_DOC
+
+        def advance(u: int, target: int) -> None:
+            """Move unit ``u``'s cursor to the first posting >= target.
+            Undecoded units advance in metadata space: past max_doc they
+            exhaust WITHOUT ever decoding (the IO win); inside the range
+            they decode first."""
+            if exhausted[u]:
+                return
+            d = dec[u]
+            if d is None:
+                if target > u_max[u]:
+                    exhausted[u] = True
+                elif target > u_min[u]:
+                    decode_unit(u)
+                    d = dec[u]
+                    pos[u] = int(np.searchsorted(d[0], target, side="left"))
+                    if pos[u] >= len(d[0]):
+                        exhausted[u] = True
+                return
+            pos[u] = int(np.searchsorted(d[0], target, side="left"))
+            if pos[u] >= len(d[0]):
+                exhausted[u] = True
+
+        heap: list[tuple[float, int]] = []
+        threshold = -np.inf
+        while True:
+            order = sorted(range(n), key=cur_doc)
+            if cur_doc(order[0]) == _MAX_DOC:
+                break
+            acc = static_ub
+            pivot_idx = None
+            for j, u in enumerate(order):
+                if cur_doc(u) == _MAX_DOC:
+                    break
+                acc += u_ub[u]
+                if acc > threshold:
+                    pivot_idx = j
+                    break
+            if pivot_idx is None:
+                break
+            pivot_doc = cur_doc(order[pivot_idx])
+            if pivot_doc == _MAX_DOC:
+                break
+            # block refinement: undecoded units are one whole-chunk
+            # block; decoded units use their 64-posting tables
+            block_acc = 0.0
+            d_limit = _MAX_DOC
+            for j in range(pivot_idx + 1):
+                u = order[j]
+                d = dec[u]
+                if d is None:
+                    block_acc += u_ub_raw[u]
+                    d_limit = min(d_limit, u_max[u])
+                else:
+                    q = int(np.searchsorted(d[0], pivot_doc, side="left"))
+                    if q < len(d[0]):
+                        b = q // _BMW_BLOCK
+                        block_acc += float(d[3][b])
+                        d_limit = min(d_limit, int(d[2][b]))
+            nxt = (
+                cur_doc(order[pivot_idx + 1])
+                if pivot_idx + 1 < n
+                else _MAX_DOC
+            )
+            d_limit = min(d_limit, nxt - 1)
+            if (
+                d_limit >= pivot_doc
+                and static_ub + w_tfidf * block_acc <= threshold
+            ):
+                target = d_limit + 1
+                for j in range(pivot_idx + 1):
+                    u = order[j]
+                    if cur_doc(u) < target:
+                        advance(u, target)
+                skips += 1
+                continue
+            if cur_doc(order[0]) == pivot_doc:
+                evals += 1
+                score = 0.0
+                for u in range(n):
+                    if cur_doc(u) != pivot_doc:
+                        continue
+                    if dec[u] is None:
+                        decode_unit(u)
+                        pos[u] = int(
+                            np.searchsorted(
+                                dec[u][0], pivot_doc, side="left"
+                            )
+                        )
+                    d = dec[u]
+                    p = pos[u]
+                    if p < len(d[0]) and int(d[0][p]) == pivot_doc:
+                        score += d[1][p]
+                        pos[u] += 1
+                        if pos[u] >= len(d[0]):
+                            exhausted[u] = True
+                score = w_tfidf * score + w_pr * pr_of(pivot_doc)
+                item = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                    if len(heap) == k:
+                        threshold = heap[0][0] - 1e-12
+                else:
+                    if item > heap[0]:
+                        heapq.heapreplace(heap, item)
+                        threshold = heap[0][0] - 1e-12
+            else:
+                for j in range(pivot_idx):
+                    u = order[j]
+                    advance(u, pivot_doc)
+        self.cold_stats = {
+            "chunks_total": n,
+            "chunks_decoded": sum(1 for d in dec if d is not None),
+            "evals": evals,
+            "block_skips": skips,
+        }
+        out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+        return [(-d, float(s)) for s, d in out]
+
+    # ------------------------------------------------------------------
     # BM25 scorer (north-star ranking mode; k1=1.2, b=0.75)
     # ------------------------------------------------------------------
 
@@ -989,6 +1244,11 @@ class QueryEngine:
                 "(search_topk)"
             )
         stems, _ = tokenize_and_stem(q)
+        if mode == "bmw_cold":
+            cold = self._topk_cold(stems, k, scorer="bm25")
+            if cold is not None:
+                return cold
+            mode = "bmw"  # legacy segment files: warm BMW
         self.store.postings_many(stems)
         terms = []
         for s in stems:

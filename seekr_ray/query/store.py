@@ -26,6 +26,7 @@ from collections import OrderedDict
 from dataclasses import dataclass
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..codec import decode_doc_ids, decode_position_blobs, unpack_f64, varbyte_decode
@@ -237,6 +238,15 @@ class TermPostings:
         return float(self.block_max_tf.max()) if self.block_max_tf.size else 0.0
 
 
+# chunk-level metadata persisted by the segment writer (postings.py
+# CHUNK_SCHEMA): enough to run block-max WAND over a term's chunks
+# without touching a single posting payload
+_META_COLUMNS = ["n_docs", "max_tf", "min_doc_id", "max_doc_id"]
+# the cold top-k decode set: ids+tfs only — position/importance payloads
+# (the bulk of a chunk's bytes) stay on disk
+_TOPK_PAYLOAD_COLUMNS = ["n_docs", "doc_ids_enc", "tfs_enc"]
+
+
 class _PartitionIndex:
     """Row-group-pruned access to one (term, salt, chunk_seq)-sorted
     segment partition file."""
@@ -251,20 +261,46 @@ class _PartitionIndex:
         self.rg_starts = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(rows)])
         file_cols = set(self.pf.schema_arrow.names)
         self.columns = [c for c in _CHUNK_COLUMNS if c in file_cols]
+        self.has_chunk_meta = set(_META_COLUMNS) <= file_cols
         tcol = self.pf.read(columns=["term"])["term"]
         self.terms = np.asarray(tcol.to_pylist(), dtype=object)
+        # one-slot row-group cache for the chunk-lazy decode path:
+        # consecutive decodes of one term's chunks usually share a group
+        self._rg_cache: tuple[int, pa.Table] | None = None
 
     def term_range(self, term: str) -> tuple[int, int]:
         lo = int(np.searchsorted(self.terms, term, side="left"))
         hi = int(np.searchsorted(self.terms, term, side="right"))
         return lo, hi
 
-    def read_rows(self, lo: int, hi: int):
+    def read_rows(self, lo: int, hi: int, columns: list[str] | None = None):
         """Chunk rows [lo, hi) — decodes only the covering row groups."""
         g0 = int(np.searchsorted(self.rg_starts, lo, side="right")) - 1
         g1 = int(np.searchsorted(self.rg_starts, hi - 1, side="right")) - 1
-        t = self.pf.read_row_groups(list(range(g0, g1 + 1)), columns=self.columns)
+        t = self.pf.read_row_groups(
+            list(range(g0, g1 + 1)), columns=columns or self.columns
+        )
         return t.slice(lo - int(self.rg_starts[g0]), hi - lo)
+
+    def read_meta_rows(self, lo: int, hi: int):
+        """Chunk METADATA rows [lo, hi) — None on legacy files that
+        predate the persisted (max_tf, min/max_doc_id) columns."""
+        if not self.has_chunk_meta:
+            return None
+        return self.read_rows(lo, hi, columns=_META_COLUMNS)
+
+    def read_topk_payload_row(self, row: int):
+        """One chunk row's (n_docs, doc_ids_enc, tfs_enc) through a
+        one-slot row-group cache.  IO granularity is the parquet row
+        group (~128 chunk rows); decode granularity is the single chunk —
+        the cold BMW path skips decode per chunk and IO per row group."""
+        g = int(np.searchsorted(self.rg_starts, row, side="right")) - 1
+        if self._rg_cache is None or self._rg_cache[0] != g:
+            self._rg_cache = (
+                g,
+                self.pf.read_row_groups([g], columns=_TOPK_PAYLOAD_COLUMNS),
+            )
+        return self._rg_cache[1].slice(row - int(self.rg_starts[g]), 1)
 
 
 class _StatsPartition:
@@ -293,6 +329,67 @@ class _StatsPartition:
         return None
 
 
+@dataclass
+class ChunkRef:
+    """One undecoded chunk row of a term: persisted metadata plus the
+    handle needed to decode it on demand."""
+
+    __slots__ = ("pidx", "row", "n_docs", "max_tf", "min_doc", "max_doc")
+
+    pidx: _PartitionIndex
+    row: int  # absolute row index in the partition file
+    n_docs: int
+    max_tf: float
+    min_doc: int
+    max_doc: int
+
+
+class LazyTermPostings:
+    """Chunk-lazy view of one term's postings for the cold block-max WAND
+    path (engine mode="bmw_cold").
+
+    Where ``TermPostings`` decodes the term's ENTIRE posting list into
+    the serving actor before scoring (hot terms at 10^12-doc scale make
+    that a per-actor memory/IO ceiling), this object holds only the
+    persisted per-chunk metadata (min/max doc_id, max_tf — written by the
+    segment builder, postings.py CHUNK_SCHEMA) and decodes a chunk's
+    (doc_ids, tfs) the first time the pivot loop actually needs a posting
+    inside it.  Chunks the threshold proves irrelevant are never read:
+    memory and decode work scale with the chunks TOUCHED, not with df.
+
+    Chunks may overlap in doc range (salted hot terms, delta segments) —
+    each (term, doc) posting lives in exactly one chunk, so treating
+    every chunk as its own posting list and summing across lists is
+    score-identical to the merged list.
+    """
+
+    __slots__ = ("term", "df", "idf", "chunks", "_decoded", "decode_count")
+
+    def __init__(self, term: str, df: int, idf: float, chunks: list[ChunkRef]):
+        self.term = term
+        self.df = df
+        self.idf = idf
+        # doc-range order makes the engine's unit lists start near-sorted
+        self.chunks = sorted(chunks, key=lambda c: (c.min_doc, c.max_doc))
+        self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self.decode_count = 0
+
+    def decode(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, tfs) of chunk ``i``, decoded once and cached."""
+        got = self._decoded.get(i)
+        if got is None:
+            ref = self.chunks[i]
+            rows = ref.pidx.read_topk_payload_row(ref.row)
+            ids = decode_doc_ids(
+                rows["doc_ids_enc"][0].as_py(), ref.n_docs
+            ).astype(np.int64)
+            tfs = unpack_f64(rows["tfs_enc"][0].as_py())
+            got = (ids, tfs)
+            self._decoded[i] = got
+            self.decode_count += 1
+        return got
+
+
 class SegmentStore:
     def __init__(self, index_dir: str, num_term_partitions: int, block_size: int = 4096):
         self.index_dir = index_dir
@@ -311,6 +408,8 @@ class SegmentStore:
         self._pindex_cache: dict[int, list[_PartitionIndex]] = {}
         self._postings_cache: OrderedDict[str, TermPostings | None] = OrderedDict()
         self._postings_cache_max = 4096
+        self._lazy_cache: OrderedDict[str, LazyTermPostings | None] = OrderedDict()
+        self._lazy_cache_max = 4096
         self._all_terms: np.ndarray | None = None
 
     # -- term stats ---------------------------------------------------------
@@ -380,6 +479,64 @@ class SegmentStore:
         if len(missing) > 1:
             with ThreadPoolExecutor(min(4, len(missing))) as ex:
                 list(ex.map(self.postings, missing))
+
+    def postings_meta(self, term: str) -> LazyTermPostings | None:
+        """Chunk-lazy postings view for the cold BMW path: reads ONLY the
+        persisted per-chunk metadata columns (min/max doc_id, max_tf) for
+        the term's chunk-row range — no posting payload leaves disk until
+        ``LazyTermPostings.decode`` is called for a specific chunk.
+
+        Returns None when the term is absent OR when any touched segment
+        file predates the chunk-metadata columns (legacy round-1 files);
+        callers fall back to the eager ``postings`` load."""
+        if term in self._lazy_cache:
+            self._lazy_cache.move_to_end(term)
+            return self._lazy_cache[term]
+        stat = self.term_stat(term)
+        result: LazyTermPostings | None = None
+        legacy = False
+        if stat is not None:
+            df, idf, n_salts = stat
+            chunks: list[ChunkRef] = []
+            visited: set[int] = set()
+            for salt in range(n_salts):
+                part = term_partition(term, self.P, salt)
+                if part in visited:
+                    continue
+                visited.add(part)
+                for pidx in self._partition_indexes(part):
+                    lo, hi = pidx.term_range(term)
+                    if hi <= lo:
+                        continue
+                    meta = pidx.read_meta_rows(lo, hi)
+                    if meta is None:
+                        legacy = True
+                        break
+                    nd = meta["n_docs"].to_pylist()
+                    mtf = meta["max_tf"].to_pylist()
+                    mn = meta["min_doc_id"].to_pylist()
+                    mx = meta["max_doc_id"].to_pylist()
+                    for j in range(meta.num_rows):
+                        chunks.append(
+                            ChunkRef(
+                                pidx,
+                                lo + j,
+                                int(nd[j]),
+                                float(mtf[j]),
+                                int(mn[j]),
+                                int(mx[j]),
+                            )
+                        )
+                if legacy:
+                    break
+            if not legacy and chunks:
+                result = LazyTermPostings(term, df, idf, chunks)
+        if legacy:
+            return None  # don't cache: the store may mix file versions
+        self._lazy_cache[term] = result
+        if len(self._lazy_cache) > self._lazy_cache_max:
+            self._lazy_cache.popitem(last=False)
+        return result
 
     @staticmethod
     def _collect_chunk_rows(

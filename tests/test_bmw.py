@@ -126,3 +126,138 @@ def test_bmw_empty_and_disjoint_terms():
     )
     want = QueryEngine._taat_arrays(_fake_engine(), [a, b], [ca, cb], 10)
     _rank_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# chunk-lazy cold path (_topk_cold): decode skipping + legacy fallback
+# ---------------------------------------------------------------------------
+
+
+class _FakeLazy:
+    """LazyTermPostings stand-in fed from in-memory arrays."""
+
+    def __init__(self, term, idf, chunk_arrays):
+        self.term = term
+        self.df = sum(len(a[0]) for a in chunk_arrays)
+        self.idf = idf
+        self._arrays = chunk_arrays
+        self.chunks = [
+            SimpleNamespace(
+                min_doc=int(ids[0]),
+                max_doc=int(ids[-1]),
+                max_tf=float(tfs.max()),
+                n_docs=len(ids),
+            )
+            for ids, tfs in chunk_arrays
+        ]
+        self.decode_count = 0
+
+    def decode(self, i):
+        self.decode_count += 1
+        return self._arrays[i]
+
+
+class _FakeStore:
+    def __init__(self, lazies, legacy_terms=()):
+        self._lazies = {lz.term: lz for lz in lazies}
+        self._legacy = set(legacy_terms)
+
+    def postings_meta(self, term):
+        if term in self._legacy:
+            return None
+        return self._lazies.get(term)
+
+    def term_stat(self, term):
+        if term in self._legacy:
+            return (1, 1.0, 1)
+        lz = self._lazies.get(term)
+        return None if lz is None else (lz.df, lz.idf, 1)
+
+
+def _cold_engine(store):
+    e = object.__new__(QueryEngine)
+    e.cfg = SimpleNamespace(tfidf_weight=0.7, pagerank_weight=0.3)
+    e.max_pagerank = 0.0
+    e._pr = None
+    e.store = store
+    e.bm25_k1, e.bm25_b = 1.2, 0.75
+    e.wand_stats = {}
+    e.cold_stats = {}
+    return e
+
+
+def _chunked(ids, tfs, size):
+    return [
+        (ids[i : i + size], tfs[i : i + size])
+        for i in range(0, len(ids), size)
+    ]
+
+
+def test_cold_skips_decode_of_irrelevant_chunks():
+    """One dominant low-id doc fills the k=1 heap; every later chunk has
+    a max_tf bound below the threshold and must exhaust WITHOUT decode."""
+    n = 64 * 10
+    ids = np.arange(n, dtype=np.int64)
+    tfs = np.full(n, 0.01)
+    tfs[3] = 5.0  # dominant doc in chunk 0
+    lz = _FakeLazy("alpha", idf=2.0, chunk_arrays=_chunked(ids, tfs, 64))
+    e = _cold_engine(_FakeStore([lz]))
+    got = e._topk_cold(["alpha"], k=1, scorer="tfidf")
+    assert got == [(3, 0.7 * 5.0 * 2.0)]
+    assert e.cold_stats["chunks_total"] == 10
+    assert e.cold_stats["chunks_decoded"] == 1  # only chunk 0
+    assert lz.decode_count == 1
+
+
+def test_cold_matches_taat_on_overlapping_chunks():
+    """Salted/delta chunks overlap in doc range; the unit decomposition
+    must still sum each posting exactly once."""
+    rng = np.random.default_rng(5)
+    all_ids = rng.choice(20_000, size=3_000, replace=False).astype(np.int64)
+    all_ids.sort()
+    tfs = rng.pareto(2.0, size=3_000) + 0.01
+    # interleave postings across two "salts" -> overlapping chunk ranges
+    a_sel = np.zeros(3_000, dtype=bool)
+    a_sel[rng.choice(3_000, size=1_500, replace=False)] = True
+    chunks = _chunked(all_ids[a_sel], tfs[a_sel], 64) + _chunked(
+        all_ids[~a_sel], tfs[~a_sel], 64
+    )
+    lz = _FakeLazy("beta", idf=1.5, chunk_arrays=chunks)
+    e = _cold_engine(_FakeStore([lz]))
+    got = e._topk_cold(["beta"], k=10, scorer="tfidf")
+    want = QueryEngine._taat_arrays(
+        _fake_engine(), [all_ids], [tfs * 1.5], 10
+    )
+    _rank_equal(got, want)
+
+
+def test_cold_multi_term_and_duplicate_stems():
+    rng = np.random.default_rng(9)
+    lazies, ids_list, contribs = [], [], []
+    for t, idf, seed in (("a", 1.0, 1), ("b", 2.5, 2)):
+        r = np.random.default_rng(seed)
+        ids = np.sort(r.choice(5_000, size=900, replace=False).astype(np.int64))
+        tfs = r.pareto(2.0, size=900) + 0.01
+        lazies.append(_FakeLazy(t, idf, _chunked(ids, tfs, 64)))
+        ids_list.append(ids)
+        contribs.append(tfs * idf)
+    e = _cold_engine(_FakeStore(lazies))
+    got = e._topk_cold(["a", "b"], k=7, scorer="tfidf")
+    want = QueryEngine._taat_arrays(_fake_engine(), ids_list, contribs, 7)
+    _rank_equal(got, want)
+    # duplicate stem doubles term a's contribution
+    got2 = e._topk_cold(["a", "b", "a"], k=7, scorer="tfidf")
+    want2 = QueryEngine._taat_arrays(
+        _fake_engine(), ids_list + [ids_list[0]], contribs + [contribs[0]], 7
+    )
+    _rank_equal(got2, want2)
+
+
+def test_cold_returns_none_on_legacy_index():
+    e = _cold_engine(_FakeStore([], legacy_terms={"old"}))
+    assert e._topk_cold(["old"], k=5, scorer="tfidf") is None
+
+
+def test_cold_absent_terms_empty():
+    e = _cold_engine(_FakeStore([]))
+    assert e._topk_cold(["nosuch"], k=5, scorer="tfidf") == []

@@ -90,7 +90,7 @@ def test_rank_identity(engine, oracle, qid, query, k):
     _assert_rank_identical(got, want, context=qid)
 
 
-@pytest.mark.parametrize("mode", ["auto", "wand", "bmw"])
+@pytest.mark.parametrize("mode", ["auto", "wand", "bmw", "bmw_cold"])
 @pytest.mark.parametrize("qid,query,k", QUERY_SET, ids=[q[0] for q in QUERY_SET])
 def test_topk_modes_equal_oracle(engine, oracle, qid, query, k, mode):
     want = oracle.search(query, k=k)
@@ -239,7 +239,7 @@ def _bm25_reference(oracle, dls, avgdl, query, k, k1=1.2, b=0.75):
     return blended[:k]
 
 
-@pytest.mark.parametrize("mode", ["auto", "wand", "bmw"])
+@pytest.mark.parametrize("mode", ["auto", "wand", "bmw", "bmw_cold"])
 @pytest.mark.parametrize(
     "qid,query,k", BM25_PLAIN, ids=[q[0] for q in BM25_PLAIN]
 )
