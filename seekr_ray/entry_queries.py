@@ -4380,6 +4380,146 @@ SELECT doc_id,
 FROM fp"""
 
 
+def q_ewma_user_value(sf_dir: str):
+    """Trailing-32 EWMA (alpha=1/2) of each user's value stream — the
+    per-key online smoother, exact-dyadic so the distributed scan is
+    bit-stable under any association (extras/windows.ewma_per_group)."""
+    import ray.data as rd
+
+    from .extras.windows import ewma_per_group
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return ewma_per_group(ds)
+
+
+def q_scd2_intervals(sf_dir: str):
+    """SCD-type-2 compaction of each user's value stream: change rows
+    with [valid_from, valid_to) stamps (extras/windows.scd2_intervals)."""
+    import ray.data as rd
+
+    from .extras.windows import scd2_intervals
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return scd2_intervals(ds)
+
+
+# overlapping value tiers: a true one-to-many interval join (each event
+# can land in up to 3 bands), not a bucketing
+VALUE_BANDS = [(0, 0, 250), (1, 100, 350), (2, 200, 450), (3, 300, 550), (4, 400, 650)]
+
+
+def q_interval_band_join(sf_dir: str):
+    """Broadcast non-equi interval join: events x overlapping value
+    bands, aggregated per (band, type) with integer-exact partials
+    (extras/joins.interval_band_join_agg)."""
+    import ray.data as rd
+
+    from .extras.joins import interval_band_join_agg
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+    return interval_band_join_agg(ds, VALUE_BANDS)
+
+
+BOOTSTRAP_R = 64
+
+
+def q_poisson_bootstrap(sf_dir: str):
+    """Poisson-bootstrap resample means of discounted revenue over
+    lineitem: per-row md5-derived Poisson(1) weights, integer sufficient
+    statistics, O(R) exchange (extras/bootstrap.py)."""
+    import ray.data as rd
+
+    from .extras.bootstrap import poisson_bootstrap_means
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+
+    def id_expr(batch: pa.Table) -> np.ndarray:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return ok * 8 + ln  # l_linenumber in 1..7: reversible packing
+
+    def value_expr(batch: pa.Table) -> np.ndarray:
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return np.rint(ep * (1.0 - dc) * 10000.0).astype(np.int64)
+
+    return poisson_bootstrap_means(
+        ds, id_expr=id_expr, value_expr=value_expr, n_resamples=BOOTSTRAP_R
+    )
+
+
+LDIV_L = 4
+LDIV_CHARS_BUCKET = 256
+
+
+def q_ldiversity_risk(sf_dir: str):
+    """l-diversity screen (the k-anonymity companion): quasi-identifier
+    groups (lang, size bucket) whose SENSITIVE attribute (source) has
+    fewer than l distinct values — a homogeneous group leaks the
+    attribute even when k-anonymous.  Per-block distinct-triple partials
+    cut the first exchange to O(distinct triples); the second is
+    O(groups)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "source", "n_chars"],
+    )
+
+    def triples(batch: pa.Table) -> pa.Table:
+        nb = (
+            batch["n_chars"].to_numpy(zero_copy_only=False)
+            // LDIV_CHARS_BUCKET
+        ).astype(np.int64)
+        tbl = pa.table(
+            {
+                "lang": batch["lang"],
+                "size_bucket": pa.array(nb, pa.int64()),
+                "source": batch["source"],
+            }
+        )
+        agg = tbl.group_by(["lang", "size_bucket", "source"]).aggregate([])
+        return agg
+
+    def count_sources(batch: pa.Table) -> pa.Table:
+        agg = (
+            batch.select(["lang", "size_bucket", "source"])
+            .group_by(["lang", "size_bucket", "source"])
+            .aggregate([])
+            .group_by(["lang", "size_bucket"])
+            .aggregate([("source", "count")])
+        )
+        n = pc.cast(agg["source_count"], pa.int64())
+        keep = pc.less(n, LDIV_L)
+        return pa.table(
+            {
+                "lang": agg["lang"],
+                "size_bucket": agg["size_bucket"],
+                "n_sources": n,
+            }
+        ).filter(keep)
+
+    # distinct triples per block -> one exchange co-locating each
+    # (lang, bucket) via groupby -> per-group distinct-source count
+    return (
+        ds.map_batches(triples, batch_format="pyarrow")
+        .groupby(["lang", "size_bucket"])
+        .map_groups(count_sources, batch_format="pyarrow")
+    )
+
+
 def oracle_sql_map() -> dict[str, str]:
     toks = _toks_cte()
     stop = _stoplist_sql()
@@ -6292,5 +6432,75 @@ sel AS (SELECT cl.cluster_id, cl.doc_id, cnt.n_tokens,
         FROM cl JOIN cnt USING (doc_id))
 SELECT cluster_id, doc_id AS winner_doc_id, n_tokens AS winner_tokens, n_docs
 FROM sel WHERE rn = 1"""
+
+    # trailing-32 EWMA, alpha = 1/2: the closed form with exact dyadic
+    # coefficients — every term and partial sum is exactly representable
+    # (17-bit cents x 2^-k, k <= 31), so ANY summation order equals the
+    # Ray scan bit-for-bit; /100.0 is the same single rounding both sides
+    sql["ewma_user_value"] = """WITH ord AS (
+  SELECT user_id,
+         CAST(round(value*100, 0) AS BIGINT) AS vc,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+win AS (
+  SELECT user_id, vc,
+         rn - (n - LEAST(n, 32)) AS r,
+         LEAST(n, 32) AS m
+  FROM ord WHERE rn > n - 32)
+SELECT user_id,
+       (SUM(vc / CAST(1::BIGINT << (CASE WHEN r = 1 THEN m - 1
+                                         ELSE m - r + 1 END) AS DOUBLE))
+        / 100.0) AS ewma_value
+FROM win GROUP BY user_id"""
+
+    sql["scd2_intervals"] = """WITH ord AS (
+  SELECT user_id,
+         CAST(round(value*100, 0) AS BIGINT) AS vc,
+         epoch_us(ts) AS tus, event_id
+  FROM events),
+w AS (
+  SELECT *, lag(vc) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS pv
+  FROM ord),
+ch AS (SELECT * FROM w WHERE pv IS NULL OR vc != pv)
+SELECT user_id, vc AS v_cents, tus AS valid_from_us,
+       coalesce(lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id),
+                9223372036854775807) AS valid_to_us
+FROM ch"""
+
+    bands_vals = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in VALUE_BANDS)
+    sql["interval_band_join"] = f"""WITH b(band_id, lo, hi) AS (VALUES {bands_vals}),
+e AS (SELECT event_type, CAST(round(value*100, 0) AS BIGINT) AS cents
+      FROM events)
+SELECT b.band_id::BIGINT AS band_id, e.event_type, count(*)::BIGINT AS n,
+       (sum(e.cents) / 100.0) AS sum_value
+FROM e JOIN b ON e.cents >= b.lo*100 AND e.cents < b.hi*100
+GROUP BY b.band_id, e.event_type"""
+
+    from .extras.bootstrap import cdf_sql_weight_expr
+
+    wt_expr = cdf_sql_weight_expr("uu")
+    sql["poisson_bootstrap"] = f"""WITH rs AS (SELECT range AS r FROM range({BOOTSTRAP_R})),
+base AS (
+  SELECT l_orderkey*8 + l_linenumber AS rid,
+         CAST(round(l_extendedprice*(1 - l_discount)*10000, 0) AS BIGINT) AS x
+  FROM lineitem),
+u AS (
+  SELECT r, x,
+         (CASE WHEN r % 2 = 0
+               THEN md5_number_upper(rid::VARCHAR || ':' || (r // 2)::VARCHAR) % 4294967296
+               ELSE md5_number_upper(rid::VARCHAR || ':' || (r // 2)::VARCHAR) // 4294967296
+          END) / 4294967296.0 AS uu
+  FROM base CROSS JOIN rs),
+w AS (SELECT r, x, {wt_expr} AS wt FROM u)
+SELECT r, (SUM(wt*x) / 10000.0) / SUM(wt) AS mean_value
+FROM w GROUP BY r"""
+
+    sql["ldiversity_risk"] = f"""SELECT lang,
+       n_chars // {LDIV_CHARS_BUCKET} AS size_bucket,
+       count(DISTINCT source)::BIGINT AS n_sources
+FROM documents
+GROUP BY 1, 2
+HAVING count(DISTINCT source) < {LDIV_L}"""
 
     return sql

@@ -502,3 +502,82 @@ def left_outer_count_join(
     return left_ds.select_columns([left_key]).map_batches(
         attach, batch_format="pyarrow"
     )
+
+
+def interval_band_join_agg(
+    events_ds,
+    bands: list[tuple[int, int, int]],
+    *,
+    val_col: str = "value",
+    type_col: str = "event_type",
+):
+    """Broadcast interval (non-equi) join + aggregate: every event row
+    matches EVERY band whose ``[lo, hi)`` range contains its value —
+    bands may overlap, so this is a true one-to-many interval join
+    (the IP-range / price-tier / SLA-bucket shape), not a bucketing.
+
+    ``bands`` is the small side: ``(band_id, lo, hi)`` integer bounds,
+    broadcast into every task (at 100 TB the band table rides in the
+    closure once per worker — the probe side never shuffles).  Each
+    block emits per-(band, type) partial rows with cent-scaled integer
+    sums, so the exchange is O(bands x types x blocks) and bit-stable
+    under any block arrangement.  With B bands the per-block probe is B
+    vectorized mask-reduces; for large overlapping band sets the scale
+    path is an interval tree / sorted-endpoint sweep per block — same
+    contract, still broadcast.
+
+    Output: ``(band_id, event_type, n, sum_value)``; sum_value is the
+    exact cent sum divided by 100 once (matches the SQL oracle's
+    expression).
+    """
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[val_col].to_numpy(zero_copy_only=False)
+        cents = np.rint(v * 100.0).astype(np.int64)
+        et = np.asarray(batch[type_col].to_pylist(), dtype=object)
+        # stable per-block type codes via sorted uniques
+        uniq, inv = np.unique(et, return_inverse=True)
+        bid_out, type_out, n_out, sum_out = [], [], [], []
+        for band_id, lo, hi in bands:
+            m = (cents >= lo * 100) & (cents < hi * 100)
+            if not m.any():
+                continue
+            sel = inv[m]
+            cnt = np.bincount(sel, minlength=len(uniq))
+            csum = np.bincount(sel, weights=cents[m], minlength=len(uniq))
+            nz = np.flatnonzero(cnt)
+            for t in nz.tolist():
+                bid_out.append(band_id)
+                type_out.append(uniq[t])
+                n_out.append(int(cnt[t]))
+                sum_out.append(int(csum[t]))
+        return pa.table(
+            {
+                "band_id": pa.array(bid_out, pa.int64()),
+                "event_type": pa.array(type_out, pa.string()),
+                "_n": pa.array(n_out, pa.int64()),
+                "_sc": pa.array(sum_out, pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = batch["sum(_n)"].to_numpy(zero_copy_only=False)
+        sc = batch["sum(_sc)"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "band_id": batch["band_id"],
+                "event_type": batch["event_type"],
+                "n": pa.array(n, pa.int64()),
+                "sum_value": pa.array(sc / 100.0, pa.float64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["band_id", "event_type"])
+        .sum(["_n", "_sc"])
+        .map_batches(finalize, batch_format="pyarrow")
+    )

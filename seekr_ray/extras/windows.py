@@ -734,3 +734,158 @@ def sliding_distinct_users(
             "n_users": pa.array(n, pa.int64()),
         }
     )
+
+
+def ewma_per_group(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    window: int = 32,
+    num_buckets: int = 64,
+):
+    """Trailing-window EWMA (alpha = 1/2) of each key's value stream:
+    over the key's LAST ``window`` rows in (ts, id) order,
+    ``s_1 = x_1; s_t = x_t/2 + s_{t-1}/2`` — the online smoother a
+    streaming scorer keeps per key, evaluated here in one batch pass.
+
+    The trailing window is the 100-TB shape on purpose: an unbounded
+    EWMA replays each key's full history, while the trailing form is
+    computable from bounded per-key state.  alpha = 1/2 with cent-scaled
+    integer values makes every term an exact dyadic rational of <= 17+31
+    significand bits, so the sum is EXACT in float64 under ANY
+    association — the numpy scan, the SQL closed form, and any future
+    tree-reduction agree bit-for-bit (oracle ``ewma_user_value``).
+
+    Output: ``(key_col, ewma_value)`` — cents scan divided by 100 once.
+    """
+    import numpy as np
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        t = pc.cast(batch[ts_col], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        v = batch[val_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((k % num_buckets).astype(np.int32), pa.int32()),
+                "k": pa.array(k, pa.int64()),
+                "t": pa.array(t.view("int64"), pa.int64()),
+                "i": batch[id_col],
+                "v": pa.array(np.rint(v * 100.0).astype(np.int64)),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        k = group["k"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        i = group["i"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, t, k))
+        k, v = k[order], v[order]
+        new = np.ones(len(k), bool)
+        if len(k) > 1:
+            new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, len(k)])
+        # trailing window: scan the last min(size, window) rows per key,
+        # vectorized ACROSS keys one step at a time (max `window` steps)
+        m = np.minimum(sizes, window)
+        wstart = starts + sizes - m
+        s = np.zeros(len(starts), np.float64)
+        maxm = int(m.max()) if len(m) else 0
+        for step in range(maxm):
+            active = m > step
+            x = v[wstart[active] + step].astype(np.float64)
+            if step == 0:
+                s[active] = x
+            else:
+                s[active] = x * 0.5 + s[active] * 0.5
+        return pa.table(
+            {
+                key_col: pa.array(k[starts], pa.int64()),
+                "ewma_value": pa.array(s / 100.0, pa.float64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+SCD2_OPEN_END_US = 9223372036854775807  # int64 max: the open interval end
+
+
+def scd2_intervals(
+    events_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    num_buckets: int = 64,
+):
+    """Slowly-changing-dimension (type 2) compaction of a value stream:
+    per key in (ts, id) order, keep only CHANGE rows (value in cents
+    differs from the key's previous row) and stamp each with its
+    validity interval ``[valid_from_us, valid_to_us)`` — valid_to is the
+    next change's timestamp, int64-max for the current row.  The
+    dimension-history builder of a warehouse pipeline; change detection
+    on integer cents is parallelism-invariant, and the interval stamp is
+    a vectorized shift within each co-partitioned bucket.
+
+    Output: ``(key_col, v_cents, valid_from_us, valid_to_us)``.
+    """
+    import numpy as np
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        t = pc.cast(batch[ts_col], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        v = batch[val_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((k % num_buckets).astype(np.int32), pa.int32()),
+                "k": pa.array(k, pa.int64()),
+                "t": pa.array(t.view("int64"), pa.int64()),
+                "i": batch[id_col],
+                "v": pa.array(np.rint(v * 100.0).astype(np.int64)),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        k = group["k"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        i = group["i"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, t, k))
+        k, t, v = k[order], t[order], v[order]
+        keep = np.ones(len(k), bool)
+        if len(k) > 1:
+            keep[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
+        kk, tk, vk = k[keep], t[keep], v[keep]
+        # valid_to = next kept row's ts within the same key, else open
+        vto = np.full(len(kk), SCD2_OPEN_END_US, np.int64)
+        if len(kk) > 1:
+            same = kk[1:] == kk[:-1]
+            vto[:-1][same] = tk[1:][same]
+        return pa.table(
+            {
+                key_col: pa.array(kk, pa.int64()),
+                "v_cents": pa.array(vk, pa.int64()),
+                "valid_from_us": pa.array(tk, pa.int64()),
+                "valid_to_us": pa.array(vto, pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
