@@ -4520,6 +4520,56 @@ def q_ldiversity_risk(sf_dir: str):
     )
 
 
+SKETCH_Q_K = 1024
+SKETCH_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+def q_sketch_quantiles(sf_dir: str):
+    """Bounded-state quantile estimates from a global bottom-k md5
+    sample over lineitem prices (extras/kmv.bottomk_quantiles) — the
+    O(k)-state companion to the exact quantiles_price."""
+    import ray.data as rd
+
+    from .extras.kmv import bottomk_quantiles
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+
+    def id_expr(batch: pa.Table) -> np.ndarray:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return ok * 8 + ln
+
+    return bottomk_quantiles(
+        ds,
+        id_col="",
+        val_col="l_extendedprice",
+        id_expr=id_expr,
+        k=SKETCH_Q_K,
+        qs=SKETCH_QS,
+    )
+
+
+KMV_K = 256
+
+
+def q_kmv_user_overlap(sf_dir: str):
+    """Estimated distinct-user intersection per event-type pair from
+    per-type KMV sketches (extras/kmv.kmv_user_overlap) — no pairwise
+    distinct count over the raw stream."""
+    import ray.data as rd
+
+    from .extras.kmv import kmv_user_overlap
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+    return kmv_user_overlap(ds, k=KMV_K)
+
+
 def oracle_sql_map() -> dict[str, str]:
     toks = _toks_cte()
     stop = _stoplist_sql()
@@ -6495,6 +6545,54 @@ u AS (
 w AS (SELECT r, x, {wt_expr} AS wt FROM u)
 SELECT r, (SUM(wt*x) / 10000.0) / SUM(wt) AS mean_value
 FROM w GROUP BY r"""
+
+    sk_qs = ", ".join(f"({q}::DOUBLE)" for q in SKETCH_QS)
+    sql["sketch_quantiles"] = f"""WITH h AS (
+  SELECT l_extendedprice AS v,
+         md5_number_upper((l_orderkey*8 + l_linenumber)::VARCHAR) AS hh
+  FROM lineitem),
+samp AS (SELECT v FROM h ORDER BY hh LIMIT {SKETCH_Q_K}),
+vals AS (SELECT list_sort(list(v)) AS arr, count(*)::BIGINT AS n FROM samp),
+pos AS (SELECT q, arr, q * (n - 1) AS p
+        FROM vals CROSS JOIN (VALUES {sk_qs}) AS qs(q))
+SELECT q,
+       round(arr[floor(p)::BIGINT + 1] * (1.0 - (p - floor(p)))
+             + arr[ceil(p)::BIGINT + 1] * (p - floor(p)), 6) AS value
+FROM pos"""
+
+    sql["kmv_user_overlap"] = f"""WITH hu AS (
+  SELECT DISTINCT event_type, md5_number_upper(user_id::VARCHAR) AS h
+  FROM events),
+rk AS (SELECT event_type, h,
+              row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       FROM hu),
+s AS (SELECT event_type, h FROM rk WHERE rn <= {KMV_K}),
+types AS (SELECT DISTINCT event_type FROM s),
+pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+          FROM types a JOIN types b ON a.event_type < b.event_type),
+un AS (SELECT p.ta, p.tb, s.h
+       FROM pairs p JOIN s ON s.event_type IN (p.ta, p.tb)
+       GROUP BY 1, 2, 3),
+unr AS (SELECT ta, tb, h,
+               row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY ta, tb) AS nu
+        FROM un),
+u AS (SELECT ta, tb, h, nu FROM unr WHERE rn <= {KMV_K}),
+agg AS (SELECT ta, tb, max(h) AS theta, count(*)::BIGINT AS m,
+               any_value(nu) AS nu
+        FROM u GROUP BY ta, tb),
+inter AS (SELECT u.ta, u.tb, count(*)::BIGINT AS n_inter
+          FROM u
+          JOIN s sa ON sa.event_type = u.ta AND sa.h = u.h
+          JOIN s sb ON sb.event_type = u.tb AND sb.h = u.h
+          GROUP BY u.ta, u.tb)
+SELECT agg.ta AS type_a, agg.tb AS type_b,
+       round((coalesce(inter.n_inter, 0) / agg.m::DOUBLE)
+             * (CASE WHEN agg.nu < {KMV_K} THEN agg.m::DOUBLE
+                     ELSE ({KMV_K} - 1)
+                          / (agg.theta::DOUBLE / 18446744073709551616.0)
+                END), 6) AS est_common_users
+FROM agg LEFT JOIN inter ON inter.ta = agg.ta AND inter.tb = agg.tb"""
 
     sql["ldiversity_risk"] = f"""SELECT lang,
        n_chars // {LDIV_CHARS_BUCKET} AS size_bucket,
