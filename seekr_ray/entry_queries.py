@@ -4520,6 +4520,92 @@ def q_ldiversity_risk(sf_dir: str):
     )
 
 
+PSI_BINS = 16
+PSI_CENTS_MAX = 50000  # value < 500.00 in this corpus; last bin catches the rest
+
+
+def q_psi_value_drift(sf_dir: str):
+    """Population stability index of the value distribution between the
+    first and second time halves of the event stream — the standard
+    feature-drift monitor of an ML serving pipeline (PSI > 0.2 = retrain
+    signal).  Fixed equal-width cent bins, add-one smoothing, so both
+    halves reduce to O(bins) integer counts per block; the only
+    exchange is O(bins x blocks) partial rows.  The time midpoint is
+    integer-us arithmetic from a one-row min/max aggregate.
+
+    Output: ``(bin, n_first, n_second, contrib)`` — contrib is the
+    bin's (p - q) * ln(p / q) term rounded 6dp; PSI is their sum."""
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = rd.read_parquet(path, columns=["ts", "value"])
+    # integer-us midpoint from parquet footer statistics — no data pass
+    # (same expression as the SQL oracle: (min + max) // 2)
+    import pyarrow.parquet as _pq
+
+    pf = _pq.ParquetFile(path)
+    ts_idx = pf.schema_arrow.get_field_index("ts")
+    los, his = [], []
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(ts_idx).statistics
+        los.append(st.min)
+        his.append(st.max)
+    import datetime as _dt
+
+    epoch = _dt.datetime(1970, 1, 1)
+    one_us = _dt.timedelta(microseconds=1)
+    mid_us = ((min(los) - epoch) // one_us + (max(his) - epoch) // one_us) // 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["ts"], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).view("int64")
+        cents = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        b = np.minimum(cents * PSI_BINS // PSI_CENTS_MAX, PSI_BINS - 1)
+        first = t <= mid_us
+        nf = np.bincount(b[first], minlength=PSI_BINS)
+        ns = np.bincount(b[~first], minlength=PSI_BINS)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(PSI_BINS, dtype=np.int64)),
+                "_nf": pa.array(nf.astype(np.int64)),
+                "_ns": pa.array(ns.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .sum(["_nf", "_ns"])
+    )
+    # O(bins) rows on the driver: the totals are GLOBAL (a per-batch
+    # finalize would smooth against partial totals), and 16 rows is the
+    # designed-small reduction of the whole stream
+    tbl = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    b = tbl["bin"].to_numpy(zero_copy_only=False)
+    nf = tbl["sum(_nf)"].to_numpy(zero_copy_only=False)
+    ns = tbl["sum(_ns)"].to_numpy(zero_copy_only=False)
+    order = np.argsort(b)
+    b, nf, ns = b[order], nf[order], ns[order]
+    tot_f, tot_s = int(nf.sum()), int(ns.sum())
+    # add-one smoothing: exact rationals -> identical doubles in SQL
+    p = (nf + 1.0) / float(tot_f + PSI_BINS)
+    q = (ns + 1.0) / float(tot_s + PSI_BINS)
+    contrib = (p - q) * np.log(p / q)
+    from .extras.textstats import round6_arr
+
+    return pa.table(
+        {
+            "bin": pa.array(b, pa.int64()),
+            "n_first": pa.array(nf, pa.int64()),
+            "n_second": pa.array(ns, pa.int64()),
+            "contrib": pa.array(round6_arr(contrib), pa.float64()),
+        }
+    )
+
+
 SKETCH_Q_K = 1024
 SKETCH_QS = (0.25, 0.5, 0.75, 0.9)
 
@@ -6545,6 +6631,28 @@ u AS (
 w AS (SELECT r, x, {wt_expr} AS wt FROM u)
 SELECT r, (SUM(wt*x) / 10000.0) / SUM(wt) AS mean_value
 FROM w GROUP BY r"""
+
+    sql["psi_value_drift"] = f"""WITH mm AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid FROM events),
+binned AS (
+  SELECT LEAST(CAST(round(value*100, 0) AS BIGINT) * {PSI_BINS} // {PSI_CENTS_MAX},
+               {PSI_BINS - 1}) AS bin,
+         (epoch_us(ts) <= mm.mid) AS first_half
+  FROM events, mm),
+bins AS (SELECT range AS bin FROM range({PSI_BINS})),
+cnt AS (
+  SELECT b.bin,
+         count(*) FILTER (first_half)::BIGINT AS n_first,
+         count(*) FILTER (NOT first_half)::BIGINT AS n_second
+  FROM bins b LEFT JOIN binned e ON e.bin = b.bin
+  GROUP BY b.bin),
+tot AS (SELECT sum(n_first)::BIGINT AS tf, sum(n_second)::BIGINT AS ts2 FROM cnt)
+SELECT bin, n_first, n_second,
+       round(((n_first + 1.0) / (tf + {PSI_BINS})
+              - (n_second + 1.0) / (ts2 + {PSI_BINS}))
+             * ln(((n_first + 1.0) / (tf + {PSI_BINS}))
+                  / ((n_second + 1.0) / (ts2 + {PSI_BINS}))), 6) AS contrib
+FROM cnt, tot"""
 
     sk_qs = ", ".join(f"({q}::DOUBLE)" for q in SKETCH_QS)
     sql["sketch_quantiles"] = f"""WITH h AS (
