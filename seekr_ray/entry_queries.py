@@ -4520,6 +4520,240 @@ def q_ldiversity_risk(sf_dir: str):
     )
 
 
+CHURN_CUTOFF_PCT = 70  # feature window = first 70% of the time range
+
+
+def _events_ts_bounds_us(path: str) -> tuple[int, int]:
+    """(min, max) event timestamp in integer us from parquet footer
+    statistics — no data pass."""
+    import datetime as _dt
+
+    import pyarrow.parquet as _pq
+
+    pf = _pq.ParquetFile(path)
+    ts_idx = pf.schema_arrow.get_field_index("ts")
+    los, his = [], []
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(ts_idx).statistics
+        los.append(st.min)
+        his.append(st.max)
+    epoch = _dt.datetime(1970, 1, 1)
+    one_us = _dt.timedelta(microseconds=1)
+    return (min(los) - epoch) // one_us, (max(his) - epoch) // one_us
+
+
+def q_churn_training_table(sf_dir: str):
+    """Leakage-safe churn training table: features from the first 70% of
+    the time range, the label from the rest — the feature/label time
+    split every behavioral-ML pipeline needs to get right.  Per user:
+    event count, purchase count, exact value sum, recency at cutoff;
+    churned = no event after the cutoff.  Per-block integer partials
+    (one row per user per block), one groupby exchange, integer-exact
+    everywhere except the single cent division mirrored in SQL."""
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "events.parquet")
+    lo, hi = _events_ts_bounds_us(path)
+    cutoff = lo + (hi - lo) * CHURN_CUTOFF_PCT // 100
+    ds = rd.read_parquet(
+        path, columns=["ts", "user_id", "event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["ts"], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).view("int64")
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        cents = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        before = t <= cutoff
+        uu, inv = np.unique(u, return_inverse=True)
+        nb = len(uu)
+        n_ev = np.bincount(inv[before], minlength=nb)
+        n_pur = np.bincount(
+            inv[before & (et == "purchase")], minlength=nb
+        )
+        s_cents = np.bincount(
+            inv[before], weights=cents[before], minlength=nb
+        ).astype(np.int64)
+        last = np.full(nb, -(1 << 62), np.int64)
+        np.maximum.at(last, inv[before], t[before])
+        after = np.zeros(nb, np.int64)
+        np.maximum.at(after, inv[~before], 1)
+        return pa.table(
+            {
+                "user_id": pa.array(uu, pa.int64()),
+                "_n": pa.array(n_ev.astype(np.int64)),
+                "_np": pa.array(n_pur.astype(np.int64)),
+                "_sc": pa.array(s_cents),
+                "_last": pa.array(last),
+                "_after": pa.array(after),
+            }
+        )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        u = group["user_id"][0].as_py()
+        n = int(pc.sum(group["_n"]).as_py() or 0)
+        if n == 0:  # user only active after the cutoff: not a sample
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_purchases": pa.array([], pa.int64()),
+                    "sum_value": pa.array([], pa.float64()),
+                    "recency_us": pa.array([], pa.int64()),
+                    "churned": pa.array([], pa.int64()),
+                }
+            )
+        npur = int(pc.sum(group["_np"]).as_py() or 0)
+        sc = int(pc.sum(group["_sc"]).as_py() or 0)
+        last = int(pc.max(group["_last"]).as_py())
+        after = int(pc.max(group["_after"]).as_py() or 0)
+        return pa.table(
+            {
+                "user_id": pa.array([u], pa.int64()),
+                "n_events": pa.array([n], pa.int64()),
+                "n_purchases": pa.array([npur], pa.int64()),
+                "sum_value": pa.array([sc / 100.0], pa.float64()),
+                "recency_us": pa.array([cutoff - last], pa.int64()),
+                "churned": pa.array([1 - after], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+CALIB_BINS = 10
+CALIB_SCALE_CENTS = 50000  # prediction = value / 500.00, clamped to [0, 1]
+
+
+def q_calibration_bins(sf_dir: str):
+    """Reliability-diagram bins for a deterministic score: prediction
+    p = value/500 (clamped), outcome = event is a purchase.  Per bin:
+    n, mean prediction, empirical rate — the calibration/ECE input of a
+    model-monitoring pipeline.  Integer cent sums per block; the two
+    divisions per bin mirror the SQL expression."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        cents = np.minimum(cents, CALIB_SCALE_CENTS)
+        y = (
+            np.asarray(batch["event_type"].to_pylist(), dtype=object)
+            == "purchase"
+        ).astype(np.int64)
+        b = np.minimum(
+            cents * CALIB_BINS // CALIB_SCALE_CENTS, CALIB_BINS - 1
+        )
+        n = np.bincount(b, minlength=CALIB_BINS)
+        sc = np.bincount(b, weights=cents, minlength=CALIB_BINS).astype(
+            np.int64
+        )
+        sy = np.bincount(b, weights=y, minlength=CALIB_BINS).astype(np.int64)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(CALIB_BINS, dtype=np.int64)),
+                "_n": pa.array(n.astype(np.int64)),
+                "_sc": pa.array(sc),
+                "_sy": pa.array(sy),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        b = batch["bin"].to_numpy(zero_copy_only=False)
+        n = batch["sum(_n)"].to_numpy(zero_copy_only=False)
+        sc = batch["sum(_sc)"].to_numpy(zero_copy_only=False)
+        sy = batch["sum(_sy)"].to_numpy(zero_copy_only=False)
+        keep = n > 0
+        b, n, sc, sy = b[keep], n[keep], sc[keep], sy[keep]
+        from .extras.textstats import round6_arr
+
+        mean_pred = round6_arr((sc / float(CALIB_SCALE_CENTS)) / n)
+        rate = round6_arr(sy / n.astype(np.float64))
+        return pa.table(
+            {
+                "bin": pa.array(b, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "mean_pred": pa.array(mean_pred, pa.float64()),
+                "rate": pa.array(rate, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .sum(["_n", "_sc", "_sy"])
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+HASH_DIMS = 64
+
+
+def q_hashed_features(sf_dir: str):
+    """Feature-hashing (hashing-trick) document vectors: every token
+    lands in dim md5(token) % 64, counts summed per (doc, dim) — the
+    stateless featurizer that needs no vocabulary broadcast at any
+    corpus size.  Pure per-block map (one row per doc), no shuffle;
+    per-block distinct-token hash cache keeps the md5 work O(distinct
+    tokens)."""
+    import ray.data as rd
+
+    from .extras.textstats import simple_tokens
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+
+    def feats(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        cache: dict[str, int] = {}
+
+        def dim_of(tok: str) -> int:
+            d = cache.get(tok)
+            if d is None:
+                h = hashlib.md5(tok.encode()).digest()[:8]
+                d = int.from_bytes(h, "little") % HASH_DIMS
+                cache[tok] = d
+            return d
+
+        doc_out, dim_out, n_out = [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            counts = np.zeros(HASH_DIMS, np.int64)
+            for t in simple_tokens(text or ""):
+                counts[dim_of(t)] += 1
+            nz = np.flatnonzero(counts)
+            doc_out.extend([doc_id] * len(nz))
+            dim_out.extend(nz.tolist())
+            n_out.extend(counts[nz].tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_out, pa.int64()),
+                "dim": pa.array(dim_out, pa.int64()),
+                "n": pa.array(n_out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(feats, batch_format="pyarrow")
+
+
 PSI_BINS = 16
 PSI_CENTS_MAX = 50000  # value < 500.00 in this corpus; last bin catches the rest
 
@@ -6631,6 +6865,41 @@ u AS (
 w AS (SELECT r, x, {wt_expr} AS wt FROM u)
 SELECT r, (SUM(wt*x) / 10000.0) / SUM(wt) AS mean_value
 FROM w GROUP BY r"""
+
+    sql["churn_training_table"] = f"""WITH b AS (
+  SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM events),
+c AS (SELECT lo + (hi - lo) * {CHURN_CUTOFF_PCT} // 100 AS cutoff FROM b),
+e AS (SELECT user_id, epoch_us(ts) AS t, event_type,
+             CAST(round(value*100, 0) AS BIGINT) AS cents
+      FROM events),
+f AS (SELECT user_id, c.cutoff,
+             count(*) FILTER (t <= c.cutoff)::BIGINT AS n_events,
+             count(*) FILTER (t <= c.cutoff AND event_type = 'purchase')::BIGINT
+               AS n_purchases,
+             coalesce(sum(cents) FILTER (t <= c.cutoff), 0)::BIGINT AS sc,
+             max(t) FILTER (t <= c.cutoff) AS last_t,
+             max(CASE WHEN t > c.cutoff THEN 1 ELSE 0 END)::BIGINT AS after
+      FROM e, c GROUP BY user_id, c.cutoff)
+SELECT user_id, n_events, n_purchases, (sc / 100.0) AS sum_value,
+       (cutoff - last_t) AS recency_us, (1 - after) AS churned
+FROM f WHERE n_events > 0"""
+
+    sql["calibration_bins"] = f"""WITH e AS (
+  SELECT LEAST(CAST(round(value*100, 0) AS BIGINT), {CALIB_SCALE_CENTS}) AS cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events),
+b AS (SELECT LEAST(cents * {CALIB_BINS} // {CALIB_SCALE_CENTS},
+                   {CALIB_BINS - 1}) AS bin, cents, y FROM e)
+SELECT bin, count(*)::BIGINT AS n,
+       round((sum(cents) / {CALIB_SCALE_CENTS}.0) / count(*), 6) AS mean_pred,
+       round(sum(y) / count(*)::DOUBLE, 6) AS rate
+FROM b GROUP BY bin"""
+
+    sql["hashed_features"] = f"""{toks}
+SELECT doc_id, (md5_number_upper(t) % {HASH_DIMS})::BIGINT AS dim,
+       count(*)::BIGINT AS n
+FROM (SELECT doc_id, unnest(tokens) AS t FROM toks) z
+GROUP BY doc_id, dim"""
 
     sql["psi_value_drift"] = f"""WITH mm AS (
   SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid FROM events),

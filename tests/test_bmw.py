@@ -261,3 +261,54 @@ def test_cold_returns_none_on_legacy_index():
 def test_cold_absent_terms_empty():
     e = _cold_engine(_FakeStore([]))
     assert e._topk_cold(["nosuch"], k=5, scorer="tfidf") == []
+
+
+# ---------------------------------------------------------------------------
+# property-based equivalence: BMW == TAAT on arbitrary posting lists
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _posting_lists(draw):
+    n_terms = draw(st.integers(1, 4))
+    n_docs = draw(st.integers(1, 400))
+    lists = []
+    for _ in range(n_terms):
+        df = draw(st.integers(1, min(n_docs, 80)))
+        seed = draw(st.integers(0, 2**31))
+        rng = np.random.default_rng(seed)
+        ids = np.sort(rng.choice(n_docs, size=df, replace=False).astype(np.int64))
+        contrib = rng.pareto(1.5, size=df) + 1e-3
+        lists.append((ids, contrib))
+    k = draw(st.integers(1, 20))
+    return lists, k
+
+
+@given(_posting_lists())
+@settings(max_examples=150, deadline=None)
+def test_bmw_equals_taat_property(case):
+    lists, k = case
+    ids_list = [x[0] for x in lists]
+    contribs = [x[1] for x in lists]
+    ubs = [0.7 * float(c.max()) for c in contribs]
+    want = QueryEngine._taat_arrays(_fake_engine(), ids_list, contribs, k)
+    got = QueryEngine._bmw_arrays(_fake_engine(), ids_list, contribs, ubs, k)
+    _rank_equal(got, want)
+
+
+@given(_posting_lists(), st.integers(2, 5))
+@settings(max_examples=100, deadline=None)
+def test_cold_equals_taat_property(case, chunk_size):
+    lists, k = case
+    ids_list = [x[0] for x in lists]
+    contribs = [x[1] for x in lists]
+    lazies = [
+        _FakeLazy(f"t{j}", 1.0, _chunked(ids, c, chunk_size))
+        for j, (ids, c) in enumerate(lists)
+    ]
+    e = _cold_engine(_FakeStore(lazies))
+    got = e._topk_cold([f"t{j}" for j in range(len(lists))], k, scorer="tfidf")
+    want = QueryEngine._taat_arrays(_fake_engine(), ids_list, contribs, k)
+    _rank_equal(got, want)
