@@ -975,7 +975,12 @@ class QueryEngine:
         return idf * ((c * (k1 + 1.0)) / denom)
 
     def _topk_cold(
-        self, stems: list[str], k: int, scorer: str
+        self,
+        stems: list[str],
+        k: int,
+        scorer: str,
+        lo: int = 0,
+        hi: int | None = None,
     ) -> list[tuple[int, float]] | None:
         """Chunk-lazy block-max WAND: every CHUNK of every query term is
         its own posting-list unit (each (term, doc) posting lives in
@@ -1013,30 +1018,60 @@ class QueryEngine:
                 return 0.0
             return pr_sidecar.get_one(doc_id)
 
-        # flatten to chunk units
+        # flatten to chunk units; a doc-id range [lo, hi) drops
+        # out-of-range chunks by METADATA alone and eagerly
+        # decodes+slices only the (few) chunks straddling a boundary —
+        # everything else keeps the lazy representation
+        hi_eff = (1 << 62) if hi is None else hi
         u_ltp: list = []  # owning LazyTermPostings
         u_chunk: list[int] = []
         u_mult: list[float] = []
+        u_min: list[int] = []
+        u_max: list[int] = []
+        u_ub_raw: list[float] = []
+        predec: list[tuple | None] = []
         for lz in lazies:
             m = float(mult[lz.term])
-            for ci in range(len(lz.chunks)):
+            for ci, ch in enumerate(lz.chunks):
+                if ch.max_doc < lo or ch.min_doc >= hi_eff:
+                    continue  # fully outside: dropped without decode
+                if ch.min_doc >= lo and ch.max_doc < hi_eff:
+                    u_ltp.append(lz)
+                    u_chunk.append(ci)
+                    u_mult.append(m)
+                    u_min.append(ch.min_doc)
+                    u_max.append(ch.max_doc)
+                    u_ub_raw.append(
+                        m * self._chunk_ub(scorer, lz.idf, ch.max_tf)
+                    )
+                    predec.append(None)
+                    continue
+                # boundary chunk: decode now, slice to the range (a
+                # lazily-clamped cursor would fully evaluate phantom
+                # docs at `lo` that carry no postings)
+                ids, tfs = lz.decode(ci)
+                i0 = int(np.searchsorted(ids, lo, side="left"))
+                i1 = int(np.searchsorted(ids, hi_eff, side="left"))
+                if i1 <= i0:
+                    continue
+                ids, tfs = ids[i0:i1], tfs[i0:i1]
+                contribs = m * self._chunk_contribs(scorer, lz.idf, ids, tfs)
+                last, mx = _block_meta(ids, contribs)
                 u_ltp.append(lz)
                 u_chunk.append(ci)
                 u_mult.append(m)
+                u_min.append(int(ids[0]))
+                u_max.append(int(ids[-1]))
+                u_ub_raw.append(float(mx.max()) if mx.size else 0.0)
+                predec.append((ids, contribs, last, mx))
         n = len(u_ltp)
         if n == 0:
             return []
-        u_min = [lz.chunks[ci].min_doc for lz, ci in zip(u_ltp, u_chunk)]
-        u_max = [lz.chunks[ci].max_doc for lz, ci in zip(u_ltp, u_chunk)]
-        u_ub_raw = [
-            m * self._chunk_ub(scorer, lz.idf, lz.chunks[ci].max_tf)
-            for lz, ci, m in zip(u_ltp, u_chunk, u_mult)
-        ]
         u_ub = [w_tfidf * u for u in u_ub_raw]
         # per-unit state: None = undecoded (cursor at min_doc),
         # (ids, contribs, blk_last, blk_max) once decoded; -1 pos marks
         # exhausted-without-decode
-        dec: list[tuple | None] = [None] * n
+        dec: list[tuple | None] = list(predec)
         pos = [0] * n
         exhausted = [False] * n
         evals = 0
@@ -1304,6 +1339,13 @@ class QueryEngine:
                 "boolean/phrase queries go through search_topk"
             )
         stems, _ = tokenize_and_stem(q)
+        if mode == "bmw_cold":
+            if scorer not in ("tfidf", "bm25"):
+                raise ValueError(f"unknown scorer {scorer!r}")
+            cold = self._topk_cold(stems, k, scorer=scorer, lo=lo, hi=hi)
+            if cold is not None:
+                return cold
+            mode = "bmw"  # legacy segment files: warm BMW on the slice
         self.store.postings_many(stems)
         terms = []
         for s in stems:

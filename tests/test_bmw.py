@@ -312,3 +312,24 @@ def test_cold_equals_taat_property(case, chunk_size):
     got = e._topk_cold([f"t{j}" for j in range(len(lists))], k, scorer="tfidf")
     want = QueryEngine._taat_arrays(_fake_engine(), ids_list, contribs, k)
     _rank_equal(got, want)
+
+
+def test_cold_range_skips_out_of_range_chunks():
+    """Doc-range restriction must drop fully-outside chunks by metadata
+    (no decode) and decode+slice only boundary straddlers."""
+    n = 64 * 8
+    ids = np.arange(n, dtype=np.int64)
+    tfs = np.full(n, 1.0)
+    lz = _FakeLazy("gamma", idf=1.0, chunk_arrays=_chunked(ids, tfs, 64))
+    e = _cold_engine(_FakeStore([lz]))
+    # range [100, 200): chunk 1 (64..127) and chunk 3 (192..255) straddle,
+    # chunk 2 (128..191) is inside, chunks 0 and 4..7 fully outside
+    got = e._topk_cold(["gamma"], k=512, scorer="tfidf", lo=100, hi=200)
+    want_ids = list(range(100, 200))
+    assert sorted(d for d, _ in got) == want_ids
+    for d, s in got:
+        assert s == 0.7 * 1.0
+    # decodes: 2 boundary chunks eagerly + chunk 2 on evaluation = 3;
+    # chunks 0, 4-7 never decoded
+    assert lz.decode_count <= 3
+    assert e.cold_stats["chunks_total"] == 3  # only in-range units exist

@@ -49,7 +49,7 @@ PLAIN_QUERIES = [
 
 
 @pytest.mark.parametrize("scorer", ["tfidf", "bm25"])
-@pytest.mark.parametrize("mode", ["auto", "wand", "bmw"])
+@pytest.mark.parametrize("mode", ["auto", "wand", "bmw", "bmw_cold"])
 def test_range_union_covers_engine(index_dir, scorer, mode):
     """Engine-level: per-range results over a manual 4-way split merge
     to exactly the single-engine top-k."""
