@@ -2201,6 +2201,49 @@ def q_corpus_search(sf_dir: str):
     )
 
 
+RBO_P = 0.9
+RBO_DEPTH = 10
+
+
+def q_corpus_rank_agreement(sf_dir: str):
+    """Rank-biased overlap (Webber et al., TOIS'10) between the tf·idf
+    and BM25 rankings for every plain free-text fixture query — the
+    scorer-agreement report a ranking migration ships with.  Both sides
+    run through the chunk-lazy cold BMW path (mode="bmw_cold"), so this
+    entry also exercises the persisted-chunk-metadata serving path in
+    the driver contract.  RBO@10, p=0.9:
+    ``(1-p) * sum_{i=1..d} p^(i-1) * |A_i ∩ B_i| / i``.
+
+    Output: ``(query_id, overlap10, rbo)`` — rows-only (the rankings
+    come from the engine, not SQL)."""
+    from .fixtures import QUERY_SET
+    from .query.engine import QueryEngine
+    from .query.parser import detect_operator, is_quoted
+
+    engine = QueryEngine(_corpus_index(sf_dir))
+    out_q, out_o, out_r = [], [], []
+    for qid, query, _k in QUERY_SET:
+        if not query.strip() or detect_operator(query) or is_quoted(query.strip()):
+            continue
+        a = [d for d, _ in engine.search_topk(query, RBO_DEPTH, mode="bmw_cold")]
+        b = [d for d, _ in engine.bm25_topk(query, RBO_DEPTH, mode="bmw_cold")]
+        rbo = 0.0
+        for i in range(1, RBO_DEPTH + 1):
+            ov = len(set(a[:i]) & set(b[:i]))
+            rbo += (RBO_P ** (i - 1)) * ov / i
+        rbo *= 1.0 - RBO_P
+        out_q.append(qid)
+        out_o.append(len(set(a) & set(b)))
+        out_r.append(round(rbo, 6))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.string()),
+            "overlap10": pa.array(out_o, pa.int64()),
+            "rbo": pa.array(out_r, pa.float64()),
+        }
+    )
+
+
 def q_corpus_search_bm25(sf_dir: str):
     """BM25 (k1=1.2, b=0.75, pagerank-blended) top-k over the corpus
     index for the plain free-text subset of the query set — the
