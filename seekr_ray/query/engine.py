@@ -782,6 +782,20 @@ class QueryEngine:
         out = sorted(heap, key=lambda it: (-it[0], -it[1]))
         return [(-d, float(s)) for s, d in out]
 
+    def _pr_window_ub(self, lo: int, hi: int) -> float:
+        """Upper bound on the blended pagerank term over docs in
+        [lo, hi] — the sidecar's range_max where available (exact for
+        eager arrays, per-row-group manifest maxima for sharded, no IO),
+        else the global max.  Replaces the global static bound in the
+        block-max WINDOW check: with a skewed pagerank, most windows
+        carry a far smaller bound than the global max and prune."""
+        if self._pr is None:
+            return 0.0
+        rm = getattr(self._pr, "range_max", None)
+        if rm is None:
+            return self.cfg.pagerank_weight * self.max_pagerank
+        return self.cfg.pagerank_weight * rm(lo, hi)
+
     def _term_block_meta(
         self, term: str, scorer: str, ids: np.ndarray, contrib: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -889,7 +903,9 @@ class QueryEngine:
             d_limit = min(d_limit, nxt - 1)
             if (
                 d_limit >= pivot_doc
-                and static_ub + w_tfidf * block_acc <= threshold
+                and self._pr_window_ub(pivot_doc, d_limit)
+                + w_tfidf * block_acc
+                <= threshold
             ):
                 # nothing in [pivot_doc, d_limit] can enter the heap —
                 # hop every leading cursor past the window in one move
@@ -1178,7 +1194,9 @@ class QueryEngine:
             d_limit = min(d_limit, nxt - 1)
             if (
                 d_limit >= pivot_doc
-                and static_ub + w_tfidf * block_acc <= threshold
+                and self._pr_window_ub(pivot_doc, d_limit)
+                + w_tfidf * block_acc
+                <= threshold
             ):
                 target = d_limit + 1
                 for j in range(pivot_idx + 1):

@@ -103,8 +103,11 @@ def compact_sidecar_shards(
         shard_files.append(name)
         for rg, g0 in enumerate(range(start, stop, rows_per_group)):
             g1 = min(g0 + rows_per_group, stop)
+            # 6th element (round-3+): the group's max value — the
+            # serving-side range_max bound; older readers slice [:4]
             groups.append(
-                [fi, rg, int(ids[g0]), int(ids[g1 - 1]), g1 - g0]
+                [fi, rg, int(ids[g0]), int(ids[g1 - 1]), g1 - g0,
+                 float(vals[g0:g1].max())]
             )
     meta = {
         "val_col": val_col,
@@ -154,6 +157,39 @@ class EagerSidecar:
             return float(self._vals[i])
         return default
 
+    _RM_BLOCK = 4096
+
+    def range_max(self, lo: int, hi: int) -> float:
+        """Exact max value over doc ids in [lo, hi] — the block-max WAND
+        window bound for the blended additive term (engine._pr_window_ub).
+        Lazy 4096-block maxima make wide windows O(range / 4096)."""
+        if not self.n:
+            return 0.0
+        i0 = int(np.searchsorted(self._ids, lo, side="left"))
+        i1 = int(np.searchsorted(self._ids, hi, side="right"))
+        if i1 <= i0:
+            return 0.0
+        B = self._RM_BLOCK
+        if i1 - i0 <= 2 * B:
+            return float(self._vals[i0:i1].max())
+        blk = getattr(self, "_rm_blkmax", None)
+        if blk is None:
+            nb = (self.n + B - 1) // B
+            pad = nb * B - self.n
+            v = self._vals
+            if pad:
+                v = np.concatenate([v, np.full(pad, -np.inf)])
+            blk = v.reshape(nb, B).max(axis=1)
+            self._rm_blkmax = blk
+        fb = (i0 + B - 1) // B
+        lb = i1 // B
+        m = float(blk[fb:lb].max()) if lb > fb else -np.inf
+        if i0 < fb * B:
+            m = max(m, float(self._vals[i0 : fb * B].max()))
+        if lb * B < i1:
+            m = max(m, float(self._vals[lb * B : i1].max()))
+        return m
+
     def to_arrays(self) -> tuple[np.ndarray, np.ndarray]:
         return self._ids, self._vals
 
@@ -176,6 +212,15 @@ class ShardedSidecar:
         self._grg = g[:, 1]
         self._glo = g[:, 2]
         self._ghi = g[:, 3]
+        # per-group max (manifest element 6, round-3+); pre-round-3
+        # manifests fall back to the global max — still a valid bound
+        self._gmax = np.asarray(
+            [
+                float(row[5]) if len(row) > 5 else float(meta["max"])
+                for row in meta["groups"]
+            ],
+            dtype=np.float64,
+        )
         self._cache: OrderedDict[int, tuple[np.ndarray, np.ndarray]] = (
             OrderedDict()
         )
@@ -278,6 +323,20 @@ class ShardedSidecar:
         return float(
             self.get(np.asarray([doc_id], np.int64), default=default)[0]
         )
+
+    def range_max(self, lo: int, hi: int) -> float:
+        """Upper bound on the value over doc ids in [lo, hi] from the
+        manifest's per-group maxima — NO IO, no faulting.  Groups are
+        doc-range-sorted, so the overlapping set is one contiguous slice;
+        the bound covers whole groups (slightly loose at the edges,
+        always safe).  Overlay (post-compaction extend deltas) folds in
+        its exact in-memory range max."""
+        j0 = int(np.searchsorted(self._ghi, lo, side="left"))
+        j1 = int(np.searchsorted(self._glo, hi, side="right"))
+        m = float(self._gmax[j0:j1].max()) if j1 > j0 else 0.0
+        if self._overlay is not None:
+            m = max(m, self._overlay.range_max(lo, hi))
+        return m
 
     def to_arrays(self) -> tuple[np.ndarray, np.ndarray]:
         """Full (ids, vals) — offline/batch consumers only."""

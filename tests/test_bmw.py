@@ -22,6 +22,7 @@ def _fake_engine():
     f._pr = None
     f.wand_stats = {}
     f._pr_lookup = lambda uids: np.zeros(len(uids))
+    f._pr_window_ub = lambda lo, hi: 0.0
     return f
 
 
@@ -183,6 +184,7 @@ def _cold_engine(store):
     e.bm25_k1, e.bm25_b = 1.2, 0.75
     e.wand_stats = {}
     e.cold_stats = {}
+    e._pr_window_ub = lambda lo, hi: 0.0
     return e
 
 

@@ -150,3 +150,47 @@ def test_serving_equal_after_compaction(ray_session, tmp_path):
         assert ranked(e_new, q) == ranked(e_old, q)
     for q in ["parse buffer", "token stream merge"]:
         assert e_new.bm25_topk(q, k=10) == e_old.bm25_topk(q, k=10)
+
+
+def test_range_max_eager_exact(raw_dir):
+    d, truth = raw_dir
+    from seekr_ray.query.sidecar import open_sidecar
+
+    sc = open_sidecar(d, "dl")
+    ids = np.array(sorted(truth), np.int64)
+    rng = np.random.RandomState(3)
+    for _ in range(200):
+        lo, hi = sorted(rng.randint(0, 50_000, 2).tolist())
+        want_ids = ids[(ids >= lo) & (ids <= hi)]
+        want = max((truth[i] for i in want_ids.tolist()), default=0.0)
+        assert sc.range_max(lo, hi) == float(want), (lo, hi)
+    # force the block-table path with a full-span query
+    assert sc.range_max(0, 50_000) == float(max(truth.values()))
+
+
+def test_range_max_sharded_is_safe_bound(raw_dir):
+    d, truth = raw_dir
+    from seekr_ray.query.sidecar import (
+        ShardedSidecar,
+        compact_sidecar_shards,
+        open_sidecar,
+    )
+
+    compact_sidecar_shards(d, "dl", rows_per_group=512)
+    sc = open_sidecar(d, "dl")
+    assert isinstance(sc, ShardedSidecar)
+    ids = np.array(sorted(truth), np.int64)
+    rng = np.random.RandomState(5)
+    global_max = max(truth.values())
+    for _ in range(200):
+        lo, hi = sorted(rng.randint(0, 50_000, 2).tolist())
+        want_ids = ids[(ids >= lo) & (ids <= hi)]
+        exact = max((truth[i] for i in want_ids.tolist()), default=0.0)
+        got = sc.range_max(lo, hi)
+        # never below the exact max (safety), never above the global
+        assert got >= exact, (lo, hi)
+        assert got <= global_max
+    # wide windows should usually be tighter than the global max on a
+    # skewed-free uniform draw only at the edges; at least the empty
+    # range must be 0
+    assert sc.range_max(60_000, 70_000) == 0.0
