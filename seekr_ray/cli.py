@@ -86,6 +86,11 @@ def cmd_query(args) -> int:
 
     engine = QueryEngine(args.index_dir)
     mode = getattr(args, "mode", "auto")
+    if getattr(args, "scorer", "tfidf") != "bm25" and mode != "auto":
+        raise SystemExit(
+            "--mode applies to --scorer bm25 (the tfidf path serves the "
+            "reference faithful semantics with snippets/pagination)"
+        )
     if getattr(args, "scorer", "tfidf") == "bm25":
         hits = engine.bm25_topk(
             args.q, k=(args.page + 1) * args.size, mode=mode

@@ -4693,7 +4693,7 @@ def q_calibration_bins(sf_dir: str):
         cents = np.rint(
             batch["value"].to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
-        cents = np.minimum(cents, CALIB_SCALE_CENTS)
+        cents = np.clip(cents, 0, CALIB_SCALE_CENTS)
         y = (
             np.asarray(batch["event_type"].to_pylist(), dtype=object)
             == "purchase"
@@ -4818,20 +4818,8 @@ def q_psi_value_drift(sf_dir: str):
     ds = rd.read_parquet(path, columns=["ts", "value"])
     # integer-us midpoint from parquet footer statistics — no data pass
     # (same expression as the SQL oracle: (min + max) // 2)
-    import pyarrow.parquet as _pq
-
-    pf = _pq.ParquetFile(path)
-    ts_idx = pf.schema_arrow.get_field_index("ts")
-    los, his = [], []
-    for rg in range(pf.metadata.num_row_groups):
-        st = pf.metadata.row_group(rg).column(ts_idx).statistics
-        los.append(st.min)
-        his.append(st.max)
-    import datetime as _dt
-
-    epoch = _dt.datetime(1970, 1, 1)
-    one_us = _dt.timedelta(microseconds=1)
-    mid_us = ((min(los) - epoch) // one_us + (max(his) - epoch) // one_us) // 2
+    t_lo, t_hi = _events_ts_bounds_us(path)
+    mid_us = (t_lo + t_hi) // 2
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pc.cast(batch["ts"], pa.timestamp("us")).to_numpy(
@@ -4840,7 +4828,7 @@ def q_psi_value_drift(sf_dir: str):
         cents = np.rint(
             batch["value"].to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
-        b = np.minimum(cents * PSI_BINS // PSI_CENTS_MAX, PSI_BINS - 1)
+        b = np.clip(cents * PSI_BINS // PSI_CENTS_MAX, 0, PSI_BINS - 1)
         first = t <= mid_us
         nf = np.bincount(b[first], minlength=PSI_BINS)
         ns = np.bincount(b[~first], minlength=PSI_BINS)
@@ -6928,7 +6916,8 @@ SELECT user_id, n_events, n_purchases, (sc / 100.0) AS sum_value,
 FROM f WHERE n_events > 0"""
 
     sql["calibration_bins"] = f"""WITH e AS (
-  SELECT LEAST(CAST(round(value*100, 0) AS BIGINT), {CALIB_SCALE_CENTS}) AS cents,
+  SELECT GREATEST(LEAST(CAST(round(value*100, 0) AS BIGINT),
+                        {CALIB_SCALE_CENTS}), 0) AS cents,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM events),
 b AS (SELECT LEAST(cents * {CALIB_BINS} // {CALIB_SCALE_CENTS},
@@ -6947,8 +6936,8 @@ GROUP BY doc_id, dim"""
     sql["psi_value_drift"] = f"""WITH mm AS (
   SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid FROM events),
 binned AS (
-  SELECT LEAST(CAST(round(value*100, 0) AS BIGINT) * {PSI_BINS} // {PSI_CENTS_MAX},
-               {PSI_BINS - 1}) AS bin,
+  SELECT GREATEST(LEAST(CAST(round(value*100, 0) AS BIGINT) * {PSI_BINS} // {PSI_CENTS_MAX},
+               {PSI_BINS - 1}), 0) AS bin,
          (epoch_us(ts) <= mm.mid) AS first_half
   FROM events, mm),
 bins AS (SELECT range AS bin FROM range({PSI_BINS})),

@@ -455,8 +455,12 @@ class QueryEngine:
         upper bound per term), "bmw" = block-max WAND (per-block upper
         bounds skip whole candidate windows — the pruning path for
         k << candidate-count over cold segments), "faithful" = the
-        dict-based reference-semantics path.  All four are asserted
-        rank-identical in tests."""
+        dict-based reference-semantics path, "bmw_cold" = chunk-lazy
+        BMW over persisted chunk metadata (decode only touched chunks;
+        falls back to "auto" on legacy indexes or non-pruning
+        workloads).  All five are asserted rank-identical in tests."""
+        if mode not in ("auto", "wand", "bmw", "bmw_cold", "faithful"):
+            raise ValueError(f"unknown mode {mode!r}")
         if not self.use_wand or mode == "faithful":
             result = self.query(query)
             return self.rank(result.documents, result.query_words)[:k]
@@ -973,7 +977,14 @@ class QueryEngine:
         avgdl = self._doclen_sidecar().avg
         avgdl = avgdl if avgdl > 0 else 1.0
         b1 = idf * (k1 + 1.0) / (1.0 + k1 * b / (max_tf * avgdl))
-        b2 = idf * (k1 + 1.0) * max_tf / (max_tf + k1 * (1.0 - b))
+        # dl==0 docs recover c = rint(tf); rint is monotone, so
+        # c <= rint(max_tf) — bounding at max_tf itself would
+        # under-bound a fractional stored tf that rounds UP (a
+        # normalized-tf doc missing its doclen row: tf=0.6 -> c=1)
+        cm = float(np.rint(max_tf))
+        b2 = (
+            idf * (k1 + 1.0) * cm / (cm + k1 * (1.0 - b)) if cm > 0 else 0.0
+        )
         return max(b1, b2)
 
     def _chunk_contribs(
@@ -1312,10 +1323,14 @@ class QueryEngine:
         """Top-k for a plain free-text query under BM25 (k1/b from the
         constructor), blended with PageRank by the same cfg weights as
         the tf·idf scorer.  ``mode``: "auto" = vectorized term-at-a-time,
-        "wand" = the WAND core with per-term BM25 upper bounds — both
-        rank-identical by test.  Boolean / phrase operators are the
-        reference's tf·idf semantics (§2.9) and are not redefined here —
-        use ``search_topk`` for those."""
+        "wand" = plain WAND with per-term BM25 upper bounds, "bmw" =
+        block-max WAND, "bmw_cold" = chunk-lazy BMW over persisted chunk
+        metadata (falls back to "auto" on legacy indexes / non-pruning
+        workloads) — all rank-identical by test.  Boolean / phrase
+        operators are the reference's tf·idf semantics (§2.9) and are
+        not redefined here — use ``search_topk`` for those."""
+        if mode not in ("auto", "wand", "bmw", "bmw_cold"):
+            raise ValueError(f"unknown mode {mode!r}")
         q = (query or "").strip()
         if not q:
             return []
@@ -1380,6 +1395,8 @@ class QueryEngine:
         carry reference semantics that are whole-corpus by definition —
         route those to ``search_topk``)."""
         q = (query or "").strip()
+        if mode not in ("auto", "wand", "bmw", "bmw_cold"):
+            raise ValueError(f"unknown mode {mode!r}")
         if detect_operator(q) or is_quoted(q):
             raise ValueError(
                 "search_topk_range serves plain free-text queries; "

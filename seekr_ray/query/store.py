@@ -295,12 +295,14 @@ class _PartitionIndex:
         group (~128 chunk rows); decode granularity is the single chunk —
         the cold BMW path skips decode per chunk and IO per row group."""
         g = int(np.searchsorted(self.rg_starts, row, side="right")) - 1
-        if self._rg_cache is None or self._rg_cache[0] != g:
-            self._rg_cache = (
+        cached = self._rg_cache  # capture: postings_many runs threaded
+        if cached is None or cached[0] != g:
+            cached = (
                 g,
                 self.pf.read_row_groups([g], columns=_TOPK_PAYLOAD_COLUMNS),
             )
-        return self._rg_cache[1].slice(row - int(self.rg_starts[g]), 1)
+            self._rg_cache = cached
+        return cached[1].slice(row - int(self.rg_starts[g]), 1)
 
 
 class _StatsPartition:
@@ -365,17 +367,25 @@ class LazyTermPostings:
 
     __slots__ = ("term", "df", "idf", "chunks", "_decoded", "decode_count")
 
+    # decoded-chunk LRU bound per term: without it a long-running actor
+    # answering many queries against one hot term would accrete the full
+    # posting list — exactly the ceiling the chunk-lazy path removes.
+    # 256 chunks x 4096 postings ~ 12 MB worst case per resident term.
+    MAX_DECODED_CHUNKS = 256
+
     def __init__(self, term: str, df: int, idf: float, chunks: list[ChunkRef]):
         self.term = term
         self.df = df
         self.idf = idf
         # doc-range order makes the engine's unit lists start near-sorted
         self.chunks = sorted(chunks, key=lambda c: (c.min_doc, c.max_doc))
-        self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._decoded: OrderedDict[int, tuple[np.ndarray, np.ndarray]] = (
+            OrderedDict()
+        )
         self.decode_count = 0
 
     def decode(self, i: int) -> tuple[np.ndarray, np.ndarray]:
-        """(doc_ids, tfs) of chunk ``i``, decoded once and cached."""
+        """(doc_ids, tfs) of chunk ``i``, decoded once and LRU-cached."""
         got = self._decoded.get(i)
         if got is None:
             ref = self.chunks[i]
@@ -387,6 +397,10 @@ class LazyTermPostings:
             got = (ids, tfs)
             self._decoded[i] = got
             self.decode_count += 1
+            if len(self._decoded) > self.MAX_DECODED_CHUNKS:
+                self._decoded.popitem(last=False)
+        else:
+            self._decoded.move_to_end(i)
         return got
 
 
