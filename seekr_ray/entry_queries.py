@@ -4545,14 +4545,17 @@ def q_ldiversity_risk(sf_dir: str):
             .aggregate([("source", "count")])
         )
         n = pc.cast(agg["source_count"], pa.int64())
-        keep = pc.less(n, LDIV_L)
+        # every group with its diversity + risk flag (a filtered-only
+        # result goes EMPTY at larger scales and an empty Dataset loses
+        # its schema in the driver compare)
         return pa.table(
             {
                 "lang": agg["lang"],
                 "size_bucket": agg["size_bucket"],
                 "n_sources": n,
+                "at_risk": pc.cast(pc.less(n, LDIV_L), pa.int64()),
             }
-        ).filter(keep)
+        )
 
     # distinct triples per block -> one exchange co-locating each
     # (lang, bucket) via groupby -> per-group distinct-source count
@@ -7005,9 +7008,9 @@ FROM agg LEFT JOIN inter ON inter.ta = agg.ta AND inter.tb = agg.tb"""
 
     sql["ldiversity_risk"] = f"""SELECT lang,
        n_chars // {LDIV_CHARS_BUCKET} AS size_bucket,
-       count(DISTINCT source)::BIGINT AS n_sources
+       count(DISTINCT source)::BIGINT AS n_sources,
+       (count(DISTINCT source) < {LDIV_L})::BIGINT AS at_risk
 FROM documents
-GROUP BY 1, 2
-HAVING count(DISTINCT source) < {LDIV_L}"""
+GROUP BY 1, 2"""
 
     return sql
