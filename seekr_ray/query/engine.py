@@ -162,6 +162,12 @@ class QueryEngine:
             tuple[str, str], tuple[np.ndarray, np.ndarray]
         ] = OrderedDict()
         self._blockmeta_cache_max = 4096
+        # adaptive-planner memo: (scorer, term-set) whose BMW run hit
+        # the eval-budget bail-out — repeat queries skip the Python
+        # probe and go straight to vectorized TAAT (the index is
+        # immutable, so a non-pruning workload stays non-pruning)
+        self._bmw_abort_cache: OrderedDict[tuple, bool] = OrderedDict()
+        self._bmw_abort_cache_max = 4096
         # instrumentation for the pruning tests: full evaluations and
         # block skips performed by the last _wand_arrays/_bmw_arrays call
         self.wand_stats = {"evals": 0, "block_skips": 0}
@@ -693,6 +699,12 @@ class QueryEngine:
             contribs = [self._bm25_contribs(t) for t in terms]
         else:
             contribs = [t.tfs * t.idf for t in terms]
+        key = (scorer, tuple(sorted(t.term for t in terms)))
+        if key in self._bmw_abort_cache:
+            self._bmw_abort_cache.move_to_end(key)
+            return self._taat_arrays(
+                [t.doc_ids for t in terms], contribs, k
+            )
         ubs = [
             self.cfg.tfidf_weight * (float(c.max()) if c.size else 0.0)
             for c in contribs
@@ -701,9 +713,17 @@ class QueryEngine:
             self._term_block_meta(t.term, scorer, t.doc_ids, c)
             for t, c in zip(terms, contribs)
         ]
-        return self._bmw_arrays(
+        res = self._bmw_arrays(
             [t.doc_ids for t in terms], contribs, ubs, k, metas=metas
         )
+        if res is None:  # eval-budget bail-out: vectorized TAAT
+            self._bmw_abort_cache[key] = True
+            if len(self._bmw_abort_cache) > self._bmw_abort_cache_max:
+                self._bmw_abort_cache.popitem(last=False)
+            return self._taat_arrays(
+                [t.doc_ids for t in terms], contribs, k
+            )
+        return res
 
     def _wand_arrays(
         self,
@@ -823,7 +843,8 @@ class QueryEngine:
         ubs: list[float],
         k: int,
         metas: list[tuple[np.ndarray, np.ndarray]] | None = None,
-    ) -> list[tuple[int, float]]:
+        eval_budget: int | None = None,
+    ) -> list[tuple[int, float]] | None:
         """Block-max WAND core (Ding & Suel, WSDM'11): the WAND pivot
         loop plus a per-block refinement.  After the global-UB pivot is
         found, the per-block maxima of the blocks holding each leading
@@ -837,7 +858,15 @@ class QueryEngine:
         ``metas`` carries precomputed (blk_last_doc, blk_max_contrib)
         per term — pass it when slicing (search_topk_range) computes
         fresh tables; omitted, tables build vectorized from the arrays.
+
+        Like the cold path, the pivot loop is per-document Python and
+        wins only when the threshold PRUNES; ``eval_budget`` (default
+        ``max(4096, 64k)``) detects a non-pruning workload — many
+        evaluations, (almost) no skips — and returns None so callers
+        rerun on the vectorized TAAT path.
         """
+        if eval_budget is None:
+            eval_budget = max(4096, 64 * k)
         w_tfidf = self.cfg.tfidf_weight
         w_pr = self.cfg.pagerank_weight
         static_ub = w_pr * self.max_pagerank
@@ -926,6 +955,13 @@ class QueryEngine:
                 continue
             if cur_doc(order[0]) == pivot_doc:
                 evals += 1
+                if evals >= eval_budget and skips * 16 < evals:
+                    self.wand_stats = {
+                        "evals": evals,
+                        "block_skips": skips,
+                        "aborted": True,
+                    }
+                    return None  # non-pruning workload: caller -> TAAT
                 score = 0.0
                 for i in range(n):
                     ids = ids_list[i]
@@ -1038,6 +1074,10 @@ class QueryEngine:
         wasted work is bounded by the budget."""
         if eval_budget is None:
             eval_budget = max(4096, 64 * k)
+        memo_key = ("cold", scorer, tuple(sorted(set(stems))), lo, hi)
+        if memo_key in self._bmw_abort_cache:
+            self._bmw_abort_cache.move_to_end(memo_key)
+            return None  # known non-pruning workload: caller -> TAAT
         lazies = []
         for s in dict.fromkeys(stems):
             lz = self.store.postings_meta(s)
@@ -1221,6 +1261,9 @@ class QueryEngine:
                 if evals >= eval_budget and skips * 16 < evals:
                     # non-pruning workload: bail out to the warm
                     # vectorized path before the per-doc loop bites
+                    self._bmw_abort_cache[memo_key] = True
+                    if len(self._bmw_abort_cache) > self._bmw_abort_cache_max:
+                        self._bmw_abort_cache.popitem(last=False)
                     self.cold_stats = {
                         "chunks_total": n,
                         "chunks_decoded": sum(
@@ -1439,7 +1482,10 @@ class QueryEngine:
             if mode == "bmw":
                 # slices get fresh block tables (cheap: one reshape-max
                 # over the cut arrays; cache keys are whole-list only)
-                return self._bmw_arrays(ids_list, cut, ubs, k)
+                res = self._bmw_arrays(ids_list, cut, ubs, k)
+                if res is None:  # eval-budget bail-out
+                    return self._taat_arrays(ids_list, cut, k)
+                return res
             return self._wand_arrays(ids_list, cut, ubs, k)
         return self._taat_arrays(ids_list, cut, k)
 

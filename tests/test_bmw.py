@@ -185,6 +185,10 @@ def _cold_engine(store):
     e.wand_stats = {}
     e.cold_stats = {}
     e._pr_window_ub = lambda lo, hi: 0.0
+    from collections import OrderedDict
+
+    e._bmw_abort_cache = OrderedDict()
+    e._bmw_abort_cache_max = 16
     return e
 
 
