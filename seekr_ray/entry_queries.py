@@ -3648,11 +3648,15 @@ KCORE_MIN_SUPPORT = 2
 KCORE_SQL_MAX_ROUNDS = 24  # >> observed peel depth (5 at sf0.1)
 
 
-def _copurchase_support_edges(sf_dir: str, min_support: int):
+def _copurchase_support_edges(
+    sf_dir: str, min_support: int, with_support: bool = False
+):
     """Distinct canonical part pairs sharing >= min_support orders —
-    the support-thresholded co-purchase graph feeding q_kcore and
-    q_bfs_hops.  hash(order)-bucketed pair emission with per-bucket
-    support partials, then hash(pair)-bucketed global support sum."""
+    the support-thresholded co-purchase graph feeding q_kcore,
+    q_bfs_hops and q_sssp.  hash(order)-bucketed pair emission with
+    per-bucket support partials, then hash(pair)-bucketed global
+    support sum; ``with_support`` carries the support count out (the
+    SSSP edge-weight input)."""
     import ray.data as rd
 
     li = rd.read_parquet(
@@ -3714,17 +3718,18 @@ def _copurchase_support_edges(sf_dir: str, min_support: int):
         tot = np.zeros(len(uk), np.int64)
         np.add.at(tot, inv, n)
         m = tot >= min_support
-        uk = uk[m]
-        return pa.table(
-            {
-                "a": pa.array(
-                    (uk >> np.uint64(32)).astype(np.int64), pa.int64()
-                ),
-                "b": pa.array(
-                    (uk & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()
-                ),
-            }
-        )
+        uk, tot = uk[m], tot[m]
+        cols = {
+            "a": pa.array(
+                (uk >> np.uint64(32)).astype(np.int64), pa.int64()
+            ),
+            "b": pa.array(
+                (uk & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()
+            ),
+        }
+        if with_support:
+            cols["support"] = pa.array(tot, pa.int64())
+        return pa.table(cols)
 
     return (
         li.map_batches(tag, batch_format="pyarrow")
@@ -3768,6 +3773,36 @@ def q_bfs_hops(sf_dir: str):
     edges = edges.materialize()
     seed = edges.min("a")  # canonical a < b, so min endpoint == min(a)
     return bfs_hops(edges, sources=[int(seed)])
+
+
+SSSP_MAX_COST = 12
+
+
+def q_sssp(sf_dir: str):
+    """Bounded-cost weighted shortest paths from the minimum part node
+    over the co-purchase graph: edge weight 1 + 8 // support (stronger
+    ties are cheaper), budget 12 — the weighted companion of bfs_hops
+    (graph/sssp.py; fixed-round relaxation, budget makes the recursive
+    SQL oracle's row space finite)."""
+    from .graph.sssp import sssp_bounded
+
+    edges = _copurchase_support_edges(
+        sf_dir, KCORE_MIN_SUPPORT, with_support=True
+    )
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        sup = batch["support"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": batch["a"],
+                "b": batch["b"],
+                "w": pa.array(1 + 8 // sup, pa.int64()),
+            }
+        )
+
+    edges = edges.map_batches(weigh, batch_format="pyarrow").materialize()
+    seed = edges.min("a")
+    return sssp_bounded(edges, int(seed), SSSP_MAX_COST)
 
 
 def q_triangles(sf_dir: str):
@@ -6557,6 +6592,20 @@ walk(node, dist) AS (
   UNION
   SELECT s.v, w.dist + 1 FROM walk w JOIN sym s ON s.u = w.node
   WHERE w.dist < {BFS_MAX_DIST_SQL}
+)
+SELECT node, min(dist)::BIGINT AS dist FROM walk GROUP BY node"""
+
+    sql["sssp"] = f"""WITH RECURSIVE di AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+e AS (SELECT a.i AS a, b.i AS b, (1 + 8 // count(*))::BIGINT AS w
+      FROM di a JOIN di b ON a.o = b.o AND a.i < b.i
+      GROUP BY 1, 2 HAVING count(*) >= {KCORE_MIN_SUPPORT}),
+sym AS (SELECT a AS u, b AS v, w FROM e UNION ALL SELECT b, a, w FROM e),
+walk(node, dist) AS (
+  SELECT (SELECT min(a) FROM e), 0
+  UNION
+  SELECT s.v, w2.dist + s.w FROM walk w2 JOIN sym s ON s.u = w2.node
+  WHERE w2.dist + s.w <= {SSSP_MAX_COST}
 )
 SELECT node, min(dist)::BIGINT AS dist FROM walk GROUP BY node"""
 
