@@ -4601,6 +4601,220 @@ def q_ldiversity_risk(sf_dir: str):
     )
 
 
+COV_DIMS = 16
+
+
+def q_embed_cov16(sf_dir: str):
+    """Covariance matrix of the first 16 dims of the int8-quantized
+    embeddings (absmax-per-vector codes, the embed_int8 scheme) —
+    drift/whitening statistics with EXACT integer sufficient
+    statistics: per-block (n, Σq_i, Σq_j, Σq_iq_j) int64 partials via
+    one Q^T Q matmul on the zero-copy matrix; the exchange is
+    O(dim-pairs x blocks) and the two divisions per cell mirror the
+    SQL expression.
+
+    Output: ``(di, dj, cov)`` upper triangle, 6dp."""
+    import ray.data as rd
+
+    from .extras.similarity import _to_matrix
+    from .extras.textstats import round6_arr
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    iu, ju = np.triu_indices(COV_DIMS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch["embedding"]).astype(np.float64)
+        amax = np.abs(m).max(axis=1)
+        scale = amax / 127.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = m / np.where(scale[:, None] == 0, 1, scale[:, None])
+        q = np.where(scale[:, None] == 0.0, 0.0, q)
+        # half-away rounding: the embed_int8 scheme (== SQL ROUND(x, 0))
+        q = np.sign(q) * np.floor(np.abs(q) + 0.5)
+        q16 = q[:, :COV_DIMS].astype(np.int64)
+        n = q16.shape[0]
+        s = q16.sum(axis=0)
+        ss = q16.T @ q16
+        return pa.table(
+            {
+                "di": pa.array(iu.astype(np.int64)),
+                "dj": pa.array(ju.astype(np.int64)),
+                "_n": pa.array(np.full(len(iu), n, np.int64)),
+                "_si": pa.array(s[iu]),
+                "_sj": pa.array(s[ju]),
+                "_sij": pa.array(ss[iu, ju]),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        di = batch["di"].to_numpy(zero_copy_only=False)
+        dj = batch["dj"].to_numpy(zero_copy_only=False)
+        n = batch["sum(_n)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        si = batch["sum(_si)"].to_numpy(zero_copy_only=False)
+        sj = batch["sum(_sj)"].to_numpy(zero_copy_only=False)
+        sij = batch["sum(_sij)"].to_numpy(zero_copy_only=False)
+        cov = (sij.astype(np.float64) - (si * sj).astype(np.float64) / n) / n
+        return pa.table(
+            {
+                "di": pa.array(di, pa.int64()),
+                "dj": pa.array(dj, pa.int64()),
+                "cov": pa.array(round6_arr(cov), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["di", "dj"])
+        .sum(["_n", "_si", "_sj", "_sij"])
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+CV_FOLDS = 5
+CV_EMBARGO_PCT = 2  # embargo = 2% of the time range after each test fold
+
+
+def q_purged_cv_folds(sf_dir: str):
+    """Purged time-series cross-validation assignment (the financial-ML
+    splitter): the time range divides into 5 contiguous folds; for each
+    fold k an event is 'test' inside the fold, PURGED if it falls in
+    the embargo window right after the fold (leakage via overlapping
+    label horizons), else 'train'.  Stateless per-row integer-us
+    arithmetic from footer-stats bounds — no shuffle at all; emits one
+    row per (event, fold).
+
+    Output: ``(event_id, fold, role)``."""
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "events.parquet")
+    lo, hi = _events_ts_bounds_us(path)
+    span = hi - lo + 1
+    ds = rd.read_parquet(path, columns=["event_id", "ts"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["ts"], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).view("int64")
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        n = len(eid)
+        ev_out = np.repeat(eid, CV_FOLDS)
+        fold_out = np.tile(np.arange(CV_FOLDS, dtype=np.int64), n)
+        # fold k test window: [lo + k*span//F, lo + (k+1)*span//F)
+        k = fold_out
+        f_lo = lo + k * span // CV_FOLDS
+        f_hi = lo + (k + 1) * span // CV_FOLDS
+        emb_hi = f_hi + span * CV_EMBARGO_PCT // 100
+        tt = np.repeat(t, CV_FOLDS)
+        role = np.where(
+            (tt >= f_lo) & (tt < f_hi),
+            "test",
+            np.where((tt >= f_hi) & (tt < emb_hi), "purged", "train"),
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(ev_out, pa.int64()),
+                "fold": pa.array(fold_out, pa.int64()),
+                "role": pa.array(role.tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def q_seq3_patterns(sf_dir: str):
+    """Length-3 event-type sequence mining (PrefixSpan-lite): every
+    window of three CONSECUTIVE events of one user in (ts, id) order is
+    a sequence occurrence; output every observed sequence with its
+    support (consumers threshold — a filtered result can go empty at
+    some scale and lose its schema).  Per-bucket vectorized triple
+    emission with
+    local (sequence -> count) partials; the exchange is O(distinct
+    sequences x buckets), never O(events).
+
+    Output: ``(t1, t2, t3, support)``."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch["user_id"].to_numpy(zero_copy_only=False)
+        t = pc.cast(batch["ts"], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "_b": pa.array((k % 64).astype(np.int32), pa.int32()),
+                "k": pa.array(k, pa.int64()),
+                "t": pa.array(t.view("int64"), pa.int64()),
+                "i": batch["event_id"],
+                "e": batch["event_type"],
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        k = group["k"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        i = group["i"].to_numpy(zero_copy_only=False)
+        e = np.asarray(group["e"].to_pylist(), dtype=object)
+        order = np.lexsort((i, t, k))
+        k, e = k[order], e[order]
+        n = len(k)
+        if n < 3:
+            return pa.table(
+                {
+                    "t1": pa.array([], pa.string()),
+                    "t2": pa.array([], pa.string()),
+                    "t3": pa.array([], pa.string()),
+                    "_n": pa.array([], pa.int64()),
+                }
+            )
+        same3 = (k[:-2] == k[1:-1]) & (k[1:-1] == k[2:])
+        a, b, c = e[:-2][same3], e[1:-1][same3], e[2:][same3]
+        # local (sequence -> count) partial before the exchange
+        seq = np.char.add(
+            np.char.add(
+                np.char.add(a.astype(str), "\x1f"),
+                np.char.add(b.astype(str), "\x1f"),
+            ),
+            c.astype(str),
+        )
+        u, cnt = np.unique(seq, return_counts=True)
+        parts = [s.split("\x1f") for s in u.tolist()]
+        return pa.table(
+            {
+                "t1": pa.array([p[0] for p in parts], pa.string()),
+                "t2": pa.array([p[1] for p in parts], pa.string()),
+                "t3": pa.array([p[2] for p in parts], pa.string()),
+                "_n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "t1": batch["t1"],
+                "t2": batch["t2"],
+                "t3": batch["t3"],
+                "support": pc.cast(batch["sum(_n)"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["t1", "t2", "t3"])
+        .sum("_n")
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
 CHURN_CUTOFF_PCT = 70  # feature window = first 70% of the time range
 
 
@@ -6594,6 +6808,50 @@ walk(node, dist) AS (
   WHERE w.dist < {BFS_MAX_DIST_SQL}
 )
 SELECT node, min(dist)::BIGINT AS dist FROM walk GROUP BY node"""
+
+    sql["embed_cov16"] = f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+s AS (SELECT vec_id, v,
+             coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) AS amax
+      FROM e),
+ex AS (SELECT vec_id, amax / 127.0 AS scale,
+              unnest(v) AS x,
+              unnest(range(len(v)))::BIGINT AS i
+       FROM s),
+c AS (SELECT vec_id, i,
+             (CASE WHEN scale = 0.0 THEN 0
+                   ELSE ROUND(x / scale, 0) END)::BIGINT AS q
+      FROM ex WHERE i < {COV_DIMS})
+SELECT a.i AS di, b.i AS dj,
+       round((sum(a.q * b.q)::DOUBLE
+              - (sum(a.q) * sum(b.q))::DOUBLE / count(*))
+             / count(*), 6) AS cov
+FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i"""
+
+    sql["purged_cv_folds"] = f"""WITH b AS (
+  SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM events),
+s AS (SELECT lo, hi - lo + 1 AS span FROM b),
+f AS (SELECT range AS fold FROM range({CV_FOLDS}))
+SELECT e.event_id, f.fold,
+       CASE WHEN epoch_us(e.ts) >= s.lo + f.fold * s.span // {CV_FOLDS}
+                 AND epoch_us(e.ts) < s.lo + (f.fold + 1) * s.span // {CV_FOLDS}
+            THEN 'test'
+            WHEN epoch_us(e.ts) >= s.lo + (f.fold + 1) * s.span // {CV_FOLDS}
+                 AND epoch_us(e.ts) < s.lo + (f.fold + 1) * s.span // {CV_FOLDS}
+                     + s.span * {CV_EMBARGO_PCT} // 100
+            THEN 'purged'
+            ELSE 'train' END AS role
+FROM events e, s CROSS JOIN f"""
+
+    sql["seq3_patterns"] = """WITH t AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+  FROM events)
+SELECT t1, t2, t3, count(*)::BIGINT AS support
+FROM t WHERE t3 IS NOT NULL GROUP BY 1, 2, 3"""
 
     sql["sssp"] = f"""WITH RECURSIVE di AS (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
