@@ -4601,6 +4601,187 @@ def q_ldiversity_risk(sf_dir: str):
     )
 
 
+QUOTA_PER_LANG = 200
+
+
+def q_quota_sample(sf_dir: str):
+    """Exact per-group quota sampling: the md5-smallest QUOTA docs of
+    every lang (groups under quota keep everything) — the
+    deterministic 'exactly N per class' rebalancer.  Scale shape: a
+    KMV-style per-(block, lang) bottom-quota partial finds each group's
+    quota-th-smallest hash THRESHOLD (O(langs x quota x blocks)
+    exchange), then one stateless filter pass keeps rows under the
+    threshold — the group itself never has to fit anywhere.
+
+    Output: ``(doc_id, lang)``."""
+    import hashlib
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"],
+    )
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        h = np.empty(len(ids), np.uint64)
+        for i, v in enumerate(ids):
+            h[i] = int.from_bytes(
+                hashlib.md5(str(v).encode()).digest()[:8], "little"
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "h": pa.array(h, pa.uint64()),
+            }
+        )
+
+    hds = ds.map_batches(hashed, batch_format="pyarrow").materialize()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        l_out, h_out = [], []
+        for g in np.unique(lang):
+            hg = np.sort(h[lang == g])[:QUOTA_PER_LANG]
+            l_out.extend([g] * len(hg))
+            h_out.append(hg)
+        return pa.table(
+            {
+                "lang": pa.array(l_out, pa.string()),
+                "h": pa.array(
+                    np.concatenate(h_out) if h_out else np.empty(0, np.uint64),
+                    pa.uint64(),
+                ),
+            }
+        )
+
+    def threshold(group: pa.Table) -> pa.Table:
+        g = group["lang"][0].as_py()
+        hg = np.sort(group["h"].to_numpy(zero_copy_only=False))[
+            :QUOTA_PER_LANG
+        ]
+        return pa.table(
+            {
+                "lang": pa.array([g], pa.string()),
+                "thr": pa.array([hg[-1]], pa.uint64()),
+            }
+        )
+
+    thr_tbl = pa.concat_tables(
+        list(
+            hds.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .map_groups(threshold, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    thr = dict(
+        zip(thr_tbl["lang"].to_pylist(), thr_tbl["thr"].to_pylist())
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_pylist()
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        mask = np.array(
+            [hv <= thr.get(g, 0) for g, hv in zip(lang, h.tolist())],
+            dtype=bool,
+        )
+        return batch.filter(pa.array(mask)).select(["doc_id", "lang"])
+
+    return hds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_asof_nearest_view(sf_dir: str):
+    """Nearest-event temporal join: for every purchase, the SAME user's
+    closest view in time (either direction; ties prefer the earlier
+    side, then the smaller event id) — the bidirectional companion of
+    the as-of join.  Hash-bucketed co-partition by user; per user the
+    full |dt| matrix argmin is vectorized (views x purchases per user
+    is session-sized).
+
+    Output: ``(event_id, view_id, dt_us)`` (dt signed, view - purchase)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        m = (et == "view") | (et == "purchase")
+        k = batch["user_id"].to_numpy(zero_copy_only=False)[m]
+        t = pc.cast(batch["ts"], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).view("int64")[m]
+        return pa.table(
+            {
+                "_b": pa.array((k % 64).astype(np.int32), pa.int32()),
+                "k": pa.array(k, pa.int64()),
+                "t": pa.array(t, pa.int64()),
+                "i": pa.array(
+                    batch["event_id"].to_numpy(zero_copy_only=False)[m],
+                    pa.int64(),
+                ),
+                "isv": pa.array((et[m] == "view").astype(np.int8), pa.int8()),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        k = group["k"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        i = group["i"].to_numpy(zero_copy_only=False)
+        isv = group["isv"].to_numpy(zero_copy_only=False).astype(bool)
+        out_p, out_v, out_dt = [], [], []
+        for u in np.unique(k):
+            m = k == u
+            vt, vi = t[m & isv], i[m & isv]
+            ptm, pim = t[m & ~isv], i[m & ~isv]
+            if len(vt) == 0 or len(ptm) == 0:
+                continue
+            dt = vt[:, None] - ptm[None, :]  # (V, P), view - purchase
+            # argmin by (|dt|, prefer dt<=0, view id) per purchase
+            order = np.lexsort(
+                (
+                    np.broadcast_to(vi[:, None], dt.shape).ravel(),
+                    (dt > 0).astype(np.int8).ravel(),
+                    np.abs(dt).ravel(),
+                )
+            ).reshape(-1)
+            # first occurrence per purchase column in the sorted order
+            cols = order % dt.shape[1]
+            first = np.full(dt.shape[1], -1, np.int64)
+            seen = np.zeros(dt.shape[1], bool)
+            remaining = dt.shape[1]
+            for idx, c in zip(order.tolist(), cols.tolist()):
+                if not seen[c]:
+                    seen[c] = True
+                    first[c] = idx
+                    remaining -= 1
+                    if remaining == 0:
+                        break  # winners cluster at the sorted front
+            rows = first // dt.shape[1]
+            out_p.extend(pim.tolist())
+            out_v.extend(vi[rows].tolist())
+            out_dt.extend(dt.ravel()[first].tolist())
+        return pa.table(
+            {
+                "event_id": pa.array(out_p, pa.int64()),
+                "view_id": pa.array(out_v, pa.int64()),
+                "dt_us": pa.array(out_dt, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 COV_DIMS = 16
 
 
@@ -6808,6 +6989,32 @@ walk(node, dist) AS (
   WHERE w.dist < {BFS_MAX_DIST_SQL}
 )
 SELECT node, min(dist)::BIGINT AS dist FROM walk GROUP BY node"""
+
+    sql["quota_sample"] = f"""SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5_number_upper(doc_id::VARCHAR)
+         ) AS rn
+  FROM documents) z
+WHERE rn <= {QUOTA_PER_LANG}"""
+
+    sql["asof_nearest_view"] = """WITH v AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+  WHERE event_type = 'view'),
+p AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+  WHERE event_type = 'purchase'),
+cand AS (
+  SELECT p.event_id, v.event_id AS view_id, v.t - p.t AS dt_us,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY abs(v.t - p.t),
+                    CASE WHEN v.t - p.t > 0 THEN 1 ELSE 0 END,
+                    v.event_id
+         ) AS rn
+  FROM p JOIN v USING (user_id))
+SELECT event_id, view_id, dt_us FROM cand WHERE rn = 1"""
 
     sql["embed_cov16"] = f"""WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
