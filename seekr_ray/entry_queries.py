@@ -4601,6 +4601,79 @@ def q_ldiversity_risk(sf_dir: str):
     )
 
 
+def q_mannwhitney_value(sf_dir: str):
+    """Tie-corrected Mann-Whitney U test: do purchase events draw their
+    value from the same distribution as view events?  The nonparametric
+    two-sample test of the statistics suite.  Exact integer machinery:
+    per-block (cents, n_purchase, n_view) partials, one O(distinct
+    cents) exchange (bounded: 2dp values on a bounded range), DOUBLED
+    tie-average ranks keep every rank sum an exact int64; only the
+    final (U - mu) / sigma mirrors the SQL float expression.
+
+    Output: one row ``(n1, n2, u1, z)`` (purchase side, 6dp)."""
+    import ray.data as rd
+
+    from .extras.textstats import round6
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        m = (et == "purchase") | (et == "view")
+        cents = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False)[m] * 100.0
+        ).astype(np.int64)
+        isp = (et[m] == "purchase").astype(np.int64)
+        u, inv = np.unique(cents, return_inverse=True)
+        na = np.bincount(inv, weights=isp, minlength=len(u)).astype(np.int64)
+        nb = np.bincount(inv, weights=1 - isp, minlength=len(u)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "c": pa.array(u),
+                "_na": pa.array(na),
+                "_nb": pa.array(nb),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("c")
+        .sum(["_na", "_nb"])
+    )
+    tbl = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    c = tbl["c"].to_numpy(zero_copy_only=False)
+    na = tbl["sum(_na)"].to_numpy(zero_copy_only=False)
+    nb = tbl["sum(_nb)"].to_numpy(zero_copy_only=False)
+    order = np.argsort(c)
+    na, nb = na[order], nb[order]
+    cnt = na + nb
+    n1, n2 = int(na.sum()), int(nb.sum())
+    n = n1 + n2
+    cum_before = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    # doubled average rank of a tie group: 2*cum_before + cnt + 1 (int)
+    r1x2 = int((na * (2 * cum_before + cnt + 1)).sum())
+    u1 = (r1x2 - n1 * (n1 + 1)) / 2.0
+    mu = n1 * n2 / 2.0
+    tie = int((cnt**3 - cnt).sum())
+    sigma = (
+        (n1 * n2 / 12.0) * ((n + 1) - tie / (n * (n - 1.0)))
+    ) ** 0.5
+    z = (u1 - mu) / sigma if sigma > 0 else 0.0
+    return pa.table(
+        {
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "u1": pa.array([round6(u1)], pa.float64()),
+            "z": pa.array([round6(z)], pa.float64()),
+        }
+    )
+
+
 QUOTA_PER_LANG = 200
 
 
@@ -6989,6 +7062,28 @@ walk(node, dist) AS (
   WHERE w.dist < {BFS_MAX_DIST_SQL}
 )
 SELECT node, min(dist)::BIGINT AS dist FROM walk GROUP BY node"""
+
+    sql["mannwhitney_value"] = """WITH e AS (
+  SELECT CAST(round(value*100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+  FROM events WHERE event_type IN ('purchase', 'view')),
+g AS (SELECT c, sum(isp)::BIGINT AS na, sum(1 - isp)::BIGINT AS nb
+      FROM e GROUP BY c),
+w AS (SELECT c, na, nb, na + nb AS cnt,
+             coalesce(sum(na + nb) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      FROM g),
+t AS (SELECT sum(na)::BIGINT AS n1, sum(nb)::BIGINT AS n2,
+             sum(na * (2*cumb + cnt + 1))::BIGINT AS r1x2,
+             sum(cnt*cnt*cnt - cnt)::BIGINT AS tie
+      FROM w)
+SELECT n1, n2,
+       round((r1x2 - n1*(n1 + 1)) / 2.0, 6) AS u1,
+       round(((r1x2 - n1*(n1 + 1)) / 2.0 - n1*n2 / 2.0)
+             / sqrt((n1*n2 / 12.0)
+                    * ((n1 + n2 + 1)
+                       - tie / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z
+FROM t"""
 
     sql["quota_sample"] = f"""SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
