@@ -4601,6 +4601,120 @@ def q_ldiversity_risk(sf_dir: str):
     )
 
 
+def q_ks_two_sample(sf_dir: str):
+    """Kolmogorov-Smirnov two-sample statistic (purchase vs view
+    values): D = max over the value grid of |F_a - F_b|, with the ECDFs
+    as exact integer cumulative counts over distinct cents — the
+    distribution-shift companion of the Mann-Whitney test, no special
+    functions anywhere.  Same O(distinct cents) exchange shape.
+
+    Output: one row ``(n1, n2, d_stat)`` (6dp)."""
+    import ray.data as rd
+
+    from .extras.textstats import round6
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        m = (et == "purchase") | (et == "view")
+        cents = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False)[m] * 100.0
+        ).astype(np.int64)
+        isp = (et[m] == "purchase").astype(np.int64)
+        u, inv = np.unique(cents, return_inverse=True)
+        na = np.bincount(inv, weights=isp, minlength=len(u)).astype(np.int64)
+        nb = np.bincount(inv, weights=1 - isp, minlength=len(u)).astype(
+            np.int64
+        )
+        return pa.table(
+            {"c": pa.array(u), "_na": pa.array(na), "_nb": pa.array(nb)}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("c")
+        .sum(["_na", "_nb"])
+    )
+    tbl = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    c = tbl["c"].to_numpy(zero_copy_only=False)
+    na = tbl["sum(_na)"].to_numpy(zero_copy_only=False)
+    nb = tbl["sum(_nb)"].to_numpy(zero_copy_only=False)
+    order = np.argsort(c)
+    na, nb = na[order], nb[order]
+    n1, n2 = int(na.sum()), int(nb.sum())
+    ca = np.cumsum(na)
+    cb = np.cumsum(nb)
+    # |F1 - F2| with the single float division per side mirrored in SQL
+    d = np.abs(ca / float(n1) - cb / float(n2)).max() if len(ca) else 0.0
+    return pa.table(
+        {
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "d_stat": pa.array([round6(float(d))], pa.float64()),
+        }
+    )
+
+
+def q_expfit_ks_gaps(sf_dir: str):
+    """Exponential goodness-of-fit of inter-event gaps: MLE rate
+    lambda = n / sum(gap), then the one-sample KS statistic
+    D = max(F_emp_hi - F_exp, F_exp - F_emp_lo) over the distinct gap
+    grid — 'is user activity Poisson?' in one number.  Gaps come from
+    the same per-user LAG kernel as event_gaps; the reduction is
+    O(distinct gaps).
+
+    Output: one row ``(n, lambda_per_hour, d_stat)`` (6dp)."""
+    import ray.data as rd
+
+    from .extras.textstats import round6
+    from .extras.windows import lag_gaps_per_group
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+    )
+    gaps = lag_gaps_per_group(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch["gap_us"].to_numpy(zero_copy_only=False)
+        u, cnt = np.unique(g, return_counts=True)
+        return pa.table(
+            {"g": pa.array(u), "_n": pa.array(cnt.astype(np.int64))}
+        )
+
+    agg = (
+        gaps.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .sum("_n")
+    )
+    tbl = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    g = tbl["g"].to_numpy(zero_copy_only=False)
+    cnt = tbl["sum(_n)"].to_numpy(zero_copy_only=False)
+    order = np.argsort(g)
+    g, cnt = g[order], cnt[order]
+    n = int(cnt.sum())
+    total = int((g * cnt).sum())
+    lam = n / float(total)  # per microsecond
+    ca = np.cumsum(cnt)
+    f_hi = ca / float(n)
+    f_lo = (ca - cnt) / float(n)
+    f_exp = 1.0 - np.exp(-lam * g)
+    d = float(np.maximum(f_hi - f_exp, f_exp - f_lo).max()) if n else 0.0
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "lambda_per_hour": pa.array(
+                [round6(lam * 3600.0 * 1e6)], pa.float64()
+            ),
+            "d_stat": pa.array([round6(d)], pa.float64()),
+        }
+    )
+
+
 def q_mannwhitney_value(sf_dir: str):
     """Tie-corrected Mann-Whitney U test: do purchase events draw their
     value from the same distribution as view events?  The nonparametric
@@ -7062,6 +7176,40 @@ walk(node, dist) AS (
   WHERE w.dist < {BFS_MAX_DIST_SQL}
 )
 SELECT node, min(dist)::BIGINT AS dist FROM walk GROUP BY node"""
+
+    sql["expfit_ks_gaps"] = """WITH ord AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+gp AS (SELECT t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS g
+       FROM ord),
+gg AS (SELECT g, count(*)::BIGINT AS n FROM gp WHERE g IS NOT NULL GROUP BY g),
+t1 AS (SELECT sum(n)::BIGINT AS n, sum(g * n)::BIGINT AS total FROM gg),
+w AS (SELECT g, n AS cnt, sum(n) OVER (ORDER BY g) AS ca FROM gg)
+SELECT t1.n,
+       round((t1.n / CAST(t1.total AS DOUBLE)) * 3600.0 * 1e6, 6)
+         AS lambda_per_hour,
+       round((SELECT max(GREATEST(
+                ca / CAST(t1.n AS DOUBLE)
+                  - (1.0 - exp(-(t1.n / CAST(t1.total AS DOUBLE)) * g)),
+                (1.0 - exp(-(t1.n / CAST(t1.total AS DOUBLE)) * g))
+                  - (ca - cnt) / CAST(t1.n AS DOUBLE)))
+              FROM w), 6) AS d_stat
+FROM t1"""
+
+    sql["ks_two_sample"] = """WITH e AS (
+  SELECT CAST(round(value*100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+  FROM events WHERE event_type IN ('purchase', 'view')),
+g AS (SELECT c, sum(isp)::BIGINT AS na, sum(1 - isp)::BIGINT AS nb
+      FROM e GROUP BY c),
+w AS (SELECT sum(na) OVER (ORDER BY c) AS ca,
+             sum(nb) OVER (ORDER BY c) AS cb
+      FROM g),
+t AS (SELECT (SELECT sum(na)::BIGINT FROM g) AS n1,
+             (SELECT sum(nb)::BIGINT FROM g) AS n2)
+SELECT n1, n2,
+       round((SELECT max(abs(ca / CAST(n1 AS DOUBLE)
+                             - cb / CAST(n2 AS DOUBLE))) FROM w), 6) AS d_stat
+FROM t"""
 
     sql["mannwhitney_value"] = """WITH e AS (
   SELECT CAST(round(value*100, 0) AS BIGINT) AS c,
