@@ -4601,6 +4601,78 @@ def q_ldiversity_risk(sf_dir: str):
     )
 
 
+def q_fk_orphans(sf_dir: str):
+    """Referential-integrity audit: orphan counts for the schema's
+    foreign keys (lineitem->part, lineitem->supplier, orders->customer,
+    lineitem->orders) — the data-quality gate a warehouse load runs.
+    Dimension key sets broadcast once (ray.put-style closure capture);
+    each fact block reduces to per-relation orphan counts, so the
+    exchange is O(relations x blocks).  At dimension sizes past worker
+    memory the same contract runs on the bucketed anti-join
+    (extras/joins.py semi/anti kernel).
+
+    Output: ``(relation, n_rows, n_orphans)``."""
+    import ray.data as rd
+
+    def keyset(table: str, col: str) -> np.ndarray:
+        t = rd.read_parquet(
+            os.path.join(sf_dir, f"{table}.parquet"), columns=[col]
+        )
+        parts = [
+            b[col].to_numpy(zero_copy_only=False)
+            for b in t.iter_batches(batch_format="pyarrow")
+        ]
+        return np.unique(np.concatenate(parts))
+
+    part_keys = keyset("part", "p_partkey")
+    supp_keys = keyset("supplier", "s_suppkey")
+    cust_keys = keyset("customer", "c_custkey")
+    order_keys = keyset("orders", "o_orderkey")
+
+    from .nputil import isin_sorted
+
+    checks = [
+        ("lineitem->part", "lineitem", "l_partkey", part_keys),
+        ("lineitem->supplier", "lineitem", "l_suppkey", supp_keys),
+        ("lineitem->orders", "lineitem", "l_orderkey", order_keys),
+        ("orders->customer", "orders", "o_custkey", cust_keys),
+    ]
+    rel_out, n_out, o_out = [], [], []
+    for rel, fact, col, keys in checks:
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, f"{fact}.parquet"), columns=[col]
+        )
+
+        def count(batch: pa.Table, _c=col, _k=keys, _r=rel) -> pa.Table:
+            v = batch[_c].to_numpy(zero_copy_only=False).astype(np.int64)
+            mask, _pos = isin_sorted(_k, v)
+            orphans = int((~mask).sum())
+            return pa.table(
+                {
+                    "relation": pa.array([_r], pa.string()),
+                    "_n": pa.array([len(v)], pa.int64()),
+                    "_o": pa.array([orphans], pa.int64()),
+                }
+            )
+
+        agg = (
+            ds.map_batches(count, batch_format="pyarrow")
+            .groupby("relation")
+            .sum(["_n", "_o"])
+        )
+        t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+        rel_out.append(t["relation"][0].as_py())
+        n_out.append(int(t["sum(_n)"][0].as_py()))
+        o_out.append(int(t["sum(_o)"][0].as_py()))
+    return pa.table(
+        {
+            "relation": pa.array(rel_out, pa.string()),
+            "n_rows": pa.array(n_out, pa.int64()),
+            "n_orphans": pa.array(o_out, pa.int64()),
+        }
+    )
+
+
 def q_ks_two_sample(sf_dir: str):
     """Kolmogorov-Smirnov two-sample statistic (purchase vs view
     values): D = max over the value grid of |F_a - F_b|, with the ECDFs
@@ -7176,6 +7248,23 @@ walk(node, dist) AS (
   WHERE w.dist < {BFS_MAX_DIST_SQL}
 )
 SELECT node, min(dist)::BIGINT AS dist FROM walk GROUP BY node"""
+
+    sql["fk_orphans"] = """
+SELECT 'lineitem->part' AS relation, count(*)::BIGINT AS n_rows,
+       (count(*) FILTER (p.p_partkey IS NULL))::BIGINT AS n_orphans
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'lineitem->supplier', count(*)::BIGINT,
+       (count(*) FILTER (s.s_suppkey IS NULL))::BIGINT
+FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+UNION ALL
+SELECT 'lineitem->orders', count(*)::BIGINT,
+       (count(*) FILTER (o.o_orderkey IS NULL))::BIGINT
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders->customer', count(*)::BIGINT,
+       (count(*) FILTER (c.c_custkey IS NULL))::BIGINT
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey"""
 
     sql["expfit_ks_gaps"] = """WITH ord AS (
   SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
