@@ -84,6 +84,41 @@ class SearchHTTPServer:
                     return self._json(400, {"results": [], "totalCount": 0})
                 if size <= 0 or size > 100:
                     size = 10
+                # extras beyond the reference surface: ?scorer=bm25
+                # (plain free-text ranking; results carry doc_id+score)
+                # and ?mode=auto|wand|bmw|bmw_cold for its evaluation
+                # strategy — the reference's two params stay default
+                scorer = (qs.get("scorer") or ["tfidf"])[0]
+                mode = (qs.get("mode") or ["auto"])[0]
+                if scorer not in ("tfidf", "bm25") or mode not in (
+                    "auto",
+                    "wand",
+                    "bmw",
+                    "bmw_cold",
+                ):
+                    return self._json(400)
+                if scorer == "bm25":
+                    bm25 = getattr(outer.backend, "bm25_topk", None)
+                    if bm25 is None:
+                        return self._json(400)
+                    try:
+                        with outer._backend_lock:
+                            hits = bm25(
+                                query, k=(page + 1) * size, mode=mode
+                            )
+                    except ValueError:  # boolean/phrase query
+                        return self._json(400)
+                    pg = hits[page * size : (page + 1) * size]
+                    return self._json(
+                        200,
+                        {
+                            "results": [
+                                {"docId": d, "score": s} for d, s in pg
+                            ],
+                            "totalCount": len(hits),
+                            "scorer": "bm25",
+                        },
+                    )
                 with outer._backend_lock:
                     out = outer.backend.search(query, page=page, size=size)
                 return self._json(

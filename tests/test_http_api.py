@@ -117,3 +117,31 @@ def test_web_ui_served_and_wired(server):
         out = json.loads(r.read())
     assert out["totalCount"] > 0
     assert "<strong>" in out["results"][0]["snippet"]  # highlight contract
+
+
+def test_bm25_scorer_param(server):
+    """?scorer=bm25 serves the ranking surface: docId+score rows, the
+    reference params untouched by default; bad scorer/mode -> 400;
+    boolean queries under bm25 -> 400 (reference tf·idf semantics)."""
+    with _get(server, "/api/search?query=parse&scorer=bm25&size=3") as r:
+        assert r.status == 200
+        out = json.loads(r.read())
+    assert out["scorer"] == "bm25"
+    assert out["results"] and set(out["results"][0]) == {"docId", "score"}
+    # mode plumbs through (bmw_cold falls back safely on any workload)
+    with _get(
+        server, "/api/search?query=parse&scorer=bm25&mode=bmw_cold&size=3"
+    ) as r:
+        assert r.status == 200
+        out2 = json.loads(r.read())
+    assert [x["docId"] for x in out2["results"]] == [
+        x["docId"] for x in out["results"]
+    ]
+    for bad in (
+        "/api/search?query=parse&scorer=nope",
+        "/api/search?query=parse&scorer=bm25&mode=typo",
+        "/api/search?query=parse%20AND%20buffer&scorer=bm25",
+    ):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server, bad)
+        assert e.value.code == 400
