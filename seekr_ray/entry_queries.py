@@ -3057,6 +3057,55 @@ def q_chi2_lang_source(sf_dir: str):
     )
 
 
+def q_cramers_v(sf_dir: str):
+    """Cramér's V effect size for the lang × source association —
+    the magnitude companion of the chi-square screen (chi2 says
+    'dependent', V says 'how much', scale-free in [0, 1]).  Same exact
+    integer contingency machinery and 1e-6 floor quantization as
+    q_chi2_lang_source; one extra float expression mirrored in SQL.
+
+    Output: one row ``(n, k, v)`` with k = min(rows-1, cols-1)."""
+    import ray.data as rd
+
+    from .extras.textstats import round6
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "source"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["lang", "source"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["lang", "source", "_c"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .sum("_c")
+    ).to_pandas()
+    cells = cells.rename(columns={"sum(_c)": "o"})
+    n = int(cells["o"].sum())
+    r = cells.groupby("lang")["o"].sum()
+    c = cells.groupby("source")["o"].sum()
+    quant = 0
+    for _, row in cells.iterrows():
+        e = float(r[row["lang"]]) * float(c[row["source"]]) / float(n)
+        o = float(row["o"])
+        quant += int(np.floor((o - e) * (o - e) / e * 1000000.0))
+    chi2 = quant / 1000000.0
+    k = min(len(r) - 1, len(c) - 1)
+    v = (chi2 / (n * k)) ** 0.5 if k > 0 else 0.0
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "v": pa.array([round6(v)], pa.float64()),
+        }
+    )
+
+
 def q_hourly_filled(sf_dir: str):
     """Dense hourly event counts per type — zero-filled gap hours on the
     [min, max] hour grid (time-series resample step).  Counts aggregate
@@ -6292,6 +6341,26 @@ SELECT tot.n,
                   * 1000000.0)::BIGINT))::DOUBLE / 1000000.0 AS chi2
 FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN tot
 GROUP BY tot.n"""
+
+    sql["cramers_v"] = """WITH cells AS (
+  SELECT lang, source, count(*)::BIGINT AS o FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, sum(o)::BIGINT AS rt FROM cells GROUP BY lang),
+c AS (SELECT source, sum(o)::BIGINT AS ct FROM cells GROUP BY source),
+tot AS (SELECT sum(o)::BIGINT AS n FROM cells),
+k AS (SELECT LEAST((SELECT count(*) FROM r) - 1,
+                   (SELECT count(*) FROM c) - 1)::BIGINT AS k),
+chi AS (
+  SELECT tot.n,
+         (sum(floor((cells.o::DOUBLE - (r.rt::DOUBLE * c.ct / tot.n))
+                    * (cells.o::DOUBLE - (r.rt::DOUBLE * c.ct / tot.n))
+                    / (r.rt::DOUBLE * c.ct / tot.n)
+                    * 1000000.0)::BIGINT))::DOUBLE / 1000000.0 AS chi2
+  FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN tot
+  GROUP BY tot.n)
+SELECT chi.n, k.k,
+       round(CASE WHEN k.k > 0
+                  THEN sqrt(chi.chi2 / (chi.n * k.k)) ELSE 0.0 END, 6) AS v
+FROM chi CROSS JOIN k"""
 
     sql["hourly_filled"] = """WITH b AS (
   SELECT date_trunc('hour', ts) AS h, event_type FROM events),
