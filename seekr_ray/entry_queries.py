@@ -3057,6 +3057,73 @@ def q_chi2_lang_source(sf_dir: str):
     )
 
 
+KAPPA_CHARS_MIN = 512
+KAPPA_TOKENS_MIN = 64
+
+
+def q_quality_gate_kappa(sf_dir: str):
+    """Cohen's kappa between two quality gates — the cheap char-length
+    rule (n_chars >= 512) vs the tokenizing rule (n_tokens >= 64):
+    'can the cheap gate replace the expensive one?' is an agreement
+    question, not an accuracy question.  Exact integer 2x2 agreement
+    counts per block; kappa = (po - pe) / (1 - pe) is the one mirrored
+    float expression.
+
+    Output: one row ``(n, po, kappa)`` (6dp)."""
+    import ray.data as rd
+
+    from .extras.textstats import round6, simple_tokens
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["text", "n_chars"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        a = nc >= KAPPA_CHARS_MIN
+        b = np.array(
+            [
+                len(simple_tokens(t or "")) >= KAPPA_TOKENS_MIN
+                for t in batch["text"].to_pylist()
+            ],
+            dtype=bool,
+        )
+        return pa.table(
+            {
+                "_one": pa.array([0], pa.int32()),
+                "_n11": pa.array([int((a & b).sum())], pa.int64()),
+                "_n10": pa.array([int((a & ~b).sum())], pa.int64()),
+                "_n01": pa.array([int((~a & b).sum())], pa.int64()),
+                "_n00": pa.array([int((~a & ~b).sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_one")
+        .sum(["_n11", "_n10", "_n01", "_n00"])
+    )
+    t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    n11 = int(t["sum(_n11)"][0].as_py())
+    n10 = int(t["sum(_n10)"][0].as_py())
+    n01 = int(t["sum(_n01)"][0].as_py())
+    n00 = int(t["sum(_n00)"][0].as_py())
+    n = n11 + n10 + n01 + n00
+    po = (n11 + n00) / float(n)
+    pa_ = (n11 + n10) / float(n)
+    pb_ = (n11 + n01) / float(n)
+    pe = pa_ * pb_ + (1.0 - pa_) * (1.0 - pb_)
+    kappa = (po - pe) / (1.0 - pe) if pe < 1.0 else 1.0
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "po": pa.array([round6(po)], pa.float64()),
+            "kappa": pa.array([round6(kappa)], pa.float64()),
+        }
+    )
+
+
 def q_cramers_v(sf_dir: str):
     """Cramér's V effect size for the lang × source association —
     the magnitude companion of the chi-square screen (chi2 says
@@ -6341,6 +6408,27 @@ SELECT tot.n,
                   * 1000000.0)::BIGINT))::DOUBLE / 1000000.0 AS chi2
 FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN tot
 GROUP BY tot.n"""
+
+    sql["quality_gate_kappa"] = f"""{toks}
+, lab AS (
+  SELECT (d.n_chars >= {KAPPA_CHARS_MIN}) AS a,
+         (len(t.tokens) >= {KAPPA_TOKENS_MIN}) AS b
+  FROM documents d JOIN toks t USING (doc_id)),
+cnt AS (
+  SELECT count(*) FILTER (a AND b)::BIGINT AS n11,
+         count(*) FILTER (a AND NOT b)::BIGINT AS n10,
+         count(*) FILTER (NOT a AND b)::BIGINT AS n01,
+         count(*) FILTER (NOT a AND NOT b)::BIGINT AS n00
+  FROM lab),
+f AS (SELECT n11 + n10 + n01 + n00 AS n,
+             (n11 + n00) / CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS po,
+             (n11 + n10) / CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS pa,
+             (n11 + n01) / CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS pb
+      FROM cnt)
+SELECT n, round(po, 6) AS po,
+       round((po - (pa * pb + (1.0 - pa) * (1.0 - pb)))
+             / (1.0 - (pa * pb + (1.0 - pa) * (1.0 - pb))), 6) AS kappa
+FROM f"""
 
     sql["cramers_v"] = """WITH cells AS (
   SELECT lang, source, count(*)::BIGINT AS o FROM documents GROUP BY 1, 2),
