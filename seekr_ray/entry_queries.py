@@ -3057,6 +3057,91 @@ def q_chi2_lang_source(sf_dir: str):
     )
 
 
+ANOM_WINDOW = 8
+ANOM_Z = 2.0
+
+
+def q_rolling_anomaly(sf_dir: str):
+    """Trailing-window anomaly flags: for each event with a FULL
+    8-event trailing window (same user, (ts, id) order, window includes
+    the current row), the z-score of its value against the window's
+    population mean/std — the per-key streaming anomaly detector.
+    Window sums of cents and cents² are exact int64 (cumsum diffs), so
+    the statistic is parallelism-invariant; mean/var/z are the mirrored
+    float expressions; zero-variance windows flag 0 with z = 0.
+
+    Output: ``(event_id, user_id, z, is_anomaly)`` for full windows."""
+    import ray.data as rd
+
+    from .extras.textstats import round6_arr
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch["user_id"].to_numpy(zero_copy_only=False)
+        t = pc.cast(batch["ts"], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_b": pa.array((k % 64).astype(np.int32), pa.int32()),
+                "k": pa.array(k, pa.int64()),
+                "t": pa.array(t.view("int64"), pa.int64()),
+                "i": batch["event_id"],
+                "v": pa.array(np.rint(v * 100.0).astype(np.int64)),
+            }
+        )
+
+    W = ANOM_WINDOW
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        k = group["k"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        i = group["i"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, t, k))
+        k, i, v = k[order], i[order], v[order]
+        n = len(k)
+        cs = np.concatenate([[0], np.cumsum(v)])
+        css = np.concatenate([[0], np.cumsum(v * v)])
+        new = np.ones(n, bool)
+        if n > 1:
+            new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, n])
+        pos_in_grp = np.arange(n) - np.repeat(starts, sizes)
+        full = pos_in_grp >= W - 1
+        idx = np.flatnonzero(full)
+        s = cs[idx + 1] - cs[idx + 1 - W]
+        ss = css[idx + 1] - css[idx + 1 - W]
+        x = v[idx].astype(np.float64)
+        mean = s / float(W)
+        var = (W * ss - s * s) / float(W * W)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(var > 0, (x - mean) / np.sqrt(var), 0.0)
+        z6 = round6_arr(z)
+        return pa.table(
+            {
+                "event_id": pa.array(i[idx], pa.int64()),
+                "user_id": pa.array(k[idx], pa.int64()),
+                "z": pa.array(z6, pa.float64()),
+                "is_anomaly": pa.array(
+                    (np.abs(z6) > ANOM_Z).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 KAPPA_CHARS_MIN = 512
 KAPPA_TOKENS_MIN = 64
 
@@ -6408,6 +6493,32 @@ SELECT tot.n,
                   * 1000000.0)::BIGINT))::DOUBLE / 1000000.0 AS chi2
 FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN tot
 GROUP BY tot.n"""
+
+    sql["rolling_anomaly"] = f"""WITH ord AS (
+  SELECT event_id, user_id,
+         CAST(round(value*100, 0) AS BIGINT) AS vc,
+         epoch_us(ts) AS t
+  FROM events),
+w AS (
+  SELECT event_id, user_id, vc,
+         sum(vc) OVER win AS s,
+         sum(vc * vc) OVER win AS ss,
+         count(*) OVER win AS wn
+  FROM ord
+  WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN {ANOM_WINDOW - 1} PRECEDING AND CURRENT ROW)),
+f AS (
+  SELECT event_id, user_id,
+         CASE WHEN ({ANOM_WINDOW} * ss - s * s)
+                   / CAST({ANOM_WINDOW * ANOM_WINDOW} AS DOUBLE) > 0
+              THEN round((vc - s / CAST({ANOM_WINDOW} AS DOUBLE))
+                   / sqrt(({ANOM_WINDOW} * ss - s * s)
+                          / CAST({ANOM_WINDOW * ANOM_WINDOW} AS DOUBLE)), 6)
+              ELSE 0.0 END AS z
+  FROM w WHERE wn = {ANOM_WINDOW})
+SELECT event_id, user_id, z,
+       (abs(z) > {ANOM_Z})::BIGINT AS is_anomaly
+FROM f"""
 
     sql["quality_gate_kappa"] = f"""{toks}
 , lab AS (
