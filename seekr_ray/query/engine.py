@@ -806,6 +806,62 @@ class QueryEngine:
         out = sorted(heap, key=lambda it: (-it[0], -it[1]))
         return [(-d, float(s)) for s, d in out]
 
+    # ------------------------------------------------------------------
+    # "did you mean" spelling correction (extras beyond the reference:
+    # its Trie serves prefixes only — Suggestions/src/.../Trie.java)
+    # ------------------------------------------------------------------
+
+    def _correction_index(self):
+        """FastSS deletion-neighborhood index over the INDEX VOCABULARY
+        (extras/fuzzy.py discipline, serving-side): variant -> vocab
+        ids.  Built once per engine; memory is O(vocab x token length)
+        — bounded by the vocabulary like the suggestion structures, not
+        by the corpus."""
+        if getattr(self, "_corr_index", None) is None:
+            vocab = self.store.all_terms_array()
+            idx: dict[str, list[int]] = {}
+            for j, w in enumerate(vocab.tolist()):
+                idx.setdefault(w, []).append(j)
+                for p in range(len(w)):
+                    idx.setdefault(w[:p] + w[p + 1 :], []).append(j)
+            self._corr_index = (vocab, idx)
+        return self._corr_index
+
+    def suggest_correction(self, query: str) -> dict[str, str]:
+        """For each query token whose stem misses the vocabulary, the
+        highest-df vocabulary term at Levenshtein distance 1 (ties:
+        lexicographically smallest) — {original_token: correction},
+        empty when every token resolves."""
+        from ..extras.fuzzy import _is_edit1
+
+        out: dict[str, str] = {}
+        stems, stem_to_original = tokenize_and_stem(query or "")
+        vocab, idx = self._correction_index()
+        for s in dict.fromkeys(stems):
+            if self.store.term_stat(s) is not None:
+                continue  # resolves in the index
+            cands: set[int] = set()
+            for var in [s] + [s[:p] + s[p + 1 :] for p in range(len(s))]:
+                cands.update(idx.get(var, ()))
+            best: tuple[int, str] | None = None
+            for j in cands:
+                w = str(vocab[j])
+                if not _is_edit1(s, w):
+                    continue
+                # the suggestion must SURVIVE the query pipeline: a
+                # vocab stem that re-stems to a missing term (e.g.
+                # "pars" -> "par") would correct into zero hits
+                restems, _ = tokenize_and_stem(w)
+                if not restems or self.store.term_stat(restems[0]) is None:
+                    continue
+                df = (self.store.term_stat(restems[0]) or (0,))[0]
+                key = (-df, w)
+                if best is None or key < best:
+                    best = key
+            if best is not None:
+                out[stem_to_original.get(s, s)] = best[1]
+        return out
+
     def _pr_window_ub(self, lo: int, hi: int) -> float:
         """Upper bound on the blended pagerank term over docs in
         [lo, hi] — the sidecar's range_max where available (exact for

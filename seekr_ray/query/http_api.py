@@ -121,21 +121,40 @@ class SearchHTTPServer:
                     )
                 with outer._backend_lock:
                     out = outer.backend.search(query, page=page, size=size)
-                return self._json(
-                    200,
-                    {
-                        "results": [
-                            {
-                                "url": r["url"],
-                                "title": r["title"],
-                                "score": r["score"],
-                                "snippet": r["snippet"],
-                            }
-                            for r in out["results"]
-                        ],
-                        "totalCount": out["total_count"],
-                    },
-                )
+                body = {
+                    "results": [
+                        {
+                            "url": r["url"],
+                            "title": r["title"],
+                            "score": r["score"],
+                            "snippet": r["snippet"],
+                        }
+                        for r in out["results"]
+                    ],
+                    "totalCount": out["total_count"],
+                }
+                # extras: zero-hit queries get a "did you mean" built
+                # from edit-distance-1 vocabulary corrections
+                if out["total_count"] == 0:
+                    correct = getattr(
+                        outer.backend, "suggest_correction", None
+                    )
+                    if correct is not None:
+                        with outer._backend_lock:
+                            fixes = correct(query)
+                        if fixes:
+                            import re as _re
+
+                            fixed = query
+                            for orig, corr in fixes.items():
+                                fixed = _re.sub(
+                                    rf"\b{_re.escape(orig)}\b",
+                                    corr,
+                                    fixed,
+                                    flags=_re.IGNORECASE,
+                                )
+                            body["didYouMean"] = fixed
+                return self._json(200, body)
 
             def _page(self) -> None:
                 with open(_WEBUI_PATH, "rb") as f:

@@ -145,3 +145,26 @@ def test_bm25_scorer_param(server):
         with pytest.raises(urllib.error.HTTPError) as e:
             _get(server, bad)
         assert e.value.code == 400
+
+
+def test_did_you_mean_on_zero_hits(server):
+    """A typo'd token (edit distance 1 from a vocab term) with zero
+    hits returns a didYouMean; the corrected query has results."""
+    from seekr_ray.query.engine import QueryEngine
+
+    e = QueryEngine(INDEX_DIR)
+    fixes = e.suggest_correction("tokxn")  # -> "token" (stem fixpoint)
+    assert fixes == {"tokxn": "token"}
+    # a typo whose only vocab neighbor is NOT a stemming fixpoint gets
+    # no correction rather than one that would search into zero hits
+    # ("parsq" -> "pars" re-stems to the missing "par")
+    assert e.suggest_correction("parsq") == {}
+    with _get(server, "/api/search?query=tokxn") as r:
+        out = json.loads(r.read())
+    assert out["totalCount"] == 0
+    assert "didYouMean" in out
+    with _get(server, f"/api/search?query={out['didYouMean']}") as r:
+        out2 = json.loads(r.read())
+    assert out2["totalCount"] > 0
+    # fully-resolving queries return no correction
+    assert e.suggest_correction("parse") == {}
