@@ -205,6 +205,14 @@ def cmd_suggest(args) -> int:
     return 0
 
 
+def cmd_correct(args) -> int:
+    from .query.engine import QueryEngine
+
+    engine = QueryEngine(args.index_dir)
+    print(json.dumps(engine.suggest_correction(args.q)))
+    return 0
+
+
 def cmd_serve(args) -> int:
     from .query.http_api import serve
 
@@ -337,6 +345,13 @@ def main(argv=None) -> int:
     s.add_argument("--index-dir", required=True)
     s.add_argument("--prefix", required=True)
     s.set_defaults(fn=cmd_suggest)
+
+    co = sub.add_parser(
+        "correct", help="did-you-mean spelling corrections for a query"
+    )
+    co.add_argument("--index-dir", required=True)
+    co.add_argument("--q", required=True)
+    co.set_defaults(fn=cmd_correct)
 
     v = sub.add_parser(
         "serve", help="REST API (/api/search, /api/suggestions)"

@@ -3057,6 +3057,64 @@ def q_chi2_lang_source(sf_dir: str):
     )
 
 
+COVERAGE_KS = (10, 100, 1000)
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage curve: the fraction of all corpus tokens
+    covered by the top-k terms (k = 10/100/1000, count desc then term
+    asc) — the lexicon-planning statistic behind tokenizer and stopword
+    budgets.  Per-block term-count partials, one O(vocab) exchange;
+    the O(vocab) driver finalize is bounded by the vocabulary (at open
+    vocabularies the top-k comes from per-block partial top-K' with a
+    count threshold refine — the topk_terms discipline).
+
+    Output: ``(k, coverage)`` (6dp)."""
+    import ray.data as rd
+
+    from .extras.textstats import round6, simple_tokens
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            for tok in simple_tokens(t or ""):
+                acc[tok] = acc.get(tok, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(acc.keys()), pa.string()),
+                "_c": pa.array(list(acc.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("_c")
+    )
+    t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    terms = np.asarray(t["term"].to_pylist(), dtype=object)
+    c = t["sum(_c)"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((terms, -c))
+    c = c[order]
+    total = int(c.sum())
+    cum = np.cumsum(c)
+    ks_out, cov_out = [], []
+    for k in COVERAGE_KS:
+        covered = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+        ks_out.append(k)
+        cov_out.append(round6(covered / float(total)) if total else 0.0)
+    return pa.table(
+        {
+            "k": pa.array(ks_out, pa.int64()),
+            "coverage": pa.array(cov_out, pa.float64()),
+        }
+    )
+
+
 ANOM_WINDOW = 8
 ANOM_Z = 2.0
 
@@ -6493,6 +6551,19 @@ SELECT tot.n,
                   * 1000000.0)::BIGINT))::DOUBLE / 1000000.0 AS chi2
 FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN tot
 GROUP BY tot.n"""
+
+    ks_vals = ", ".join(f"({k})" for k in COVERAGE_KS)
+    sql["vocab_coverage"] = f"""{toks}
+, tc AS (
+  SELECT t AS term, count(*)::BIGINT AS c
+  FROM (SELECT unnest(tokens) AS t FROM toks) z GROUP BY t),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) AS rn FROM tc),
+tot AS (SELECT sum(c)::BIGINT AS n FROM tc)
+SELECT ks.k::BIGINT AS k,
+       round((SELECT sum(c) FROM ranked WHERE rn <= ks.k)
+             / CAST(tot.n AS DOUBLE), 6) AS coverage
+FROM (VALUES {ks_vals}) AS ks(k), tot"""
 
     sql["rolling_anomaly"] = f"""WITH ord AS (
   SELECT event_id, user_id,
