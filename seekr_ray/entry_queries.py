@@ -3057,6 +3057,93 @@ def q_chi2_lang_source(sf_dir: str):
     )
 
 
+def q_theil_revenue(sf_dir: str):
+    """Theil index of per-customer revenue — the decomposable inequality
+    measure next to the Gini entry: T = (1/n) Σ (x/μ) ln(x/μ).  Exact
+    integer revenue cents reduce per customer; each customer's term is
+    floor-quantized at 1e-9 and summed as an integer (the chi2
+    convention), so the statistic is order-free and bit-stable.
+
+    Output: one row ``(n_customers, theil)`` (6dp)."""
+    import ray.data as rd
+
+    from .extras.textstats import round6
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        u, inv = np.unique(k, return_inverse=True)
+        s = np.bincount(inv, weights=cents, minlength=len(u)).astype(np.int64)
+        return pa.table({"k": pa.array(u), "_s": pa.array(s)})
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .sum("_s")
+    )
+    t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    s = t["sum(_s)"].to_numpy(zero_copy_only=False)
+    n = len(s)
+    total = int(s.sum())
+    mu = total / float(n)
+    ratio = s / mu
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = np.where(ratio > 0, ratio * np.log(ratio), 0.0)
+    quant = int(np.floor(terms * 1e9).sum())
+    theil = (quant / 1e9) / n
+    return pa.table(
+        {
+            "n_customers": pa.array([n], pa.int64()),
+            "theil": pa.array([round6(theil)], pa.float64()),
+        }
+    )
+
+
+def q_effective_sources(sf_dir: str):
+    """Effective number of document sources (inverse Simpson / Hill
+    number of order 2): D = N² / Σ n_i² — 'how many equally-sized
+    sources is this corpus mix worth?'  Exact integers until the single
+    mirrored division; the diversity KPI of a corpus-mixing recipe.
+
+    Output: one row ``(n_docs, n_sources, effective)`` (6dp)."""
+    import ray.data as rd
+
+    from .extras.textstats import round6
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["source"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["source", "_c"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .sum("_c")
+    )
+    t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    c = t["sum(_c)"].to_numpy(zero_copy_only=False)
+    n = int(c.sum())
+    ss = int((c * c).sum())
+    eff = (n * n) / float(ss) if ss else 0.0
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "n_sources": pa.array([len(c)], pa.int64()),
+            "effective": pa.array([round6(eff)], pa.float64()),
+        }
+    )
+
+
 COVERAGE_KS = (10, 100, 1000)
 
 
@@ -6551,6 +6638,28 @@ SELECT tot.n,
                   * 1000000.0)::BIGINT))::DOUBLE / 1000000.0 AS chi2
 FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN tot
 GROUP BY tot.n"""
+
+    sql["theil_revenue"] = """WITH pc AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice*100, 0) AS BIGINT))::BIGINT AS s
+  FROM orders GROUP BY o_custkey),
+t AS (SELECT count(*)::BIGINT AS n, sum(s)::BIGINT AS total FROM pc),
+q AS (SELECT sum(floor((pc.s / (t.total / CAST(t.n AS DOUBLE)))
+                       * ln(pc.s / (t.total / CAST(t.n AS DOUBLE)))
+                       * 1000000000.0)::BIGINT)::BIGINT AS quant,
+             any_value(t.n) AS n
+      FROM pc CROSS JOIN t)
+SELECT n AS n_customers,
+       round((quant / 1000000000.0) / n, 6) AS theil
+FROM q"""
+
+    sql["effective_sources"] = """WITH c AS (
+  SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source)
+SELECT sum(n)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_sources,
+       round((sum(n)::BIGINT * sum(n)::BIGINT)
+             / CAST(sum(n*n)::BIGINT AS DOUBLE), 6) AS effective
+FROM c"""
 
     ks_vals = ", ".join(f"({k})" for k in COVERAGE_KS)
     sql["vocab_coverage"] = f"""{toks}
