@@ -3057,6 +3057,87 @@ def q_chi2_lang_source(sf_dir: str):
     )
 
 
+def q_source_pair_jsd(sf_dir: str):
+    """Jensen-Shannon divergence (bits) between every pair of source
+    unigram profiles — the symmetric, bounded domain-distance matrix of
+    a corpus-mixing recipe (lang_kl measures slice-vs-blend; this
+    measures slice-vs-slice).  Per-block (source, token, c) partials,
+    one O(sources x vocab) exchange; per-term contributions are
+    floor-quantized at 1e-6 and summed as integers (the lang_kl
+    convention), so the matrix is order-free.  The O(sources x vocab)
+    finalize is vocabulary-bounded; at open vocabularies the per-token
+    pair partials co-locate in the crc-bucketed reduce
+    (extras/divergence.py discipline).
+
+    Output: ``(source_a, source_b, jsd_bits)`` (6dp, a < b)."""
+    import ray.data as rd
+
+    from .extras.textstats import round6, simple_tokens
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc: dict[tuple[str, str], int] = {}
+        for src, t in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for tok in simple_tokens(t or ""):
+                acc[(src, tok)] = acc.get((src, tok), 0) + 1
+        ks = list(acc.keys())
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in ks], pa.string()),
+                "t": pa.array([k[1] for k in ks], pa.string()),
+                "_c": pa.array(list(acc.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "t"])
+        .sum("_c")
+    )
+    tbl = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    src = np.asarray(tbl["source"].to_pylist(), dtype=object)
+    tok = np.asarray(tbl["t"].to_pylist(), dtype=object)
+    c = tbl["sum(_c)"].to_numpy(zero_copy_only=False)
+    sources = np.unique(src)
+    toks_u, tok_id = np.unique(tok, return_inverse=True)
+    counts = {}
+    totals = {}
+    for s in sources:
+        m = src == s
+        vec = np.zeros(len(toks_u), np.int64)
+        vec[tok_id[m]] = c[m]
+        counts[s] = vec
+        totals[s] = int(vec.sum())
+    a_out, b_out, j_out = [], [], []
+    for i, sa in enumerate(sources):
+        for sb in sources[i + 1 :]:
+            ca, cb = counts[sa], counts[sb]
+            na, nb = float(totals[sa]), float(totals[sb])
+            pa_ = ca / na
+            pb_ = cb / nb
+            m = (pa_ + pb_) / 2.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ta = np.where(ca > 0, pa_ * np.log2(pa_ / m), 0.0)
+                tb = np.where(cb > 0, pb_ * np.log2(pb_ / m), 0.0)
+            quant = int(np.floor((ta + tb) * 1e6).sum())
+            a_out.append(str(sa))
+            b_out.append(str(sb))
+            j_out.append(round6((quant / 1e6) / 2.0))
+    return pa.table(
+        {
+            "source_a": pa.array(a_out, pa.string()),
+            "source_b": pa.array(b_out, pa.string()),
+            "jsd_bits": pa.array(j_out, pa.float64()),
+        }
+    )
+
+
 def q_theil_revenue(sf_dir: str):
     """Theil index of per-customer revenue — the decomposable inequality
     measure next to the Gini entry: T = (1/n) Σ (x/μ) ln(x/μ).  Exact
@@ -6638,6 +6719,33 @@ SELECT tot.n,
                   * 1000000.0)::BIGINT))::DOUBLE / 1000000.0 AS chi2
 FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN tot
 GROUP BY tot.n"""
+
+    sql["source_pair_jsd"] = f"""{toks}
+, u AS (SELECT d.source, unnest(tk.tokens) AS t
+        FROM toks tk JOIN documents d USING (doc_id))
+, c AS (SELECT source, t, count(*)::BIGINT AS c FROM u GROUP BY 1, 2)
+, ns AS (SELECT source, sum(c)::BIGINT AS n FROM c GROUP BY source)
+, pairs AS (SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+            FROM ns a JOIN ns b ON a.source < b.source)
+, j AS (SELECT p.sa, p.sb, p.na, p.nb, c.t,
+               sum(CASE WHEN c.source = p.sa THEN c.c ELSE 0 END)::BIGINT AS ca,
+               sum(CASE WHEN c.source = p.sb THEN c.c ELSE 0 END)::BIGINT AS cb
+        FROM pairs p JOIN c ON c.source IN (p.sa, p.sb)
+        GROUP BY 1, 2, 3, 4, 5)
+SELECT sa AS source_a, sb AS source_b,
+       round(((sum(floor((
+           (CASE WHEN ca > 0
+                 THEN (ca::DOUBLE / na)
+                      * log2((ca::DOUBLE / na)
+                             / (((ca::DOUBLE / na) + (cb::DOUBLE / nb)) / 2.0))
+                 ELSE 0.0 END)
+         + (CASE WHEN cb > 0
+                 THEN (cb::DOUBLE / nb)
+                      * log2((cb::DOUBLE / nb)
+                             / (((ca::DOUBLE / na) + (cb::DOUBLE / nb)) / 2.0))
+                 ELSE 0.0 END)
+       ) * 1000000.0)::BIGINT))::DOUBLE / 1000000.0) / 2.0, 6) AS jsd_bits
+FROM j GROUP BY sa, sb"""
 
     sql["theil_revenue"] = """WITH pc AS (
   SELECT o_custkey,
