@@ -3057,6 +3057,60 @@ def q_chi2_lang_source(sf_dir: str):
     )
 
 
+HILL_K = 100
+
+
+def q_degree_hill_tail(sf_dir: str):
+    """Hill estimator of the co-purchase degree distribution's tail
+    exponent over the top-k degrees: alpha = k / Σ ln(d_i / d_(k+1)) —
+    'how heavy is the hub tail?' decides the salting / partition-skew
+    strategy for any graph stage.  Degrees reduce distributedly (the
+    shared edge builder); the O(k) finalize uses rank order
+    (degree desc, node asc) with 1e-9-quantized integer ln sums
+    (order-free).
+
+    Output: one row ``(n_nodes, k, alpha)`` (6dp)."""
+    from .extras.textstats import round6
+
+    edges = _copurchase_support_edges(sf_dir, KCORE_MIN_SUPPORT)
+
+    def degs(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        u, cnt = np.unique(np.concatenate([a, b]), return_counts=True)
+        return pa.table(
+            {"node": pa.array(u), "_d": pa.array(cnt.astype(np.int64))}
+        )
+
+    agg = (
+        edges.map_batches(degs, batch_format="pyarrow")
+        .groupby("node")
+        .sum("_d")
+    )
+    t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    node = t["node"].to_numpy(zero_copy_only=False)
+    d = t["sum(_d)"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((node, -d))
+    d = d[order]
+    n = len(d)
+    k = min(HILL_K, n - 1)
+    if k <= 0:
+        alpha = 0.0
+    else:
+        ref = float(d[k])  # the (k+1)-th largest degree
+        terms = np.log(d[:k].astype(np.float64) / ref)
+        quant = int(np.floor(terms * 1e9).sum())
+        denom = quant / 1e9
+        alpha = k / denom if denom > 0 else 0.0
+    return pa.table(
+        {
+            "n_nodes": pa.array([n], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "alpha": pa.array([round6(alpha)], pa.float64()),
+        }
+    )
+
+
 def q_source_pair_jsd(sf_dir: str):
     """Jensen-Shannon divergence (bits) between every pair of source
     unigram profiles — the symmetric, bounded domain-distance matrix of
@@ -6719,6 +6773,27 @@ SELECT tot.n,
                   * 1000000.0)::BIGINT))::DOUBLE / 1000000.0 AS chi2
 FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN tot
 GROUP BY tot.n"""
+
+    sql["degree_hill_tail"] = f"""WITH di AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+e AS (SELECT a.i AS a, b.i AS b FROM di a JOIN di b ON a.o = b.o AND a.i < b.i
+      GROUP BY 1, 2 HAVING count(*) >= {KCORE_MIN_SUPPORT}),
+deg AS (SELECT node, count(*)::BIGINT AS d
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) z
+        GROUP BY node),
+rk AS (SELECT node, d,
+              row_number() OVER (ORDER BY d DESC, node ASC) AS rn FROM deg),
+nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+kk AS (SELECT LEAST({HILL_K}, (SELECT n FROM nn) - 1)::BIGINT AS k),
+ref AS (SELECT d::DOUBLE AS r FROM rk, kk WHERE rn = kk.k + 1),
+q AS (SELECT sum(floor(ln(rk.d::DOUBLE / ref.r)
+                       * 1000000000.0)::BIGINT)::BIGINT AS quant
+      FROM rk, kk, ref WHERE rn <= kk.k)
+SELECT nn.n AS n_nodes, kk.k,
+       round(CASE WHEN q.quant > 0
+                  THEN kk.k / (q.quant / 1000000000.0)
+                  ELSE 0.0 END, 6) AS alpha
+FROM nn, kk, q"""
 
     sql["source_pair_jsd"] = f"""{toks}
 , u AS (SELECT d.source, unnest(tk.tokens) AS t
