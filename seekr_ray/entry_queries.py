@@ -3057,6 +3057,120 @@ def q_chi2_lang_source(sf_dir: str):
     )
 
 
+KM_HORIZONS_US = (
+    3_600_000_000,  # 1 h
+    21_600_000_000,  # 6 h
+    86_400_000_000,  # 24 h
+    259_200_000_000,  # 72 h
+)
+_KM_NEG_INF_Q = -2_000_000_000_000  # ln(0) sentinel: exp -> 0.0 both sides
+
+
+def q_km_view_to_purchase(sf_dir: str):
+    """Kaplan-Meier survival of the view→purchase conversion: for every
+    user with a view, time from FIRST view to FIRST subsequent purchase
+    (right-censored at the stream end), S(t) evaluated at 1/6/24/72 h —
+    the time-to-event curve behind conversion SLAs, with censoring
+    handled properly instead of the biased 'mean time of converters'.
+
+    Per-user (duration, event) reduces in one groupby exchange; the
+    O(users) finalize computes the product limit as
+    exp(Σ ln(1 - d_j/n_j)) with per-term 1e-9 floor-quantized integer
+    sums (order-free; a saturated risk set uses a -inf sentinel that
+    rounds to exactly 0.0 on both sides).
+
+    Output: ``(horizon_us, s)`` (6dp)."""
+    import ray.data as rd
+
+    from .extras.textstats import round6
+
+    path = os.path.join(sf_dir, "events.parquet")
+    _, tmax = _events_ts_bounds_us(path)
+    ds = rd.read_parquet(
+        path, columns=["ts", "user_id", "event_type"]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        m = (et == "view") | (et == "purchase")
+        k = batch["user_id"].to_numpy(zero_copy_only=False)[m]
+        t = pc.cast(batch["ts"], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).view("int64")[m]
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "t": pa.array(t, pa.int64()),
+                "isp": pa.array((et[m] == "purchase").astype(np.int8)),
+            }
+        )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        u = group["k"][0].as_py()
+        t = group["t"].to_numpy(zero_copy_only=False)
+        isp = group["isp"].to_numpy(zero_copy_only=False).astype(bool)
+        vt = t[~isp]
+        if len(vt) == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "v0": pa.array([], pa.int64()),
+                    "pafter": pa.array([], pa.int64()),
+                }
+            )
+        v0 = int(vt.min())
+        # first purchase AT OR AFTER the first view (the SQL mirror
+        # filters purchases >= t0; an earlier purchase doesn't convert
+        # THIS view funnel)
+        pt = t[isp & (t >= v0)]
+        pafter = int(pt.min()) if len(pt) else (1 << 62)
+        return pa.table(
+            {
+                "k": pa.array([u], pa.int64()),
+                "v0": pa.array([v0], pa.int64()),
+                "pafter": pa.array([pafter], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+    t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    v0 = t["v0"].to_numpy(zero_copy_only=False)
+    p0 = t["pafter"].to_numpy(zero_copy_only=False)
+    ev = p0 < (1 << 62)
+    dur = np.where(ev, p0 - v0, tmax - v0)
+    # KM over distinct event times
+    taus = np.unique(dur[ev])
+    qsum = 0
+    out_h, out_s = [], []
+    sorted_dur = np.sort(dur)
+    n_total = len(dur)
+    ti = 0
+    for h in KM_HORIZONS_US:
+        while ti < len(taus) and taus[ti] <= h:
+            tau = taus[ti]
+            dj = int((dur[ev] == tau).sum())
+            nj = n_total - int(np.searchsorted(sorted_dur, tau, side="left"))
+            if dj >= nj:
+                qsum += _KM_NEG_INF_Q
+            else:
+                qsum += int(
+                    np.floor(np.log(1.0 - dj / float(nj)) * 1e9)
+                )
+            ti += 1
+        out_h.append(int(h))
+        out_s.append(round6(float(np.exp(qsum / 1e9))))
+    return pa.table(
+        {
+            "horizon_us": pa.array(out_h, pa.int64()),
+            "s": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
 HILL_K = 100
 
 
@@ -6773,6 +6887,34 @@ SELECT tot.n,
                   * 1000000.0)::BIGINT))::DOUBLE / 1000000.0 AS chi2
 FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN tot
 GROUP BY tot.n"""
+
+    km_hs = ", ".join(f"({h})" for h in KM_HORIZONS_US)
+    sql["km_view_to_purchase"] = f"""WITH mx AS (
+  SELECT max(epoch_us(ts)) AS tmax FROM events),
+fv AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+       WHERE event_type = 'view' GROUP BY user_id),
+fp AS (SELECT e.user_id, min(epoch_us(e.ts)) AS tp
+       FROM events e JOIN fv ON fv.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.t0
+       GROUP BY e.user_id),
+subj AS (SELECT fv.user_id,
+                CASE WHEN fp.user_id IS NOT NULL THEN fp.tp - fv.t0
+                     ELSE mx.tmax - fv.t0 END AS dur,
+                (fp.user_id IS NOT NULL) AS ev
+         FROM fv LEFT JOIN fp USING (user_id) CROSS JOIN mx),
+evt AS (SELECT dur AS tau, count(*)::BIGINT AS dj FROM subj
+        WHERE ev GROUP BY dur),
+w AS (SELECT e2.tau, e2.dj,
+             (SELECT count(*)::BIGINT FROM subj s
+              WHERE s.dur >= e2.tau) AS nj
+      FROM evt e2)
+SELECT hs.h::BIGINT AS horizon_us,
+       round(exp(coalesce(
+         (SELECT sum(CASE WHEN w.dj >= w.nj THEN {_KM_NEG_INF_Q}
+                          ELSE floor(ln(1.0 - w.dj / CAST(w.nj AS DOUBLE))
+                                     * 1000000000.0)::BIGINT END)
+          FROM w WHERE w.tau <= hs.h), 0) / 1000000000.0), 6) AS s
+FROM (VALUES {km_hs}) AS hs(h)"""
 
     sql["degree_hill_tail"] = f"""WITH di AS (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
