@@ -3171,6 +3171,122 @@ def q_km_view_to_purchase(sf_dir: str):
     )
 
 
+def q_logrank_conversion(sf_dir: str):
+    """Log-rank test between two md5-assigned arms on the view→purchase
+    survival curves — the censoring-correct A/B comparison (a mean-lag
+    t-test throws censored users away; KM + log-rank keeps them).
+    Same subjects as km_view_to_purchase, arm = md5(user ':lr') % 2;
+    O - E and the hypergeometric variance accumulate as 1e-9
+    floor-quantized integers over event times (order-free), one
+    mirrored z expression.
+
+    Output: one row ``(n_arm0, n_arm1, z)`` (6dp)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from .extras.textstats import round6
+
+    path = os.path.join(sf_dir, "events.parquet")
+    _, tmax = _events_ts_bounds_us(path)
+    ds = rd.read_parquet(path, columns=["ts", "user_id", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        m = (et == "view") | (et == "purchase")
+        k = batch["user_id"].to_numpy(zero_copy_only=False)[m]
+        t = pc.cast(batch["ts"], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).view("int64")[m]
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "t": pa.array(t, pa.int64()),
+                "isp": pa.array((et[m] == "purchase").astype(np.int8)),
+            }
+        )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        u = group["k"][0].as_py()
+        t = group["t"].to_numpy(zero_copy_only=False)
+        isp = group["isp"].to_numpy(zero_copy_only=False).astype(bool)
+        vt = t[~isp]
+        if len(vt) == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "v0": pa.array([], pa.int64()),
+                    "pafter": pa.array([], pa.int64()),
+                }
+            )
+        v0 = int(vt.min())
+        pt = t[isp & (t >= v0)]
+        pafter = int(pt.min()) if len(pt) else (1 << 62)
+        return pa.table(
+            {
+                "k": pa.array([u], pa.int64()),
+                "v0": pa.array([v0], pa.int64()),
+                "pafter": pa.array([pafter], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+    t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    users = t["k"].to_numpy(zero_copy_only=False)
+    v0 = t["v0"].to_numpy(zero_copy_only=False)
+    p0 = t["pafter"].to_numpy(zero_copy_only=False)
+    ev = p0 < (1 << 62)
+    dur = np.where(ev, p0 - v0, tmax - v0)
+    arm = np.array(
+        [
+            int.from_bytes(
+                hashlib.md5(f"{u}:lr".encode()).digest()[:8], "little"
+            )
+            % 2
+            for u in users.tolist()
+        ],
+        dtype=np.int64,
+    )
+    n0_total = int((arm == 0).sum())
+    n1_total = int((arm == 1).sum())
+    sorted_all = np.sort(dur)
+    sorted_a0 = np.sort(dur[arm == 0])
+    ev_dur = dur[ev]
+    ev_arm = arm[ev]
+    o1 = 0
+    e_q = 0
+    v_q = 0
+    for tau in np.unique(ev_dur).tolist():
+        d = int((ev_dur == tau).sum())
+        d0 = int(((ev_dur == tau) & (ev_arm == 0)).sum())
+        n = len(dur) - int(np.searchsorted(sorted_all, tau, side="left"))
+        n0 = len(sorted_a0) - int(
+            np.searchsorted(sorted_a0, tau, side="left")
+        )
+        o1 += d0
+        frac = n0 / float(n)
+        e_q += int(np.floor(d * frac * 1e9))
+        if n > 1:
+            v_q += int(
+                np.floor(
+                    d * frac * (1.0 - frac) * ((n - d) / (n - 1.0)) * 1e9
+                )
+            )
+    vv = v_q / 1e9
+    z = (o1 - e_q / 1e9) / (vv**0.5) if vv > 0 else 0.0
+    return pa.table(
+        {
+            "n_arm0": pa.array([n0_total], pa.int64()),
+            "n_arm1": pa.array([n1_total], pa.int64()),
+            "z": pa.array([round6(z)], pa.float64()),
+        }
+    )
+
+
 HILL_K = 100
 
 
@@ -6887,6 +7003,50 @@ SELECT tot.n,
                   * 1000000.0)::BIGINT))::DOUBLE / 1000000.0 AS chi2
 FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN tot
 GROUP BY tot.n"""
+
+    sql["logrank_conversion"] = """WITH mx AS (
+  SELECT max(epoch_us(ts)) AS tmax FROM events),
+fv AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+       WHERE event_type = 'view' GROUP BY user_id),
+fp AS (SELECT e.user_id, min(epoch_us(e.ts)) AS tp
+       FROM events e JOIN fv ON fv.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.t0
+       GROUP BY e.user_id),
+subj AS (SELECT fv.user_id,
+                (md5_number_upper(fv.user_id::VARCHAR || ':lr') % 2)::BIGINT
+                  AS arm,
+                CASE WHEN fp.user_id IS NOT NULL THEN fp.tp - fv.t0
+                     ELSE mx.tmax - fv.t0 END AS dur,
+                (fp.user_id IS NOT NULL) AS ev
+         FROM fv LEFT JOIN fp USING (user_id) CROSS JOIN mx),
+evt AS (SELECT dur AS tau,
+               count(*)::BIGINT AS d,
+               count(*) FILTER (arm = 0)::BIGINT AS d0
+        FROM subj WHERE ev GROUP BY dur),
+w AS (SELECT e2.tau, e2.d, e2.d0,
+             (SELECT count(*)::BIGINT FROM subj s WHERE s.dur >= e2.tau) AS n,
+             (SELECT count(*)::BIGINT FROM subj s
+              WHERE s.dur >= e2.tau AND s.arm = 0) AS n0
+      FROM evt e2),
+acc AS (SELECT sum(d0)::BIGINT AS o1,
+               sum(floor(d * (n0 / CAST(n AS DOUBLE))
+                         * 1000000000.0)::BIGINT)::BIGINT AS eq,
+               sum(CASE WHEN n > 1
+                        THEN floor(d * (n0 / CAST(n AS DOUBLE))
+                                   * (1.0 - n0 / CAST(n AS DOUBLE))
+                                   * ((n - d) / (n - 1.0))
+                                   * 1000000000.0)::BIGINT
+                        ELSE 0 END)::BIGINT AS vq
+        FROM w),
+tot AS (SELECT count(*) FILTER (arm = 0)::BIGINT AS n_arm0,
+               count(*) FILTER (arm = 1)::BIGINT AS n_arm1
+        FROM subj)
+SELECT tot.n_arm0, tot.n_arm1,
+       round(CASE WHEN acc.vq > 0
+                  THEN (acc.o1 - acc.eq / 1000000000.0)
+                       / sqrt(acc.vq / 1000000000.0)
+                  ELSE 0.0 END, 6) AS z
+FROM tot, acc"""
 
     km_hs = ", ".join(f"({h})" for h in KM_HORIZONS_US)
     sql["km_view_to_purchase"] = f"""WITH mx AS (
