@@ -3652,6 +3652,126 @@ def q_rolling_anomaly(sf_dir: str):
     )
 
 
+def q_mcnemar_gates(sf_dir: str):
+    """McNemar test on the paired quality-gate 2x2 (same docs, two
+    rules): chi2 = (n10 - n01)^2 / (n10 + n01) over the DISCORDANT
+    cells — 'do the two gates disagree symmetrically?' complements the
+    kappa agreement view.  Same exact integer counts as
+    quality_gate_kappa; one mirrored division.
+
+    Output: one row ``(n10, n01, chi2)`` (6dp)."""
+    import ray.data as rd
+
+    from .extras.textstats import round6, simple_tokens
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["text", "n_chars"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        a = nc >= KAPPA_CHARS_MIN
+        b = np.array(
+            [
+                len(simple_tokens(t or "")) >= KAPPA_TOKENS_MIN
+                for t in batch["text"].to_pylist()
+            ],
+            dtype=bool,
+        )
+        return pa.table(
+            {
+                "_one": pa.array([0], pa.int32()),
+                "_n10": pa.array([int((a & ~b).sum())], pa.int64()),
+                "_n01": pa.array([int((~a & b).sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_one")
+        .sum(["_n10", "_n01"])
+    )
+    t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    n10 = int(t["sum(_n10)"][0].as_py())
+    n01 = int(t["sum(_n01)"][0].as_py())
+    disc = n10 + n01
+    chi2 = ((n10 - n01) ** 2) / float(disc) if disc else 0.0
+    return pa.table(
+        {
+            "n10": pa.array([n10], pa.int64()),
+            "n01": pa.array([n01], pa.int64()),
+            "chi2": pa.array([round6(chi2)], pa.float64()),
+        }
+    )
+
+
+def q_cusum_daily_value(sf_dir: str):
+    """CUSUM change-point statistic on the daily mean value: running
+    sum of (daily mean - overall daily-mean average) in day order, max
+    |cusum| and its day — the classic mean-shift detector.  Exact
+    integer day sums reduce distributedly; the O(days) day-ordered scan
+    runs the SAME float sequence on both sides (deterministic order =
+    no quantization needed), ties broken by earliest day.
+
+    Output: one row ``(n_days, peak_day, peak_abs_cusum)`` (6dp)."""
+    import ray.data as rd
+
+    from .extras.textstats import round6
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["ts"], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).view("int64")
+        day = t // 86_400_000_000
+        cents = np.rint(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        u, inv = np.unique(day, return_inverse=True)
+        s = np.bincount(inv, weights=cents, minlength=len(u)).astype(
+            np.int64
+        )
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        return pa.table(
+            {"day": pa.array(u), "_s": pa.array(s), "_n": pa.array(n)}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .sum(["_s", "_n"])
+    )
+    t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    day = t["day"].to_numpy(zero_copy_only=False)
+    s = t["sum(_s)"].to_numpy(zero_copy_only=False)
+    n = t["sum(_n)"].to_numpy(zero_copy_only=False)
+    order = np.argsort(day)
+    day, s, n = day[order], s[order], n[order]
+    # integer formulation (multiply through by D): with qmean =
+    # floor(1e-6-quantized daily mean), C_k = D*prefix_k(qmean) - k*T
+    # is EXACT int64 — no float accumulation exists to disagree with
+    # any window-combine structure; the one division happens at the end
+    D = len(day)
+    qmean = np.floor((s / n.astype(np.float64)) * 1e6).astype(np.int64)
+    T = int(qmean.sum())
+    prefix = np.cumsum(qmean)
+    kk = np.arange(1, D + 1, dtype=np.int64)
+    C = D * prefix - kk * T
+    stat = np.round(np.abs(C) / (D * 1e6), 6)
+    i = int(np.argmax(stat))  # first occurrence = earliest day
+    return pa.table(
+        {
+            "n_days": pa.array([D], pa.int64()),
+            "peak_day": pa.array([int(day[i])], pa.int64()),
+            "peak_abs_cusum": pa.array([float(stat[i])], pa.float64()),
+        }
+    )
+
+
 KAPPA_CHARS_MIN = 512
 KAPPA_TOKENS_MIN = 64
 
@@ -7003,6 +7123,43 @@ SELECT tot.n,
                   * 1000000.0)::BIGINT))::DOUBLE / 1000000.0 AS chi2
 FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN tot
 GROUP BY tot.n"""
+
+    sql["mcnemar_gates"] = f"""{toks}
+, lab AS (
+  SELECT (d.n_chars >= {KAPPA_CHARS_MIN}) AS a,
+         (len(t.tokens) >= {KAPPA_TOKENS_MIN}) AS b
+  FROM documents d JOIN toks t USING (doc_id)),
+cnt AS (
+  SELECT count(*) FILTER (a AND NOT b)::BIGINT AS n10,
+         count(*) FILTER (NOT a AND b)::BIGINT AS n01
+  FROM lab)
+SELECT n10, n01,
+       round(CASE WHEN n10 + n01 > 0
+                  THEN (n10 - n01) * (n10 - n01)
+                       / CAST(n10 + n01 AS DOUBLE)
+                  ELSE 0.0 END, 6) AS chi2
+FROM cnt"""
+
+    sql["cusum_daily_value"] = """WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value*100, 0) AS BIGINT) AS cents
+  FROM events),
+g AS (SELECT day, sum(cents)::BIGINT AS s, count(*)::BIGINT AS n
+      FROM d GROUP BY day),
+q AS (SELECT day,
+             floor((s / CAST(n AS DOUBLE)) * 1000000.0)::BIGINT AS qmean
+      FROM g),
+t AS (SELECT count(*)::BIGINT AS dd, sum(qmean)::BIGINT AS tt FROM q),
+c AS (SELECT q.day,
+             t.dd * (sum(q.qmean) OVER (ORDER BY q.day))::BIGINT
+               - (row_number() OVER (ORDER BY q.day))::BIGINT * t.tt AS cc,
+             t.dd
+      FROM q, t)
+SELECT dd AS n_days, day AS peak_day,
+       round(abs(cc) / (dd * 1000000.0), 6) AS peak_abs_cusum
+FROM c
+ORDER BY round(abs(cc) / (dd * 1000000.0), 6) DESC, day ASC
+LIMIT 1"""
 
     sql["logrank_conversion"] = """WITH mx AS (
   SELECT max(epoch_us(ts)) AS tmax FROM events),
