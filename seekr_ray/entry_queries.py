@@ -3422,6 +3422,143 @@ def q_source_pair_jsd(sf_dir: str):
     )
 
 
+RFM_RECENT_DAYS = 60
+RFM_FREQ_MIN = 8
+RFM_MONEY_CENTS = 15_000_000  # 150k: the "big spender" line
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM segmentation histogram: every customer scored
+    Recency (ordered within RFM_RECENT_DAYS of the last order date) x
+    Frequency (>= RFM_FREQ_MIN orders) x Monetary (lifetime total >=
+    150k) — the classic CRM segmentation as one integer-exact pipeline:
+    per-customer (last_order_day, n_orders, cents) reduce in one
+    exchange, fixed thresholds stamp 8 segments, O(segments) output.
+
+    Output: ``(recent, frequent, big_spender, n_customers)``."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        d = pc.cast(batch["o_orderdate"], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).view("int64") // 86_400_000_000
+        cents = np.rint(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        u, inv = np.unique(k, return_inverse=True)
+        last = np.full(len(u), -(1 << 62), np.int64)
+        np.maximum.at(last, inv, d)
+        nord = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        s = np.bincount(inv, weights=cents, minlength=len(u)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "k": pa.array(u),
+                "_last": pa.array(last),
+                "_n": pa.array(nord),
+                "_s": pa.array(s),
+            }
+        )
+
+    # one groupby computing all three reductions via map_groups keeps a
+    # single exchange
+    def per_cust(group: pa.Table) -> pa.Table:
+        u = group["k"][0].as_py()
+        return pa.table(
+            {
+                "k": pa.array([u], pa.int64()),
+                "last": pa.array(
+                    [int(pc.max(group["_last"]).as_py())], pa.int64()
+                ),
+                "n": pa.array([int(pc.sum(group["_n"]).as_py())], pa.int64()),
+                "s": pa.array([int(pc.sum(group["_s"]).as_py())], pa.int64()),
+            }
+        )
+
+    per = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(per_cust, batch_format="pyarrow")
+    )
+    t = pa.concat_tables(list(per.iter_batches(batch_format="pyarrow")))
+    last = t["last"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    s = t["s"].to_numpy(zero_copy_only=False)
+    horizon = int(last.max()) - RFM_RECENT_DAYS
+    rec = (last >= horizon).astype(np.int64)
+    freq = (n >= RFM_FREQ_MIN).astype(np.int64)
+    big = (s >= RFM_MONEY_CENTS).astype(np.int64)
+    seg = rec * 4 + freq * 2 + big
+    cnt = np.bincount(seg, minlength=8)
+    return pa.table(
+        {
+            "recent": pa.array((np.arange(8) >> 2) & 1, pa.int64()),
+            "frequent": pa.array((np.arange(8) >> 1) & 1, pa.int64()),
+            "big_spender": pa.array(np.arange(8) & 1, pa.int64()),
+            "n_customers": pa.array(cnt.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def q_pareto_share(sf_dir: str):
+    """Pareto concentration: the revenue share of the top 20% of
+    customers (by lifetime total, ties broken by custkey asc) — the
+    80/20 KPI.  Per-customer exact cent totals reduce distributedly;
+    the O(customers) rank finalize takes the top floor(n/5) and the
+    single share division is mirrored.
+
+    Output: one row ``(n_customers, top_n, share)`` (6dp)."""
+    import ray.data as rd
+
+    from .extras.textstats import round6
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        u, inv = np.unique(k, return_inverse=True)
+        s = np.bincount(inv, weights=cents, minlength=len(u)).astype(
+            np.int64
+        )
+        return pa.table({"k": pa.array(u), "_s": pa.array(s)})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .sum("_s")
+    )
+    t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    k = t["k"].to_numpy(zero_copy_only=False)
+    s = t["sum(_s)"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((k, -s))
+    s = s[order]
+    n = len(s)
+    top_n = n // 5
+    total = int(s.sum())
+    top = int(s[:top_n].sum())
+    share = top / float(total) if total else 0.0
+    return pa.table(
+        {
+            "n_customers": pa.array([n], pa.int64()),
+            "top_n": pa.array([top_n], pa.int64()),
+            "share": pa.array([round6(share)], pa.float64()),
+        }
+    )
+
+
 def q_theil_revenue(sf_dir: str):
     """Theil index of per-customer revenue — the decomposable inequality
     measure next to the Gini entry: T = (1/n) Σ (x/μ) ln(x/μ).  Exact
@@ -7280,6 +7417,39 @@ SELECT sa AS source_a, sb AS source_b,
                  ELSE 0.0 END)
        ) * 1000000.0)::BIGINT))::DOUBLE / 1000000.0) / 2.0, 6) AS jsd_bits
 FROM j GROUP BY sa, sb"""
+
+    sql["rfm_segments"] = f"""WITH pc AS (
+  SELECT o_custkey,
+         max(epoch_us(o_orderdate) // 86400000000) AS last_day,
+         count(*)::BIGINT AS n,
+         sum(CAST(round(o_totalprice*100, 0) AS BIGINT))::BIGINT AS s
+  FROM orders GROUP BY o_custkey),
+h AS (SELECT max(last_day) - {RFM_RECENT_DAYS} AS horizon FROM pc),
+seg AS (SELECT (pc.last_day >= h.horizon)::BIGINT AS recent,
+               (pc.n >= {RFM_FREQ_MIN})::BIGINT AS frequent,
+               (pc.s >= {RFM_MONEY_CENTS})::BIGINT AS big
+        FROM pc, h),
+grid AS (SELECT r.range::BIGINT AS recent, f.range::BIGINT AS frequent,
+                b.range::BIGINT AS big_spender
+         FROM range(2) r, range(2) f, range(2) b)
+SELECT g.recent, g.frequent, g.big_spender,
+       coalesce((SELECT count(*) FROM seg
+                 WHERE seg.recent = g.recent
+                   AND seg.frequent = g.frequent
+                   AND seg.big = g.big_spender), 0)::BIGINT AS n_customers
+FROM grid g"""
+
+    sql["pareto_share"] = """WITH pc AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice*100, 0) AS BIGINT))::BIGINT AS s
+  FROM orders GROUP BY o_custkey),
+rk AS (SELECT s, row_number() OVER (ORDER BY s DESC, o_custkey ASC) AS rn
+       FROM pc),
+t AS (SELECT count(*)::BIGINT AS n, sum(s)::BIGINT AS total FROM pc)
+SELECT t.n AS n_customers, (t.n // 5)::BIGINT AS top_n,
+       round(coalesce((SELECT sum(s) FROM rk WHERE rn <= t.n // 5), 0)
+             / CAST(t.total AS DOUBLE), 6) AS share
+FROM t"""
 
     sql["theil_revenue"] = """WITH pc AS (
   SELECT o_custkey,
