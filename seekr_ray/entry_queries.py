@@ -5240,6 +5240,100 @@ def q_cluster_winners(sf_dir: str):
     return dedup_cluster_winners(_docs_text(sf_dir), clusters)
 
 
+def q_dup_cluster_sizes(sf_dir: str):
+    """Near-dup cluster size histogram: how many MinHash clusters have
+    2, 3, ... members — the dedup-savings report ('removing dups keeps
+    N docs, drops M') derived from the same cluster assignment as
+    minhash_clusters/cluster_winners.
+
+    Output: ``(cluster_size, n_clusters)``."""
+    from .extras.dedup import minhash_dedup_clusters
+
+    clusters = minhash_dedup_clusters(
+        _docs_text(sf_dir),
+        threshold=MINHASH_THRESHOLD,
+        num_bands=MINHASH_BANDS,
+        rows_per_band=MINHASH_ROWS_PER_BAND,
+        shingle_k=NGRAM_K,
+    )
+
+    if isinstance(clusters, pa.Table):  # small-pair driver form
+        cid = clusters["cluster_id"].to_numpy(zero_copy_only=False)
+        _u, n = np.unique(cid, return_counts=True)
+    else:
+
+        def sizes(batch: pa.Table) -> pa.Table:
+            agg = batch.group_by(["cluster_id"]).aggregate(
+                [([], "count_all")]
+            )
+            return agg.rename_columns(["cluster_id", "_n"])
+
+        out = (
+            clusters.map_batches(sizes, batch_format="pyarrow")
+            .groupby("cluster_id")
+            .sum("_n")
+        )
+        t = pa.concat_tables(
+            list(out.iter_batches(batch_format="pyarrow"))
+        )
+        n = t["sum(_n)"].to_numpy(zero_copy_only=False)
+    u, cnt = np.unique(n, return_counts=True)
+    return pa.table(
+        {
+            "cluster_size": pa.array(u.astype(np.int64), pa.int64()),
+            "n_clusters": pa.array(cnt.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def q_weighted_median_price(sf_dir: str):
+    """Quantity-weighted lower median of the extended price: the first
+    price (asc, orderkey/linenumber-free — prices tie-break by value
+    only) whose cumulative quantity weight reaches half the total —
+    'the price point at which half the UNITS sell at or below'.
+    Integer weights and cent values keep the whole reduction exact; no
+    interpolation convention to mirror.
+
+    Output: one row ``(total_qty, median_price)``."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_quantity"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        q = np.rint(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        u, inv = np.unique(cents, return_inverse=True)
+        w = np.bincount(inv, weights=q, minlength=len(u)).astype(np.int64)
+        return pa.table({"c": pa.array(u), "_w": pa.array(w)})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("c")
+        .sum("_w")
+    )
+    t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    c = t["c"].to_numpy(zero_copy_only=False)
+    w = t["sum(_w)"].to_numpy(zero_copy_only=False)
+    order = np.argsort(c)
+    c, w = c[order], w[order]
+    total = int(w.sum())
+    cum = np.cumsum(w)
+    i = int(np.searchsorted(cum * 2, total, side="left"))
+    return pa.table(
+        {
+            "total_qty": pa.array([total], pa.int64()),
+            "median_price": pa.array([c[i] / 100.0], pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -7417,6 +7511,25 @@ SELECT sa AS source_a, sb AS source_b,
                  ELSE 0.0 END)
        ) * 1000000.0)::BIGINT))::DOUBLE / 1000000.0) / 2.0, 6) AS jsd_bits
 FROM j GROUP BY sa, sb"""
+
+    sql["dup_cluster_sizes"] = f"""WITH cl AS (
+  SELECT * FROM ({_minhash_clusters_sql()}) z)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters
+FROM (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+      FROM cl GROUP BY cluster_id) g
+GROUP BY cluster_size"""
+
+    sql["weighted_median_price"] = """WITH e AS (
+  SELECT CAST(round(l_extendedprice*100, 0) AS BIGINT) AS c,
+         CAST(round(l_quantity, 0) AS BIGINT) AS q
+  FROM lineitem),
+g AS (SELECT c, sum(q)::BIGINT AS w FROM e GROUP BY c),
+t AS (SELECT sum(w)::BIGINT AS total FROM g),
+r AS (SELECT c, (sum(w) OVER (ORDER BY c))::BIGINT AS cum FROM g)
+SELECT t.total AS total_qty,
+       (SELECT min(c) FROM r WHERE cum * 2 >= t.total) / 100.0
+         AS median_price
+FROM t"""
 
     sql["rfm_segments"] = f"""WITH pc AS (
   SELECT o_custkey,
