@@ -5240,6 +5240,144 @@ def q_cluster_winners(sf_dir: str):
     return dedup_cluster_winners(_docs_text(sf_dir), clusters)
 
 
+def q_fulfillment_latency(sf_dir: str):
+    """Fulfillment latency by order priority: mean days from order date
+    to line-item ship date per o_orderpriority — the SLA report of an
+    order pipeline.  The fact-fact join runs as a broadcast of the
+    O(orders) (key, date, priority) side... at this shape orders IS the
+    big side, so instead the lineitem side reduces FIRST to per-order
+    (n_lines, sum_ship_days) partials (one groupby exchange) and the
+    merge happens on the per-order grain — integer day sums, one
+    mirrored division.
+
+    Output: ``(priority, n_lines, mean_days)`` (6dp)."""
+    import ray.data as rd
+
+    from .extras.textstats import round6_arr
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        k = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        d = pc.cast(batch["l_shipdate"], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).view("int64") // 86_400_000_000
+        u, inv = np.unique(k, return_inverse=True)
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        s = np.bincount(inv, weights=d, minlength=len(u)).astype(np.int64)
+        return pa.table(
+            {"k": pa.array(u), "_n": pa.array(n), "_sd": pa.array(s)}
+        )
+
+    per_order = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .groupby("k")
+        .sum(["_n", "_sd"])
+    )
+    po = pa.concat_tables(
+        list(per_order.iter_batches(batch_format="pyarrow"))
+    )
+    ok = po["k"].to_numpy(zero_copy_only=False)
+    on = po["sum(_n)"].to_numpy(zero_copy_only=False)
+    osd = po["sum(_sd)"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ok)
+    ok, on, osd = ok[order], on[order], osd[order]
+
+    from .nputil import isin_sorted
+
+    acc: dict[str, tuple[int, int]] = {}
+    for batch in orders.iter_batches(batch_format="pyarrow"):
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        od = pc.cast(
+            batch["o_orderdate"], pa.timestamp("us")
+        ).to_numpy(zero_copy_only=False).view("int64") // 86_400_000_000
+        pri = np.asarray(batch["o_orderpriority"].to_pylist(), dtype=object)
+        mask, pos = isin_sorted(ok, keys)
+        for p in np.unique(pri[mask]):
+            m = mask & (pri == p)
+            idx = pos[m]
+            nl = int(on[idx].sum())
+            # sum over lines of (ship_day - order_day), exact integers
+            lag = int(osd[idx].sum()) - int((od[m] * on[idx]).sum())
+            a, b = acc.get(str(p), (0, 0))
+            acc[str(p)] = (a + nl, b + lag)
+    pris = sorted(acc)
+    n_out = np.array([acc[p][0] for p in pris], np.int64)
+    lag_out = np.array([acc[p][1] for p in pris], np.int64)
+    return pa.table(
+        {
+            "priority": pa.array(pris, pa.string()),
+            "n_lines": pa.array(n_out, pa.int64()),
+            "mean_days": pa.array(
+                round6_arr(lag_out / n_out.astype(np.float64)),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def q_revenue_mom_growth(sf_dir: str):
+    """Month-over-month revenue growth: per calendar month the exact
+    discounted-revenue cent total and its growth rate vs the previous
+    month — the core finance trend table.  Integer e4-scaled partials;
+    growth = (cur - prev) / prev as the one mirrored division (first
+    month omitted — no NULL reaches the driver compare).
+
+    Output: ``(month, revenue, growth)`` (6dp)."""
+    import ray.data as rd
+
+    from .extras.textstats import round6, round6_arr
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["l_shipdate"], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        months = t.astype("datetime64[M]").astype(np.int64)  # months since epoch
+        x = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
+            * 10000.0
+        ).astype(np.int64)
+        u, inv = np.unique(months, return_inverse=True)
+        s = np.bincount(inv, weights=x, minlength=len(u)).astype(np.int64)
+        return pa.table({"m": pa.array(u), "_s": pa.array(s)})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("m")
+        .sum("_s")
+    )
+    t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    m = t["m"].to_numpy(zero_copy_only=False)
+    s = t["sum(_s)"].to_numpy(zero_copy_only=False)
+    order = np.argsort(m)
+    m, s = m[order], s[order]
+    rev = s / 10000.0
+    growth = (s[1:] - s[:-1]) / s[:-1].astype(np.float64)
+    return pa.table(
+        {
+            # month key as yyyymm int for a SQL-friendly identity
+            "month": pa.array(
+                ((m[1:] // 12) + 1970) * 100 + (m[1:] % 12) + 1, pa.int64()
+            ),
+            "revenue": pa.array(round6_arr(rev[1:]), pa.float64()),
+            "growth": pa.array(round6_arr(growth), pa.float64()),
+        }
+    )
+
+
 def q_dup_cluster_sizes(sf_dir: str):
     """Near-dup cluster size histogram: how many MinHash clusters have
     2, 3, ... members — the dedup-savings report ('removing dups keeps
@@ -7511,6 +7649,28 @@ SELECT sa AS source_a, sb AS source_b,
                  ELSE 0.0 END)
        ) * 1000000.0)::BIGINT))::DOUBLE / 1000000.0) / 2.0, 6) AS jsd_bits
 FROM j GROUP BY sa, sb"""
+
+    sql["fulfillment_latency"] = """WITH lp AS (
+  SELECT l_orderkey, count(*)::BIGINT AS n,
+         sum(epoch_us(l_shipdate) // 86400000000)::BIGINT AS sd
+  FROM lineitem GROUP BY l_orderkey)
+SELECT o.o_orderpriority AS priority,
+       sum(lp.n)::BIGINT AS n_lines,
+       round(sum(lp.sd
+                 - (epoch_us(o.o_orderdate) // 86400000000) * lp.n)::BIGINT
+             / CAST(sum(lp.n) AS DOUBLE), 6) AS mean_days
+FROM orders o JOIN lp ON lp.l_orderkey = o.o_orderkey
+GROUP BY 1"""
+
+    sql["revenue_mom_growth"] = """WITH g AS (
+  SELECT (year(l_shipdate)*100 + month(l_shipdate))::BIGINT AS month,
+         sum(CAST(round(l_extendedprice*(1 - l_discount)*10000, 0)
+                  AS BIGINT))::BIGINT AS s
+  FROM lineitem GROUP BY 1),
+w AS (SELECT month, s, lag(s) OVER (ORDER BY month) AS prev FROM g)
+SELECT month, round(s / 10000.0, 6) AS revenue,
+       round((s - prev) / CAST(prev AS DOUBLE), 6) AS growth
+FROM w WHERE prev IS NOT NULL"""
 
     sql["dup_cluster_sizes"] = f"""WITH cl AS (
   SELECT * FROM ({_minhash_clusters_sql()}) z)
