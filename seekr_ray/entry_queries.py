@@ -5240,6 +5240,137 @@ def q_cluster_winners(sf_dir: str):
     return dedup_cluster_winners(_docs_text(sf_dir), clusters)
 
 
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 (forecasting revenue change): revenue that WOULD vanish
+    if discounts in a band were eliminated — Σ extendedprice·discount
+    over shipdate year 1996, discount in [0.05, 0.07], quantity < 24.
+    Pure filtered aggregation: the band compares on exact cent-scaled
+    integers, revenue accumulates as e4-scaled int64 partials.
+
+    Output: one row ``(n_lines, revenue)`` (6dp)."""
+    import ray.data as rd
+
+    from .extras.textstats import round6
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_extendedprice", "l_discount", "l_quantity"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["l_shipdate"], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        year = t.astype("datetime64[Y]").astype(np.int64) + 1970
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        dc = np.rint(disc * 100.0).astype(np.int64)
+        qty = np.rint(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        m = (year == 1996) & (dc >= 5) & (dc <= 7) & (qty < 24)
+        x = np.rint(ep[m] * disc[m] * 10000.0).astype(np.int64)
+        return pa.table(
+            {
+                "_one": pa.array([0], pa.int32()),
+                "_n": pa.array([int(m.sum())], pa.int64()),
+                "_s": pa.array([int(x.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_one")
+        .sum(["_n", "_s"])
+    )
+    t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    n = int(t["sum(_n)"][0].as_py())
+    s = int(t["sum(_s)"][0].as_py())
+    return pa.table(
+        {
+            "n_lines": pa.array([n], pa.int64()),
+            "revenue": pa.array([round6(s / 10000.0)], pa.float64()),
+        }
+    )
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 (promotion effect): the percent of June-1996 revenue
+    from PROMO-type parts.  The part side broadcasts as a sorted
+    promo-flag key array (O(parts) per worker, never shuffled); the
+    lineitem side reduces to two e4-scaled int64 sums per block; one
+    mirrored 100·promo/total division.
+
+    Output: one row ``(n_lines, promo_pct)`` (6dp)."""
+    import ray.data as rd
+
+    from .extras.textstats import round6
+    from .nputil import isin_sorted
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    pk_parts, promo_parts = [], []
+    for b in part.iter_batches(batch_format="pyarrow"):
+        pk_parts.append(b["p_partkey"].to_numpy(zero_copy_only=False))
+        promo_parts.append(
+            np.asarray(b["p_type"].to_pylist(), dtype=object) == "PROMO"
+        )
+    pk = np.concatenate(pk_parts)
+    promo = np.concatenate(promo_parts)
+    order = np.argsort(pk)
+    pk, promo = pk[order], promo[order]
+    promo_keys = pk[promo]
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["l_shipdate"], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        ym = t.astype("datetime64[M]").astype(np.int64)
+        m = ym == (1996 - 1970) * 12 + 5  # 1996-06
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)[m]
+        x = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[m])
+            * 10000.0
+        ).astype(np.int64)
+        # mirror the SQL inner join: only lines with a matching part
+        has_part, _ = isin_sorted(pk, lp)
+        is_promo, _ = isin_sorted(promo_keys, lp)
+        return pa.table(
+            {
+                "_one": pa.array([0], pa.int32()),
+                "_n": pa.array([int(has_part.sum())], pa.int64()),
+                "_sp": pa.array(
+                    [int(x[has_part & is_promo].sum())], pa.int64()
+                ),
+                "_st": pa.array([int(x[has_part].sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_one")
+        .sum(["_n", "_sp", "_st"])
+    )
+    t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    n = int(t["sum(_n)"][0].as_py())
+    sp = int(t["sum(_sp)"][0].as_py())
+    st = int(t["sum(_st)"][0].as_py())
+    pct = 100.0 * sp / float(st) if st else 0.0
+    return pa.table(
+        {
+            "n_lines": pa.array([n], pa.int64()),
+            "promo_pct": pa.array([round6(pct)], pa.float64()),
+        }
+    )
+
+
 def q_fulfillment_latency(sf_dir: str):
     """Fulfillment latency by order priority: mean days from order date
     to line-item ship date per o_orderpriority — the SLA report of an
@@ -7649,6 +7780,30 @@ SELECT sa AS source_a, sb AS source_b,
                  ELSE 0.0 END)
        ) * 1000000.0)::BIGINT))::DOUBLE / 1000000.0) / 2.0, 6) AS jsd_bits
 FROM j GROUP BY sa, sb"""
+
+    sql["tpch_q6"] = """WITH f AS (
+  SELECT l_extendedprice AS ep, l_discount AS d
+  FROM lineitem
+  WHERE year(l_shipdate) = 1996
+    AND CAST(round(l_discount*100, 0) AS BIGINT) BETWEEN 5 AND 7
+    AND CAST(round(l_quantity, 0) AS BIGINT) < 24)
+SELECT count(*)::BIGINT AS n_lines,
+       round(sum(CAST(round(ep * d * 10000, 0) AS BIGINT))::BIGINT
+             / 10000.0, 6) AS revenue
+FROM f"""
+
+    sql["tpch_q14"] = """WITH f AS (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice*(1 - l_discount)*10000, 0)
+              AS BIGINT) AS x
+  FROM lineitem
+  WHERE year(l_shipdate) = 1996 AND month(l_shipdate) = 6),
+j AS (SELECT f.x, (p.p_type = 'PROMO') AS promo
+      FROM f JOIN part p ON p.p_partkey = f.l_partkey)
+SELECT count(*)::BIGINT AS n_lines,
+       round(100.0 * sum(CASE WHEN promo THEN x ELSE 0 END)::BIGINT
+             / CAST(sum(x)::BIGINT AS DOUBLE), 6) AS promo_pct
+FROM j"""
 
     sql["fulfillment_latency"] = """WITH lp AS (
   SELECT l_orderkey, count(*)::BIGINT AS n,
