@@ -5240,6 +5240,33 @@ def q_cluster_winners(sf_dir: str):
     return dedup_cluster_winners(_docs_text(sf_dir), clusters)
 
 
+def q_bounce_rate(sf_dir: str):
+    """Bounce rate: the share of sessions containing exactly one event —
+    the canonical engagement KPI, derived from the SAME gap-based
+    sessionization as the `sessions` entry (one definition, two views).
+    The per-session table reduces to three integers and one mirrored
+    division.
+
+    Output: one row ``(n_sessions, n_bounces, bounce_rate)`` (6dp)."""
+    from .extras.textstats import round6
+
+    sess = q_sessions(sf_dir)
+    n_sessions = 0
+    n_bounces = 0
+    for b in sess.iter_batches(batch_format="pyarrow"):
+        ne = b["n_events"].to_numpy(zero_copy_only=False)
+        n_sessions += len(ne)
+        n_bounces += int((ne == 1).sum())
+    rate = n_bounces / float(n_sessions) if n_sessions else 0.0
+    return pa.table(
+        {
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "n_bounces": pa.array([n_bounces], pa.int64()),
+            "bounce_rate": pa.array([round6(rate)], pa.float64()),
+        }
+    )
+
+
 def q_tpch_q6(sf_dir: str):
     """TPC-H Q6 (forecasting revenue change): revenue that WOULD vanish
     if discounts in a band were eliminated — Σ extendedprice·discount
@@ -7780,6 +7807,24 @@ SELECT sa AS source_a, sb AS source_b,
                  ELSE 0.0 END)
        ) * 1000000.0)::BIGINT))::DOUBLE / 1000000.0) / 2.0, 6) AS jsd_bits
 FROM j GROUP BY sa, sb"""
+
+    sql["bounce_rate"] = f"""WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_HOURS} HOURS
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), g AS (SELECT user_id, sid, count(*)::BIGINT AS ne FROM s GROUP BY 1, 2)
+SELECT count(*)::BIGINT AS n_sessions,
+       (count(*) FILTER (ne = 1))::BIGINT AS n_bounces,
+       round((count(*) FILTER (ne = 1)) / count(*)::DOUBLE, 6)
+         AS bounce_rate
+FROM g"""
 
     sql["tpch_q6"] = """WITH f AS (
   SELECT l_extendedprice AS ep, l_discount AS d
