@@ -333,11 +333,13 @@ def main(argv=None) -> int:
     )
     q.add_argument(
         "--mode",
-        choices=["auto", "wand", "bmw"],
+        choices=["auto", "wand", "bmw", "bmw_cold"],
         default="auto",
         help="top-k evaluation strategy for --scorer bm25: auto = "
-        "vectorized TAAT, wand = plain WAND, bmw = block-max WAND "
-        "(all rank-identical)",
+        "vectorized TAAT, wand = plain WAND, bmw = block-max WAND, "
+        "bmw_cold = chunk-lazy BMW over persisted chunk metadata "
+        "(all rank-identical; cold/bmw fall back to auto on "
+        "non-pruning workloads)",
     )
     q.set_defaults(fn=cmd_query)
 
