@@ -20,6 +20,7 @@ sorted.
 from __future__ import annotations
 
 import hashlib
+import logging
 from itertools import combinations
 
 import numpy as np
@@ -161,13 +162,11 @@ def _mulmod61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
     return _fold61(total)
 
 
-def minhash_signature(tokens: list[str], a: np.ndarray, b: np.ndarray, k: int) -> np.ndarray:
-    """Signature = min over shingles of (a_j * h + b_j) mod 2^61-1.
-
-    Round-2 kernel: exact same values as the round-1 object-dtype python
-    implementation (golden-tested), ~100x faster — the modular product
-    runs as a vectorized uint64 outer product via ``_mulmod61``."""
-    h = _shingle_hashes(tokens, k)
+def _signature_from_hashes(h: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Permute-min over a precomputed (unique) shingle-hash array — the
+    kernel of ``minhash_signature`` factored out so signatures can be
+    derived from a persisted/collapsed shingle-set column without
+    re-tokenizing the document."""
     if h.size == 0:
         return np.zeros(len(a), dtype=np.uint64)
     h61 = _fold61(h)  # (a*(h mod p) + b) mod p == (a*h + b) mod p
@@ -175,6 +174,15 @@ def minhash_signature(tokens: list[str], a: np.ndarray, b: np.ndarray, k: int) -
     vals = prod + b[:, None]  # < 2^62
     vals = _fold61(vals)
     return vals.min(axis=1)
+
+
+def minhash_signature(tokens: list[str], a: np.ndarray, b: np.ndarray, k: int) -> np.ndarray:
+    """Signature = min over shingles of (a_j * h + b_j) mod 2^61-1.
+
+    Round-2 kernel: exact same values as the round-1 object-dtype python
+    implementation (golden-tested), ~100x faster — the modular product
+    runs as a vectorized uint64 outer product via ``_mulmod61``."""
+    return _signature_from_hashes(_shingle_hashes(tokens, k), a, b)
 
 
 class MinHashLSH:
@@ -216,53 +224,82 @@ class MinHashLSH:
         )
 
 
-def _band_pairs(group: pa.Table) -> pa.Table:
-    """Candidate pairs within one hash-bucketed group: vectorized sort +
-    run detection over (band, band_hash) — a pair is a candidate iff it
-    shares BOTH, so any grouping that keeps equal (band, band_hash)
-    together is exact.  Python runs only for the rare colliding runs."""
-    order = pc.sort_indices(
-        group,
-        sort_keys=[
-            ("band", "ascending"),
-            ("band_hash", "ascending"),
-            ("doc_id", "ascending"),
-        ],
-    )
-    tbl = group.take(order)
-    bd = tbl["band"].to_numpy(zero_copy_only=False)
-    bh = tbl["band_hash"].to_numpy(zero_copy_only=False)
-    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
-    a_out, b_out = [], []
-    if len(bh):
-        change = np.empty(len(bh), dtype=bool)
-        change[0] = True
-        change[1:] = (bh[1:] != bh[:-1]) | (bd[1:] != bd[:-1])
-        starts = np.flatnonzero(change)
-        ends = np.r_[starts[1:], len(bh)]
-        for s, e in zip(starts, ends):
-            if e - s > 1:
+def _make_band_pairs(emit: str = "pairs", max_bucket: int | None = None):
+    """Build the per-bucket candidate-edge map_groups fn.
+
+    ``emit="pairs"``: full clique per (band, band_hash) bucket — O(m^2)
+    edges for an m-doc bucket; this is the pair-REPORT form and the form
+    the SQL oracle's self-join replicates.  ``max_bucket`` is the
+    standard over-crowded-bucket guard: buckets with more than
+    ``max_bucket`` distinct docs are DROPPED entirely (an over-crowded
+    band bucket is as uninformative as a stopword shingle) with the drop
+    logged — opt-in because it changes the pair set.
+
+    ``emit="links"``: spanning links (bucket-min -> doc), O(m) edges —
+    yields IDENTICAL connected components over the *candidate* graph,
+    for consumers that cluster without a per-pair verify.  (The verified
+    cluster pipeline keeps the pair form — its exact-Jaccard verify is
+    defined on pairs — and defuses giant buckets upstream via
+    shingle-set identity collapse instead; see
+    ``minhash_dedup_clusters``.)"""
+
+    def fn(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("band", "ascending"),
+                ("band_hash", "ascending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        tbl = group.take(order)
+        bd = tbl["band"].to_numpy(zero_copy_only=False)
+        bh = tbl["band_hash"].to_numpy(zero_copy_only=False)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        a_out, b_out = [], []
+        dropped = 0
+        if len(bh):
+            change = np.empty(len(bh), dtype=bool)
+            change[0] = True
+            change[1:] = (bh[1:] != bh[:-1]) | (bd[1:] != bd[:-1])
+            starts = np.flatnonzero(change)
+            ends = np.r_[starts[1:], len(bh)]
+            for s, e in zip(starts, ends):
+                if e - s <= 1:
+                    continue
                 bucket_ids = sorted(set(ids[s:e].tolist()))
+                m = len(bucket_ids)
+                if emit == "links":
+                    lo = bucket_ids[0]
+                    for y in bucket_ids[1:]:
+                        a_out.append(lo)
+                        b_out.append(y)
+                    continue
+                if max_bucket is not None and m > max_bucket:
+                    dropped += m * (m - 1) // 2
+                    continue
                 for x, y in combinations(bucket_ids, 2):
                     a_out.append(x)
                     b_out.append(y)
-    return pa.table(
-        {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())}
-    )
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "minhash band bucket over max_bucket=%d: dropped %d candidate pairs",
+                max_bucket, dropped,
+            )
+        return pa.table(
+            {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())}
+        )
+
+    return fn
 
 
-def minhash_candidate_pairs(docs_ds, num_bands=16, rows_per_band=4, shingle_k=3,
-                            text_col: str = "text"):
-    """docs -> distinct candidate (a < b) pairs via LSH banding."""
-    band_rows = docs_ds.map_batches(
-        MinHashLSH,
-        batch_format="pyarrow",
-        fn_constructor_kwargs=dict(
-            num_bands=num_bands, rows_per_band=rows_per_band,
-            shingle_k=shingle_k, text_col=text_col,
-        ),
-        concurrency=(1, 4),
-    )
+# back-compat name: the uncapped pair-report form
+_band_pairs = _make_band_pairs("pairs", None)
+
+
+def _pairs_from_band_rows(band_rows, emit: str = "pairs",
+                          max_bucket: int | None = None):
+    """(doc_id, band, band_hash) rows -> distinct candidate (a < b) edges."""
     # bucket by (band, band_hash) hash — NOT by band alone, which would
     # co-locate one row per document per band (O(n_docs) rows in a
     # single map_groups task; an OOM at the scale LSH exists for).
@@ -277,7 +314,7 @@ def minhash_candidate_pairs(docs_ds, num_bands=16, rows_per_band=4, shingle_k=3,
     pairs = (
         band_rows.map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("_bb")
-        .map_groups(_band_pairs, batch_format="pyarrow")
+        .map_groups(_make_band_pairs(emit, max_bucket), batch_format="pyarrow")
     )
 
     # distinct (a, b): bucket by a, vectorized unique within the bucket
@@ -307,6 +344,26 @@ def minhash_candidate_pairs(docs_ds, num_bands=16, rows_per_band=4, shingle_k=3,
     )
 
 
+def minhash_candidate_pairs(docs_ds, num_bands=16, rows_per_band=4, shingle_k=3,
+                            text_col: str = "text", emit: str = "pairs",
+                            max_bucket: int | None = None):
+    """docs -> distinct candidate (a < b) edges via LSH banding.
+
+    ``emit`` / ``max_bucket`` control the per-bucket edge blow-up guard —
+    see ``_make_band_pairs``; defaults reproduce the uncapped pair-report
+    form the SQL oracle self-join replicates."""
+    band_rows = docs_ds.map_batches(
+        MinHashLSH,
+        batch_format="pyarrow",
+        fn_constructor_kwargs=dict(
+            num_bands=num_bands, rows_per_band=rows_per_band,
+            shingle_k=shingle_k, text_col=text_col,
+        ),
+        concurrency=(1, 4),
+    )
+    return _pairs_from_band_rows(band_rows, emit=emit, max_bucket=max_bucket)
+
+
 def ngram_jaccard(tokens_a: list[str], tokens_b: list[str], k: int = 3) -> float:
     def sh(toks):
         if len(toks) < k:
@@ -334,16 +391,20 @@ def ngram_jaccard_pairs(
     analog of ``embedding_neardup_pairs``).
 
     Shingling (``simple_tokens`` + ``_shingle_hashes``) runs distributed
-    in ``map_batches``; the driver buffers only (doc_id, shingle-hash)
-    chunks into the object store, one Ray task per (i <= j) chunk pair
-    intersects the sorted unique hash arrays, and only the >= threshold
-    pairs return.  The 6dp-rounded Jaccard is compared on BOTH sides so
-    the result matches the string-set SQL oracle exactly (hashed shingles
-    equal string shingles up to a ~2^-64 collision).  O(n^2) pairs total
-    but embarrassingly parallel; the sub-quadratic scale path is MinHash
-    LSH candidates (``minhash_dedup_clusters``) verified by this same
-    Jaccard.  Pairs whose shingle union is empty (both docs token-free)
-    are omitted, matching the oracle's NULL-division semantics.
+    in ``map_batches`` and the shingled Dataset is MATERIALIZED in the
+    object store; the driver then holds only its block refs plus
+    (block, row-range) chunk descriptors — the (id, shingle) payload
+    never passes through the driver process (round-4 fix: the round-3
+    form pumped every row through a driver ``iter_batches`` loop).  One
+    Ray task per (i <= j) chunk pair intersects the sorted unique hash
+    arrays, and only the >= threshold pairs return.  The 6dp-rounded
+    Jaccard is compared on BOTH sides so the result matches the
+    string-set SQL oracle exactly (hashed shingles equal string shingles
+    up to a ~2^-64 collision).  O(n^2) pairs total but embarrassingly
+    parallel; the sub-quadratic scale path is MinHash LSH candidates
+    (``minhash_dedup_clusters``) verified by this same Jaccard.  Pairs
+    whose shingle union is empty (both docs token-free) are omitted,
+    matching the oracle's NULL-division semantics.
     """
     import ray
 
@@ -369,43 +430,16 @@ def ngram_jaccard_pairs(
             }
         )
 
-    chunks: list = []
-    buf_ids: list[np.ndarray] = []
-    buf_off: list[np.ndarray] = []
-    buf_flat: list[np.ndarray] = []
-    buffered = 0
-    for batch in docs_ds.map_batches(
-        to_shingles, batch_format="pyarrow"
-    ).iter_batches(batch_format="pyarrow"):
-        if batch.num_rows == 0:
-            continue
-        col = batch["shingles"].combine_chunks()
-        lengths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
-        buf_ids.append(batch["doc_id"].to_numpy(zero_copy_only=False))
-        buf_off.append(lengths)
-        buf_flat.append(col.flatten().to_numpy(zero_copy_only=False))
-        buffered += batch.num_rows
-        if buffered >= chunk_rows:
-            chunks.append(
-                ray.put(
-                    (
-                        np.concatenate(buf_ids),
-                        np.concatenate(buf_off),
-                        np.concatenate(buf_flat),
-                    )
-                )
-            )
-            buf_ids, buf_off, buf_flat, buffered = [], [], [], 0
-    if buffered:
-        chunks.append(
-            ray.put(
-                (
-                    np.concatenate(buf_ids),
-                    np.concatenate(buf_off),
-                    np.concatenate(buf_flat),
-                )
-            )
-        )
+    shingled = docs_ds.map_batches(to_shingles, batch_format="pyarrow").materialize()
+    # chunk descriptors: (block_ref, lo, hi) row ranges — O(#chunks)
+    # driver state; the same block ref passed to many tasks is fetched
+    # once per node by the object store
+    chunks: list[tuple] = []
+    for bundle in shingled.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            n = meta.num_rows or 0
+            for lo in range(0, n, chunk_rows):
+                chunks.append((ref, lo, min(lo + chunk_rows, n)))
     empty = pa.table(
         {
             "a": pa.array([], pa.int64()),
@@ -416,12 +450,25 @@ def ngram_jaccard_pairs(
     if not chunks:
         return empty
 
+    def _unpack(block: pa.Table, lo: int, hi: int):
+        t = block.slice(lo, hi - lo)
+        col = t["shingles"].combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        # flatten() respects the array offset: it returns exactly the
+        # values of the logical [offs[0], offs[-1]) range
+        return (
+            t["doc_id"].to_numpy(zero_copy_only=False),
+            (offs - offs[0]).astype(np.int64),
+            col.flatten().to_numpy(zero_copy_only=False),
+        )
+
     @ray.remote
-    def pair_task(ref_i, ref_j, same: bool):
-        ids_i, len_i, flat_i = ref_i
-        ids_j, len_j, flat_j = ref_j
-        starts_i = np.concatenate([[0], np.cumsum(len_i)])
-        starts_j = np.concatenate([[0], np.cumsum(len_j)])
+    def pair_task(block_i, lo_i, hi_i, block_j, lo_j, hi_j, same: bool):
+        ids_i, starts_i, flat_i = _unpack(block_i, lo_i, hi_i)
+        if same:  # i == j chunk: both descriptors are the same range
+            ids_j, starts_j, flat_j = ids_i, starts_i, flat_i
+        else:
+            ids_j, starts_j, flat_j = _unpack(block_j, lo_j, hi_j)
         out_a: list[int] = []
         out_b: list[int] = []
         out_jc: list[float] = []
@@ -451,8 +498,12 @@ def ngram_jaccard_pairs(
 
     futures = []
     for i in range(len(chunks)):
+        ri, li, hi_i = chunks[i]
         for j in range(i, len(chunks)):
-            futures.append(pair_task.remote(chunks[i], chunks[j], i == j))
+            rj, lj, hj = chunks[j]
+            futures.append(
+                pair_task.remote(ri, li, hi_i, rj, lj, hj, i == j)
+            )
     a_out, b_out, j_out = [], [], []
     for a_ids, b_ids, jcs in ray.get(futures):
         a_out.append(a_ids)
@@ -528,12 +579,9 @@ def _min_label_numpy(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarr
 
 
 def _min_label_dataset(pairs_tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-    """Dataset-shaped min-label propagation: the (bidirectional) edge set
-    stays a Ray Dataset; each round broadcasts the current label array
-    (O(candidate nodes) — small by LSH design) and runs one
-    ``groupby(node).min`` exchange.  Same fixpoint as the numpy form
-    (equal-by-test); used above _CLUSTER_DRIVER_LIMIT edges."""
-    import ray
+    """Dataset-shaped min-label propagation over an edge TABLE (driver
+    already holds the pairs); see ``_min_label_edges`` for the form that
+    never collects the edges."""
     import ray.data as rd
 
     a = pairs_tbl["a"].to_numpy(zero_copy_only=False)
@@ -547,6 +595,61 @@ def _min_label_dataset(pairs_tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
             }
         )
     ).materialize()
+    return _min_label_iterate(edges, nodes)
+
+
+def _min_label_edges(edges_ds) -> tuple[np.ndarray, np.ndarray]:
+    """Min-label propagation fed straight from an (a, b) edge Dataset —
+    the 100-TB path: the edge set NEVER lands on the driver.  Driver
+    memory is O(candidate nodes) (the label array — small by LSH
+    design); per round one bucketed ``groupby(node).min`` exchange.
+    Same fixpoint as ``_min_label_numpy`` (equal-by-test)."""
+    import ray.data as rd
+
+    def both_ways(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    bidir = edges_ds.map_batches(both_ways, batch_format="pyarrow").materialize()
+    # distinct nodes via a bucketed exchange; only the O(nodes) distinct
+    # array is collected
+    node_parts = [
+        t["node"].to_numpy(zero_copy_only=False)
+        for t in bucketed_group_agg(
+            bidir, "node", [("nbr", "min")]
+        ).iter_batches(batch_format="pyarrow")
+        if t.num_rows
+    ]
+    nodes = (
+        np.unique(np.concatenate(node_parts))
+        if node_parts
+        else np.empty(0, dtype=np.int64)
+    )
+    if nodes.size == 0:
+        return nodes, nodes.copy()
+    # self-loops keep every node present in each round's agg output
+    loops = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "nbr": pa.array(nodes, pa.int64()),
+            }
+        )
+    )
+    return _min_label_iterate(bidir.union(loops).materialize(), nodes)
+
+
+def _min_label_iterate(edges, nodes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Shared fixpoint loop: ``edges`` is a materialized (node, nbr)
+    Dataset (bidirectional + self-loops), labels broadcast per round."""
+    import ray
+
     labels = nodes.copy()
     while True:
         ref = ray.put((nodes, labels))
@@ -583,35 +686,170 @@ def _min_label_dataset(pairs_tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 _CLUSTER_DRIVER_LIMIT = 5_000_000
 
 
-def minhash_dedup_clusters(docs_ds, threshold: float = 0.8, num_bands=16,
-                           rows_per_band=4, shingle_k=3, text_col: str = "text"):
-    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify ->
-    min-label connected components.
+class _ShingleDocs:
+    """map_batches stage: doc -> (doc_id, skey1, skey2, shingles).
 
-    The verify runs as a ``map_batches`` stage over the candidate-pair
-    Dataset with the candidate docs' token sets broadcast once (candidate
-    pairs are a tiny fraction of the corpus by LSH design; at a scale
-    where even the candidate token sets outgrow a broadcast, the verify
-    becomes a co-grouped join on pair keys).  Clustering is iterated
-    min-label propagation — vectorized numpy under
-    _CLUSTER_DRIVER_LIMIT edges, groupby-per-round Dataset form above it.
-    Returns (doc_id, cluster_id) for docs in near-dup groups."""
+    ``shingles`` is the sorted unique 64-bit k-shingle hash array
+    (``_shingle_hashes``); (skey1, skey2) is a 128-bit blake2b of the
+    array bytes — the shingle-set IDENTITY key.  Docs with equal shingle
+    sets have exact Jaccard 1.0 (>= any threshold) and identical minhash
+    signatures, so they are provably always in one verified cluster; the
+    cluster pipeline collapses them to one representative BEFORE banding,
+    which turns the classic job-killer (a vendored license file repeated
+    m times -> one band bucket -> O(m^2) candidate pairs) into O(m)."""
+
+    def __init__(self, shingle_k: int = 3, text_col: str = "text"):
+        self.k = shingle_k
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        k1 = np.empty(len(ids), dtype=np.uint64)
+        k2 = np.empty(len(ids), dtype=np.uint64)
+        offsets = [0]
+        flats: list[np.ndarray] = []
+        for i, text in enumerate(batch[self.text_col].to_pylist()):
+            h = _shingle_hashes(simple_tokens(text or ""), self.k)
+            d = hashlib.blake2b(h.tobytes(), digest_size=16).digest()
+            k1[i] = int.from_bytes(d[:8], "little")
+            k2[i] = int.from_bytes(d[8:], "little")
+            flats.append(h)
+            offsets.append(offsets[-1] + len(h))
+        flat = np.concatenate(flats) if flats else np.empty(0, dtype=np.uint64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "skey1": pa.array(k1, pa.uint64()),
+                "skey2": pa.array(k2, pa.uint64()),
+                "shingles": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(flat, pa.uint64())
+                ),
+            }
+        )
+
+
+def _collapse_identity(shingle_ds, num_buckets: int = 64):
+    """Collapse equal shingle sets to rep = min doc_id: one bucketed
+    exchange on the 128-bit set key.  Output rows carry BOTH roles:
+    every doc gets (doc_id, rep, gsize); rows with ``is_rep`` also carry
+    the set's shingle array (once per distinct set)."""
+    from ..bucket_agg import _bucket_ids
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_b",
+            pa.array(_bucket_ids(batch, ["skey1", "skey2"], num_buckets), pa.int64()),
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("skey1", "ascending"),
+                ("skey2", "ascending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        tbl = group.take(order)
+        k1 = tbl["skey1"].to_numpy(zero_copy_only=False)
+        k2 = tbl["skey2"].to_numpy(zero_copy_only=False)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        rep = np.empty(n, dtype=np.int64)
+        gsize = np.empty(n, dtype=np.int64)
+        is_rep = np.zeros(n, dtype=bool)
+        if n:
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
+            starts = np.flatnonzero(change)
+            ends = np.r_[starts[1:], n]
+            for s, e in zip(starts, ends):
+                rep[s:e] = ids[s]  # doc_id ascending within the run
+                gsize[s:e] = e - s
+                is_rep[s] = True
+        col = tbl["shingles"].combine_chunks()
+        lengths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+        # blank the shingle payload on non-rep rows (one copy per set)
+        keep_len = np.where(is_rep, lengths, 0)
+        off = np.concatenate([[0], np.cumsum(keep_len)]).astype(np.int64)
+        flat_src = col.flatten().to_numpy(zero_copy_only=False)
+        src_starts = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+        flat = np.empty(off[-1], dtype=np.uint64)
+        for i in np.flatnonzero(is_rep):
+            flat[off[i] : off[i + 1]] = flat_src[src_starts[i] : src_starts[i] + keep_len[i]]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "rep": pa.array(rep, pa.int64()),
+                "gsize": pa.array(gsize, pa.int64()),
+                "is_rep": pa.array(is_rep),
+                "shingles": pa.ListArray.from_arrays(
+                    pa.array(off, pa.int64()).cast(pa.int32()),
+                    pa.array(flat, pa.uint64()),
+                ),
+            }
+        )
+
+    return (
+        shingle_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+class _BandsFromShingles:
+    """map_batches stage: (doc_id, shingles) rep rows -> LSH band rows —
+    ``MinHashLSH`` minus tokenize (signatures derive from the collapsed
+    shingle-set column)."""
+
+    def __init__(self, num_bands: int = 16, rows_per_band: int = 4):
+        self.num_bands = num_bands
+        self.rows_per_band = rows_per_band
+        self.a, self.b = _minhash_params(num_bands * rows_per_band)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["shingles"].combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        doc_ids, bands, band_hashes = [], [], []
+        for i, doc_id in enumerate(batch["doc_id"].to_pylist()):
+            sig = _signature_from_hashes(flat[offs[i] : offs[i + 1]], self.a, self.b)
+            for band in range(self.num_bands):
+                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
+                bh = int.from_bytes(
+                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "little"
+                ) >> 1
+                doc_ids.append(doc_id)
+                bands.append(band)
+                band_hashes.append(bh)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band": pa.array(bands, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.int64()),
+            }
+        )
+
+
+def _jaccard_from_sorted(sa: np.ndarray, sb: np.ndarray) -> float:
+    """Exact Jaccard of two sorted unique uint64 shingle-hash arrays —
+    equal to the string-shingle-set Jaccard (and the SQL oracle's
+    list_intersect/list_distinct form) up to a ~2^-64 hash collision."""
+    if len(sa) == 0 and len(sb) == 0:
+        return 1.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 0.0
+
+
+def _verify_pairs_driver(pairs_tbl: pa.Table, reps_ds, threshold: float,
+                         shingle_k: int) -> pa.Table:
+    """Below-limit verify: candidate rep ids fit the driver, so broadcast
+    their shingle arrays once and verify in a map_batches stage."""
     import ray
+    import ray.data as rd
 
-    pairs_ds = minhash_candidate_pairs(
-        docs_ds, num_bands, rows_per_band, shingle_k, text_col
-    )
-    pair_batches = list(pairs_ds.iter_batches(batch_format="pyarrow"))
-    pairs_tbl = (
-        pa.concat_tables(pair_batches)
-        if pair_batches
-        else pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    )
-    empty = pa.table(
-        {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
-    )
-    if pairs_tbl.num_rows == 0:
-        return empty
     need_ids = np.unique(
         np.concatenate(
             [
@@ -625,54 +863,297 @@ def minhash_dedup_clusters(docs_ds, threshold: float = 0.8, num_bands=16,
     def keep(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_in(batch["doc_id"], need_arr))
 
-    toks: dict[int, list[str]] = {}
-    for bt in docs_ds.map_batches(keep, batch_format="pyarrow").iter_batches(
+    sets: dict[int, np.ndarray] = {}
+    for bt in reps_ds.map_batches(keep, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow"
     ):
-        for d, t in zip(bt["doc_id"].to_pylist(), bt[text_col].to_pylist()):
-            toks[d] = simple_tokens(t or "")
-    toks_ref = ray.put(toks)
+        col = bt["shingles"].combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        for i, d in enumerate(bt["doc_id"].to_pylist()):
+            sets[d] = flat[offs[i] : offs[i + 1]]
+    sets_ref = ray.put(sets)
 
     def verify(batch: pa.Table) -> pa.Table:
-        tmap = ray.get(toks_ref)
-        a_ids = batch["a"].to_pylist()
-        b_ids = batch["b"].to_pylist()
+        smap = ray.get(sets_ref)
         keep_mask = [
-            ngram_jaccard(tmap[x], tmap[y], shingle_k) >= threshold
-            for x, y in zip(a_ids, b_ids)
+            _jaccard_from_sorted(smap[x], smap[y]) >= threshold
+            for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist())
         ]
         return batch.filter(pa.array(keep_mask))
 
-    import ray.data as rd
-
-    verified_batches = list(
+    parts = list(
         rd.from_arrow(pairs_tbl)
         .map_batches(verify, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow")
     )
-    verified = (
-        pa.concat_tables(verified_batches)
-        if verified_batches
-        else pairs_tbl.slice(0, 0)
+    return pa.concat_tables(parts) if parts else pairs_tbl.slice(0, 0)
+
+
+def _verify_pairs_cogrouped(pairs_ds, reps_ds, threshold: float,
+                            num_buckets: int = 64):
+    """Above-limit verify — the co-grouped JOIN form: no driver pair
+    collect, no token-set broadcast.  Two bucketed exchanges:
+
+    1. by doc_id — each pair contributes a row per side; co-grouped with
+       the rep shingle rows, each side row picks up its shingle array;
+    2. by pair key — the two sides of each (a, b) meet and the exact
+       Jaccard decides.
+
+    Driver memory is O(1); shuffle volume is O(pairs x set size) on the
+    second exchange (inherent to join-based verify)."""
+
+    def sides(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        n = len(a)
+        empty_sh = pa.ListArray.from_arrays(
+            pa.array(np.zeros(2 * n + 1, dtype=np.int32), pa.int32()),
+            pa.array(np.empty(0, dtype=np.uint64), pa.uint64()),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+                "a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "b": pa.array(np.concatenate([b, b]), pa.int64()),
+                "shingles": empty_sh,
+            }
+        )
+
+    def rep_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        neg = pa.array(np.full(n, -1, dtype=np.int64), pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "a": neg,
+                "b": neg,
+                "shingles": batch["shingles"],
+            }
+        )
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        from ..bucket_agg import _splitmix64
+
+        return batch.append_column(
+            "_b",
+            pa.array((_splitmix64(d) % np.uint64(num_buckets)).astype(np.int64)),
+        )
+
+    def attach(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("doc_id", "ascending"), ("a", "ascending")]
+        )
+        tbl = group.take(order)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        a = tbl["a"].to_numpy(zero_copy_only=False)
+        b = tbl["b"].to_numpy(zero_copy_only=False)
+        col = tbl["shingles"].combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_doc: list[int] = []
+        out_off = [0]
+        out_flat: list[np.ndarray] = []
+        n = len(ids)
+        i = 0
+        while i < n:
+            j = i
+            while j < n and ids[j] == ids[i]:
+                j += 1
+            # the rep row (a == -1) sorts first within the doc run
+            if a[i] == -1:
+                sh = flat[offs[i] : offs[i + 1]]
+                for r in range(i + 1, j):
+                    out_a.append(int(a[r]))
+                    out_b.append(int(b[r]))
+                    out_doc.append(int(ids[r]))
+                    out_flat.append(sh)
+                    out_off.append(out_off[-1] + len(sh))
+            i = j
+        flat_all = (
+            np.concatenate(out_flat) if out_flat else np.empty(0, dtype=np.uint64)
+        )
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "shingles": pa.ListArray.from_arrays(
+                    pa.array(out_off, pa.int32()), pa.array(flat_all, pa.uint64())
+                ),
+            }
+        )
+
+    def tag_pair(batch: pa.Table) -> pa.Table:
+        from ..bucket_agg import _bucket_ids
+
+        return batch.append_column(
+            "_b", pa.array(_bucket_ids(batch, ["a", "b"], num_buckets), pa.int64())
+        )
+
+    def judge(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("a", "ascending"),
+                ("b", "ascending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        tbl = group.take(order)
+        a = tbl["a"].to_numpy(zero_copy_only=False)
+        b = tbl["b"].to_numpy(zero_copy_only=False)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        col = tbl["shingles"].combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        n = len(a)
+        i = 0
+        while i < n:
+            j = i
+            while j < n and a[j] == a[i] and b[j] == b[i]:
+                j += 1
+            if j - i == 2:  # both sides present exactly once
+                side_a = i if ids[i] == a[i] else i + 1
+                side_b = i + 1 if side_a == i else i
+                sa = flat[offs[side_a] : offs[side_a + 1]]
+                sb = flat[offs[side_b] : offs[side_b + 1]]
+                if _jaccard_from_sorted(sa, sb) >= threshold:
+                    out_a.append(int(a[i]))
+                    out_b.append(int(b[i]))
+            i = j
+        return pa.table(
+            {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())}
+        )
+
+    both = pairs_ds.map_batches(sides, batch_format="pyarrow").union(
+        reps_ds.map_batches(rep_rows, batch_format="pyarrow")
     )
-    if verified.num_rows == 0:
-        return empty
-    a = verified["a"].to_numpy(zero_copy_only=False)
-    b = verified["b"].to_numpy(zero_copy_only=False)
-    if verified.num_rows <= _CLUSTER_DRIVER_LIMIT:
-        nodes, labels = _min_label_numpy(a, b)
-    else:
-        nodes, labels = _min_label_dataset(verified)
-    # only docs in non-singleton clusters are emitted
-    uniq, inv, counts = np.unique(labels, return_inverse=True, return_counts=True)
-    mask = counts[inv] > 1
-    rows = sorted(zip(nodes[mask].tolist(), labels[mask].tolist()))
-    return pa.table(
-        {
-            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-            "cluster_id": pa.array([r[1] for r in rows], pa.int64()),
-        }
+    attached = (
+        both.map_batches(tag_doc, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(attach, batch_format="pyarrow")
     )
+    return (
+        attached.map_batches(tag_pair, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(judge, batch_format="pyarrow")
+    )
+
+
+def minhash_dedup_clusters(docs_ds, threshold: float = 0.8, num_bands=16,
+                           rows_per_band=4, shingle_k=3, text_col: str = "text",
+                           max_bucket: int | None = None):
+    """Full near-dup pipeline: shingle-set identity collapse -> LSH
+    candidates over distinct sets -> exact Jaccard verify -> min-label
+    connected components -> expand identity groups back in.
+
+    Semantics are IDENTICAL to banding every doc (the SQL oracle's form):
+    equal shingle sets are mutual candidates in every band with Jaccard
+    exactly 1.0, so a component of the full verified pair graph is the
+    union of the identity groups of the corresponding rep-level
+    component, and the min-doc_id cluster label is preserved (rep = min
+    of its group).  The collapse is what bounds the band-bucket pair
+    blow-up: m copies of one document cost O(m), not O(m^2).
+
+    Under ``_CLUSTER_DRIVER_LIMIT`` candidate pairs the verify broadcasts
+    the candidate shingle sets (driver fast path); above it the verify is
+    a co-grouped JOIN (``_verify_pairs_cogrouped``) and clustering runs
+    the Dataset min-label form fed straight from the verified-edge
+    Dataset (``_min_label_edges``) — no corpus-sized or pair-sized driver
+    state on that path.  Returns (doc_id, cluster_id) for docs in
+    near-dup groups, cluster_id = min doc_id of the group."""
+    import ray
+
+    shingled = docs_ds.map_batches(
+        _ShingleDocs,
+        batch_format="pyarrow",
+        fn_constructor_kwargs=dict(shingle_k=shingle_k, text_col=text_col),
+        concurrency=(1, 4),
+    )
+    collapsed = _collapse_identity(shingled).materialize()
+
+    def rep_only(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch["is_rep"])
+        return t.select(["doc_id", "shingles"])
+
+    reps_ds = collapsed.map_batches(rep_only, batch_format="pyarrow")
+    band_rows = reps_ds.map_batches(
+        _BandsFromShingles,
+        batch_format="pyarrow",
+        fn_constructor_kwargs=dict(num_bands=num_bands, rows_per_band=rows_per_band),
+        concurrency=(1, 4),
+    )
+    pairs_ds = _pairs_from_band_rows(
+        band_rows, max_bucket=max_bucket
+    ).materialize()
+    n_pairs = pairs_ds.count()
+
+    nodes = np.empty(0, dtype=np.int64)
+    labels = np.empty(0, dtype=np.int64)
+    if n_pairs:
+        if n_pairs <= _CLUSTER_DRIVER_LIMIT:
+            pairs_tbl = pa.concat_tables(
+                pairs_ds.iter_batches(batch_format="pyarrow")
+            )
+            verified = _verify_pairs_driver(pairs_tbl, reps_ds, threshold, shingle_k)
+            if verified.num_rows:
+                nodes, labels = _min_label_numpy(
+                    verified["a"].to_numpy(zero_copy_only=False),
+                    verified["b"].to_numpy(zero_copy_only=False),
+                )
+        else:
+            verified_ds = _verify_pairs_cogrouped(pairs_ds, reps_ds, threshold)
+            nodes, labels = _min_label_edges(verified_ds)
+
+    # expand: every doc joins its rep's component; identity groups of
+    # >= 2 docs whose rep is in no rep-level component are their own
+    # cluster (their pairwise Jaccard is exactly 1.0) with label = rep
+    lbl_ref = ray.put((nodes, labels))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        bn, bl = ray.get(lbl_ref)
+        rep = batch["rep"].to_numpy(zero_copy_only=False)
+        gsz = batch["gsize"].to_numpy(zero_copy_only=False)
+        if bn.size:
+            pos = np.searchsorted(bn, rep).clip(max=len(bn) - 1)
+            in_graph = bn[pos] == rep
+            cluster = np.where(in_graph, bl[pos], rep)
+        else:
+            in_graph = np.zeros(len(rep), dtype=bool)
+            cluster = rep
+        keepm = in_graph | (gsz >= 2)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False)[keepm],
+                "cluster_id": pa.array(cluster[keepm], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in collapsed.map_batches(expand, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64()),
+            }
+        )
+    out = pa.concat_tables(parts)
+    order = pc.sort_indices(
+        out, sort_keys=[("doc_id", "ascending"), ("cluster_id", "ascending")]
+    )
+    return out.take(order)
 
 
 # ---------------------------------------------------------------------------
@@ -744,10 +1225,12 @@ def embedding_neardup_pairs(
     """Cosine >= threshold pairs (a < b) over the embeddings table —
     EXACT, distributed block-pair form.
 
-    The table is chunked into unit-normalized row blocks held in the
-    object store (``ray.put`` once each); one Ray task per (i <= j) chunk
-    pair runs the numpy matmul and emits only the >= threshold pairs.
-    Nothing is materialized on the driver beyond the matching pairs; the
+    The embeddings Dataset is materialized in the object store and the
+    driver holds only block refs plus (block, row-range) chunk
+    descriptors (round-4 fix: the round-3 form pumped every row through
+    a driver ``iter_batches``+``ray.put`` loop); one Ray task per
+    (i <= j) chunk pair runs the numpy matmul and emits only the
+    >= threshold pairs.  Nothing corpus-sized touches the driver; the
     comparison uses the 6dp-rounded cosine on BOTH sides (matching the
     rounded SQL oracle) so matmul-vs-sequential FP order cannot flip a
     boundary pair.  O(n^2) flops total but embarrassingly parallel and
@@ -755,36 +1238,19 @@ def embedding_neardup_pairs(
     ``embedding_neardup_lsh``.
     """
     import ray
-    import ray.data as rd
 
     def load(batch: pa.Table) -> pa.Table:
         if id_limit is not None:
             batch = batch.filter(pc.less(batch["vec_id"], id_limit))
         return batch.select(["vec_id", "embedding"])
 
-    chunks: list = []  # list of (ids_ref-like tuples) object refs
-    buf_ids: list[np.ndarray] = []
-    buf_mat: list[np.ndarray] = []
-    buffered = 0
-    for batch in emb_ds.map_batches(load, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        if batch.num_rows == 0:
-            continue
-        buf_ids.append(batch["vec_id"].to_numpy(zero_copy_only=False))
-        buf_mat.append(
-            np.stack(
-                [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
-            )
-        )
-        buffered += batch.num_rows
-        if buffered >= chunk_rows:
-            chunks.append(
-                ray.put((np.concatenate(buf_ids), np.vstack(buf_mat)))
-            )
-            buf_ids, buf_mat, buffered = [], [], 0
-    if buffered:
-        chunks.append(ray.put((np.concatenate(buf_ids), np.vstack(buf_mat))))
+    loaded = emb_ds.map_batches(load, batch_format="pyarrow").materialize()
+    chunks: list[tuple] = []
+    for bundle in loaded.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            n = meta.num_rows or 0
+            for lo in range(0, n, chunk_rows):
+                chunks.append((ref, lo, min(lo + chunk_rows, n)))
     if not chunks:
         return pa.table(
             {
@@ -794,10 +1260,20 @@ def embedding_neardup_pairs(
             }
         )
 
+    def _unpack(block: pa.Table, lo: int, hi: int):
+        t = block.slice(lo, hi - lo)
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+        )
+        return t["vec_id"].to_numpy(zero_copy_only=False), mat
+
     @ray.remote
-    def pair_task(ref_i, ref_j, same: bool):
-        ids_i, mat_i = ref_i
-        ids_j, mat_j = ref_j
+    def pair_task(block_i, lo_i, hi_i, block_j, lo_j, hj, same: bool):
+        ids_i, mat_i = _unpack(block_i, lo_i, hi_i)
+        if same:
+            ids_j, mat_j = ids_i, mat_i
+        else:
+            ids_j, mat_j = _unpack(block_j, lo_j, hj)
         ni = np.linalg.norm(mat_i, axis=1)
         nj = np.linalg.norm(mat_j, axis=1)
         ni[ni == 0] = 1.0
@@ -822,8 +1298,10 @@ def embedding_neardup_pairs(
 
     futures = []
     for i in range(len(chunks)):
+        ri, li, hi_i = chunks[i]
         for j in range(i, len(chunks)):
-            futures.append(pair_task.remote(chunks[i], chunks[j], i == j))
+            rj, lj, hj = chunks[j]
+            futures.append(pair_task.remote(ri, li, hi_i, rj, lj, hj, i == j))
     a_out: list[np.ndarray] = []
     b_out: list[np.ndarray] = []
     c_out: list[np.ndarray] = []

@@ -1,0 +1,160 @@
+"""Scale-path tests for the MinHash near-dup pipeline (round-4 items):
+
+* the DISTRIBUTED tail — co-grouped-join Jaccard verify + Dataset
+  min-label clustering — forced end-to-end via ``_CLUSTER_DRIVER_LIMIT=0``
+  and asserted bit-equal to the driver fast path;
+* the identity-collapse guard: a 10k-doc identical-content corpus (the
+  vendored-license band-bucket blow-up) finishes in bounded time because
+  it collapses to ONE representative before banding (O(m), not O(m^2));
+* spanning-link band emission: identical connected components over the
+  candidate graph at O(m) edges per bucket;
+* the over-crowded-bucket cap for the pair-report form.
+"""
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from seekr_ray.extras import dedup
+from seekr_ray.extras.dedup import (
+    _min_label_numpy,
+    minhash_candidate_pairs,
+    minhash_dedup_clusters,
+)
+
+
+def _docs_ds(texts):
+    import ray.data as rd
+
+    return rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+
+
+BASE = (
+    "streaming executors schedule pipelined blocks with backpressure while "
+    "actor pools hold tokenizer state across batches of arrow memory"
+)
+
+
+@pytest.fixture
+def corpus():
+    near = BASE.replace("memory", "ram")
+    far = "unrelated treatise about birds migrating across continents yearly"
+    far2 = "unrelated treatise about birds migrating across continents monthly"
+    return [BASE, near, far, BASE, "", "", far2, BASE + " extra tokens here"]
+
+
+def test_distributed_path_equals_driver_path(ray_session, corpus, monkeypatch):
+    ds = _docs_ds(corpus)
+    want = minhash_dedup_clusters(ds, threshold=0.4)
+    monkeypatch.setattr(dedup, "_CLUSTER_DRIVER_LIMIT", 0)
+    got = minhash_dedup_clusters(ds, threshold=0.4)
+    assert want.num_rows > 0
+    assert got.equals(want)
+
+
+def test_min_label_edges_equals_numpy(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 500, size=2000).astype(np.int64)
+    b = (a + rng.integers(1, 50, size=2000)).astype(np.int64)
+    nodes_np, labels_np = _min_label_numpy(a, b)
+    edges_ds = rd.from_arrow(
+        pa.table({"a": pa.array(a), "b": pa.array(b)})
+    )
+    nodes_ds, labels_ds = dedup._min_label_edges(edges_ds)
+    assert np.array_equal(nodes_np, nodes_ds)
+    assert np.array_equal(labels_np, labels_ds)
+
+
+def test_identical_doc_bucket_is_bounded(ray_session):
+    # 10k identical docs: pre-collapse this is ONE band bucket of 10k
+    # docs in every band -> ~16 * 5e7 candidate pairs (a job-killer);
+    # with identity collapse it is one rep, zero pairs, O(m) expansion.
+    texts = [BASE] * 10_000 + ["solitary document about nothing shared"]
+    ds = _docs_ds(texts)
+    t0 = time.monotonic()
+    out = minhash_dedup_clusters(ds, threshold=0.8)
+    elapsed = time.monotonic() - t0
+    assert out.num_rows == 10_000
+    assert set(out["cluster_id"].to_pylist()) == {0}
+    assert 10_000 not in set(out["doc_id"].to_pylist())
+    # generous bound: the pre-collapse form would emit ~800M pairs and
+    # not finish; the collapsed form is seconds
+    assert elapsed < 120
+
+
+def test_spanning_links_same_components(ray_session, corpus):
+    ds = _docs_ds(corpus)
+    pair_tbl = pa.concat_tables(
+        minhash_candidate_pairs(ds).iter_batches(batch_format="pyarrow")
+    )
+    link_tbl = pa.concat_tables(
+        minhash_candidate_pairs(ds, emit="links").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    assert pair_tbl.num_rows >= link_tbl.num_rows > 0
+
+    def comps(tbl):
+        nodes, labels = _min_label_numpy(
+            tbl["a"].to_numpy(zero_copy_only=False),
+            tbl["b"].to_numpy(zero_copy_only=False),
+        )
+        return dict(zip(nodes.tolist(), labels.tolist()))
+
+    assert comps(pair_tbl) == comps(link_tbl)
+
+
+def test_pair_baseline_chunking_invariant(ray_session, corpus):
+    # the exact O(n^2) baselines now ship block refs + row ranges to the
+    # pair tasks (no driver payload loop); the result must not depend on
+    # the chunk granularity
+    from seekr_ray.extras.dedup import ngram_jaccard_pairs
+
+    ds = _docs_ds(list(corpus) + [t + " tail" for t in corpus])
+    fine = ngram_jaccard_pairs(ds, threshold=0.3, chunk_rows=3)
+    coarse = ngram_jaccard_pairs(ds, threshold=0.3, chunk_rows=10_000)
+    assert fine.num_rows > 0
+    assert fine.equals(coarse)
+
+
+def test_embedding_pairs_chunking_invariant(ray_session):
+    import ray.data as rd
+
+    from seekr_ray.extras.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(12, 8))
+    vecs = np.vstack([base, base + rng.normal(scale=0.01, size=(12, 8))])
+    ds = rd.from_items(
+        [
+            {"vec_id": i, "embedding": vecs[i].tolist()}
+            for i in range(len(vecs))
+        ]
+    )
+    fine = embedding_neardup_pairs(ds, threshold=0.9, chunk_rows=5)
+    coarse = embedding_neardup_pairs(ds, threshold=0.9, chunk_rows=10_000)
+    assert fine.num_rows >= 12
+    assert fine.equals(coarse)
+
+
+def test_max_bucket_cap_drops_crowded_buckets(ray_session):
+    # 40 identical docs -> every band bucket has 40 members; cap 8 drops
+    # them all, leaving zero candidate pairs (and a logged drop count)
+    ds = _docs_ds([BASE] * 40)
+    capped_rows = sum(
+        t.num_rows
+        for t in minhash_candidate_pairs(ds, max_bucket=8).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    assert capped_rows == 0
+    full = pa.concat_tables(
+        minhash_candidate_pairs(ds).iter_batches(batch_format="pyarrow")
+    )
+    assert full.num_rows == 40 * 39 // 2
