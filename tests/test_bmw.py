@@ -339,3 +339,47 @@ def test_cold_range_skips_out_of_range_chunks():
     # chunks 0, 4-7 never decoded
     assert lz.decode_count <= 3
     assert e.cold_stats["chunks_total"] == 3  # only in-range units exist
+
+
+def test_bmw_prunable_predictor():
+    """The round-4 prunability predictor (VERDICT r3 #4): skewed lists
+    (most block maxima tiny vs the k-th best contribution) must predict
+    prunable; uniform lists (every block can beat any threshold) must
+    not — so mode="bmw" on a uniform corpus goes straight to TAAT
+    without entering the Python pivot loop."""
+    f = _fake_engine()
+    # skewed: Pareto-tailed contributions, small k
+    ids_list, contribs = _synthetic_terms(seed=3, n_docs=60_000,
+                                          dfs=(9_000, 7_000))
+    ubs = [0.7 * float(c.max()) for c in contribs]
+    metas = [_block_meta(i, c) for i, c in zip(ids_list, contribs)]
+    assert QueryEngine._bmw_prunable(f, contribs, ubs, metas, 10) is True
+
+    # uniform: every contribution equal -> no block is skippable
+    rng = np.random.default_rng(0)
+    ids_u = [np.sort(rng.choice(60_000, size=df, replace=False).astype(np.int64))
+             for df in (9_000, 7_000)]
+    contribs_u = [np.full(len(i), 1.0) for i in ids_u]
+    ubs_u = [0.7 * float(c.max()) for c in contribs_u]
+    metas_u = [_block_meta(i, c) for i, c in zip(ids_u, contribs_u)]
+    assert QueryEngine._bmw_prunable(f, contribs_u, ubs_u, metas_u, 10) is False
+
+    # degenerate: fewer candidates than k -> no threshold estimate
+    assert QueryEngine._bmw_prunable(
+        f, [np.full(5, 1.0)], [0.7], [_block_meta(np.arange(5), np.full(5, 1.0))], 10
+    ) is False
+
+
+def test_bmw_mode_predictor_end_to_end_skewed():
+    """On the skewed synthetic regime the predictor must let BMW run
+    (and prune), keeping rank identity — guards against a predictor
+    that just always says no."""
+    ids_list, contribs = _synthetic_terms()
+    ubs = [0.7 * float(c.max()) for c in contribs]
+    f = _fake_engine()
+    metas = [_block_meta(i, c) for i, c in zip(ids_list, contribs)]
+    assert QueryEngine._bmw_prunable(f, contribs, ubs, metas, 10)
+    got = QueryEngine._bmw_arrays(f, ids_list, contribs, ubs, 10, metas=metas)
+    want = QueryEngine._taat_arrays(_fake_engine(), ids_list, contribs, 10)
+    _rank_equal(got, want)
+    assert f.wand_stats["block_skips"] > 0
