@@ -222,3 +222,59 @@ def test_pagerank_refresh_matches_fresh_build(extended_and_full, ray_session):
     assert set(a) == set(b)
     for url in a:
         assert math.isclose(a[url], b[url], rel_tol=0, abs_tol=1e-12), url
+
+
+def test_compaction_multirange_query_equivalent(extended_and_full, ray_session):
+    """Round-4 chunk-parallel compaction: force MANY doc-id ranges per
+    partition (tiny target_postings_per_task) and assert the compacted
+    index (a) preserves the (term, salt, chunk_seq) file invariant with
+    doc-sorted per-term runs, and (b) serves the full query set, phrase
+    and bm25 identically to the single-range form."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from seekr_ray.stages.extend import _plan_compact_ranges, compact_index
+
+    cdir = "/tmp/seekr_extend_compacted_mr"
+    shutil.rmtree(cdir, ignore_errors=True)
+    shutil.copytree(BASE_DIR, cdir)
+    seg = os.path.join(cdir, "segments")
+    # the plan must actually split: tiny per-task budget
+    for p in range(4):
+        files = partition_files(seg, p)
+        if len(files) > 1:
+            assert len(_plan_compact_ranges(files, target=50, max_ranges=8)) > 1
+    m = compact_index(cdir, target_postings_per_task=50, max_range_parallel=8)
+    assert m["partitions_compacted"] > 0 and m["files_removed"] > 0
+    for p in range(4):
+        files = partition_files(seg, p)
+        assert len(files) <= 1
+        if not files:
+            continue
+        t = pq.read_table(files[0])
+        terms = np.asarray(t["term"].to_pylist(), dtype=object)
+        seqs = t["chunk_seq"].to_numpy(zero_copy_only=False)
+        mins = t["min_doc_id"].to_numpy(zero_copy_only=False)
+        maxs = t["max_doc_id"].to_numpy(zero_copy_only=False)
+        # terms sorted; within a term: chunk_seq 0..m-1 and doc ranges
+        # strictly increasing and disjoint
+        assert list(terms) == sorted(terms)
+        for i in range(len(terms)):
+            if i == 0 or terms[i] != terms[i - 1]:
+                assert seqs[i] == 0
+            else:
+                assert seqs[i] == seqs[i - 1] + 1
+                assert mins[i] > maxs[i - 1]
+            assert mins[i] <= maxs[i]
+    ec, eb = QueryEngine(cdir), QueryEngine(FULL_DIR)
+    sc, sb = _sha_of(cdir), _sha_of(FULL_DIR)
+    for qid, query, k in QUERY_SET:
+        rc = [(round(s, 9), sc[d]) for d, s in ec.search_topk(query, k=100_000)]
+        rb = [(round(s, 9), sb[d]) for d, s in eb.search_topk(query, k=100_000)]
+        assert sorted(rc) == sorted(rb), qid
+    assert ec.search_topk('"travel connect"', k=10) == QueryEngine(
+        BASE_DIR
+    ).search_topk('"travel connect"', k=10)
+    assert ec.bm25_topk("parse buffer", k=20) == QueryEngine(BASE_DIR).bm25_topk(
+        "parse buffer", k=20
+    )
