@@ -5186,6 +5186,27 @@ def q_source_quality(sf_dir: str):
     return source_stats(ds)
 
 
+SOURCE_DOC_CAP_K = 7
+
+
+def q_source_doc_cap(sf_dir: str):
+    """Per-source document cap: keep the ``SOURCE_DOC_CAP_K`` lowest
+    doc_ids per source — the build-side analog of the crawler's
+    per-domain page cap (``Crawler.java:140-153``
+    ``MAX_PAGES_PER_DOMAIN`` CAS loop); a boilerplate-heavy repo must
+    not flood the curated corpus.  Two-phase keep-k: per-batch combiner
+    (O(k · sources) exchange rows) + bucketed per-source finalize."""
+    import ray.data as rd
+
+    from .extras.curate import source_doc_cap
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    )
+    return source_doc_cap(ds, k=SOURCE_DOC_CAP_K)
+
+
 def q_ngram_novelty(sf_dir: str):
     """Per-doc k-gram novelty: fraction of the doc's distinct trigrams
     whose corpus-wide first occurrence (min doc_id) is this doc — the
@@ -8819,6 +8840,12 @@ WHERE c.n_tokens::DOUBLE > thr.t"""
     stop3 = _stoplist_sql()
     # row-form + hash anti-join (see _toks_cte rationale); docs with zero
     # kept tokens still count in n_docs via the separate per-source count
+    sql["source_doc_cap"] = f"""SELECT doc_id, source, source_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS source_rank
+  FROM documents) t
+WHERE source_rank <= {SOURCE_DOC_CAP_K}"""
+
     sql["source_quality"] = f"""WITH sw AS (SELECT unnest({stop3}) AS w),
 r AS (
   SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t

@@ -160,3 +160,77 @@ def source_stats(docs_ds, *, source_col: str = "source", text_col: str = "text")
         )
 
     return reduced.map_batches(finish, batch_format="pyarrow")
+
+
+def source_doc_cap(docs_ds, *, k: int, source_col: str = "source"):
+    """Per-source document cap — the build-side analog of the crawler's
+    per-domain page cap (``Crawler.java:140-153``: ``domainPageCounts``
+    CAS loop against ``MAX_PAGES_PER_DOMAIN``): a boilerplate-heavy repo
+    must not flood the curated corpus.  Deterministic keep-k: the k
+    LOWEST doc_ids per source survive (doc ids are ingest-ordered, the
+    batch analog of the crawler's first-come reservation).
+
+    Plan (100 TB honest): two-phase keep-k.  Phase 1 is a per-batch
+    combiner — each block keeps at most k rows per source via one
+    vectorized sort + run-rank, so the exchange carries O(k · sources)
+    narrow (doc_id, source) rows no matter how large the mega-repo is.
+    Phase 2 hash-buckets sources (``bucket_agg`` discipline: the
+    exchange runs over num_buckets int64 groups, never O(sources)
+    Python groups) and re-applies the same kernel per source run.
+    Returns ``(doc_id, source, source_rank)``, rank 1-based, the full
+    kept set."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..bucket_agg import _bucket_ids
+
+    def keep_k(tbl: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            tbl,
+            sort_keys=[(source_col, "ascending"), ("doc_id", "ascending")],
+        )
+        t = tbl.take(order)
+        src = t[source_col]
+        enc = pc.dictionary_encode(src.combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        n = len(codes)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    source_col: pa.array([], pa.string()),
+                    "source_rank": pa.array([], pa.int64()),
+                }
+            )
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = codes[1:] != codes[:-1]
+        run_starts = np.flatnonzero(change)
+        run_ids = np.cumsum(change) - 1
+        rank = np.arange(n, dtype=np.int64) - run_starts[run_ids] + 1
+        mask = rank <= k
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(mask)),
+                source_col: src.filter(pa.array(mask)),
+                "source_rank": pa.array(rank[mask], pa.int64()),
+            }
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        return keep_k(batch.select(["doc_id", source_col]))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_b", pa.array(_bucket_ids(batch, [source_col], 64), pa.int64())
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        return keep_k(group.drop_columns(["_b", "source_rank"]))
+
+    return (
+        docs_ds.map_batches(combine, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

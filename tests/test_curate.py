@@ -64,3 +64,31 @@ def test_curate_corpus_keeps_all_when_loose(ray_session):
         rd.from_pandas(docs), min_tokens=1, min_alpha_ratio=0.1
     ).to_pandas()
     assert sorted(got["doc_id"].tolist()) == [10, 11]
+
+
+def test_source_doc_cap_semantics(ray_session):
+    """Per-source keep-k: the k LOWEST doc_ids per source survive with
+    1-based contiguous ranks; a mega-source is capped, small sources
+    pass through whole; the two-phase combiner is batch-layout
+    invariant."""
+    import ray.data as rd
+
+    from seekr_ray.extras.curate import source_doc_cap
+
+    rows = (
+        [{"doc_id": i, "source": "mega"} for i in range(100, 0, -1)]
+        + [{"doc_id": 1000 + i, "source": "small"} for i in range(3)]
+        + [{"doc_id": 2000, "source": "single"}]
+    )
+    for blocks in (1, 13):
+        ds = rd.from_items(rows, override_num_blocks=blocks)
+        out = source_doc_cap(ds, k=5).to_pandas().sort_values(
+            ["source", "source_rank"]
+        )
+        mega = out[out["source"] == "mega"]
+        assert list(mega["doc_id"]) == [1, 2, 3, 4, 5]
+        assert list(mega["source_rank"]) == [1, 2, 3, 4, 5]
+        small = out[out["source"] == "small"]
+        assert list(small["doc_id"]) == [1000, 1001, 1002]
+        assert list(out[out["source"] == "single"]["doc_id"]) == [2000]
+        assert len(out) == 9
