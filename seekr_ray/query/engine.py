@@ -256,6 +256,129 @@ class QueryEngine:
     # phrase path (QueryIndex.queryPhrase + checkSequentialPositions)
     # ------------------------------------------------------------------
 
+    def _phrase_match_arrays(
+        self,
+        stems: list[str],
+        original_words: list[str],
+        lo: int | None = None,
+        hi: int | None = None,
+    ) -> tuple[np.ndarray, dict[str, tuple[np.ndarray, float]]]:
+        """Phrase candidate semi-join + position walk as arrays:
+        (matched doc_ids asc, {original_word: (tf rows, idf)}).
+
+        ``lo``/``hi`` optionally restrict to the doc-id range [lo, hi) —
+        phrase candidacy is a PER-DOC property (all-stems membership +
+        that doc's own positions), so cutting the sorted candidate set
+        before the walk is exact AND means a scatter range actor decodes
+        only its range's position payloads (the expensive half)."""
+        # pair each original word with ITS OWN stem (QP.java:379-422);
+        # a positional zip over the DEDUPED stems list misaligns the map
+        # when phrase words repeat or share a stem
+        _, stem_to_original = tokenize_and_stem(" ".join(original_words))
+
+        empty: tuple[np.ndarray, dict] = (np.empty(0, dtype=np.int64), {})
+        postings = {}
+        self.store.postings_many(stems)
+        for s in stems:
+            tp = self.store.postings(s)
+            if tp is None:
+                # a stem with no postings -> no doc has ALL stems
+                return empty
+            postings[s] = tp
+        # docs containing ALL stems (J3 semi-join)
+        candidate = None
+        for s in stems:
+            ids = postings[s].doc_ids
+            candidate = ids if candidate is None else np.intersect1d(candidate, ids)
+            if candidate.size == 0:
+                break
+        if candidate is not None and candidate.size and (
+            lo is not None or hi is not None
+        ):
+            c0 = int(
+                np.searchsorted(
+                    candidate, lo if lo is not None else -(1 << 62), side="left"
+                )
+            )
+            c1 = int(
+                np.searchsorted(
+                    candidate, hi if hi is not None else 1 << 62, side="left"
+                )
+            )
+            candidate = candidate[c0:c1]
+        if candidate is None or candidate.size == 0:
+            return empty
+        max_gap = self.cfg.max_phrase_gap
+        # vectorized row lookup: one searchsorted per stem for the
+        # whole candidate set (J4 positions are inline per posting);
+        # positions decode ONLY for candidate postings (store
+        # positions_for — never the term's full payload)
+        per_stem_idx = {
+            s: np.searchsorted(postings[s].doc_ids, candidate)
+            for s in stems
+        }
+        if len(stems) == 1:
+            # single-word phrase: every posting trivially passes the
+            # walk (checkSequentialPositions with one word) — no
+            # position decode needed
+            matched_ci = np.arange(candidate.size, dtype=np.int64)
+        elif len(stems) == 2:
+            # two-word phrase: the in-range slide cannot change
+            # the outcome, so the walk reduces to the vectorized
+            # pair predicate (_phrase_pair_match), slab by slab
+            parts = []
+            for s0 in range(0, candidate.size, _PHRASE_SLAB):
+                s1 = min(s0 + _PHRASE_SLAB, candidate.size)
+                f1, o1 = postings[stems[0]].positions_flat_for(
+                    per_stem_idx[stems[0]][s0:s1]
+                )
+                f2, o2 = postings[stems[1]].positions_flat_for(
+                    per_stem_idx[stems[1]][s0:s1]
+                )
+                m = _phrase_pair_match(f1, o1, f2, o2, max_gap)
+                if m.size:
+                    parts.append(m + s0)
+            matched_ci = (
+                np.concatenate(parts)
+                if parts
+                else np.empty(0, dtype=np.int64)
+            )
+        else:
+            # >= 3 words: the sequential walk (incl. the
+            # cursor-slide quirk) vectorized across every start
+            # position of every candidate at once
+            # (_phrase_walk_vectorized; golden-tested equal to
+            # _check_sequential_positions), slab by slab
+            parts = []
+            for s0 in range(0, candidate.size, _PHRASE_SLAB):
+                s1 = min(s0 + _PHRASE_SLAB, candidate.size)
+                flats = [
+                    postings[s].positions_flat_for(
+                        per_stem_idx[s][s0:s1]
+                    )
+                    for s in stems
+                ]
+                m = _phrase_walk_vectorized(flats, max_gap)
+                if m.size:
+                    parts.append(m + s0)
+            matched_ci = (
+                np.concatenate(parts)
+                if parts
+                else np.empty(0, dtype=np.int64)
+            )
+        matched_ids = candidate[matched_ci]
+        # per-original-word arrays over the matched set (later
+        # stems overwrite the same original word — the word_info
+        # putAll semantics, vectorized)
+        word_arrays: dict[str, tuple[np.ndarray, float]] = {}
+        for s in stems:
+            tp = postings[s]
+            word_arrays[stem_to_original.get(s, s)] = (
+                tp.tfs[per_stem_idx[s][matched_ci]],
+                tp.idf,
+            )
+        return matched_ids, word_arrays
+
     def query_phrase(
         self, stems: list[str], original_words: list[str]
     ) -> QueryResult:
@@ -269,124 +392,21 @@ class QueryEngine:
             # read the arrays — a hit here without arrays would serve
             # empty results after an eviction
             return self._phrase_cache[cache_key]
-        # pair each original word with ITS OWN stem (QP.java:379-422);
-        # a positional zip over the DEDUPED stems list misaligns the map
-        # when phrase words repeat or share a stem
-        _, stem_to_original = tokenize_and_stem(" ".join(original_words))
-
-        postings = {}
-        self.store.postings_many(stems)
-        for s in stems:
-            tp = self.store.postings(s)
-            if tp is None:
-                # a stem with no postings -> no doc has ALL stems
-                postings = {}
-                break
-            postings[s] = tp
-        documents: list[DocumentData] = []
-        if postings:
-            # docs containing ALL stems (J3 semi-join)
-            candidate = None
-            for s in stems:
-                ids = postings[s].doc_ids
-                candidate = ids if candidate is None else np.intersect1d(candidate, ids)
-                if candidate.size == 0:
-                    break
-            if candidate is not None and candidate.size:
-                max_gap = self.cfg.max_phrase_gap
-                # vectorized row lookup: one searchsorted per stem for the
-                # whole candidate set (J4 positions are inline per posting);
-                # positions decode ONLY for candidate postings (store
-                # positions_for — never the term's full payload)
-                per_stem_idx = {
-                    s: np.searchsorted(postings[s].doc_ids, candidate)
-                    for s in stems
-                }
-                if len(stems) == 1:
-                    # single-word phrase: every posting trivially passes the
-                    # walk (checkSequentialPositions with one word) — no
-                    # position decode needed
-                    matched_ci = np.arange(candidate.size, dtype=np.int64)
-                elif len(stems) == 2:
-                    # two-word phrase: the in-range slide cannot change
-                    # the outcome, so the walk reduces to the vectorized
-                    # pair predicate (_phrase_pair_match), slab by slab
-                    parts = []
-                    for lo in range(0, candidate.size, _PHRASE_SLAB):
-                        hi = min(lo + _PHRASE_SLAB, candidate.size)
-                        f1, o1 = postings[stems[0]].positions_flat_for(
-                            per_stem_idx[stems[0]][lo:hi]
-                        )
-                        f2, o2 = postings[stems[1]].positions_flat_for(
-                            per_stem_idx[stems[1]][lo:hi]
-                        )
-                        m = _phrase_pair_match(f1, o1, f2, o2, max_gap)
-                        if m.size:
-                            parts.append(m + lo)
-                    matched_ci = (
-                        np.concatenate(parts)
-                        if parts
-                        else np.empty(0, dtype=np.int64)
-                    )
-                else:
-                    # >= 3 words: the sequential walk (incl. the
-                    # cursor-slide quirk) vectorized across every start
-                    # position of every candidate at once
-                    # (_phrase_walk_vectorized; golden-tested equal to
-                    # _check_sequential_positions), slab by slab
-                    parts = []
-                    for lo in range(0, candidate.size, _PHRASE_SLAB):
-                        hi = min(lo + _PHRASE_SLAB, candidate.size)
-                        flats = [
-                            postings[s].positions_flat_for(
-                                per_stem_idx[s][lo:hi]
-                            )
-                            for s in stems
-                        ]
-                        m = _phrase_walk_vectorized(flats, max_gap)
-                        if m.size:
-                            parts.append(m + lo)
-                    matched_ci = (
-                        np.concatenate(parts)
-                        if parts
-                        else np.empty(0, dtype=np.int64)
-                    )
-                matched_ids = candidate[matched_ci]
-                # per-original-word arrays over the matched set (later
-                # stems overwrite the same original word — the word_info
-                # putAll semantics, vectorized)
-                word_arrays: dict[str, tuple[np.ndarray, float]] = {}
-                for s in stems:
-                    tp = postings[s]
-                    word_arrays[stem_to_original.get(s, s)] = (
-                        tp.tfs[per_stem_idx[s][matched_ci]],
-                        tp.idf,
-                    )
-                self._phrase_arrays_cache[cache_key] = (
-                    matched_ids,
-                    word_arrays,
-                )
-                if len(self._phrase_arrays_cache) > 256:
-                    self._phrase_arrays_cache.pop(
-                        next(iter(self._phrase_arrays_cache))
-                    )
-                for row, doc_id in enumerate(matched_ids.tolist()):
-                    word_info = {
-                        w: (float(arr[row]), idf)
-                        for w, (arr, idf) in word_arrays.items()
-                    }
-                    documents.append(DocumentData(doc_id, word_info))
-        if cache_key not in self._phrase_arrays_cache:
-            # no-candidate phrases also cache (empty) arrays so the
-            # two caches stay in lockstep
-            self._phrase_arrays_cache[cache_key] = (
-                np.empty(0, dtype=np.int64),
-                {},
+        matched_ids, word_arrays = self._phrase_match_arrays(
+            stems, original_words
+        )
+        self._phrase_arrays_cache[cache_key] = (matched_ids, word_arrays)
+        if len(self._phrase_arrays_cache) > 256:
+            self._phrase_arrays_cache.pop(
+                next(iter(self._phrase_arrays_cache))
             )
-            if len(self._phrase_arrays_cache) > 256:
-                self._phrase_arrays_cache.pop(
-                    next(iter(self._phrase_arrays_cache))
-                )
+        documents: list[DocumentData] = []
+        for row, doc_id in enumerate(matched_ids.tolist()):
+            word_info = {
+                w: (float(arr[row]), idf)
+                for w, (arr, idf) in word_arrays.items()
+            }
+            documents.append(DocumentData(doc_id, word_info))
         result = QueryResult(documents, list(original_words))
         self._phrase_cache[cache_key] = result
         return result
@@ -508,21 +528,44 @@ class QueryEngine:
             return self._bmw(terms, k, scorer="tfidf")
         return self._taat(terms, k)
 
-    def _phrase_topk(self, query: str, k: int) -> list[tuple[int, float]]:
+    def _phrase_topk(
+        self,
+        query: str,
+        k: int,
+        lo: int | None = None,
+        hi: int | None = None,
+    ) -> list[tuple[int, float]]:
         """Vectorized top-k for a pure quoted-phrase query: the match set
         comes from query_phrase's arrays cache and scoring runs as array
         ops with the SAME per-word FP addition order as rank() — asserted
-        rank-identical in tests."""
+        rank-identical in tests.  With ``lo``/``hi`` the candidacy, walk
+        and scoring all restrict to the doc-id range (the scatter path);
+        range results cache under a range-qualified key."""
         clean = strip_quotes(query)
         original_words = clean.split() or [clean]
         stems, _ = tokenize_and_stem(clean)
         if not stems:
+            if lo is not None or hi is not None:
+                return []  # no-stem phrases carry no per-doc candidacy
             result = self.query(query)
             return self.rank(result.documents, result.query_words)[:k]
-        cache_key = repr(stems)
-        if cache_key not in self._phrase_arrays_cache:
-            self.query_phrase(stems, list(original_words))
+        cache_key = (
+            repr(stems) if lo is None and hi is None else repr((stems, lo, hi))
+        )
         entry = self._phrase_arrays_cache.get(cache_key)
+        if entry is None:
+            if lo is None and hi is None:
+                self.query_phrase(stems, list(original_words))
+                entry = self._phrase_arrays_cache.get(cache_key)
+            else:
+                entry = self._phrase_match_arrays(
+                    stems, list(original_words), lo, hi
+                )
+                self._phrase_arrays_cache[cache_key] = entry
+                if len(self._phrase_arrays_cache) > 256:
+                    self._phrase_arrays_cache.pop(
+                        next(iter(self._phrase_arrays_cache))
+                    )
         if entry is None:
             # no-postings/no-candidate phrase: nothing matched
             return []
@@ -546,19 +589,33 @@ class QueryEngine:
     # the same B1/B2/B3 wordInfo semantics as the faithful path)
     # ------------------------------------------------------------------
 
-    def _component_arrays(self, query: str):
+    def _component_arrays(
+        self, query: str, lo: int | None = None, hi: int | None = None
+    ):
         """One boolean operand as arrays: (query_words,
-        {original_word: (sorted doc_ids, tf*idf contrib)}, candidates)."""
+        {original_word: (sorted doc_ids, tf*idf contrib)}, candidates).
+        ``lo``/``hi`` restrict every array to the doc-id range [lo, hi)
+        — membership and contributions are per-doc, so boolean set ops
+        over range-restricted components equal the range restriction of
+        the global set ops (the scatter exactness argument)."""
+        ranged = lo is not None or hi is not None
+        rlo = lo if lo is not None else -(1 << 62)
+        rhi = hi if hi is not None else 1 << 62
         if is_quoted(query):
             clean = strip_quotes(query)
             original_words = clean.split() or [clean]
             stems, _ = tokenize_and_stem(clean)
             if not stems:
                 return list(original_words), {}, np.empty(0, dtype=np.int64)
-            cache_key = repr(stems)
-            if cache_key not in self._phrase_arrays_cache:
-                self.query_phrase(stems, list(original_words))
-            entry = self._phrase_arrays_cache.get(cache_key)
+            if ranged:
+                entry = self._phrase_match_arrays(
+                    stems, list(original_words), lo, hi
+                )
+            else:
+                cache_key = repr(stems)
+                if cache_key not in self._phrase_arrays_cache:
+                    self.query_phrase(stems, list(original_words))
+                entry = self._phrase_arrays_cache.get(cache_key)
             if entry is None:
                 return list(original_words), {}, np.empty(0, dtype=np.int64)
             # matched ids are already sorted (candidate asc ∩ matched_ci
@@ -579,8 +636,17 @@ class QueryEngine:
             if tp is None:
                 continue
             orig = stem_to_original.get(s, s)
-            word_arrays[orig] = (tp.doc_ids, tp.tfs * tp.idf)
-            cand_parts.append(tp.doc_ids)
+            if ranged:
+                i0 = int(np.searchsorted(tp.doc_ids, rlo, side="left"))
+                i1 = int(np.searchsorted(tp.doc_ids, rhi, side="left"))
+                word_arrays[orig] = (
+                    tp.doc_ids[i0:i1],
+                    tp.tfs[i0:i1] * tp.idf,
+                )
+                cand_parts.append(tp.doc_ids[i0:i1])
+            else:
+                word_arrays[orig] = (tp.doc_ids, tp.tfs * tp.idf)
+                cand_parts.append(tp.doc_ids)
         cand = (
             np.unique(np.concatenate(cand_parts))
             if cand_parts
@@ -605,9 +671,17 @@ class QueryEngine:
         order = np.argsort(ids, kind="stable")
         return ids[order], c[order]
 
-    def _bool_topk(self, operator, left_q, right_q, k):
-        lwords, larr, lcand = self._component_arrays(left_q)
-        rwords, rarr, rcand = self._component_arrays(right_q)
+    def _bool_topk(
+        self,
+        operator,
+        left_q,
+        right_q,
+        k,
+        lo: int | None = None,
+        hi: int | None = None,
+    ):
+        lwords, larr, lcand = self._component_arrays(left_q, lo, hi)
+        rwords, rarr, rcand = self._component_arrays(right_q, lo, hi)
         words = lwords + rwords
         if operator == "AND":
             cand = np.intersect1d(lcand, rcand)
@@ -1563,17 +1637,39 @@ class QueryEngine:
         Posting lists are doc_id-sorted, so the restriction is two
         searchsorted cuts per term — no decode beyond the slice ever
         happens on the TAAT path, and WAND's block-max pruning applies
-        within the slice.  Plain free-text queries only (boolean/phrase
-        carry reference semantics that are whole-corpus by definition —
-        route those to ``search_topk``)."""
+        within the slice.  Boolean and phrase queries scatter too
+        (round 4): phrase candidacy (all-stems membership + that doc's
+        own positions) and boolean membership (set ops distribute over
+        the range partition) are per-doc properties, so each range actor
+        computes its slice of the match set — including the position
+        walk — independently and exactly.  Those carry the reference
+        tfidf-blend semantics only (``scorer="bm25"`` raises, matching
+        ``search_topk``)."""
         q = (query or "").strip()
         if mode not in ("auto", "wand", "bmw", "bmw_cold"):
             raise ValueError(f"unknown mode {mode!r}")
-        if detect_operator(q) or is_quoted(q):
-            raise ValueError(
-                "search_topk_range serves plain free-text queries; "
-                "boolean/phrase queries go through search_topk"
-            )
+        operator = detect_operator(q)
+        if operator or is_quoted(q):
+            if scorer != "tfidf":
+                raise ValueError(
+                    "boolean/phrase queries carry the reference tfidf-blend "
+                    f"semantics; scorer {scorer!r} applies to plain queries"
+                )
+            if operator:
+                parts = split_query(q)
+                if len(parts) == 2:
+                    return self._bool_topk(
+                        operator,
+                        parts[0].strip(),
+                        parts[1].strip(),
+                        k,
+                        lo=lo,
+                        hi=hi,
+                    )
+                # malformed boolean falls through to the plain path,
+                # mirroring search_topk
+            else:
+                return self._phrase_topk(q, k, lo=lo, hi=hi)
         stems, _ = tokenize_and_stem(q)
         if mode == "bmw_cold":
             if scorer not in ("tfidf", "bm25"):

@@ -128,8 +128,11 @@ class SearchService:
         Exact — equal to the single-engine result by test — and the
         latency path for queries whose posting lists dwarf one core
         (10^12-doc hot terms): wall time is the slowest RANGE, not the
-        whole list.  Plain free-text queries only (see
-        ``QueryEngine.search_topk_range``)."""
+        whole list.  Serves plain, boolean AND/OR/NOT and quoted-phrase
+        queries (round 4: candidacy and the position walk are per-doc,
+        so each actor computes its range's match slice exactly — see
+        ``QueryEngine.search_topk_range``); bm25 scoring applies to
+        plain queries only."""
         refs = [
             a.search_topk_range.remote(query, k, lo, hi, mode, scorer)
             for a, (lo, hi) in zip(self.actors, self._range_bounds())

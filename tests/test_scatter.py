@@ -96,11 +96,63 @@ def test_service_scatter_matches_single(index_dir, num_actors):
         svc.shutdown()
 
 
-def test_range_rejects_boolean_and_phrase(index_dir):
+BOOL_PHRASE_QUERIES = [
+    "parse AND buffer",
+    "parse OR hotspot",
+    "parse NOT buffer",
+    '"travel connect"',
+    '"parse"',
+    '"parse buffer token"',
+    'parse AND "travel connect"',
+    '"travel connect" OR hotspot',
+    "nosuchterm AND parse",
+]
+
+
+def test_range_bool_phrase_union_covers_engine(index_dir):
+    """Round 4: phrase candidacy and boolean membership are per-doc
+    properties, so the 4-way range split must reproduce the full-engine
+    result for every boolean/phrase form — including phrase operands
+    inside boolean queries (the position walk runs per range)."""
+    from seekr_ray.config import DOC_ID_PARTITION_SHIFT
+
+    e = QueryEngine(index_dir)
+    edges = [p << DOC_ID_PARTITION_SHIFT for p in range(5)]
+    for q in BOOL_PHRASE_QUERIES:
+        want = e.search_topk(q, k=10)
+        parts = []
+        for lo, hi in zip(edges, edges[1:]):
+            parts.extend(e.search_topk_range(q, k=10, lo=lo, hi=hi))
+        parts.sort(key=lambda t: (-t[1], t[0]))
+        got = parts[:10]
+        assert [(d, round(s, 12)) for d, s in got] == [
+            (d, round(s, 12)) for d, s in want
+        ], q
+
+
+def test_service_scatter_bool_phrase(index_dir):
+    from seekr_ray.query.service import SearchService
+
+    svc = SearchService(index_dir, num_actors=3)
+    local = QueryEngine(index_dir)
+    try:
+        for q in BOOL_PHRASE_QUERIES:
+            got = svc.search_topk_scatter(q, k=10)
+            want = local.search_topk(q, k=10)
+            assert [(d, round(s, 12)) for d, s in got] == [
+                (d, round(s, 12)) for d, s in want
+            ], q
+    finally:
+        svc.shutdown()
+
+
+def test_range_rejects_bm25_boolean_and_phrase(index_dir):
+    """bm25 carries no reference boolean/phrase semantics — the range
+    path must refuse rather than silently score the wrong formula."""
     e = QueryEngine(index_dir)
     for q in ["parse AND buffer", '"travel connect"']:
         with pytest.raises(ValueError):
-            e.search_topk_range(q, k=5, lo=0, hi=1 << 62)
+            e.search_topk_range(q, k=5, lo=0, hi=1 << 62, scorer="bm25")
 
 
 def test_ranges_partition_the_corpus(index_dir):
