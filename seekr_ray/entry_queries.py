@@ -3753,8 +3753,6 @@ def q_rolling_anomaly(sf_dir: str):
         order = np.lexsort((i, t, k))
         k, i, v = k[order], i[order], v[order]
         n = len(k)
-        cs = np.concatenate([[0], np.cumsum(v)])
-        css = np.concatenate([[0], np.cumsum(v * v)])
         new = np.ones(n, bool)
         if n > 1:
             new[1:] = k[1:] != k[:-1]
@@ -3763,8 +3761,23 @@ def q_rolling_anomaly(sf_dir: str):
         pos_in_grp = np.arange(n) - np.repeat(starts, sizes)
         full = pos_in_grp >= W - 1
         idx = np.flatnonzero(full)
-        s = cs[idx + 1] - cs[idx + 1 - W]
-        ss = css[idx + 1] - css[idx + 1 - W]
+        # window sums via W shifted adds: every intermediate is bounded
+        # by W·max(v²) regardless of bucket length — the round-3
+        # cumsum(v*v) form's cumulative intermediate grew with the whole
+        # bucket and could silently overflow int64 at 100-TB bucket
+        # sizes (ADVICE r3).  Identical integers to the cumsum-diff form.
+        vmax = int(np.abs(v).max()) if n else 0
+        if vmax and vmax * vmax > (1 << 63) // (W + 1):
+            raise OverflowError(
+                f"rolling_anomaly: |cents| {vmax} too large for exact "
+                f"int64 window sums of squares (W={W})"
+            )
+        vsq = v * v
+        s = np.zeros(len(idx), np.int64)
+        ss = np.zeros(len(idx), np.int64)
+        for j in range(W):
+            s += v[idx - j]
+            ss += vsq[idx - j]
         x = v[idx].astype(np.float64)
         mean = s / float(W)
         var = (W * ss - s * s) / float(W * W)

@@ -43,6 +43,16 @@ class SearchHTTPServer:
         # The façade serializes backend calls; concurrent serving is the
         # SearchService actor pool's job, where each actor IS serial.
         self._backend_lock = threading.Lock()
+        # pre-build the FastSS correction index (derived from the
+        # immutable vocabulary): built lazily it would run inside
+        # _backend_lock on the first zero-hit query, stalling every
+        # concurrent search for the build's duration (ADVICE r3)
+        warm = getattr(backend, "_correction_index", None)
+        if callable(warm):
+            try:
+                warm()
+            except Exception:  # serving must not die on a warmup fault
+                pass
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -106,6 +116,12 @@ class SearchHTTPServer:
                             hits = bm25(
                                 query, k=(page + 1) * size, mode=mode
                             )
+                            # true candidate count (docs holding any query
+                            # term — the same set bm25 scores), NOT the
+                            # retrieved-k length, so totalCount agrees
+                            # with the tfidf branch and is page-stable
+                            th = getattr(outer.backend, "total_hits", None)
+                            total = th(query) if th is not None else len(hits)
                     except ValueError:  # boolean/phrase query
                         return self._json(400)
                     pg = hits[page * size : (page + 1) * size]
@@ -115,7 +131,7 @@ class SearchHTTPServer:
                             "results": [
                                 {"docId": d, "score": s} for d, s in pg
                             ],
-                            "totalCount": len(hits),
+                            "totalCount": total,
                             "scorer": "bm25",
                         },
                     )
