@@ -97,7 +97,7 @@ def run_bench() -> dict:
     index_dir = f"{bench_dir}/seekr_bench_index_{_sf_name(sf_dir)}_{num_cpus}"
     shutil.rmtree(index_dir, ignore_errors=True)
     t0 = time.monotonic()
-    build_index(
+    bm = build_index(
         rd.read_parquet(corpus_path),
         index_dir,
         IndexConfig(num_term_partitions=64, num_id_partitions=32),
@@ -107,6 +107,9 @@ def run_bench() -> dict:
     )
     timings["corpus_build_sec"] = time.monotonic() - t0
     timings["corpus_docs_per_sec"] = round(n_rows / timings["corpus_build_sec"], 2)
+    # per-stage wall clock from the build's own metrics (VERDICT r3 #8)
+    for st, sv in bm.get("stages", {}).items():
+        timings[f"stage_{st}_sec"] = sv.get("seconds", 0.0)
     if scaling_mode:
         # scaling measurements need only the headline build
         return {
@@ -179,6 +182,45 @@ def run_bench() -> dict:
     wlat.sort()
     timings["bm25_bmw_p50_ms"] = round(statistics.median(wlat), 3)
     timings["bm25_bmw_p95_ms"] = round(wlat[int(len(wlat) * 0.95) - 1], 3)
+
+    # 4. sf1-scale row (200k docs, VERDICT r3 #8): the sf0.1 bench is
+    # fixed-cost dominated (~5 s of pool/exchange setup for ~20k docs),
+    # so throughput claims need one compute-dominated point.  Same build,
+    # 10x the corpus, per-stage wall clock recorded.  SEEKR_BENCH_SF1=0
+    # skips it (quick local iterations at small sf).
+    sf1_rows = int(os.environ.get("SEEKR_BENCH_SF1_ROWS", "200000"))
+    if (
+        os.environ.get("SEEKR_BENCH_SF1", "1") != "0"
+        and _sf_name(sf_dir) == "sf0.1"
+    ):
+        sf1_corpus = cached_corpus_dir(sf1_rows)  # untimed: input gen
+        sf1_dir = f"{bench_dir}/seekr_bench_index_sf1_{num_cpus}"
+        shutil.rmtree(sf1_dir, ignore_errors=True)
+        t0 = time.monotonic()
+        m1 = build_index(
+            rd.read_parquet(sf1_corpus),
+            sf1_dir,
+            IndexConfig(num_term_partitions=64, num_id_partitions=32),
+            key_cols=["repo", "path", "commit"],
+            input_path=sf1_corpus,
+        )
+        timings["sf1_build_sec"] = time.monotonic() - t0
+        timings["sf1_docs_per_sec"] = round(
+            sf1_rows / timings["sf1_build_sec"], 2
+        )
+        for st, sv in m1.get("stages", {}).items():
+            timings[f"sf1_stage_{st}_sec"] = sv.get("seconds", 0.0)
+        e1 = QueryEngine(sf1_dir)
+        e1.bm25_topk("parse buffer", 10)
+        b1 = []
+        for q, k in plain * 5:
+            t0 = time.monotonic()
+            e1.bm25_topk(q, k)
+            b1.append((time.monotonic() - t0) * 1000)
+        b1.sort()
+        timings["sf1_bm25_p50_ms"] = round(statistics.median(b1), 3)
+        timings["sf1_bm25_p95_ms"] = round(b1[int(len(b1) * 0.95) - 1], 3)
+        shutil.rmtree(sf1_dir, ignore_errors=True)
 
     total = timings["corpus_build_sec"] + timings["documents_build_sec"]
     result = {
