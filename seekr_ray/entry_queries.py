@@ -5432,6 +5432,494 @@ def q_tpch_q14(sf_dir: str):
     )
 
 
+TPCH_CUTOFF_US = int(np.datetime64("1996-07-01", "us").astype(np.int64))
+
+
+def q_tpch_q3v(sf_dir: str):
+    """TPC-H Q3 variant (shipping priority — the synthesized schema has
+    no o_shippriority, so the output is (l_orderkey, revenue,
+    o_orderdate)): top 10 unshipped BUILDING-segment orders by revenue
+    at the 1996-07-01 cutoff.
+
+    Ray plan (100 TB honest): two co-partitioned attach joins — the
+    customer segment flag stamps orders, surviving orders' dates stamp
+    lineitem with INNER ("drop") semantics — so neither big side
+    broadcasts or collects; then a bucketed (orderkey, date) sum of
+    e4-cent integers and a mergeable per-batch top-10."""
+    import ray.data as rd
+
+    from .bucket_agg import bucketed_group_agg
+    from .extras.copart import attach_value
+    from .extras.textstats import round6
+
+    D = TPCH_CUTOFF_US
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+
+    def seg_flag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["c_custkey"],
+                "value": pc.cast(
+                    pc.equal(batch["c_mktsegment"], "BUILDING"), pa.int64()
+                ),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def ord_rows(batch: pa.Table) -> pa.Table:
+        t = (
+            pc.cast(batch["o_orderdate"], pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .view("int64")
+        )
+        m = t < D
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"].filter(pa.array(m)),
+                "o_orderkey": batch["o_orderkey"].filter(pa.array(m)),
+                "odate": pa.array(t[m], pa.int64()),
+            }
+        )
+
+    with_flag = attach_value(
+        orders.map_batches(ord_rows, batch_format="pyarrow"),
+        cust.map_batches(seg_flag, batch_format="pyarrow"),
+        key_col="o_custkey",
+        out_col="flag",
+        carry=["o_orderkey", "odate"],
+    )
+
+    def bld_orders(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["flag"], 1))
+        return pa.table({"node": t["o_orderkey"], "value": t["odate"]})
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def li_rows(batch: pa.Table) -> pa.Table:
+        t = (
+            pc.cast(batch["l_shipdate"], pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .view("int64")
+        )
+        m = t > D
+        cents = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[m])
+            * 10000.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"].filter(pa.array(m)),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    joined = attach_value(
+        li.map_batches(li_rows, batch_format="pyarrow"),
+        with_flag.map_batches(bld_orders, batch_format="pyarrow"),
+        key_col="l_orderkey",
+        out_col="odate",
+        carry=["cents"],
+        missing="drop",
+    )
+    agg = bucketed_group_agg(
+        joined, ["l_orderkey", "odate"], [("cents", "sum")]
+    )
+
+    def top10(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        od = batch["odate"].to_numpy(zero_copy_only=False)
+        s = batch["sum(cents)"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, -s))[:10]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok[order], pa.int64()),
+                "odate": pa.array(od[order], pa.int64()),
+                "cents": pa.array(s[order], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in agg.map_batches(top10, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "revenue": pa.array([], pa.float64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+            }
+        )
+    allp = pa.concat_tables(parts)
+    ok = allp["l_orderkey"].to_numpy(zero_copy_only=False)
+    od = allp["odate"].to_numpy(zero_copy_only=False)
+    s = allp["cents"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ok, -s))[:10]
+    return pa.table(
+        {
+            "l_orderkey": pa.array(ok[order], pa.int64()),
+            "revenue": pa.array(
+                [round6(v / 10000.0) for v in s[order].tolist()], pa.float64()
+            ),
+            "o_orderdate": pa.array(
+                od[order].view("datetime64[us]"), pa.timestamp("us")
+            ),
+        }
+    )
+
+
+def q_tpch_q5v(sf_dir: str):
+    """TPC-H Q5 (local supplier volume): 1996 revenue from lineitems
+    where the supplier and the ordering customer share a nation in
+    region ASIA, grouped by nation.
+
+    Ray plan: supplier nation stamps lineitem by suppkey (co-partition
+    attach, every key present), 1996 orders carry their customer's
+    nation and stamp lineitem by orderkey with INNER semantics; the
+    tiny ASIA nation set rides as a sorted closure array; per-batch
+    integer partials reduce over O(nations) keys.  Output
+    ``(n_name, revenue)`` sorted revenue desc (the Q5 order)."""
+    import ray.data as rd
+
+    from .bucket_agg import bucketed_group_agg
+    from .extras.copart import attach_value
+    from .extras.textstats import round6
+    from .nputil import isin_sorted
+
+    region = rd.read_parquet(os.path.join(sf_dir, "region.parquet"))
+    nation = rd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    rtbl = pa.concat_tables(region.iter_batches(batch_format="pyarrow"))
+    ntbl = pa.concat_tables(nation.iter_batches(batch_format="pyarrow"))
+    asia_rk = rtbl.filter(pc.equal(rtbl["r_name"], "ASIA"))["r_regionkey"][0].as_py()
+    nmask = pc.equal(ntbl["n_regionkey"], asia_rk)
+    asia = np.sort(
+        ntbl.filter(nmask)["n_nationkey"].to_numpy(zero_copy_only=False)
+    )
+    name_of = dict(
+        zip(
+            ntbl["n_nationkey"].to_pylist(),
+            ntbl["n_name"].to_pylist(),
+        )
+    )
+
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).map_batches(
+        lambda b: pa.table(
+            {"node": b["s_suppkey"], "value": b["s_nationkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(
+        lambda b: pa.table(
+            {"node": b["c_custkey"], "value": b["c_nationkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def ord_1996(batch: pa.Table) -> pa.Table:
+        t = (
+            pc.cast(batch["o_orderdate"], pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        m = t == 1996
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"].filter(pa.array(m)),
+                "o_orderkey": batch["o_orderkey"].filter(pa.array(m)),
+            }
+        )
+
+    ord_nat = attach_value(
+        orders.map_batches(ord_1996, batch_format="pyarrow"),
+        cust,
+        key_col="o_custkey",
+        out_col="c_nat",
+        carry=["o_orderkey"],
+    ).map_batches(
+        lambda b: pa.table({"node": b["o_orderkey"], "value": b["c_nat"]}),
+        batch_format="pyarrow",
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_rows(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
+            * 10000.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    with_snat = attach_value(
+        li.map_batches(li_rows, batch_format="pyarrow"),
+        supp,
+        key_col="l_suppkey",
+        out_col="s_nat",
+        carry=["l_orderkey", "cents"],
+    )
+    with_both = attach_value(
+        with_snat,
+        ord_nat,
+        key_col="l_orderkey",
+        out_col="c_nat",
+        carry=["cents", "s_nat"],
+        missing="drop",
+    )
+
+    def local_partial(batch: pa.Table) -> pa.Table:
+        sn = batch["s_nat"].to_numpy(zero_copy_only=False)
+        cn = batch["c_nat"].to_numpy(zero_copy_only=False)
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        in_asia, _ = isin_sorted(asia, sn)
+        m = (sn == cn) & in_asia
+        keys, inv = np.unique(sn[m], return_inverse=True)
+        sums = np.zeros(len(keys), np.int64)
+        np.add.at(sums, inv, cents[m])
+        return pa.table(
+            {
+                "nat": pa.array(keys, pa.int64()),
+                "cents": pa.array(sums, pa.int64()),
+            }
+        )
+
+    agg = bucketed_group_agg(
+        with_both.map_batches(local_partial, batch_format="pyarrow"),
+        "nat",
+        [("cents", "sum")],
+    )
+    rows = []
+    for t in agg.iter_batches(batch_format="pyarrow"):
+        for nk, c in zip(t["nat"].to_pylist(), t["sum(cents)"].to_pylist()):
+            rows.append((name_of[nk], int(c)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return pa.table(
+        {
+            "n_name": pa.array([r[0] for r in rows], pa.string()),
+            "revenue": pa.array(
+                [round6(r[1] / 10000.0) for r in rows], pa.float64()
+            ),
+        }
+    )
+
+
+def q_tpch_q10v(sf_dir: str):
+    """TPC-H Q10 (returned-item reporting): top 20 customers by revenue
+    lost to returns (l_returnflag='R') on 1996-Q1 orders.
+
+    Ray plan: Q1-1996 orders stamp their custkey onto 'R' lineitems
+    (co-partition attach, INNER), per-batch integer partials reduce
+    over O(customers) bucketed keys, a mergeable per-batch top-20
+    bounds the collect; customer metadata (name, acctbal, nation) is a
+    point-lookup finalize over the 20 winners (the doc_meta pattern —
+    at corpus scale a row-group-pruned read, never a table scan)."""
+    import ray.data as rd
+
+    from .bucket_agg import bucketed_group_agg
+    from .extras.copart import attach_value
+    from .extras.textstats import round6
+
+    q1_lo = int(np.datetime64("1996-01-01", "us").astype(np.int64))
+    q1_hi = int(np.datetime64("1996-04-01", "us").astype(np.int64))
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def ord_q1(batch: pa.Table) -> pa.Table:
+        t = (
+            pc.cast(batch["o_orderdate"], pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .view("int64")
+        )
+        m = (t >= q1_lo) & (t < q1_hi)
+        return pa.table(
+            {
+                "node": batch["o_orderkey"].filter(pa.array(m)),
+                "value": batch["o_custkey"].filter(pa.array(m)),
+            }
+        )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def li_r(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+            * 10000.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    joined = attach_value(
+        li.map_batches(li_r, batch_format="pyarrow"),
+        orders.map_batches(ord_q1, batch_format="pyarrow"),
+        key_col="l_orderkey",
+        out_col="cust",
+        carry=["cents"],
+        missing="drop",
+    )
+    agg = bucketed_group_agg(joined, "cust", [("cents", "sum")])
+
+    def top20(batch: pa.Table) -> pa.Table:
+        ck = batch["cust"].to_numpy(zero_copy_only=False)
+        s = batch["sum(cents)"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, -s))[:20]
+        return pa.table(
+            {
+                "cust": pa.array(ck[order], pa.int64()),
+                "cents": pa.array(s[order], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in agg.map_batches(top20, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if t.num_rows
+    ]
+    empty = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "revenue": pa.array([], pa.float64()),
+            "c_acctbal": pa.array([], pa.float64()),
+            "n_name": pa.array([], pa.string()),
+        }
+    )
+    if not parts:
+        return empty
+    allp = pa.concat_tables(parts)
+    ck = allp["cust"].to_numpy(zero_copy_only=False)
+    s = allp["cents"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ck, -s))[:20]
+    winners = ck[order]
+    cents = s[order]
+
+    cust_tbl = pa.concat_tables(
+        rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        )
+        .map_batches(
+            lambda b: b.filter(
+                pc.is_in(b["c_custkey"], pa.array(winners, pa.int64()))
+            ),
+            batch_format="pyarrow",
+        )
+        .iter_batches(batch_format="pyarrow")
+    )
+    ntbl = pa.concat_tables(
+        rd.read_parquet(os.path.join(sf_dir, "nation.parquet")).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    nname = dict(
+        zip(ntbl["n_nationkey"].to_pylist(), ntbl["n_name"].to_pylist())
+    )
+    meta = {
+        r["c_custkey"]: (r["c_name"], r["c_acctbal"], nname[r["c_nationkey"]])
+        for r in cust_tbl.to_pylist()
+    }
+    return pa.table(
+        {
+            "c_custkey": pa.array(winners, pa.int64()),
+            "c_name": pa.array([meta[c][0] for c in winners.tolist()], pa.string()),
+            "revenue": pa.array(
+                [round6(v / 10000.0) for v in cents.tolist()], pa.float64()
+            ),
+            "c_acctbal": pa.array(
+                [meta[c][1] for c in winners.tolist()], pa.float64()
+            ),
+            "n_name": pa.array(
+                [meta[c][2] for c in winners.tolist()], pa.string()
+            ),
+        }
+    )
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII/secret redaction report per doc: email / IPv4 / long-hex
+    counts in fixed application order plus the md5 of the scrubbed text
+    — the oracle replays the same three RE2 replacements in SQL and the
+    digest pins byte-identical redaction without moving the corpus."""
+    from .extras.scrub import pii_scrub
+
+    return pii_scrub(_docs_text(sf_dir))
+
+
+def q_repetition_signals(sf_dir: str):
+    """Gopher-style per-doc repetition profile: duplicate-line fraction
+    (plain newline split, the string_split law) and top token-bigram
+    share over the shared tokenization — 6dp single divisions of exact
+    integer counts."""
+    from .extras.repetition import repetition_signals
+
+    return repetition_signals(_docs_text(sf_dir))
+
+
+REP_MAX_DUP_LINE_FRAC = 0.2
+REP_MAX_TOP_BIGRAM_SHARE = 0.2
+
+
+def q_repetition_gate(sf_dir: str):
+    """The repetition ACTION: survivors under both thresholds (strict
+    comparisons on UNROUNDED single divisions, mirrored in SQL)."""
+    from .extras.repetition import repetition_gate
+
+    return repetition_gate(
+        _docs_text(sf_dir),
+        max_dup_line_frac=REP_MAX_DUP_LINE_FRAC,
+        max_top_bigram_share=REP_MAX_TOP_BIGRAM_SHARE,
+    )
+
+
 def q_fulfillment_latency(sf_dir: str):
     """Fulfillment latency by order priority: mean days from order date
     to line-item ship date per o_orderpriority — the SLA report of an
@@ -7883,6 +8371,140 @@ SELECT count(*)::BIGINT AS n_lines,
        round(100.0 * sum(CASE WHEN promo THEN x ELSE 0 END)::BIGINT
              / CAST(sum(x)::BIGINT AS DOUBLE), 6) AS promo_pct
 FROM j"""
+
+    sql["tpch_q3v"] = """WITH f AS (
+  SELECT l.l_orderkey, o.o_orderdate,
+         CAST(round(l.l_extendedprice*(1 - l.l_discount)*10000, 0)
+              AS BIGINT) AS x
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1996-07-01'
+    AND l.l_shipdate > TIMESTAMP '1996-07-01'),
+g AS (SELECT l_orderkey, o_orderdate, sum(x)::BIGINT AS cents
+      FROM f GROUP BY 1, 2)
+SELECT l_orderkey, round(cents / 10000.0, 6) AS revenue, o_orderdate
+FROM g ORDER BY cents DESC, l_orderkey LIMIT 10"""
+
+    sql["tpch_q5v"] = """WITH asia AS (
+  SELECT n_nationkey, n_name FROM nation n
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'ASIA'),
+f AS (
+  SELECT s.s_nationkey AS nat,
+         CAST(round(l.l_extendedprice*(1 - l.l_discount)*10000, 0)
+              AS BIGINT) AS x
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE year(o.o_orderdate) = 1996
+    AND c.c_nationkey = s.s_nationkey
+    AND s.s_nationkey IN (SELECT n_nationkey FROM asia)),
+g AS (SELECT nat, sum(x)::BIGINT AS cents FROM f GROUP BY nat)
+SELECT a.n_name, round(g.cents / 10000.0, 6) AS revenue
+FROM g JOIN asia a ON a.n_nationkey = g.nat
+ORDER BY g.cents DESC, a.n_name"""
+
+    sql["tpch_q10v"] = """WITH f AS (
+  SELECT o.o_custkey AS cust,
+         CAST(round(l.l_extendedprice*(1 - l.l_discount)*10000, 0)
+              AS BIGINT) AS x
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1996-04-01'),
+g AS (SELECT cust, sum(x)::BIGINT AS cents FROM f GROUP BY cust),
+t AS (SELECT cust, cents FROM g ORDER BY cents DESC, cust LIMIT 20)
+SELECT c.c_custkey, c.c_name, round(t.cents / 10000.0, 6) AS revenue,
+       c.c_acctbal, n.n_name
+FROM t JOIN customer c ON c.c_custkey = t.cust
+JOIN nation n ON n.n_nationkey = c.c_nationkey"""
+
+    from .extras.scrub import (
+        EMAIL_PATTERN,
+        EMAIL_TOKEN,
+        HEX_SECRET_PATTERN,
+        IP_TOKEN,
+        IPV4_PATTERN,
+        SECRET_TOKEN,
+    )
+
+    sql["pii_scrub"] = f"""WITH s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{EMAIL_PATTERN}'))::BIGINT AS n_emails,
+         regexp_replace(text, '{EMAIL_PATTERN}', '{EMAIL_TOKEN}', 'g') AS t1
+  FROM documents),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{IPV4_PATTERN}'))::BIGINT AS n_ips,
+         regexp_replace(t1, '{IPV4_PATTERN}', '{IP_TOKEN}', 'g') AS t2
+  FROM s1),
+s3 AS (
+  SELECT doc_id, n_emails, n_ips,
+         len(regexp_extract_all(t2, '{HEX_SECRET_PATTERN}'))::BIGINT
+           AS n_secrets,
+         regexp_replace(t2, '{HEX_SECRET_PATTERN}', '{SECRET_TOKEN}', 'g')
+           AS t3
+  FROM s2)
+SELECT doc_id, n_emails, n_ips, n_secrets, md5(t3) AS scrubbed_md5
+FROM s3"""
+
+    rep_toks = _toks_cte()
+    sql["repetition_signals"] = f"""{rep_toks},
+ln AS (
+  SELECT doc_id,
+         len(string_split(text, chr(10)))::BIGINT AS n_lines,
+         len(list_distinct(string_split(text, chr(10))))::BIGINT AS n_dist
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) < 2 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(tokens)),
+                                  i -> tokens[i] || ' ' || tokens[i + 1])
+         END AS bigrams
+  FROM toks),
+bc AS (
+  SELECT doc_id, b, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest(bigrams) AS b FROM bg) GROUP BY doc_id, b),
+ba AS (
+  SELECT doc_id, max(c) AS top, sum(c)::BIGINT AS nb
+  FROM bc GROUP BY doc_id)
+SELECT ln.doc_id,
+       ln.n_lines,
+       round((ln.n_lines - ln.n_dist)::DOUBLE / ln.n_lines, 6)
+         AS dup_line_frac,
+       coalesce(ba.nb, 0)::BIGINT AS n_bigrams,
+       coalesce(round(ba.top::DOUBLE / ba.nb, 6), 0.0) AS top_bigram_share
+FROM ln LEFT JOIN ba ON ba.doc_id = ln.doc_id"""
+
+    sql["repetition_gate"] = f"""{rep_toks},
+ln AS (
+  SELECT doc_id,
+         len(string_split(text, chr(10)))::BIGINT AS n_lines,
+         len(list_distinct(string_split(text, chr(10))))::BIGINT AS n_dist
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) < 2 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(tokens)),
+                                  i -> tokens[i] || ' ' || tokens[i + 1])
+         END AS bigrams
+  FROM toks),
+bc AS (
+  SELECT doc_id, b, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest(bigrams) AS b FROM bg) GROUP BY doc_id, b),
+ba AS (
+  SELECT doc_id, max(c) AS top, sum(c)::BIGINT AS nb
+  FROM bc GROUP BY doc_id)
+SELECT ln.doc_id, ln.n_lines, coalesce(ba.nb, 0)::BIGINT AS n_bigrams
+FROM ln LEFT JOIN ba ON ba.doc_id = ln.doc_id
+WHERE (ln.n_lines - ln.n_dist)::DOUBLE / ln.n_lines
+        <= {REP_MAX_DUP_LINE_FRAC}
+  AND (ba.nb IS NULL
+       OR ba.top::DOUBLE / ba.nb <= {REP_MAX_TOP_BIGRAM_SHARE})"""
 
     sql["fulfillment_latency"] = """WITH lp AS (
   SELECT l_orderkey, count(*)::BIGINT AS n,

@@ -62,10 +62,18 @@ def attach_value(
     num_buckets: int = 64,
     lookup_key: str = "node",
     lookup_value: str = "value",
+    missing: str = "error",
 ):
     """Stamp ``lookup[lookup_value]`` onto each target row as
     ``out_col``, matching ``target[key_col] == lookup[lookup_key]``.
-    Output columns: (key_col, *carry, out_col), all int64."""
+    Output columns: (key_col, *carry, out_col), all int64.
+
+    ``missing``: "error" (default) raises if a target key has no lookup
+    row — the graph kernels' invariant; "drop" silently drops unmatched
+    target rows, i.e. co-partitioned INNER-join semantics (the TPC-H
+    style filter-through-join)."""
+    if missing not in ("error", "drop"):
+        raise ValueError(f"unknown missing mode {missing!r}")
 
     def tag_lookup(batch: pa.Table) -> pa.Table:
         n = batch[lookup_key].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -102,19 +110,27 @@ def attach_value(
         o = np.argsort(nodes)
         nodes, nv = nodes[o], nv[o]
         tk = k[side]
-        pos = np.searchsorted(nodes, tk)
-        if len(tk) and (
-            not len(nodes)
-            or (pos >= len(nodes)).any()
-            or (nodes[np.minimum(pos, len(nodes) - 1)] != tk).any()
-        ):
-            raise KeyError(f"attach_value: target key missing in lookup "
-                           f"({key_col})")
+        if len(nodes):
+            pos = np.searchsorted(nodes, tk)
+            found = (pos < len(nodes)) & (
+                nodes[np.minimum(pos, len(nodes) - 1)] == tk
+            )
+        else:
+            pos = np.zeros(len(tk), np.int64)
+            found = np.zeros(len(tk), bool)
+        if not found.all():
+            if missing == "error":
+                raise KeyError(
+                    f"attach_value: target key missing in lookup ({key_col})"
+                )
+            tk = tk[found]
+            pos = pos[found]
         cols = {key_col: pa.array(tk, pa.int64())}
         for c in carry:
-            cols[c] = pa.array(
-                group[c].to_numpy(zero_copy_only=False)[side], pa.int64()
-            )
+            cv = group[c].to_numpy(zero_copy_only=False)[side]
+            if not found.all():
+                cv = cv[found]
+            cols[c] = pa.array(cv, pa.int64())
         cols[out_col] = pa.array(
             nv[pos] if len(tk) else np.empty(0, np.int64), pa.int64()
         )
