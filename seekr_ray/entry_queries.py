@@ -5884,6 +5884,295 @@ def q_tpch_q10v(sf_dir: str):
     )
 
 
+def q_tpch_q7v(sf_dir: str):
+    """TPC-H Q7 generalization (volume shipping matrix): 1995-96
+    revenue for every CROSS-nation (supplier nation, customer nation)
+    lane — the canonical pair filter empties at small sf, so the full
+    matrix keeps the entry total at every scale.
+
+    Ray plan: supplier nation stamps lineitem by suppkey, each order's
+    customer nation stamps it by orderkey (both co-partition attach,
+    every key present), per-batch integer partials reduce over the
+    O(nations^2 x years) bucketed key."""
+    import ray.data as rd
+
+    from .bucket_agg import bucketed_group_agg
+    from .extras.copart import attach_value
+    from .extras.textstats import round6
+
+    nation = rd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    ntbl = pa.concat_tables(nation.iter_batches(batch_format="pyarrow"))
+    name_of = dict(
+        zip(ntbl["n_nationkey"].to_pylist(), ntbl["n_name"].to_pylist())
+    )
+
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).map_batches(
+        lambda b: pa.table({"node": b["s_suppkey"], "value": b["s_nationkey"]}),
+        batch_format="pyarrow",
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(
+        lambda b: pa.table({"node": b["c_custkey"], "value": b["c_nationkey"]}),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    ).map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    ord_nat = attach_value(
+        orders, cust, key_col="o_custkey", out_col="c_nat",
+        carry=["o_orderkey"],
+    ).map_batches(
+        lambda b: pa.table({"node": b["o_orderkey"], "value": b["c_nat"]}),
+        batch_format="pyarrow",
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def li_rows(batch: pa.Table) -> pa.Table:
+        y = (
+            pc.cast(batch["l_shipdate"], pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        m = (y >= 1995) & (y <= 1996)
+        cents = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[m])
+            * 10000.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"].filter(pa.array(m)),
+                "l_suppkey": batch["l_suppkey"].filter(pa.array(m)),
+                "l_year": pa.array(y[m], pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    with_snat = attach_value(
+        li.map_batches(li_rows, batch_format="pyarrow"),
+        supp,
+        key_col="l_suppkey",
+        out_col="s_nat",
+        carry=["l_orderkey", "l_year", "cents"],
+    )
+    with_both = attach_value(
+        with_snat,
+        ord_nat,
+        key_col="l_orderkey",
+        out_col="c_nat",
+        carry=["l_year", "cents", "s_nat"],
+    )
+
+    def cross_partial(batch: pa.Table) -> pa.Table:
+        sn = batch["s_nat"].to_numpy(zero_copy_only=False)
+        cn = batch["c_nat"].to_numpy(zero_copy_only=False)
+        y = batch["l_year"].to_numpy(zero_copy_only=False)
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        m = sn != cn
+        key = sn[m] * 100_000 + cn[m] * 100 + (y[m] - 1995)
+        keys, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(keys), np.int64)
+        np.add.at(sums, inv, cents[m])
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "cents": pa.array(sums, pa.int64()),
+            }
+        )
+
+    agg = bucketed_group_agg(
+        with_both.map_batches(cross_partial, batch_format="pyarrow"),
+        "key",
+        [("cents", "sum")],
+    )
+    rows = []
+    for t in agg.iter_batches(batch_format="pyarrow"):
+        for k, c in zip(t["key"].to_pylist(), t["sum(cents)"].to_pylist()):
+            sn, rest = divmod(int(k), 100_000)
+            cn, yy = divmod(rest, 100)
+            rows.append((name_of[sn], name_of[cn], 1995 + yy, int(c)))
+    rows.sort(key=lambda r: (r[0], r[1], r[2]))
+    return pa.table(
+        {
+            "supp_nation": pa.array([r[0] for r in rows], pa.string()),
+            "cust_nation": pa.array([r[1] for r in rows], pa.string()),
+            "l_year": pa.array([r[2] for r in rows], pa.int64()),
+            "revenue": pa.array(
+                [round6(r[3] / 10000.0) for r in rows], pa.float64()
+            ),
+        }
+    )
+
+
+TPCH_Q18_QTY = 300
+
+
+def q_tpch_q18v(sf_dir: str):
+    """TPC-H Q18 (large-volume customers): top 100 orders whose total
+    quantity exceeds 300 units, with customer name and order header.
+
+    Ray plan: lineitem reduces FIRST to per-order integer quantity
+    cents (bucketed sum over the order grain — the fact table never
+    carries header columns through the shuffle); the > threshold
+    winners are a tiny set, so the header+name finalize is a pruned
+    point-lookup read (doc_meta pattern)."""
+    import ray.data as rd
+
+    from .bucket_agg import bucketed_group_agg
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    )
+
+    def qty_cents(batch: pa.Table) -> pa.Table:
+        qc = np.rint(
+            batch["l_quantity"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": batch["l_orderkey"], "qc": pa.array(qc, pa.int64())}
+        )
+
+    agg = bucketed_group_agg(
+        li.map_batches(qty_cents, batch_format="pyarrow"),
+        "l_orderkey",
+        [("qc", "sum")],
+    )
+
+    def over(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater(batch["sum(qc)"], TPCH_Q18_QTY * 100)
+        )
+
+    parts = [
+        t
+        for t in agg.map_batches(over, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if t.num_rows
+    ]
+    empty = pa.table(
+        {
+            "c_name": pa.array([], pa.string()),
+            "c_custkey": pa.array([], pa.int64()),
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "o_totalprice": pa.array([], pa.float64()),
+            "total_qty": pa.array([], pa.float64()),
+        }
+    )
+    if not parts:
+        return empty
+    win = pa.concat_tables(parts)
+    wkeys = win["l_orderkey"].to_numpy(zero_copy_only=False)
+    wq = dict(zip(wkeys.tolist(), win["sum(qc)"].to_pylist()))
+    key_arr = pa.array(wkeys, pa.int64())
+
+    ords = pa.concat_tables(
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(
+            lambda b: b.filter(pc.is_in(b["o_orderkey"], key_arr)),
+            batch_format="pyarrow",
+        )
+        .iter_batches(batch_format="pyarrow")
+    )
+    ck_arr = pc.unique(ords["o_custkey"].combine_chunks())
+    cust = pa.concat_tables(
+        rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name"],
+        )
+        .map_batches(
+            lambda b: b.filter(pc.is_in(b["c_custkey"], ck_arr)),
+            batch_format="pyarrow",
+        )
+        .iter_batches(batch_format="pyarrow")
+    )
+    cname = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist())
+    )
+    rows = []
+    for r in ords.to_pylist():
+        rows.append(
+            (
+                cname[r["o_custkey"]],
+                r["o_custkey"],
+                r["o_orderkey"],
+                r["o_orderdate"],
+                r["o_totalprice"],
+                wq[r["o_orderkey"]] / 100.0,
+            )
+        )
+    rows.sort(key=lambda r: (-r[4], r[2]))
+    rows = rows[:100]
+    return pa.table(
+        {
+            "c_name": pa.array([r[0] for r in rows], pa.string()),
+            "c_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderkey": pa.array([r[2] for r in rows], pa.int64()),
+            "o_orderdate": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "o_totalprice": pa.array([r[4] for r in rows], pa.float64()),
+            "total_qty": pa.array([r[5] for r in rows], pa.float64()),
+        }
+    )
+
+
+def q_gopher_signals(sf_dir: str):
+    """Gopher-rule symbol/layout signals per doc: '#' count, '...'
+    (ellipsis) count, bullet-line fraction ('-'/'*' starts) and mean
+    kept-token length — the remaining quality-rule family next to
+    quality_stats and repetition_signals.  Pure per-doc integer counts;
+    two 6dp single divisions."""
+    from .extras.textstats import round6, simple_tokens
+
+    def signals(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        nh, ne, blf, mtl = [], [], [], []
+        for t in batch["text"].to_pylist():
+            t = t or ""
+            nh.append(t.count("#"))
+            ne.append(t.count("..."))
+            lines = t.split("\n")
+            bullets = sum(
+                1 for l in lines if l.startswith("-") or l.startswith("*")
+            )
+            blf.append(round6(bullets / len(lines)))
+            toks = simple_tokens(t)
+            mtl.append(
+                round6(sum(len(w) for w in toks) / len(toks)) if toks else 0.0
+            )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_hash": pa.array(nh, pa.int64()),
+                "n_ellipsis": pa.array(ne, pa.int64()),
+                "bullet_line_frac": pa.array(blf, pa.float64()),
+                "mean_token_len": pa.array(mtl, pa.float64()),
+            }
+        )
+
+    return _docs_text(sf_dir).map_batches(signals, batch_format="pyarrow")
+
+
 def q_pii_scrub(sf_dir: str):
     """PII/secret redaction report per doc: email / IPv4 / long-hex
     counts in fixed application order plus the md5 of the scrubbed text
@@ -8422,6 +8711,65 @@ SELECT c.c_custkey, c.c_name, round(t.cents / 10000.0, 6) AS revenue,
        c.c_acctbal, n.n_name
 FROM t JOIN customer c ON c.c_custkey = t.cust
 JOIN nation n ON n.n_nationkey = c.c_nationkey"""
+
+    sql["tpch_q7v"] = """WITH f AS (
+  SELECT s.s_nationkey AS sn, c.c_nationkey AS cn,
+         year(l.l_shipdate) AS y,
+         CAST(round(l.l_extendedprice*(1 - l.l_discount)*10000, 0)
+              AS BIGINT) AS x
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE s.s_nationkey <> c.c_nationkey
+    AND year(l.l_shipdate) BETWEEN 1995 AND 1996)
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       y::BIGINT AS l_year,
+       round(sum(x)::BIGINT / 10000.0, 6) AS revenue
+FROM f JOIN nation ns ON ns.n_nationkey = f.sn
+JOIN nation nc ON nc.n_nationkey = f.cn
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+    sql["tpch_q18v"] = f"""WITH q AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_quantity*100, 0) AS BIGINT))::BIGINT AS qc
+  FROM lineitem GROUP BY l_orderkey HAVING qc > {TPCH_Q18_QTY * 100}),
+t AS (
+  SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+         o.o_totalprice, q.qc / 100.0 AS total_qty
+  FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100)
+SELECT * FROM t"""
+
+    gopher_toks = _toks_cte()
+    sql["gopher_signals"] = f"""{gopher_toks},
+base AS (
+  SELECT doc_id,
+         (len(text) - len(replace(text, '#', '')))::BIGINT AS n_hash,
+         ((len(text) - len(replace(text, '...', ''))) // 3)::BIGINT
+           AS n_ellipsis,
+         string_split(text, chr(10)) AS lines
+  FROM documents),
+bl AS (
+  SELECT doc_id, n_hash, n_ellipsis,
+         len(lines)::BIGINT AS n_lines,
+         len(list_filter(lines,
+             l -> starts_with(l, '-') OR starts_with(l, '*')))::BIGINT
+           AS n_bullets
+  FROM base),
+tl AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) = 0 THEN 0.0
+              ELSE round(
+                list_sum(list_transform(tokens, t -> len(t)))::DOUBLE
+                / len(tokens), 6)
+         END AS mean_token_len
+  FROM toks)
+SELECT bl.doc_id, bl.n_hash, bl.n_ellipsis,
+       round(bl.n_bullets::DOUBLE / bl.n_lines, 6) AS bullet_line_frac,
+       tl.mean_token_len
+FROM bl JOIN tl ON tl.doc_id = bl.doc_id"""
 
     from .extras.scrub import (
         EMAIL_PATTERN,
