@@ -1046,10 +1046,18 @@ def _verify_pairs_cogrouped(pairs_ds, reps_ds, threshold: float,
     )
 
 
-def minhash_dedup_clusters(docs_ds, threshold: float = 0.8, num_bands=16,
-                           rows_per_band=4, shingle_k=3, text_col: str = "text",
-                           max_bucket: int | None = None):
-    """Full near-dup pipeline: shingle-set identity collapse -> LSH
+def minhash_dedup_clusters_ds(docs_ds, threshold: float = 0.8, num_bands=16,
+                              rows_per_band=4, shingle_k=3,
+                              text_col: str = "text",
+                              max_bucket: int | None = None):
+    """Dataset form of ``minhash_dedup_clusters`` — the (doc_id,
+    cluster_id) assignment as a STREAMING Ray Dataset, for the 100-TB
+    action path (``.write_parquet`` the assignment, or co-group it with
+    the corpus to drop losers) where even the dup-cluster membership
+    list is too large to collect.  Unsorted; same rows as the table
+    form.
+
+    Full near-dup pipeline: shingle-set identity collapse -> LSH
     candidates over distinct sets -> exact Jaccard verify -> min-label
     connected components -> expand identity groups back in.
 
@@ -1135,12 +1143,23 @@ def minhash_dedup_clusters(docs_ds, threshold: float = 0.8, num_bands=16,
             }
         )
 
+    return collapsed.map_batches(expand, batch_format="pyarrow")
+
+
+def minhash_dedup_clusters(docs_ds, threshold: float = 0.8, num_bands=16,
+                           rows_per_band=4, shingle_k=3,
+                           text_col: str = "text",
+                           max_bucket: int | None = None) -> pa.Table:
+    """Table form of the near-dup pipeline (collects + doc_id-sorts the
+    assignment — fine for reports and the oracle contract; the 100-TB
+    write path is ``minhash_dedup_clusters_ds``).  See that function
+    for the full plan and the exactness argument."""
+    ds = minhash_dedup_clusters_ds(
+        docs_ds, threshold, num_bands, rows_per_band, shingle_k, text_col,
+        max_bucket,
+    )
     parts = [
-        t
-        for t in collapsed.map_batches(expand, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        )
-        if t.num_rows
+        t for t in ds.iter_batches(batch_format="pyarrow") if t.num_rows
     ]
     if not parts:
         return pa.table(

@@ -158,3 +158,43 @@ def test_max_bucket_cap_drops_crowded_buckets(ray_session):
         minhash_candidate_pairs(ds).iter_batches(batch_format="pyarrow")
     )
     assert full.num_rows == 40 * 39 // 2
+
+
+def test_distributed_path_medium_corpus(ray_session, monkeypatch):
+    """Distributed tail at a few hundred docs with heavy duplication:
+    multi-batch co-grouped verify + Dataset min-label end-to-end, equal
+    to the driver fast path, and the Dataset form streams the same rows."""
+    import ray.data as rd
+
+    from seekr_ray.extras.dedup import minhash_dedup_clusters_ds
+
+    rng = np.random.default_rng(17)
+    words = [f"token{w}" for w in range(50)]
+    base_texts = [
+        " ".join(rng.choice(words, size=30)) for _ in range(40)
+    ]
+    texts = []
+    for i in range(600):
+        b = base_texts[i % 40]
+        if i % 3 == 1:
+            b = b + " extra suffix tokens appended here"
+        texts.append(b)
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)],
+        override_num_blocks=8,
+    )
+    want = minhash_dedup_clusters(ds, threshold=0.6)
+    assert want.num_rows > 500  # heavy duplication by construction
+    monkeypatch.setattr(dedup, "_CLUSTER_DRIVER_LIMIT", 0)
+    got = minhash_dedup_clusters(ds, threshold=0.6)
+    assert got.equals(want)
+    # Dataset form: same rows, unsorted
+    got_ds = minhash_dedup_clusters_ds(ds, threshold=0.6)
+    rows = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for t in got_ds.iter_batches(batch_format="pyarrow")
+        for r in t.to_pylist()
+    )
+    assert rows == list(
+        zip(want["doc_id"].to_pylist(), want["cluster_id"].to_pylist())
+    )

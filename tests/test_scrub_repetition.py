@@ -109,3 +109,19 @@ def test_attach_value_drop_mode(ray_session):
         attach_value(
             target, lookup, key_col="k", out_col="v", carry=["payload"]
         ).to_pandas()
+
+
+def test_pii_scrub_rewrite_action(ray_session):
+    import ray.data as rd
+
+    from seekr_ray.extras.scrub import pii_scrub_rewrite
+
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(CRAFTED)]
+    )
+    out = pii_scrub_rewrite(ds).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == list(range(len(CRAFTED)))
+    joined = "\n".join(out["text"])
+    assert "@" not in joined.replace("<EMAIL>", "")
+    assert "10.0.0.1" not in joined
+    assert "deadbeefdeadbeef" not in joined
