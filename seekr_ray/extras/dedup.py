@@ -728,11 +728,14 @@ class _ShingleDocs:
         )
 
 
-def _collapse_identity(shingle_ds, num_buckets: int = 64):
+def _collapse_identity(shingle_ds, num_buckets: int = 256):
     """Collapse equal shingle sets to rep = min doc_id: one bucketed
     exchange on the 128-bit set key.  Output rows carry BOTH roles:
     every doc gets (doc_id, rep, gsize); rows with ``is_rep`` also carry
-    the set's shingle array (once per distinct set)."""
+    the set's shingle array (once per distinct set).  The bucket count
+    is higher than the narrow-row exchanges' 64 because these rows
+    carry the shingle PAYLOAD — a bucket task materializes
+    corpus/num_buckets of it; raise further for very large corpora."""
     from ..bucket_agg import _bucket_ids
 
     def tag(batch: pa.Table) -> pa.Table:
