@@ -3766,11 +3766,14 @@ def q_rolling_anomaly(sf_dir: str):
         # cumsum(v*v) form's cumulative intermediate grew with the whole
         # bucket and could silently overflow int64 at 100-TB bucket
         # sizes (ADVICE r3).  Identical integers to the cumsum-diff form.
+        # The guard bounds the DOWNSTREAM variance expression W·ss − s²
+        # too (both terms ≤ W²·max(v²), so requiring W²·max(v²) < 2^62
+        # keeps the subtraction exact) — not just ss itself.
         vmax = int(np.abs(v).max()) if n else 0
-        if vmax and vmax * vmax > (1 << 63) // (W + 1):
+        if vmax and vmax * vmax > (1 << 62) // (W * W):
             raise OverflowError(
                 f"rolling_anomaly: |cents| {vmax} too large for exact "
-                f"int64 window sums of squares (W={W})"
+                f"int64 windowed variance (W={W})"
             )
         vsq = v * v
         s = np.zeros(len(idx), np.int64)
@@ -5923,9 +5926,6 @@ def q_tpch_q7v(sf_dir: str):
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey"],
-    ).map_batches(
-        lambda b: b.rename_columns(["o_orderkey", "o_custkey"]),
-        batch_format="pyarrow",
     )
     ord_nat = attach_value(
         orders, cust, key_col="o_custkey", out_col="c_nat",

@@ -185,6 +185,25 @@ def minhash_signature(tokens: list[str], a: np.ndarray, b: np.ndarray, k: int) -
     return _signature_from_hashes(_shingle_hashes(tokens, k), a, b)
 
 
+def _band_hashes(sig: np.ndarray, num_bands: int, rows_per_band: int) -> list[int]:
+    """Signature -> one 63-bit blake2b bucket hash per band.  The ONE
+    banding kernel — ``MinHashLSH`` (tokenize path) and
+    ``_BandsFromShingles`` (identity-collapse path) must bucket
+    identically for the collapse pipeline's candidate graph to equal
+    the uncollapsed / SQL-oracle form, so both call this."""
+    out = []
+    for band in range(num_bands):
+        chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+        out.append(
+            int.from_bytes(
+                hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(),
+                "little",
+            )
+            >> 1  # fit int64
+        )
+    return out
+
+
 class MinHashLSH:
     """map_batches stage: doc -> (band, band_hash, doc_id) rows.
 
@@ -207,11 +226,9 @@ class MinHashLSH:
         ):
             toks = simple_tokens(text or "")
             sig = minhash_signature(toks, self.a, self.b, self.k)
-            for band in range(self.num_bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                bh = int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "little"
-                ) >> 1  # fit int64
+            for band, bh in enumerate(
+                _band_hashes(sig, self.num_bands, self.rows_per_band)
+            ):
                 doc_ids.append(doc_id)
                 bands.append(band)
                 band_hashes.append(bh)
@@ -269,14 +286,19 @@ def _make_band_pairs(emit: str = "pairs", max_bucket: int | None = None):
                     continue
                 bucket_ids = sorted(set(ids[s:e].tolist()))
                 m = len(bucket_ids)
+                if max_bucket is not None and m > max_bucket:
+                    # the cap applies to BOTH forms (an over-crowded
+                    # bucket is uninformative either way) — links drop
+                    # m-1 edges, pairs drop the full clique
+                    dropped += (
+                        m - 1 if emit == "links" else m * (m - 1) // 2
+                    )
+                    continue
                 if emit == "links":
                     lo = bucket_ids[0]
                     for y in bucket_ids[1:]:
                         a_out.append(lo)
                         b_out.append(y)
-                    continue
-                if max_bucket is not None and m > max_bucket:
-                    dropped += m * (m - 1) // 2
                     continue
                 for x, y in combinations(bucket_ids, 2):
                     a_out.append(x)
@@ -617,22 +639,27 @@ def _min_label_edges(edges_ds) -> tuple[np.ndarray, np.ndarray]:
         )
 
     bidir = edges_ds.map_batches(both_ways, batch_format="pyarrow").materialize()
-    # distinct nodes via a bucketed exchange; only the O(nodes) distinct
-    # array is collected
-    node_parts = [
-        t["node"].to_numpy(zero_copy_only=False)
-        for t in bucketed_group_agg(
-            bidir, "node", [("nbr", "min")]
-        ).iter_batches(batch_format="pyarrow")
-        if t.num_rows
-    ]
-    nodes = (
-        np.unique(np.concatenate(node_parts))
-        if node_parts
-        else np.empty(0, dtype=np.int64)
-    )
-    if nodes.size == 0:
-        return nodes, nodes.copy()
+    # distinct nodes via a bucketed exchange; its min(nbr) column is not
+    # discarded — min(node, min_nbr) IS round 1 of the fixpoint (labels
+    # start at identity), so seeding from it saves one full O(E)
+    # exchange.  Only the O(nodes) arrays are collected.
+    node_parts: list[np.ndarray] = []
+    mnbr_parts: list[np.ndarray] = []
+    for t in bucketed_group_agg(bidir, "node", [("nbr", "min")]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        if t.num_rows:
+            node_parts.append(t["node"].to_numpy(zero_copy_only=False))
+            mnbr_parts.append(t["min(nbr)"].to_numpy(zero_copy_only=False))
+    if not node_parts:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty.copy()
+    nodes_u = np.concatenate(node_parts)
+    order = np.argsort(nodes_u)  # each node appears in exactly one bucket
+    nodes = nodes_u[order]
+    seed = np.minimum(nodes, np.concatenate(mnbr_parts)[order])
+    # pointer-jump the seed once (round 1's jump): labels are node ids
+    seed = np.minimum(seed, seed[np.searchsorted(nodes, seed)])
     # self-loops keep every node present in each round's agg output
     loops = rd.from_arrow(
         pa.table(
@@ -642,15 +669,23 @@ def _min_label_edges(edges_ds) -> tuple[np.ndarray, np.ndarray]:
             }
         )
     )
-    return _min_label_iterate(bidir.union(loops).materialize(), nodes)
+    return _min_label_iterate(
+        bidir.union(loops).materialize(), nodes, labels=seed
+    )
 
 
-def _min_label_iterate(edges, nodes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _min_label_iterate(
+    edges, nodes: np.ndarray, labels: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """Shared fixpoint loop: ``edges`` is a materialized (node, nbr)
-    Dataset (bidirectional + self-loops), labels broadcast per round."""
+    Dataset (bidirectional + self-loops), labels broadcast per round.
+    ``labels`` may seed the iteration with any monotone-valid start
+    (component-internal node ids <= identity) — the fixpoint (component
+    min) is start-independent."""
     import ray
 
-    labels = nodes.copy()
+    if labels is None:
+        labels = nodes.copy()
     while True:
         ref = ray.put((nodes, labels))
 
@@ -818,11 +853,9 @@ class _BandsFromShingles:
         doc_ids, bands, band_hashes = [], [], []
         for i, doc_id in enumerate(batch["doc_id"].to_pylist()):
             sig = _signature_from_hashes(flat[offs[i] : offs[i + 1]], self.a, self.b)
-            for band in range(self.num_bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                bh = int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "little"
-                ) >> 1
+            for band, bh in enumerate(
+                _band_hashes(sig, self.num_bands, self.rows_per_band)
+            ):
                 doc_ids.append(doc_id)
                 bands.append(band)
                 band_hashes.append(bh)
@@ -846,8 +879,8 @@ def _jaccard_from_sorted(sa: np.ndarray, sb: np.ndarray) -> float:
     return inter / union if union else 0.0
 
 
-def _verify_pairs_driver(pairs_tbl: pa.Table, reps_ds, threshold: float,
-                         shingle_k: int) -> pa.Table:
+def _verify_pairs_driver(pairs_tbl: pa.Table, reps_ds,
+                         threshold: float) -> pa.Table:
     """Below-limit verify: candidate rep ids fit the driver, so broadcast
     their shingle arrays once and verify in a map_batches stage."""
     import ray
@@ -1112,7 +1145,7 @@ def minhash_dedup_clusters_ds(docs_ds, threshold: float = 0.8, num_bands=16,
             pairs_tbl = pa.concat_tables(
                 pairs_ds.iter_batches(batch_format="pyarrow")
             )
-            verified = _verify_pairs_driver(pairs_tbl, reps_ds, threshold, shingle_k)
+            verified = _verify_pairs_driver(pairs_tbl, reps_ds, threshold)
             if verified.num_rows:
                 nodes, labels = _min_label_numpy(
                     verified["a"].to_numpy(zero_copy_only=False),
@@ -1283,11 +1316,16 @@ def embedding_neardup_pairs(
         )
 
     def _unpack(block: pa.Table, lo: int, hi: int):
+        # zero-copy flatten+reshape (similarity._to_matrix), NOT a
+        # per-row pylist stack: a chunk is unpacked by ~C pair tasks,
+        # so the conversion must be near-free
+        from .similarity import _to_matrix
+
         t = block.slice(lo, hi - lo)
-        mat = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+        return (
+            t["vec_id"].to_numpy(zero_copy_only=False),
+            _to_matrix(t["embedding"]),
         )
-        return t["vec_id"].to_numpy(zero_copy_only=False), mat
 
     @ray.remote
     def pair_task(block_i, lo_i, hi_i, block_j, lo_j, hj, same: bool):

@@ -778,7 +778,10 @@ class QueryEngine:
             contribs = [self._bm25_contribs(t) for t in terms]
         else:
             contribs = [t.tfs * t.idf for t in terms]
-        key = (scorer, tuple(sorted(t.term for t in terms)))
+        # k is part of the key: prunability is k-dependent (the k-th-best
+        # threshold estimate) — a k=1000 abort must not force TAAT on the
+        # same terms' highly-prunable k=10 serving requests
+        key = (scorer, k, tuple(sorted(t.term for t in terms)))
         if key in self._bmw_abort_cache:
             self._bmw_abort_cache.move_to_end(key)
             return self._taat_arrays(
@@ -1277,7 +1280,10 @@ class QueryEngine:
         wasted work is bounded by the budget."""
         if eval_budget is None:
             eval_budget = max(4096, 64 * k)
-        memo_key = ("cold", scorer, tuple(sorted(set(stems))), lo, hi)
+        # k in the key for the same reason as the warm path: the abort
+        # condition (eval budget = max(4096, 64k) vs skip ratio) is
+        # k-dependent
+        memo_key = ("cold", scorer, k, tuple(sorted(set(stems))), lo, hi)
         if memo_key in self._bmw_abort_cache:
             self._bmw_abort_cache.move_to_end(memo_key)
             return None  # known non-pruning workload: caller -> TAAT

@@ -804,6 +804,27 @@ def _finalize_compacted(group: pa.Table, seg_dir: str) -> pa.Table:
         pa.array(seq, pa.int32()),
     )
     chunks = tbl.select(CHUNK_SCHEMA.names).cast(CHUNK_SCHEMA)
+    removed, seg_sha = _commit_compacted(chunks, part, seg_dir)
+    return pa.table(
+        {
+            "partition": pa.array([part], pa.int64()),
+            "removed": pa.array([removed], pa.int64()),
+            "n_postings": pa.array(
+                [int(pc.sum(chunks["n_docs"]).as_py() or 0)], pa.int64()
+            ),
+            "n_chunks": pa.array([chunks.num_rows], pa.int64()),
+            "file_sha256": pa.array([seg_sha], pa.string()),
+            "duration_s": pa.array([time.monotonic() - t0], pa.float64()),
+        }
+    )
+
+
+def _commit_compacted(
+    chunks: pa.Table, part: int, seg_dir: str
+) -> tuple[int, str]:
+    """The crash-safe marker-protocol commit shared by the range
+    finalize and the zero-posting fold: stage merged bytes + marker,
+    atomic-rename the base, unlink the deltas."""
     files = partition_files(seg_dir, part)
     base = partition_file(seg_dir, part)
     deltas = [f for f in files if f != base]
@@ -830,18 +851,7 @@ def _finalize_compacted(group: pa.Table, seg_dir: str) -> pa.Table:
         os.unlink(f)
         removed += 1
     os.remove(mpath)
-    return pa.table(
-        {
-            "partition": pa.array([part], pa.int64()),
-            "removed": pa.array([removed], pa.int64()),
-            "n_postings": pa.array(
-                [int(pc.sum(chunks["n_docs"]).as_py() or 0)], pa.int64()
-            ),
-            "n_chunks": pa.array([chunks.num_rows], pa.int64()),
-            "file_sha256": pa.array([seg_sha], pa.string()),
-            "duration_s": pa.array([time.monotonic() - t0], pa.float64()),
-        }
-    )
+    return removed, seg_sha
 
 
 def compact_index(
@@ -879,15 +889,36 @@ def compact_index(
     ppc = cfg.postings_per_chunk
 
     work: list[dict] = []
+    inline_rows: list[dict] = []
     for part in range(cfg.num_term_partitions):
         files = partition_files(seg_dir, part)
         if len(files) <= 1:
             continue  # no deltas: nothing to fold
-        for dlo, dhi in _plan_compact_ranges(
+        ranges = _plan_compact_ranges(
             files, target_postings_per_task, max_range_parallel
-        ):
+        )
+        if not ranges:
+            # zero postings across base+deltas: fold to an empty base
+            # inline (the range path would emit no rows and never
+            # finalize, leaving the deltas behind forever)
+            ti = time.monotonic()
+            removed, sha = _commit_compacted(
+                CHUNK_SCHEMA.empty_table(), part, seg_dir
+            )
+            inline_rows.append(
+                {
+                    "partition": part,
+                    "removed": removed,
+                    "n_postings": 0,
+                    "n_chunks": 0,
+                    "file_sha256": sha,
+                    "duration_s": time.monotonic() - ti,
+                }
+            )
+            continue
+        for dlo, dhi in ranges:
             work.append({"part": part, "dlo": dlo, "dhi": dhi})
-    if not work:
+    if not work and not inline_rows:
         return {
             "partitions_compacted": 0,
             "files_removed": 0,
@@ -907,15 +938,32 @@ def compact_index(
             promote_options="default",
         )
 
-    work_ds = rd.from_items(work, override_num_blocks=len(work))
-    updates = (
-        work_ds.map_batches(run_ranges, batch_format="pyarrow", batch_size=None)
-        .groupby("term_part")
-        .map_groups(
-            lambda g: _finalize_compacted(g, seg_dir), batch_format="pyarrow"
+    import pandas as pd
+
+    if work:
+        work_ds = rd.from_items(work, override_num_blocks=len(work))
+        updates = (
+            work_ds.map_batches(
+                run_ranges, batch_format="pyarrow", batch_size=None
+            )
+            .groupby("term_part")
+            .map_groups(
+                lambda g: _finalize_compacted(g, seg_dir),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
         )
-        .to_pandas()
-    )
+    else:
+        updates = pd.DataFrame(
+            columns=[
+                "partition", "removed", "n_postings", "n_chunks",
+                "file_sha256", "duration_s",
+            ]
+        )
+    if inline_rows:
+        updates = pd.concat(
+            [updates, pd.DataFrame(inline_rows)], ignore_index=True
+        )
     rows = read_manifest(index_dir)
     compacted = 0
     removed = 0
