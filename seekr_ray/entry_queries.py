@@ -6173,6 +6173,54 @@ def q_gopher_signals(sf_dir: str):
     return _docs_text(sf_dir).map_batches(signals, batch_format="pyarrow")
 
 
+def q_curated_rewrite(sf_dir: str):
+    """The COMPOSED curation ACTION, oracled end-to-end: run
+    ``pipeline.curate_write`` (exact first-wins dedup -> repetition +
+    min-token gates -> PII scrub) over the documents table into a
+    fresh sharded output dir, then report each surviving shard row as
+    (doc_id, scrubbed_md5).  The oracle replays the whole composition
+    in SQL — dedup by PARTITION BY text, the gate expressions, and the
+    nested regexp_replace scrub — so the ACTION's on-disk output is
+    digest-pinned, not just its plan."""
+    import shutil
+
+    import pyarrow.parquet as pq2
+
+    from .extras.pipeline import curate_write
+
+    out = f"/tmp/seekr_curated_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out, ignore_errors=True)
+    curate_write(
+        os.path.join(sf_dir, "documents.parquet"),
+        out,
+        min_tokens=CURATE_MIN_TOKENS,
+        max_dup_line_frac=REP_MAX_DUP_LINE_FRAC,
+        max_top_bigram_share=REP_MAX_TOP_BIGRAM_SHARE,
+    )
+    import hashlib as _hl
+
+    ids: list[int] = []
+    digests: list[str] = []
+    for f in sorted(os.listdir(out)):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            t = pq2.read_table(os.path.join(out, f))
+            for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                ids.append(d)
+                digests.append(_hl.md5(txt.encode()).hexdigest())
+    order = np.argsort(np.asarray(ids, dtype=np.int64))
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(ids, np.int64)[order], pa.int64()),
+            "scrubbed_md5": pa.array(
+                [digests[i] for i in order.tolist()], pa.string()
+            ),
+        }
+    )
+
+
+CURATE_MIN_TOKENS = 5
+
+
 def q_pii_scrub(sf_dir: str):
     """PII/secret redaction report per doc: email / IPv4 / long-hex
     counts in fixed application order plus the md5 of the scrubbed text
@@ -8801,6 +8849,50 @@ SELECT doc_id, n_emails, n_ips, n_secrets, md5(t3) AS scrubbed_md5
 FROM s3"""
 
     rep_toks = _toks_cte()
+    sql["curated_rewrite"] = f"""{rep_toks},
+win AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM documents) z WHERE rn = 1),
+ln AS (
+  SELECT doc_id,
+         len(string_split(text, chr(10)))::BIGINT AS n_lines,
+         len(list_distinct(string_split(text, chr(10))))::BIGINT AS n_dist
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) < 2 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(tokens)),
+                                  i -> tokens[i] || ' ' || tokens[i + 1])
+         END AS bigrams
+  FROM toks),
+bc AS (
+  SELECT doc_id, b, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest(bigrams) AS b FROM bg) GROUP BY doc_id, b),
+ba AS (SELECT doc_id, max(c) AS top, sum(c)::BIGINT AS nb FROM bc GROUP BY doc_id),
+surv AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN win ON win.doc_id = d.doc_id
+  JOIN ln ON ln.doc_id = d.doc_id
+  JOIN toks tk ON tk.doc_id = d.doc_id
+  LEFT JOIN ba ON ba.doc_id = d.doc_id
+  WHERE (ln.n_lines - ln.n_dist)::DOUBLE / ln.n_lines
+          <= {REP_MAX_DUP_LINE_FRAC}
+    AND (ba.nb IS NULL OR ba.top::DOUBLE / ba.nb <= {REP_MAX_TOP_BIGRAM_SHARE})
+    AND len(tk.tokens) >= {CURATE_MIN_TOKENS}),
+c1 AS (SELECT doc_id,
+         regexp_replace(text, '{EMAIL_PATTERN}', '{EMAIL_TOKEN}', 'g') AS t1
+       FROM surv),
+c2 AS (SELECT doc_id,
+         regexp_replace(t1, '{IPV4_PATTERN}', '{IP_TOKEN}', 'g') AS t2
+       FROM c1),
+c3 AS (SELECT doc_id,
+         regexp_replace(t2, '{HEX_SECRET_PATTERN}', '{SECRET_TOKEN}', 'g') AS t3
+       FROM c2)
+SELECT doc_id, md5(t3) AS scrubbed_md5 FROM c3"""
+
     sql["repetition_signals"] = f"""{rep_toks},
 ln AS (
   SELECT doc_id,

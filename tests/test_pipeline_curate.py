@@ -1,0 +1,74 @@
+"""curate_write: the resumable end-to-end curation ACTION — exact
+dedup (first-wins) + scrub + gates + per-fragment atomic shards, with
+crash-resume semantics (finished shards skipped, drops cached)."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from seekr_ray.extras.pipeline import curate_write
+
+GOOD = (
+    "rivers flowed through ancient forests while mountain passes "
+    "carried travellers toward distant harbours every spring"
+)
+
+
+def _write_fragments(dir_path, frags):
+    os.makedirs(dir_path, exist_ok=True)
+    for i, rows in enumerate(frags):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            os.path.join(dir_path, f"frag-{i}.parquet"),
+        )
+
+
+def _read_out(out_dir):
+    rows = []
+    for f in sorted(os.listdir(out_dir)):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(out_dir, f))
+            rows.extend(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    return sorted(rows)
+
+
+def test_curate_write_end_to_end_and_resume(ray_session, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    dup = GOOD + " again"
+    _write_fragments(
+        src,
+        [
+            [(1, GOOD), (2, dup), (3, "short text")],  # 3 gated: <5 tokens
+            [(4, dup), (5, GOOD + " reach me at alice@example.com today")],
+            [(6, "loop\nloop\nloop\nloop\nunique")],  # dup-line gate
+        ],
+    )
+    m = curate_write(src, out, min_tokens=5)
+    assert m["n_shards"] == 3 and m["shards_written"] == 3
+    rows = _read_out(out)
+    ids = [r[0] for r in rows]
+    # 2 beats 4 (first wins), 3 too short, 6 too repetitive
+    assert ids == [1, 2, 5]
+    scrubbed = dict(rows)[5]
+    assert "<EMAIL>" in scrubbed and "@" not in scrubbed.replace("<EMAIL>", "")
+
+    # resume: drop one shard, re-run -> only that shard rewritten,
+    # drops cache reused, identical final output
+    os.remove(os.path.join(out, "part-00001.parquet"))
+    m2 = curate_write(src, out, min_tokens=5)
+    assert m2["shards_written"] == 1 and m2["shards_skipped"] == 2
+    assert _read_out(out) == rows
+
+    # full re-run from scratch equals the resumed output
+    out2 = str(tmp_path / "out2")
+    curate_write(src, out2, min_tokens=5)
+    assert _read_out(out2) == rows
+    shutil.rmtree(out2)
