@@ -6136,6 +6136,168 @@ def q_tpch_q18v(sf_dir: str):
     )
 
 
+def q_tpch_q4v(sf_dir: str):
+    """TPC-H Q4 variant (order-priority checking): orders placed in
+    H1-1996 with at least one lineitem shipped more than 30 days after
+    the order date, counted by priority — the EXISTS semi-join shape
+    (the schema has no commit/receipt dates, so 'late' is
+    ship > order + 30d).
+
+    Ray plan: window orders stamp their date onto lineitem by orderkey
+    (co-partition attach, INNER), the late predicate filters, a
+    bucketed distinct reduces to the late-order key set, and a second
+    INNER attach back onto the window orders is the semi-join; counts
+    reduce per priority code (the digit prefix) with the tiny
+    code->name map collected from per-batch partials."""
+    import ray.data as rd
+
+    from .bucket_agg import bucketed_group_agg
+    from .extras.copart import attach_value
+
+    lo_us = int(np.datetime64("1996-01-01", "us").astype(np.int64))
+    hi_us = int(np.datetime64("1996-07-01", "us").astype(np.int64))
+    late_us = 30 * 86_400 * 1_000_000
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def owin_dates(batch: pa.Table) -> pa.Table:
+        t = (
+            pc.cast(batch["o_orderdate"], pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .view("int64")
+        )
+        m = (t >= lo_us) & (t < hi_us)
+        return pa.table(
+            {
+                "node": batch["o_orderkey"].filter(pa.array(m)),
+                "value": pa.array(t[m], pa.int64()),
+            }
+        )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+
+    def li_rows(batch: pa.Table) -> pa.Table:
+        s = (
+            pc.cast(batch["l_shipdate"], pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .view("int64")
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "ship": pa.array(s, pa.int64()),
+            }
+        )
+
+    with_od = attach_value(
+        li.map_batches(li_rows, batch_format="pyarrow"),
+        orders.map_batches(owin_dates, batch_format="pyarrow"),
+        key_col="l_orderkey",
+        out_col="odate",
+        carry=["ship"],
+        missing="drop",
+    )
+
+    def late(batch: pa.Table) -> pa.Table:
+        ship = batch["ship"].to_numpy(zero_copy_only=False)
+        od = batch["odate"].to_numpy(zero_copy_only=False)
+        m = ship > od + late_us
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"].filter(pa.array(m)),
+                "one": pa.array(np.ones(int(m.sum()), np.int64), pa.int64()),
+            }
+        )
+
+    late_set = bucketed_group_agg(
+        with_od.map_batches(late, batch_format="pyarrow"),
+        "l_orderkey",
+        [("one", "min")],
+    ).map_batches(
+        lambda b: pa.table({"node": b["l_orderkey"], "value": b["min(one)"]}),
+        batch_format="pyarrow",
+    )
+
+    def owin_prio(batch: pa.Table) -> pa.Table:
+        t = (
+            pc.cast(batch["o_orderdate"], pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .view("int64")
+        )
+        m = (t >= lo_us) & (t < hi_us)
+        prio = batch["o_orderpriority"].filter(pa.array(m))
+        codes = np.asarray(
+            [int(p[0]) for p in prio.to_pylist()], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].filter(pa.array(m)),
+                "code": pa.array(codes, pa.int64()),
+            }
+        )
+
+    joined = attach_value(
+        orders.map_batches(owin_prio, batch_format="pyarrow"),
+        late_set,
+        key_col="o_orderkey",
+        out_col="flag",
+        carry=["code"],
+        missing="drop",
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        codes = batch["code"].to_numpy(zero_copy_only=False)
+        keys, counts = np.unique(codes, return_counts=True)
+        return pa.table(
+            {
+                "code": pa.array(keys, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = bucketed_group_agg(
+        joined.map_batches(count_partial, batch_format="pyarrow"),
+        "code",
+        [("n", "sum")],
+    )
+    # tiny code -> priority-name map from per-batch partials
+    names: dict[int, str] = {}
+
+    def name_partial(batch: pa.Table) -> pa.Table:
+        prio = batch["o_orderpriority"].to_pylist()
+        seen = {}
+        for p in prio:
+            seen[int(p[0])] = p
+        return pa.table(
+            {
+                "code": pa.array(list(seen.keys()), pa.int64()),
+                "name": pa.array(list(seen.values()), pa.string()),
+            }
+        )
+
+    for t in orders.map_batches(
+        name_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        names.update(zip(t["code"].to_pylist(), t["name"].to_pylist()))
+    rows = []
+    for t in agg.iter_batches(batch_format="pyarrow"):
+        for c, n in zip(t["code"].to_pylist(), t["sum(n)"].to_pylist()):
+            rows.append((names[c], int(n)))
+    rows.sort()
+    return pa.table(
+        {
+            "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+            "order_count": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
 def q_gopher_signals(sf_dir: str):
     """Gopher-rule symbol/layout signals per doc: '#' count, '...'
     (ellipsis) count, bullet-line fraction ('-'/'*' starts) and mean
@@ -8789,6 +8951,16 @@ t AS (
   JOIN customer c ON c.c_custkey = o.o_custkey
   ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100)
 SELECT * FROM t"""
+
+    sql["tpch_q4v"] = """SELECT o_orderpriority,
+       count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1 ORDER BY 1"""
 
     gopher_toks = _toks_cte()
     sql["gopher_signals"] = f"""{gopher_toks},
