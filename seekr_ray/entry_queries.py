@@ -6383,6 +6383,39 @@ def q_curated_rewrite(sf_dir: str):
 CURATE_MIN_TOKENS = 5
 
 
+def q_neardup_rewrite(sf_dir: str):
+    """The MinHash near-dup ACTION, oracled end-to-end: run
+    ``pipeline.neardup_write`` (cluster losers dropped, winner = min
+    doc_id per verified component) into a fresh sharded dir and report
+    the surviving doc_ids — the oracle is the documents table minus the
+    SQL cluster replication's non-winner members."""
+    import shutil
+
+    import pyarrow.parquet as pq2
+
+    from .extras.pipeline import neardup_write
+
+    out = f"/tmp/seekr_neardup_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out, ignore_errors=True)
+    neardup_write(
+        os.path.join(sf_dir, "documents.parquet"),
+        out,
+        threshold=MINHASH_THRESHOLD,
+        num_bands=MINHASH_BANDS,
+        rows_per_band=MINHASH_ROWS_PER_BAND,
+        shingle_k=NGRAM_K,
+    )
+    ids: list[int] = []
+    for f in sorted(os.listdir(out)):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            ids.extend(
+                pq2.read_table(
+                    os.path.join(out, f), columns=["doc_id"]
+                )["doc_id"].to_pylist()
+            )
+    return pa.table({"doc_id": pa.array(sorted(ids), pa.int64())})
+
+
 def q_pii_scrub(sf_dir: str):
     """PII/secret redaction report per doc: email / IPv4 / long-hex
     counts in fixed application order plus the md5 of the scrubbed text
@@ -8146,6 +8179,11 @@ SELECT node AS doc_id, min(label)::BIGINT AS cluster_id
 FROM reach GROUP BY node"""
 
     sql["minhash_clusters"] = _minhash_clusters_sql()
+    sql["neardup_rewrite"] = f"""WITH cl AS (
+  SELECT * FROM ({_minhash_clusters_sql()}) z)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+ORDER BY d.doc_id"""
 
     sql["fingerprints"] = _fingerprints_sql()
 

@@ -188,3 +188,105 @@ def curate_write(
         "n_in": n_in,
         "n_out": n_out,
     }
+
+
+def neardup_write(
+    input_path: str,
+    out_dir: str,
+    *,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+) -> dict:
+    """Near-dup ACTION with the same resume contract as
+    ``curate_write``: MinHash-LSH clusters (identity collapse +
+    verified pairs, see ``dedup.minhash_dedup_clusters_ds``) decide the
+    LOSERS — every cluster member except its min-doc_id winner — and
+    the corpus rewrites fragment-by-fragment without them.  The loser
+    id set caches under ``out_dir/_neardrops/`` behind ``_SUCCESS``;
+    shards commit atomically and re-runs skip finished ones."""
+    import ray
+    import ray.data as rd
+
+    from ..nputil import isin_sorted
+    from .dedup import minhash_dedup_clusters_ds
+
+    frags = _input_fragments(input_path)
+    os.makedirs(out_dir, exist_ok=True)
+    drops_dir = os.path.join(out_dir, "_neardrops")
+    done = os.path.join(drops_dir, "_SUCCESS")
+    path = os.path.join(drops_dir, "drops.parquet")
+    if os.path.exists(done):
+        drops = pq.read_table(path)["doc_id"].to_numpy(zero_copy_only=False)
+    else:
+        os.makedirs(drops_dir, exist_ok=True)
+        clusters = minhash_dedup_clusters_ds(
+            rd.read_parquet(input_path, columns=["doc_id", text_col]),
+            threshold=threshold,
+            num_bands=num_bands,
+            rows_per_band=rows_per_band,
+            shingle_k=shingle_k,
+            text_col=text_col,
+        )
+
+        def losers(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            cl = batch["cluster_id"].to_numpy(zero_copy_only=False)
+            # cluster_id IS the winner (min doc_id of the component)
+            return pa.table(
+                {"doc_id": pa.array(ids[ids != cl], pa.int64())}
+            )
+
+        parts = [
+            t["doc_id"].to_numpy(zero_copy_only=False)
+            for t in clusters.map_batches(
+                losers, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow")
+            if t.num_rows
+        ]
+        drops = (
+            np.sort(np.concatenate(parts)).astype(np.int64)
+            if parts
+            else np.empty(0, dtype=np.int64)
+        )
+        tmp = path + ".tmp"
+        pq.write_table(
+            pa.table({"doc_id": pa.array(drops, pa.int64())}), tmp
+        )
+        os.replace(tmp, path)
+        open(done, "w").close()
+    drops_ref = ray.put(drops)
+
+    @ray.remote
+    def process(frag: str, out_path: str) -> tuple[int, int]:
+        tbl = pq.read_table(frag)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        dr = ray.get(drops_ref)
+        is_dup, _ = isin_sorted(dr, ids)
+        out = tbl.filter(pa.array(~is_dup))
+        tmp = out_path + ".tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, out_path)
+        return len(ids), out.num_rows
+
+    futures = []
+    skipped = 0
+    for i, frag in enumerate(frags):
+        out_path = os.path.join(out_dir, f"part-{i:05d}.parquet")
+        if os.path.exists(out_path):
+            skipped += 1
+            continue
+        futures.append(process.remote(frag, out_path))
+    n_in = n_out = 0
+    for a, b in ray.get(futures):
+        n_in += a
+        n_out += b
+    return {
+        "n_shards": len(frags),
+        "shards_written": len(futures),
+        "shards_skipped": skipped,
+        "n_in": n_in,
+        "n_out": n_out,
+    }

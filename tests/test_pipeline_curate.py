@@ -72,3 +72,29 @@ def test_curate_write_end_to_end_and_resume(ray_session, tmp_path):
     curate_write(src, out2, min_tokens=5)
     assert _read_out(out2) == rows
     shutil.rmtree(out2)
+
+
+def test_neardup_write_resume(ray_session, tmp_path):
+    from seekr_ray.extras.pipeline import neardup_write
+
+    src = str(tmp_path / "nd_in")
+    out = str(tmp_path / "nd_out")
+    near = GOOD.replace("spring", "summer")
+    far = "entirely different narrative about machines weaving copper threads"
+    _write_fragments(
+        src,
+        [
+            [(1, GOOD), (2, near)],
+            [(3, far), (4, GOOD)],
+        ],
+    )
+    m = neardup_write(src, out, threshold=0.5)
+    assert m["shards_written"] == 2
+    rows = _read_out(out)
+    # 1 is the winner of the {1, 2, 4} near-dup component; 3 unrelated
+    assert [r[0] for r in rows] == [1, 3]
+    # resume skips finished shards and reuses the cached drop set
+    os.remove(os.path.join(out, "part-00000.parquet"))
+    m2 = neardup_write(src, out, threshold=0.5)
+    assert m2["shards_written"] == 1 and m2["shards_skipped"] == 1
+    assert _read_out(out) == rows
