@@ -927,7 +927,7 @@ def _verify_pairs_driver(pairs_tbl: pa.Table, reps_ds,
 
 
 def _verify_pairs_cogrouped(pairs_ds, reps_ds, threshold: float,
-                            num_buckets: int = 64):
+                            num_buckets: int = 256):
     """Above-limit verify — the co-grouped JOIN form: no driver pair
     collect, no token-set broadcast.  Two bucketed exchanges:
 
