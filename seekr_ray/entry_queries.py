@@ -6381,6 +6381,22 @@ def q_curated_rewrite(sf_dir: str):
 
 
 CURATE_MIN_TOKENS = 5
+SPAN_DEDUP_K = 8
+
+
+def q_span_dedup(sf_dir: str):
+    """Exact duplicate-SPAN removal (Lee et al. 2022 substring dedup):
+    any 8-token window occurring at >= 2 positions corpus-wide is cut
+    from every doc; report ``(doc_id, n_tokens, n_removed, kept_md5)``
+    with the md5 of the token-space rewrite.  Three narrow exchanges
+    (kgram rows -> dup positions -> per-doc co-grouped rewrite), no
+    driver or broadcast state — see ``extras/spandedup.py``.  Both
+    sides decide duplication on the SAME 64-bit positional hash law
+    (md5 tokens + polynomial combine), so the compare is exact even at
+    hash collisions."""
+    from .extras.spandedup import span_dedup_stats
+
+    return span_dedup_stats(_docs_text(sf_dir), k=SPAN_DEDUP_K)
 
 
 def q_neardup_rewrite(sf_dir: str):
@@ -6737,6 +6753,55 @@ toks AS (
 MINHASH_THRESHOLD = 0.8
 MINHASH_BANDS = 16
 MINHASH_ROWS_PER_BAND = 4
+
+
+def _span_dedup_sql() -> str:
+    """Bit-exact SQL replication of extras/spandedup.span_dedup_stats:
+    per-POSITION k-gram hashes (md5_number_upper tokens + the uint64
+    polynomial combine, powers of the shingle base mod 2^64 inlined and
+    each product reduced before summing — 8 mod-2^64 terms stay under
+    UHUGEINT), corpus-wide count >= 2 duplication, window coverage via
+    an anti-join on covered token indexes, and md5 of the kept-token
+    join.  Duplication is decided on the SAME hash values both sides,
+    so the compare is collision-proof."""
+    from .extras.dedup import _SHINGLE_BASE
+
+    k = SPAN_DEDUP_K
+    m64 = 1 << 64
+    base = int(_SHINGLE_BASE)
+    powers = [pow(base, k - 1 - w, m64) for w in range(k)]
+    terms = " + ".join(
+        f"((md5_number_upper(tokens[i + {w}])::UHUGEINT * {p})"
+        f" % {m64}::UHUGEINT)"
+        for w, p in enumerate(powers)
+    )
+    toks = _toks_cte()
+    return f"""{toks},
+ph AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(range(1, len(tokens) - {k - 2})) AS pos,
+         unnest(list_transform(range(1, len(tokens) - {k - 2}),
+                i -> (({terms}) % {m64}::UHUGEINT)::UBIGINT)) AS h
+  FROM toks WHERE len(tokens) >= {k}),
+dup AS (SELECT h FROM ph GROUP BY h HAVING count(*) >= 2),
+fl AS (SELECT doc_id, pos FROM ph WHERE h IN (SELECT h FROM dup)),
+cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + {k})) AS idx
+        FROM fl),
+tok AS (
+  SELECT doc_id, unnest(tokens) AS tok,
+         unnest(range(1, len(tokens) + 1)) AS idx
+  FROM toks),
+kept AS (
+  SELECT t.doc_id,
+         string_agg(t.tok, ' ' ORDER BY t.idx) AS txt,
+         count(*)::BIGINT AS n_kept
+  FROM tok t ANTI JOIN cov c ON c.doc_id = t.doc_id AND c.idx = t.idx
+  GROUP BY t.doc_id),
+b AS (SELECT doc_id, len(tokens)::BIGINT AS n_tokens FROM toks)
+SELECT b.doc_id, b.n_tokens,
+       (b.n_tokens - coalesce(k2.n_kept, 0))::BIGINT AS n_removed,
+       md5(coalesce(k2.txt, '')) AS kept_md5
+FROM b LEFT JOIN kept k2 ON k2.doc_id = b.doc_id"""
 
 
 def _minhash_clusters_sql() -> str:
@@ -8178,6 +8243,7 @@ reach(node, label) AS (
 SELECT node AS doc_id, min(label)::BIGINT AS cluster_id
 FROM reach GROUP BY node"""
 
+    sql["span_dedup"] = _span_dedup_sql()
     sql["minhash_clusters"] = _minhash_clusters_sql()
     sql["neardup_rewrite"] = f"""WITH cl AS (
   SELECT * FROM ({_minhash_clusters_sql()}) z)

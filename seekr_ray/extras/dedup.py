@@ -95,21 +95,15 @@ _SHINGLE_TOKEN_CACHE: dict[str, int] = {}
 _CACHE_MAX = 1_000_000
 
 
-def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
-    """64-bit hash per distinct k-shingle, vectorized: md5 once per
-    DISTINCT token (memoized per worker process), then a polynomial
-    combine of the k token hashes per window (uint64 wraparound).  The
-    round-1 form ran a full hash per shingle *string*; any stable 64-bit
-    shingle hash estimates the same Jaccard, and this one is ~20x
-    cheaper."""
-    if not tokens:
-        return np.empty(0, dtype=np.uint64)
+def _shingle_hashes_positional(tokens: list[str], k: int) -> np.ndarray:
+    """64-bit hash PER WINDOW POSITION (len(tokens)-k+1 entries, NOT
+    uniqued, no short-doc fallback): md5 once per DISTINCT token
+    (memoized per worker process), then a polynomial combine of the k
+    token hashes per window (uint64 wraparound).  The positional form
+    is what span-level dedup consumes; ``_shingle_hashes`` is its
+    uniqued set form."""
     if len(tokens) < k:
-        s = " ".join(tokens)
-        return np.array(
-            [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")],
-            dtype=np.uint64,
-        )
+        return np.empty(0, dtype=np.uint64)
     cache = _SHINGLE_TOKEN_CACHE
     if len(cache) > _CACHE_MAX:  # bound worker RSS on open vocabularies
         cache.clear()
@@ -131,7 +125,22 @@ def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
         acc = np.zeros(n_sh, dtype=np.uint64)
         for w in range(k):
             acc += th[w : w + n_sh] * powers[w]
-    return np.unique(acc)
+    return acc
+
+
+def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
+    """64-bit hash per DISTINCT k-shingle (sorted unique), with the
+    short-doc fallback (md5 of the joined tokens) the minhash oracle
+    mirrors."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    if len(tokens) < k:
+        s = " ".join(tokens)
+        return np.array(
+            [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")],
+            dtype=np.uint64,
+        )
+    return np.unique(_shingle_hashes_positional(tokens, k))
 
 
 def _fold61(x: np.ndarray) -> np.ndarray:

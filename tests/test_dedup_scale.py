@@ -198,3 +198,46 @@ def test_distributed_path_medium_corpus(ray_session, monkeypatch):
     assert rows == list(
         zip(want["doc_id"].to_pylist(), want["cluster_id"].to_pylist())
     )
+
+
+def test_span_dedup_semantics(ray_session):
+    """Exact duplicate-span removal: shared k-gram windows are cut from
+    EVERY occurrence (cross-doc and within-doc), short docs pass
+    through whole, fully-boilerplate docs empty out."""
+    import hashlib
+
+    from seekr_ray.extras.spandedup import span_dedup_stats
+    from seekr_ray.extras.textstats import simple_tokens
+
+    header = (
+        "licensed under apache version obtain copy of license "
+        "distributed software basis"
+    )
+    docs = [
+        (0, header + " unique alpha body retains tokens beyond boilerplate"),
+        (1, header + " unique beta content differs after shared header"),
+        (2, "entirely original text without shared window content anywhere"),
+        (3, header),  # pure boilerplate: empties out
+        (4, "tiny doc"),  # < k tokens: no windows, untouched
+        (5, (
+            "repeat cycle tokens forming identical windows repeat cycle "
+            "tokens forming identical windows"
+        )),  # WITHIN-doc duplication also counts
+    ]
+    ds = _docs_ds([t for _, t in docs])
+    out = span_dedup_stats(ds, k=4).to_pandas().set_index("doc_id")
+    # untouched docs keep their full token stream
+    for d in (2, 4):
+        toks = simple_tokens(docs[d][1])
+        assert out.loc[d, "n_removed"] == 0
+        assert (
+            out.loc[d, "kept_md5"]
+            == hashlib.md5(" ".join(toks).encode()).hexdigest()
+        )
+    # the shared header's windows are cut from docs 0, 1, 3
+    hdr_len = len(simple_tokens(header))
+    assert out.loc[3, "n_removed"] == hdr_len  # fully covered
+    assert out.loc[3, "kept_md5"] == hashlib.md5(b"").hexdigest()
+    assert out.loc[0, "n_removed"] >= hdr_len - 3  # prefix windows cut
+    # within-doc repetition: the doc duplicates its own windows
+    assert out.loc[5, "n_removed"] > 0
