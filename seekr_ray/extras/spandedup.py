@@ -37,13 +37,10 @@ from .dedup import _shingle_hashes_positional
 from .textstats import simple_tokens
 
 
-def span_dedup_stats(docs_ds, *, k: int = 8, text_col: str = "text",
-                     num_buckets: int = 64):
-    """Per-doc duplicate-span removal report:
-    ``(doc_id, n_tokens, n_removed, kept_md5)`` where ``kept_md5`` is
-    the md5 of the span-deduplicated rewrite (kept tokens joined by
-    ' ').  Docs shorter than k tokens carry no windows and pass
-    through whole."""
+def _span_pipeline(docs_ds, *, k: int, text_col: str,
+                   num_buckets: int, emit: str):
+    """Shared three-exchange span-dedup pipeline; ``emit="stats"``
+    yields the per-doc report, ``emit="text"`` the rewritten corpus."""
 
     def kgram_rows(batch: pa.Table) -> pa.Table:
         ids: list[int] = []
@@ -150,7 +147,7 @@ def span_dedup_stats(docs_ds, *, k: int = 8, text_col: str = "text",
         out_id: list[int] = []
         out_nt: list[int] = []
         out_nr: list[int] = []
-        out_md5: list[str] = []
+        out_payload: list[str] = []
         n = len(ids)
         i = 0
         while i < n:
@@ -171,20 +168,29 @@ def span_dedup_stats(docs_ds, *, k: int = 8, text_col: str = "text",
                 covered = np.cumsum(diff[:nt]) > 0
             else:
                 covered = np.zeros(nt, dtype=bool)
-            kept = [w for w, c in zip(toks, covered) if not c]
+            kept = " ".join(w for w, c in zip(toks, covered) if not c)
             out_id.append(int(ids[i]))
             out_nt.append(nt)
             out_nr.append(int(covered.sum()))
-            out_md5.append(
-                hashlib.md5(" ".join(kept).encode()).hexdigest()
+            out_payload.append(
+                kept
+                if emit == "text"
+                else hashlib.md5(kept.encode()).hexdigest()
             )
             i = j
+        if emit == "text":
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id, pa.int64()),
+                    text_col: pa.array(out_payload, pa.large_string()),
+                }
+            )
         return pa.table(
             {
                 "doc_id": pa.array(out_id, pa.int64()),
                 "n_tokens": pa.array(out_nt, pa.int64()),
                 "n_removed": pa.array(out_nr, pa.int64()),
-                "kept_md5": pa.array(out_md5, pa.string()),
+                "kept_md5": pa.array(out_payload, pa.string()),
             }
         )
 
@@ -192,4 +198,30 @@ def span_dedup_stats(docs_ds, *, k: int = 8, text_col: str = "text",
         both.map_batches(tag_doc, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(rewrite, batch_format="pyarrow")
+    )
+
+
+def span_dedup_stats(docs_ds, *, k: int = 8, text_col: str = "text",
+                     num_buckets: int = 64):
+    """Per-doc duplicate-span removal report:
+    ``(doc_id, n_tokens, n_removed, kept_md5)`` where ``kept_md5`` is
+    the md5 of the span-deduplicated rewrite (kept tokens joined by
+    ' ').  Docs shorter than k tokens carry no windows and pass
+    through whole."""
+    return _span_pipeline(
+        docs_ds, k=k, text_col=text_col, num_buckets=num_buckets,
+        emit="stats",
+    )
+
+
+def span_dedup_rewrite_ds(docs_ds, *, k: int = 8, text_col: str = "text",
+                          num_buckets: int = 64):
+    """The ACTION form: the span-deduplicated corpus as a streaming
+    Dataset of ``(doc_id, text)`` token-space rewrites — chain into
+    ``write_parquet`` for the 100-TB path.  Same three exchanges as
+    ``span_dedup_stats``; only the finalize emits the rewritten text
+    instead of its digest."""
+    return _span_pipeline(
+        docs_ds, k=k, text_col=text_col, num_buckets=num_buckets,
+        emit="text",
     )

@@ -241,3 +241,27 @@ def test_span_dedup_semantics(ray_session):
     assert out.loc[0, "n_removed"] >= hdr_len - 3  # prefix windows cut
     # within-doc repetition: the doc duplicates its own windows
     assert out.loc[5, "n_removed"] > 0
+
+
+def test_span_dedup_rewrite_ds_matches_stats(ray_session):
+    """The ACTION form's rewritten text must hash to exactly the stats
+    form's kept_md5, row for row."""
+    import hashlib
+
+    from seekr_ray.extras.spandedup import (
+        span_dedup_rewrite_ds,
+        span_dedup_stats,
+    )
+
+    header = "shared prefix tokens repeated across documents everywhere"
+    ds = _docs_ds(
+        [header + " alpha tail", header + " beta tail", "standalone words"]
+    )
+    stats = span_dedup_stats(ds, k=3).to_pandas().set_index("doc_id")
+    text = span_dedup_rewrite_ds(ds, k=3).to_pandas().set_index("doc_id")
+    assert sorted(stats.index) == sorted(text.index)
+    for d in stats.index:
+        assert (
+            hashlib.md5(text.loc[d, "text"].encode()).hexdigest()
+            == stats.loc[d, "kept_md5"]
+        )
