@@ -6298,6 +6298,103 @@ def q_tpch_q4v(sf_dir: str):
     )
 
 
+def q_tpch_q13v(sf_dir: str):
+    """TPC-H Q13 (customer distribution): how many customers placed
+    exactly N orders, INCLUDING the zero-order customers the left join
+    exists for.
+
+    Ray plan: per-custkey order counts (bucketed sum of ones) co-group
+    with the customer key set (marker rows) so absent customers emit
+    count 0 — no broadcast, one narrow exchange each way — then an
+    O(distinct counts) histogram reduce."""
+    import ray.data as rd
+
+    from .bucket_agg import bucketed_group_agg
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    )
+
+    def ones(batch: pa.Table) -> pa.Table:
+        k = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        keys, counts = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "c_custkey": pa.array(keys, pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_cust = bucketed_group_agg(
+        orders.map_batches(ones, batch_format="pyarrow"),
+        "c_custkey",
+        [("cnt", "sum")],
+    ).map_batches(
+        lambda b: pa.table(
+            {"c_custkey": b["c_custkey"], "cnt": b["sum(cnt)"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "cnt": pa.array(
+                    np.zeros(b.num_rows, np.int64), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_b", pa.array((k % 64).astype(np.int64), pa.int64())
+        )
+
+    def per_customer(group: pa.Table) -> pa.Table:
+        # each customer has one marker row (0) and at most one count
+        # row; the sum per key is its order count
+        agg = (
+            group.select(["c_custkey", "cnt"])
+            .group_by("c_custkey")
+            .aggregate([("cnt", "sum")])
+        )
+        cc = agg["cnt_sum"].to_numpy(zero_copy_only=False)
+        keys, counts = np.unique(cc, return_counts=True)
+        return pa.table(
+            {
+                "c_count": pa.array(keys, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = bucketed_group_agg(
+        per_cust.union(cust)
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_customer, batch_format="pyarrow"),
+        "c_count",
+        [("n", "sum")],
+    )
+    rows = []
+    for t in hist.iter_batches(batch_format="pyarrow"):
+        rows.extend(
+            zip(t["c_count"].to_pylist(), t["sum(n)"].to_pylist())
+        )
+    rows.sort(key=lambda r: (-r[1], -r[0]))
+    return pa.table(
+        {
+            "c_count": pa.array([r[0] for r in rows], pa.int64()),
+            "custdist": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
 def q_gopher_signals(sf_dir: str):
     """Gopher-rule symbol/layout signals per doc: '#' count, '...'
     (ellipsis) count, bullet-line fraction ('-'/'*' starts) and mean
@@ -9055,6 +9152,13 @@ t AS (
   JOIN customer c ON c.c_custkey = o.o_custkey
   ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100)
 SELECT * FROM t"""
+
+    sql["tpch_q13v"] = """WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_custkey)::BIGINT AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM c_orders GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
 
     sql["tpch_q4v"] = """SELECT o_orderpriority,
        count(*)::BIGINT AS order_count
