@@ -6395,6 +6395,143 @@ def q_tpch_q13v(sf_dir: str):
     )
 
 
+def q_tpch_q22v(sf_dir: str):
+    """TPC-H Q22 variant (global sales opportunity; the schema has no
+    phone column, so no country-code grouping): count and total balance
+    of customers with an above-average positive account balance and NO
+    orders — the anti-join + global-scalar-subquery family.
+
+    Exactness law: the threshold compare cross-multiplies integers
+    (cents_i * n_pos > total_cents) instead of comparing against a
+    float average, so summation order cannot flip a boundary customer;
+    the oracle mirrors the same inequality."""
+    import ray.data as rd
+
+    from .bucket_agg import bucketed_group_agg
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal"],
+    )
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        pos = cents > 0
+        return pa.table(
+            {
+                "_one": pa.array([0], pa.int32()),
+                "n": pa.array([int(pos.sum())], pa.int64()),
+                "s": pa.array([int(cents[pos].sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        cust.map_batches(bal_partial, batch_format="pyarrow")
+        .groupby("_one")
+        .sum(["n", "s"])
+    )
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    n_pos = int(t["sum(n)"][0].as_py())
+    total = int(t["sum(s)"][0].as_py())
+
+    # co-group customers with the ordering-customer key set: keep
+    # above-threshold customers with NO order marker in their run
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    )
+
+    def order_marks(batch: pa.Table) -> pa.Table:
+        keys = np.unique(batch["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "c_custkey": pa.array(keys, pa.int64()),
+                "cents": pa.array(
+                    np.full(len(keys), np.int64(-1)), pa.int64()
+                ),
+                "_side": pa.array(np.ones(len(keys), np.int8), pa.int8()),
+            }
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "cents": pa.array(cents, pa.int64()),
+                "_side": pa.array(np.zeros(batch.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_b", pa.array((k % 64).astype(np.int64), pa.int64())
+        )
+
+    def anti(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("c_custkey", "ascending"), ("_side", "ascending")],
+        )
+        g = group.take(order)
+        k = g["c_custkey"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        cnt = 0
+        s = 0
+        i = 0
+        while i < n:
+            j = i
+            has_order = False
+            cval = None
+            while j < n and k[j] == k[i]:
+                if side[j] == 1:
+                    has_order = True
+                else:
+                    cval = int(cents[j])
+                j += 1
+            # threshold: cents * n_pos > total (integer cross-multiply)
+            if (
+                not has_order
+                and cval is not None
+                and cval * n_pos > total
+            ):
+                cnt += 1
+                s += cval
+            i = j
+        return pa.table(
+            {
+                "_one": pa.array([0], pa.int32()),
+                "numcust": pa.array([cnt], pa.int64()),
+                "cents": pa.array([s], pa.int64()),
+            }
+        )
+
+    final = (
+        cust.map_batches(cust_rows, batch_format="pyarrow")
+        .union(orders.map_batches(order_marks, batch_format="pyarrow"))
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(anti, batch_format="pyarrow")
+        .groupby("_one")
+        .sum(["numcust", "cents"])
+    )
+    ft = pa.concat_tables(final.iter_batches(batch_format="pyarrow"))
+    return pa.table(
+        {
+            "numcust": pa.array([int(ft["sum(numcust)"][0].as_py())], pa.int64()),
+            "totacctbal": pa.array(
+                [int(ft["sum(cents)"][0].as_py()) / 100.0], pa.float64()
+            ),
+        }
+    )
+
+
 def q_gopher_signals(sf_dir: str):
     """Gopher-rule symbol/layout signals per doc: '#' count, '...'
     (ellipsis) count, bullet-line fraction ('-'/'*' starts) and mean
@@ -9152,6 +9289,17 @@ t AS (
   JOIN customer c ON c.c_custkey = o.o_custkey
   ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100)
 SELECT * FROM t"""
+
+    sql["tpch_q22v"] = """WITH pos AS (
+  SELECT CAST(round(c_acctbal*100, 0) AS BIGINT) AS cents FROM customer
+  WHERE CAST(round(c_acctbal*100, 0) AS BIGINT) > 0),
+tot AS (SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS s FROM pos)
+SELECT count(*)::BIGINT AS numcust,
+       coalesce(sum(CAST(round(c.c_acctbal*100, 0) AS BIGINT))::BIGINT, 0)
+         / 100.0 AS totacctbal
+FROM customer c, tot
+WHERE CAST(round(c.c_acctbal*100, 0) AS BIGINT) * tot.n > tot.s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""
 
     sql["tpch_q13v"] = """WITH c_orders AS (
   SELECT c.c_custkey, count(o.o_custkey)::BIGINT AS c_count
