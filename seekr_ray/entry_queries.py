@@ -6231,19 +6231,27 @@ def q_tpch_q4v(sf_dir: str):
             .view("int64")
         )
         m = (t >= lo_us) & (t < hi_us)
-        prio = batch["o_orderpriority"].filter(pa.array(m))
-        codes = np.asarray(
-            [int(p[0]) for p in prio.to_pylist()], dtype=np.int64
-        )
+        prio = batch["o_orderpriority"].filter(pa.array(m)).to_pylist()
+        codes = np.empty(len(prio), dtype=np.int64)
+        for i, p in enumerate(prio):
+            # the fixture's priorities are 'N-NAME'; anything else is a
+            # data-contract break we refuse rather than mis-bucket
+            if not p or not p[0].isdigit():
+                raise ValueError(f"unparseable o_orderpriority {p!r}")
+            codes[i] = int(p[0])
         return pa.table(
             {
                 "o_orderkey": batch["o_orderkey"].filter(pa.array(m)),
                 "code": pa.array(codes, pa.int64()),
+                "name": pa.array(prio, pa.string()),
             }
         )
 
+    # materialized ONCE: the attach target below and the tiny
+    # code->name map both read it — no second orders scan
+    owin = orders.map_batches(owin_prio, batch_format="pyarrow").materialize()
     joined = attach_value(
-        orders.map_batches(owin_prio, batch_format="pyarrow"),
+        owin,
         late_set,
         key_col="o_orderkey",
         out_col="flag",
@@ -6266,14 +6274,17 @@ def q_tpch_q4v(sf_dir: str):
         "code",
         [("n", "sum")],
     )
-    # tiny code -> priority-name map from per-batch partials
+    # tiny code -> priority-name map from the SAME materialized window
+    # rows (no extra orders scan); a code mapping to two names would be
+    # a silent count-merge, so it raises instead
     names: dict[int, str] = {}
 
     def name_partial(batch: pa.Table) -> pa.Table:
-        prio = batch["o_orderpriority"].to_pylist()
-        seen = {}
-        for p in prio:
-            seen[int(p[0])] = p
+        seen: dict[int, str] = {}
+        for c, p in zip(
+            batch["code"].to_pylist(), batch["name"].to_pylist()
+        ):
+            seen[c] = p
         return pa.table(
             {
                 "code": pa.array(list(seen.keys()), pa.int64()),
@@ -6281,10 +6292,14 @@ def q_tpch_q4v(sf_dir: str):
             }
         )
 
-    for t in orders.map_batches(
+    for t in owin.map_batches(
         name_partial, batch_format="pyarrow"
     ).iter_batches(batch_format="pyarrow"):
-        names.update(zip(t["code"].to_pylist(), t["name"].to_pylist()))
+        for c, p in zip(t["code"].to_pylist(), t["name"].to_pylist()):
+            if names.setdefault(c, p) != p:
+                raise ValueError(
+                    f"priority code {c} maps to both {names[c]!r} and {p!r}"
+                )
     rows = []
     for t in agg.iter_batches(batch_format="pyarrow"):
         for c, n in zip(t["code"].to_pylist(), t["sum(n)"].to_pylist()):
@@ -6578,31 +6593,37 @@ def q_curated_rewrite(sf_dir: str):
     in SQL — dedup by PARTITION BY text, the gate expressions, and the
     nested regexp_replace scrub — so the ACTION's on-disk output is
     digest-pinned, not just its plan."""
+    import hashlib as _hl
     import shutil
+    import tempfile
 
     import pyarrow.parquet as pq2
 
     from .extras.pipeline import curate_write
 
-    out = f"/tmp/seekr_curated_{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(out, ignore_errors=True)
-    curate_write(
-        os.path.join(sf_dir, "documents.parquet"),
-        out,
-        min_tokens=CURATE_MIN_TOKENS,
-        max_dup_line_frac=REP_MAX_DUP_LINE_FRAC,
-        max_top_bigram_share=REP_MAX_TOP_BIGRAM_SHARE,
-    )
-    import hashlib as _hl
-
-    ids: list[int] = []
-    digests: list[str] = []
-    for f in sorted(os.listdir(out)):
-        if f.startswith("part-") and f.endswith(".parquet"):
-            t = pq2.read_table(os.path.join(out, f))
-            for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-                ids.append(d)
-                digests.append(_hl.md5(txt.encode()).hexdigest())
+    # a UNIQUE scratch dir per call: concurrent audits of the same sf
+    # must not race on one path, and nothing may be left behind
+    out = tempfile.mkdtemp(prefix="seekr_curated_")
+    try:
+        curate_write(
+            os.path.join(sf_dir, "documents.parquet"),
+            out,
+            min_tokens=CURATE_MIN_TOKENS,
+            max_dup_line_frac=REP_MAX_DUP_LINE_FRAC,
+            max_top_bigram_share=REP_MAX_TOP_BIGRAM_SHARE,
+        )
+        ids: list[int] = []
+        digests: list[str] = []
+        for f in sorted(os.listdir(out)):
+            if f.startswith("part-") and f.endswith(".parquet"):
+                t = pq2.read_table(os.path.join(out, f))
+                for d, txt in zip(
+                    t["doc_id"].to_pylist(), t["text"].to_pylist()
+                ):
+                    ids.append(d)
+                    digests.append(_hl.md5(txt.encode()).hexdigest())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
     order = np.argsort(np.asarray(ids, dtype=np.int64))
     return pa.table(
         {
@@ -6640,29 +6661,32 @@ def q_neardup_rewrite(sf_dir: str):
     the surviving doc_ids — the oracle is the documents table minus the
     SQL cluster replication's non-winner members."""
     import shutil
+    import tempfile
 
     import pyarrow.parquet as pq2
 
     from .extras.pipeline import neardup_write
 
-    out = f"/tmp/seekr_neardup_{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(out, ignore_errors=True)
-    neardup_write(
-        os.path.join(sf_dir, "documents.parquet"),
-        out,
-        threshold=MINHASH_THRESHOLD,
-        num_bands=MINHASH_BANDS,
-        rows_per_band=MINHASH_ROWS_PER_BAND,
-        shingle_k=NGRAM_K,
-    )
-    ids: list[int] = []
-    for f in sorted(os.listdir(out)):
-        if f.startswith("part-") and f.endswith(".parquet"):
-            ids.extend(
-                pq2.read_table(
-                    os.path.join(out, f), columns=["doc_id"]
-                )["doc_id"].to_pylist()
-            )
+    out = tempfile.mkdtemp(prefix="seekr_neardup_")
+    try:
+        neardup_write(
+            os.path.join(sf_dir, "documents.parquet"),
+            out,
+            threshold=MINHASH_THRESHOLD,
+            num_bands=MINHASH_BANDS,
+            rows_per_band=MINHASH_ROWS_PER_BAND,
+            shingle_k=NGRAM_K,
+        )
+        ids: list[int] = []
+        for f in sorted(os.listdir(out)):
+            if f.startswith("part-") and f.endswith(".parquet"):
+                ids.extend(
+                    pq2.read_table(
+                        os.path.join(out, f), columns=["doc_id"]
+                    )["doc_id"].to_pylist()
+                )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
     return pa.table({"doc_id": pa.array(sorted(ids), pa.int64())})
 
 

@@ -35,25 +35,58 @@ from .textstats import round6, simple_tokens
 # ---------------------------------------------------------------------------
 
 
+def _sha_bucket_rows(batch: pa.Table, text_col: str) -> pa.Table:
+    """THE exact-dup identity law, in one place: sha256 of the raw
+    text, hash-bucketed by the first 8 hex chars mod 64.  Both the
+    oracled ``exact_dedup_groups`` report and the curation ACTION's
+    loser pass (``exact_dedup_losers``) consume this — the law must not
+    fork."""
+    shas = [
+        hashlib.sha256((t or "").encode()).hexdigest()
+        for t in batch[text_col].to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "text_sha256": pa.array(shas, pa.string()),
+            "_b": pa.array(
+                [int(s[:8], 16) % 64 for s in shas], pa.int64()
+            ),
+        }
+    )
+
+
+def exact_dedup_losers(docs_ds, text_col: str = "text"):
+    """LOSER doc_ids of the exact dedup (everything but each content
+    group's min doc_id) as a narrow Dataset — the ACTION-side
+    complement of ``exact_dedup_groups``, same identity law."""
+
+    def losers(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("text_sha256", "ascending"), ("doc_id", "ascending")],
+        )
+        t = group.take(order)
+        shas = np.asarray(t["text_sha256"].to_pylist(), dtype=object)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = shas[1:] != shas[:-1]
+        return pa.table({"doc_id": pa.array(ids[~first], pa.int64())})
+
+    return (
+        docs_ds.map_batches(
+            lambda b: _sha_bucket_rows(b, text_col), batch_format="pyarrow"
+        )
+        .groupby("_b")
+        .map_groups(losers, batch_format="pyarrow")
+    )
+
+
 def exact_dedup_groups(docs_ds, text_col: str = "text"):
     """(text_sha256, keep_doc_id, n_copies) per distinct content —
     the B6 analog over the documents table."""
-
-    def add_sha(batch: pa.Table) -> pa.Table:
-        shas = [
-            hashlib.sha256((t or "").encode()).hexdigest()
-            for t in batch[text_col].to_pylist()
-        ]
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "text_sha256": pa.array(shas, pa.string()),
-            }
-        )
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        buckets = [int(s[:8], 16) % 64 for s in batch["text_sha256"].to_pylist()]
-        return batch.append_column("_b", pa.array(buckets, pa.int64()))
 
     def per_bucket(group: pa.Table) -> pa.Table:
         # vectorized group stats within the bucket (one UDF call per
@@ -66,8 +99,9 @@ def exact_dedup_groups(docs_ds, text_col: str = "text"):
         return agg.rename_columns(["text_sha256", "keep_doc_id", "n_copies"])
 
     return (
-        docs_ds.map_batches(add_sha, batch_format="pyarrow")
-        .map_batches(add_bucket, batch_format="pyarrow")
+        docs_ds.map_batches(
+            lambda b: _sha_bucket_rows(b, text_col), batch_format="pyarrow"
+        )
         .groupby("_b")
         .map_groups(per_bucket, batch_format="pyarrow")
     )

@@ -1,8 +1,9 @@
 """End-to-end corpus curation ACTION with resumable sharded output —
 the composition a 100-TB training-data run actually executes:
 
-    exact dedup (corpus-global) -> PII scrub -> quality + repetition
-    gates -> rewritten corpus parquet, one output shard per input
+    exact dedup (corpus-global) -> repetition + min-token gates (on the
+    ORIGINAL text — gate laws must match the oracled signal entries) ->
+    PII scrub -> rewritten corpus parquet, one output shard per input
     fragment.
 
 Resume contract (the build pipeline's discipline applied to curation):
@@ -11,9 +12,15 @@ Resume contract (the build pipeline's discipline applied to curation):
   min doc_id wins — lands in ``out_dir/_drops/`` behind a ``_SUCCESS``
   marker; a re-run reuses it without re-hashing the corpus.
 * stage 1 (per input fragment): each fragment rewrites to
-  ``out_dir/part-XXXXX.parquet`` via an atomic tmp+rename; a re-run
-  SKIPS fragments whose shard already exists, so a failed run resumes
-  from the crash point and never produces a torn shard.
+  ``out_dir/part-<fragment-basename>.parquet`` via an atomic
+  tmp+rename; a re-run SKIPS fragments whose shard already exists, so a
+  failed run resumes from the crash point and never produces a torn
+  shard.  Shards are keyed by fragment NAME, not listing position —
+  adding or removing a fragment cannot silently re-map existing shards
+  — and the cached drop set records the fragment list it was computed
+  over: if the inputs changed and the recomputed drop set differs, the
+  run REFUSES to mix old shards with new drops rather than silently
+  corrupting the output.
 
 Scale notes: the only exchange is the narrow (sha-bucket) dedup
 groupby; fragments rewrite independently (embarrassingly parallel, one
@@ -33,9 +40,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from .repetition import doc_repetition_signals
+import hashlib
+import json
+
+from .repetition import doc_repetition_signals_with_tokens
 from .scrub import scrub_text
-from .textstats import simple_tokens
 
 
 def _input_fragments(input_path: str) -> list[str]:
@@ -48,69 +57,66 @@ def _input_fragments(input_path: str) -> list[str]:
     return [input_path]
 
 
-def _compute_drops(input_path: str, out_dir: str, text_col: str) -> np.ndarray:
-    """Exact-dup LOSER ids (corpus-global, min doc_id wins — the build
-    pipeline's first-wins law), cached under ``out_dir/_drops/`` behind
-    a ``_SUCCESS`` marker.  One narrow (sha, doc_id) bucketed exchange;
-    only the loser id column ever reaches the driver."""
-    import hashlib
+def _shard_path(out_dir: str, frag: str) -> str:
+    """Output shard keyed by the FRAGMENT's basename (stable under
+    listing changes), never by its position in the sorted listing."""
+    stem = os.path.splitext(os.path.basename(frag))[0]
+    return os.path.join(out_dir, f"part-{stem}.parquet")
 
-    import ray.data as rd
 
-    drops_dir = os.path.join(out_dir, "_drops")
+def _load_or_compute_drops(
+    drops_dir: str, frags: list[str], compute
+) -> np.ndarray:
+    """Cached loser-id set with input validation: the ``_SUCCESS``
+    marker records the fragment basenames AND the drop-set sha256.  On
+    resume with the same fragments the cache is reused; with changed
+    fragments the set recomputes, and if it DIFFERS from the recorded
+    one the run refuses (old shards were filtered against different
+    drops — mixing them would silently corrupt the output)."""
     done = os.path.join(drops_dir, "_SUCCESS")
     path = os.path.join(drops_dir, "drops.parquet")
+    frag_names = [os.path.basename(f) for f in frags]
     if os.path.exists(done):
-        return pq.read_table(path)["doc_id"].to_numpy(zero_copy_only=False)
+        with open(done) as f:
+            marker = json.load(f)
+        if marker.get("fragments") == frag_names:
+            return pq.read_table(path)["doc_id"].to_numpy(
+                zero_copy_only=False
+            )
+        arr = compute()
+        sha = hashlib.sha256(arr.tobytes()).hexdigest()
+        if sha != marker.get("drops_sha256"):
+            raise RuntimeError(
+                "input fragments changed AND the drop set changed: "
+                "existing shards were filtered against different drops. "
+                "Clear the output dir (or restore the original inputs) "
+                "and re-run."
+            )
+    else:
+        arr = compute()
+        sha = hashlib.sha256(arr.tobytes()).hexdigest()
     os.makedirs(drops_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(pa.table({"doc_id": pa.array(arr, pa.int64())}), tmp)
+    os.replace(tmp, path)
+    mtmp = done + ".tmp"
+    with open(mtmp, "w") as f:
+        json.dump({"fragments": frag_names, "drops_sha256": sha}, f)
+    os.replace(mtmp, done)
+    return arr
 
-    def add_sha(batch: pa.Table) -> pa.Table:
-        shas = [
-            hashlib.sha256((t or "").encode()).hexdigest()
-            for t in batch[text_col].to_pylist()
-        ]
-        buckets = [int(s[:8], 16) % 64 for s in shas]
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "sha": pa.array(shas, pa.string()),
-                "_b": pa.array(buckets, pa.int64()),
-            }
-        )
 
-    def losers(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(
-            group, sort_keys=[("sha", "ascending"), ("doc_id", "ascending")]
-        )
-        t = group.take(order)
-        shas = np.asarray(t["sha"].to_pylist(), dtype=object)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        n = len(ids)
-        first = np.ones(n, dtype=bool)
-        if n > 1:
-            first[1:] = shas[1:] != shas[:-1]
-        return pa.table({"doc_id": pa.array(ids[~first], pa.int64())})
-
+def _collect_ids(ds) -> np.ndarray:
     parts = [
         t["doc_id"].to_numpy(zero_copy_only=False)
-        for t in (
-            rd.read_parquet(input_path, columns=["doc_id", text_col])
-            .map_batches(add_sha, batch_format="pyarrow")
-            .groupby("_b")
-            .map_groups(losers, batch_format="pyarrow")
-        ).iter_batches(batch_format="pyarrow")
+        for t in ds.iter_batches(batch_format="pyarrow")
         if t.num_rows
     ]
-    arr = (
+    return (
         np.sort(np.concatenate(parts)).astype(np.int64)
         if parts
         else np.empty(0, dtype=np.int64)
     )
-    tmp = path + ".tmp"
-    pq.write_table(pa.table({"doc_id": pa.array(arr, pa.int64())}), tmp)
-    os.replace(tmp, path)
-    open(done, "w").close()
-    return arr
 
 
 def curate_write(
@@ -131,9 +137,22 @@ def curate_write(
 
     from ..nputil import isin_sorted
 
+    import ray.data as rd
+
+    from .dedup import exact_dedup_losers
+
     frags = _input_fragments(input_path)
     os.makedirs(out_dir, exist_ok=True)
-    drops = _compute_drops(input_path, out_dir, text_col)
+    drops = _load_or_compute_drops(
+        os.path.join(out_dir, "_drops"),
+        frags,
+        lambda: _collect_ids(
+            exact_dedup_losers(
+                rd.read_parquet(input_path, columns=["doc_id", text_col]),
+                text_col=text_col,
+            )
+        ),
+    )
     drops_ref = ray.put(drops)
 
     @ray.remote
@@ -149,12 +168,16 @@ def curate_write(
             tbl["doc_id"].to_pylist(), tbl[text_col].to_pylist()
         ):
             t = text or ""
-            n_lines, n_dist, n_big, top, _ = doc_repetition_signals(t)
+            # one tokenization per doc: the signals helper returns the
+            # token list it already computed for the bigram stats
+            (n_lines, n_dist, n_big, top, _), toks = (
+                doc_repetition_signals_with_tokens(t)
+            )
             if (n_lines - n_dist) / n_lines > max_dup_line_frac:
                 continue
             if n_big and top / n_big > max_top_bigram_share:
                 continue
-            if len(simple_tokens(t)) < min_tokens:
+            if len(toks) < min_tokens:
                 continue
             out_ids.append(doc_id)
             out_text.append(scrub_text(t)[0])
@@ -171,8 +194,8 @@ def curate_write(
 
     futures = []
     skipped = 0
-    for i, frag in enumerate(frags):
-        out_path = os.path.join(out_dir, f"part-{i:05d}.parquet")
+    for frag in frags:
+        out_path = _shard_path(out_dir, frag)
         if os.path.exists(out_path):
             skipped += 1  # resume: shard already committed
             continue
@@ -215,13 +238,8 @@ def neardup_write(
 
     frags = _input_fragments(input_path)
     os.makedirs(out_dir, exist_ok=True)
-    drops_dir = os.path.join(out_dir, "_neardrops")
-    done = os.path.join(drops_dir, "_SUCCESS")
-    path = os.path.join(drops_dir, "drops.parquet")
-    if os.path.exists(done):
-        drops = pq.read_table(path)["doc_id"].to_numpy(zero_copy_only=False)
-    else:
-        os.makedirs(drops_dir, exist_ok=True)
+
+    def compute() -> np.ndarray:
         clusters = minhash_dedup_clusters_ds(
             rd.read_parquet(input_path, columns=["doc_id", text_col]),
             threshold=threshold,
@@ -239,24 +257,13 @@ def neardup_write(
                 {"doc_id": pa.array(ids[ids != cl], pa.int64())}
             )
 
-        parts = [
-            t["doc_id"].to_numpy(zero_copy_only=False)
-            for t in clusters.map_batches(
-                losers, batch_format="pyarrow"
-            ).iter_batches(batch_format="pyarrow")
-            if t.num_rows
-        ]
-        drops = (
-            np.sort(np.concatenate(parts)).astype(np.int64)
-            if parts
-            else np.empty(0, dtype=np.int64)
+        return _collect_ids(
+            clusters.map_batches(losers, batch_format="pyarrow")
         )
-        tmp = path + ".tmp"
-        pq.write_table(
-            pa.table({"doc_id": pa.array(drops, pa.int64())}), tmp
-        )
-        os.replace(tmp, path)
-        open(done, "w").close()
+
+    drops = _load_or_compute_drops(
+        os.path.join(out_dir, "_neardrops"), frags, compute
+    )
     drops_ref = ray.put(drops)
 
     @ray.remote
@@ -273,8 +280,8 @@ def neardup_write(
 
     futures = []
     skipped = 0
-    for i, frag in enumerate(frags):
-        out_path = os.path.join(out_dir, f"part-{i:05d}.parquet")
+    for frag in frags:
+        out_path = _shard_path(out_dir, frag)
         if os.path.exists(out_path):
             skipped += 1
             continue

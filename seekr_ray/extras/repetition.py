@@ -16,16 +16,18 @@ import pyarrow as pa
 from .textstats import round6, simple_tokens
 
 
-def doc_repetition_signals(text: str) -> tuple[int, int, int, int, int]:
-    """Integer sufficient statistics for one doc:
-    (n_lines, n_distinct_lines, n_bigrams, top_bigram_count,
-    n_distinct_bigrams) — ratios happen once, at the edge."""
+def doc_repetition_signals_with_tokens(
+    text: str,
+) -> tuple[tuple[int, int, int, int, int], list[str]]:
+    """(signals, tokens): the integer sufficient statistics PLUS the
+    token list they were computed from — callers that also gate on
+    token count (``pipeline.curate_write``) tokenize once, not twice."""
     lines = text.split("\n")
     n_lines = len(lines)
     n_distinct = len(set(lines))
     toks = simple_tokens(text)
     if len(toks) < 2:
-        return n_lines, n_distinct, 0, 0, 0
+        return (n_lines, n_distinct, 0, 0, 0), toks
     bigrams = [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
     counts: dict[str, int] = {}
     for b in bigrams:
@@ -36,7 +38,14 @@ def doc_repetition_signals(text: str) -> tuple[int, int, int, int, int]:
         len(bigrams),
         max(counts.values()),
         len(counts),
-    )
+    ), toks
+
+
+def doc_repetition_signals(text: str) -> tuple[int, int, int, int, int]:
+    """Integer sufficient statistics for one doc:
+    (n_lines, n_distinct_lines, n_bigrams, top_bigram_count,
+    n_distinct_bigrams) — ratios happen once, at the edge."""
+    return doc_repetition_signals_with_tokens(text)[0]
 
 
 def repetition_signals(docs_ds, *, text_col: str = "text"):

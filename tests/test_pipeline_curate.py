@@ -62,7 +62,7 @@ def test_curate_write_end_to_end_and_resume(ray_session, tmp_path):
 
     # resume: drop one shard, re-run -> only that shard rewritten,
     # drops cache reused, identical final output
-    os.remove(os.path.join(out, "part-00001.parquet"))
+    os.remove(os.path.join(out, "part-frag-1.parquet"))
     m2 = curate_write(src, out, min_tokens=5)
     assert m2["shards_written"] == 1 and m2["shards_skipped"] == 2
     assert _read_out(out) == rows
@@ -94,7 +94,54 @@ def test_neardup_write_resume(ray_session, tmp_path):
     # 1 is the winner of the {1, 2, 4} near-dup component; 3 unrelated
     assert [r[0] for r in rows] == [1, 3]
     # resume skips finished shards and reuses the cached drop set
-    os.remove(os.path.join(out, "part-00000.parquet"))
+    os.remove(os.path.join(out, "part-frag-0.parquet"))
     m2 = neardup_write(src, out, threshold=0.5)
     assert m2["shards_written"] == 1 and m2["shards_skipped"] == 1
     assert _read_out(out) == rows
+
+
+def test_resume_is_fragment_name_keyed_and_drop_validated(ray_session, tmp_path):
+    """Adding a fragment must NOT silently re-map shards: shards are
+    keyed by fragment basename, and if the recomputed drop set differs
+    from the cached one the run refuses instead of mixing."""
+    import pytest as _pytest
+
+    src = str(tmp_path / "rin")
+    out = str(tmp_path / "rout")
+    a = GOOD + " alpha"
+    b = GOOD + " beta entirely different ending tokens here"
+    _write_fragments(src, [[(1, a)], [(2, b)]])
+    curate_write(src, out, min_tokens=5)
+    before = _read_out(out)
+    assert [r[0] for r in before] == [1, 2]
+
+    # new fragment with a NEW unique doc: drop set unchanged (no dups),
+    # so the run proceeds and only the new fragment's shard is written
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([3], pa.int64()),
+                "text": pa.array(
+                    [GOOD + " gamma wholly novel suffix words"], pa.string()
+                ),
+            }
+        ),
+        os.path.join(src, "frag-9.parquet"),
+    )
+    m = curate_write(src, out, min_tokens=5)
+    assert m["shards_written"] == 1 and m["shards_skipped"] == 2
+    assert [r[0] for r in _read_out(out)] == [1, 2, 3]
+
+    # a new fragment that CHANGES the drop set (duplicates doc 1's
+    # text under a higher id) must refuse, not silently corrupt
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([9], pa.int64()),
+                "text": pa.array([a], pa.string()),
+            }
+        ),
+        os.path.join(src, "frag-z.parquet"),
+    )
+    with _pytest.raises(RuntimeError, match="drop set changed"):
+        curate_write(src, out, min_tokens=5)
