@@ -64,34 +64,69 @@ def _shard_path(out_dir: str, frag: str) -> str:
     return os.path.join(out_dir, f"part-{stem}.parquet")
 
 
+def _committed_shards(out_dir: str) -> list[str]:
+    return [
+        f
+        for f in os.listdir(out_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    ]
+
+
 def _load_or_compute_drops(
-    drops_dir: str, frags: list[str], compute
+    drops_dir: str,
+    frags: list[str],
+    compute,
+    *,
+    params: dict | None = None,
+    out_dir: str | None = None,
 ) -> np.ndarray:
     """Cached loser-id set with input validation: the ``_SUCCESS``
-    marker records the fragment basenames AND the drop-set sha256.  On
-    resume with the same fragments the cache is reused; with changed
+    marker records the fragment basenames, the drop-set sha256 AND the
+    full parameter set that determined the output.  On resume with the
+    same fragments and parameters the cache is reused.  With changed
     fragments the set recomputes, and if it DIFFERS from the recorded
     one the run refuses (old shards were filtered against different
-    drops — mixing them would silently corrupt the output)."""
+    drops).  With changed PARAMETERS the run refuses whenever committed
+    shards exist — they were written under the old gate/threshold
+    settings and re-running would silently mix the two generations —
+    and otherwise just recomputes (the stale cache is discarded)."""
     done = os.path.join(drops_dir, "_SUCCESS")
     path = os.path.join(drops_dir, "drops.parquet")
     frag_names = [os.path.basename(f) for f in frags]
+    # JSON round-trip so the comparison sees the same normalization the
+    # marker on disk went through (tuples->lists, int/float identity)
+    params = json.loads(json.dumps(params or {}))
     if os.path.exists(done):
         with open(done) as f:
             marker = json.load(f)
-        if marker.get("fragments") == frag_names:
+        old_params = marker.get("params", params)
+        if old_params != params:
+            if out_dir is not None and _committed_shards(out_dir):
+                raise RuntimeError(
+                    f"curation parameters changed (recorded {old_params!r} "
+                    f"!= current {params!r}) but committed shards exist: "
+                    "they were written under the old parameters and would "
+                    "silently mix with new output. Clear the output dir "
+                    "and re-run."
+                )
+            # param-only change, nothing committed yet: the cached drop
+            # set is stale — fall through and recompute it
+            arr = compute()
+            sha = hashlib.sha256(arr.tobytes()).hexdigest()
+        elif marker.get("fragments") == frag_names:
             return pq.read_table(path)["doc_id"].to_numpy(
                 zero_copy_only=False
             )
-        arr = compute()
-        sha = hashlib.sha256(arr.tobytes()).hexdigest()
-        if sha != marker.get("drops_sha256"):
-            raise RuntimeError(
-                "input fragments changed AND the drop set changed: "
-                "existing shards were filtered against different drops. "
-                "Clear the output dir (or restore the original inputs) "
-                "and re-run."
-            )
+        else:
+            arr = compute()
+            sha = hashlib.sha256(arr.tobytes()).hexdigest()
+            if sha != marker.get("drops_sha256"):
+                raise RuntimeError(
+                    "input fragments changed AND the drop set changed: "
+                    "existing shards were filtered against different drops. "
+                    "Clear the output dir (or restore the original inputs) "
+                    "and re-run."
+                )
     else:
         arr = compute()
         sha = hashlib.sha256(arr.tobytes()).hexdigest()
@@ -101,7 +136,14 @@ def _load_or_compute_drops(
     os.replace(tmp, path)
     mtmp = done + ".tmp"
     with open(mtmp, "w") as f:
-        json.dump({"fragments": frag_names, "drops_sha256": sha}, f)
+        json.dump(
+            {
+                "fragments": frag_names,
+                "drops_sha256": sha,
+                "params": params,
+            },
+            f,
+        )
     os.replace(mtmp, done)
     return arr
 
@@ -152,6 +194,13 @@ def curate_write(
                 text_col=text_col,
             )
         ),
+        params={
+            "text_col": text_col,
+            "min_tokens": min_tokens,
+            "max_dup_line_frac": max_dup_line_frac,
+            "max_top_bigram_share": max_top_bigram_share,
+        },
+        out_dir=out_dir,
     )
     drops_ref = ray.put(drops)
 
@@ -262,7 +311,17 @@ def neardup_write(
         )
 
     drops = _load_or_compute_drops(
-        os.path.join(out_dir, "_neardrops"), frags, compute
+        os.path.join(out_dir, "_neardrops"),
+        frags,
+        compute,
+        params={
+            "text_col": text_col,
+            "threshold": threshold,
+            "num_bands": num_bands,
+            "rows_per_band": rows_per_band,
+            "shingle_k": shingle_k,
+        },
+        out_dir=out_dir,
     )
     drops_ref = ray.put(drops)
 

@@ -26,7 +26,7 @@ import pyarrow as pa
 # matches RE2's ASCII-only word boundary
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_PATTERN = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
-HEX_SECRET_PATTERN = r"\b[0-9a-f]{32,}\b"
+HEX_SECRET_PATTERN = r"\b[0-9a-fA-F]{32,}\b"
 
 _EMAIL_RE = re.compile(EMAIL_PATTERN, re.ASCII)
 _IPV4_RE = re.compile(IPV4_PATTERN, re.ASCII)

@@ -953,6 +953,32 @@ def compact_index(
             )
             .to_pandas()
         )
+        # Legacy deltas without the n_docs/max_doc_id metadata plan a
+        # single full range even when they hold ZERO postings; that
+        # range rebuilds to no rows, so the partition never reaches the
+        # finalize groupby and its deltas would linger on every
+        # compact_index call.  Fold any planned-but-unfinalized
+        # partition to an empty base inline, like the metadata-present
+        # zero-posting path above.
+        planned = {int(w["part"]) for w in work}
+        finalized = (
+            {int(p) for p in updates["partition"]} if len(updates) else set()
+        )
+        for part in sorted(planned - finalized):
+            ti = time.monotonic()
+            removed_n, sha = _commit_compacted(
+                CHUNK_SCHEMA.empty_table(), part, seg_dir
+            )
+            inline_rows.append(
+                {
+                    "partition": part,
+                    "removed": removed_n,
+                    "n_postings": 0,
+                    "n_chunks": 0,
+                    "file_sha256": sha,
+                    "duration_s": time.monotonic() - ti,
+                }
+            )
     else:
         updates = pd.DataFrame(
             columns=[

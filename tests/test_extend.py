@@ -278,3 +278,34 @@ def test_compaction_multirange_query_equivalent(extended_and_full, ray_session):
     assert ec.bm25_topk("parse buffer", k=20) == QueryEngine(BASE_DIR).bm25_topk(
         "parse buffer", k=20
     )
+
+
+def test_compaction_converges_on_legacy_zero_posting_partition(
+    extended_and_full, ray_session
+):
+    """A partition whose files lack the n_docs/max_doc_id chunk metadata
+    (legacy layout) AND hold zero postings plans a single full range that
+    rebuilds to no rows; no row reaches the finalize groupby, so without
+    the post-run fold the deltas would survive every compact_index call.
+    The fold must commit an empty base, unlink the delta, and converge."""
+    from seekr_ray.stages.extend import compact_index
+    from seekr_ray.stages.postings import CHUNK_SCHEMA
+
+    cdir = "/tmp/seekr_extend_legacy_zero"
+    shutil.rmtree(cdir, ignore_errors=True)
+    shutil.copytree(BASE_DIR, cdir)
+    seg = os.path.join(cdir, "segments")
+    legacy = CHUNK_SCHEMA.empty_table().drop_columns(["min_doc_id", "max_doc_id"])
+    for f in partition_files(seg, 0):
+        os.remove(f)
+    pq.write_table(legacy, os.path.join(seg, "part-00000.parquet"))
+    pq.write_table(legacy, os.path.join(seg, "part-00000.delta001.parquet"))
+    m = compact_index(cdir)
+    assert m["files_removed"] >= 1
+    files = partition_files(seg, 0)
+    assert len(files) <= 1  # delta folded away
+    if files:
+        assert pq.read_table(files[0]).num_rows == 0
+    # converged: a second call finds nothing left to fold for partition 0
+    m2 = compact_index(cdir)
+    assert len(partition_files(seg, 0)) <= 1

@@ -145,3 +145,45 @@ def test_resume_is_fragment_name_keyed_and_drop_validated(ray_session, tmp_path)
     )
     with _pytest.raises(RuntimeError, match="drop set changed"):
         curate_write(src, out, min_tokens=5)
+
+
+def test_resume_refuses_parameter_change(ray_session, tmp_path):
+    """Re-running into the same out_dir with different gate/threshold
+    parameters must refuse while committed shards exist (they were
+    written under the old parameters), and proceed once the output dir
+    is cleared — the _SUCCESS marker records the full parameter set."""
+    import pytest as _pytest
+
+    from seekr_ray.extras.pipeline import neardup_write
+
+    src = str(tmp_path / "pin")
+    out = str(tmp_path / "pout")
+    _write_fragments(
+        src,
+        [[(1, GOOD + " alpha")], [(2, GOOD + " beta ending tokens here")]],
+    )
+    curate_write(src, out, min_tokens=5)
+    with _pytest.raises(RuntimeError, match="parameters changed"):
+        curate_write(src, out, min_tokens=7)
+    # unchanged parameters still resume cleanly
+    m = curate_write(src, out, min_tokens=5)
+    assert m["shards_skipped"] == 2 and m["shards_written"] == 0
+
+    # param change with NO committed shards: stale drops cache is
+    # recomputed, run proceeds (marker is upgraded in place)
+    for f in os.listdir(out):
+        if f.startswith("part-"):
+            os.remove(os.path.join(out, f))
+    m = curate_write(src, out, min_tokens=7)
+    assert m["shards_written"] == 2
+
+    # same contract on the near-dup ACTION (threshold recorded)
+    nout = str(tmp_path / "npout")
+    near = GOOD.replace("spring", "summer")
+    nsrc = str(tmp_path / "npin")
+    _write_fragments(nsrc, [[(1, GOOD), (2, near)]])
+    neardup_write(nsrc, nout, threshold=0.5)
+    with _pytest.raises(RuntimeError, match="parameters changed"):
+        neardup_write(nsrc, nout, threshold=0.9)
+    m = neardup_write(nsrc, nout, threshold=0.5)
+    assert m["shards_skipped"] == 1

@@ -23,6 +23,8 @@ CRAFTED = [
     "",
     "short hex cafebabe is fine; long "
     "0123456789abcdef0123456789abcdef0123456789abcdef is not",
+    "upper AWS-style DEADBEEFDEADBEEFDEADBEEFDEADBEEF and mixed "
+    "DeadBeefDeadBeefDeadBeefDeadBeef creds",
 ]
 
 
@@ -38,6 +40,9 @@ def test_scrub_counts_and_order():
     assert e == 1 and i == 1
     s, e, i, h = scrub_text(CRAFTED[5])
     assert h == 1 and "cafebabe" in s
+    # case-insensitive hex: uppercase and mixed-case secrets redact too
+    s, e, i, h = scrub_text(CRAFTED[6])
+    assert h == 2 and s.count("<SECRET>") == 2
 
 
 def test_scrub_matches_duckdb_re2():
