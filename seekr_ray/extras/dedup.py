@@ -763,6 +763,35 @@ def _min_label_iterate(
 
 _CLUSTER_DRIVER_LIMIT = 5_000_000
 
+# expand-stage broadcast gate: below this many labeled nodes the
+# (nodes, labels) arrays ship once via ray.put (<=64 MB at the default);
+# above it the expand runs as a co-grouped join on rep id so no task
+# ever fetches the whole label map (a 50%-dup corpus makes the map
+# O(corpus/2) — too big for one broadcast object).
+_EXPAND_BROADCAST_LIMIT = 4_000_000
+
+
+def _spill_to_parquet(ds, prefix: str) -> str:
+    """Write a mid-pipeline Dataset to parquet shards under a temp dir
+    and return the dir path for lazy re-reads.
+
+    Replaces corpus-scale ``.materialize()`` for wide derived tables
+    (e.g. the uint64-per-token shingle table, ~same order as the text
+    itself): the object store holds only in-flight blocks during the
+    write, and each consumer streams the shards back — with column
+    pruning via ``read_parquet(columns=...)`` — instead of pinning
+    corpus-scale bytes for the pipeline's lifetime.  The shards are
+    lineage-free (no recompute for the second consumer) and the dir is
+    removed at interpreter exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    ds.write_parquet(d)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
 
 class _ShingleDocs:
     """map_batches stage: doc -> (doc_id, skey1, skey2, shingles).
@@ -1125,6 +1154,86 @@ def _verify_pairs_cogrouped(pairs_ds, reps_ds, threshold: float,
     )
 
 
+def _expand_cogrouped(narrow_ds, nodes: np.ndarray, labels: np.ndarray,
+                      num_buckets: int = 64):
+    """Above-gate expand — co-grouped join on rep id: the (node, label)
+    map enters the exchange as ~1M-row blocks, each bucket task joins
+    ONLY its hash slice of the map against its slice of the doc->rep
+    rows, so no task ever holds the whole label array (the broadcast
+    form ships it entirely to every expand task).  Same output as the
+    broadcast path (asserted by test with the gate forced to 0)."""
+    import ray.data as rd
+
+    from ..bucket_agg import _bucket_ids
+
+    lbl_tbl = pa.table(
+        {
+            "rep": pa.array(nodes, pa.int64()),
+            "doc_id": pa.array(np.full(len(nodes), -1, np.int64), pa.int64()),
+            "gsize": pa.array(np.full(len(nodes), -1, np.int64), pa.int64()),
+            "lbl": pa.array(labels, pa.int64()),
+        }
+    )
+    blocks = [
+        lbl_tbl.slice(i, 1_000_000)
+        for i in range(0, lbl_tbl.num_rows, 1_000_000)
+    ] or [lbl_tbl]
+    lbl_ds = rd.from_arrow(blocks)
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "rep": batch["rep"],
+                "doc_id": batch["doc_id"],
+                "gsize": batch["gsize"],
+                "lbl": pa.array(
+                    np.full(batch.num_rows, -1, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_b",
+            pa.array(_bucket_ids(batch, ["rep"], num_buckets), pa.int64()),
+        )
+
+    def join(group: pa.Table) -> pa.Table:
+        gsz = group["gsize"].to_numpy(zero_copy_only=False)
+        is_lbl = gsz == -1
+        rep = group["rep"].to_numpy(zero_copy_only=False)
+        ln = rep[is_lbl]
+        lv = group["lbl"].to_numpy(zero_copy_only=False)[is_lbl]
+        o = np.argsort(ln)
+        ln, lv = ln[o], lv[o]
+        rep_d = rep[~is_lbl]
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)[~is_lbl]
+        gs = gsz[~is_lbl]
+        if ln.size:
+            pos = np.searchsorted(ln, rep_d).clip(max=len(ln) - 1)
+            in_graph = ln[pos] == rep_d
+            cluster = np.where(in_graph, lv[pos], rep_d)
+        else:
+            in_graph = np.zeros(len(rep_d), dtype=bool)
+            cluster = rep_d
+        keepm = in_graph | (gs >= 2)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keepm], pa.int64()),
+                "cluster_id": pa.array(cluster[keepm], pa.int64()),
+            }
+        )
+
+    both = narrow_ds.map_batches(doc_rows, batch_format="pyarrow").union(
+        lbl_ds
+    )
+    return (
+        both.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(join, batch_format="pyarrow")
+    )
+
+
 def minhash_dedup_clusters_ds(docs_ds, threshold: float = 0.8, num_bands=16,
                               rows_per_band=4, shingle_k=3,
                               text_col: str = "text",
@@ -1156,6 +1265,7 @@ def minhash_dedup_clusters_ds(docs_ds, threshold: float = 0.8, num_bands=16,
     state on that path.  Returns (doc_id, cluster_id) for docs in
     near-dup groups, cluster_id = min doc_id of the group."""
     import ray
+    import ray.data as rd
 
     shingled = docs_ds.map_batches(
         _ShingleDocs,
@@ -1163,13 +1273,22 @@ def minhash_dedup_clusters_ds(docs_ds, threshold: float = 0.8, num_bands=16,
         fn_constructor_kwargs=dict(shingle_k=shingle_k, text_col=text_col),
         concurrency=(1, 4),
     )
-    collapsed = _collapse_identity(shingled).materialize()
+    # the collapsed table is corpus-scale (uint64 per token on rep rows);
+    # it feeds two consumers (rep shingles -> bands/verify, narrow
+    # doc->rep map -> expand), so it spills to parquet shards instead of
+    # a mid-pipeline materialize that would pin it in the object store —
+    # and each consumer re-reads ONLY its columns
+    spill = _spill_to_parquet(
+        _collapse_identity(shingled), "seekr_minhash_collapsed_"
+    )
 
     def rep_only(batch: pa.Table) -> pa.Table:
         t = batch.filter(batch["is_rep"])
         return t.select(["doc_id", "shingles"])
 
-    reps_ds = collapsed.map_batches(rep_only, batch_format="pyarrow")
+    reps_ds = rd.read_parquet(
+        spill, columns=["doc_id", "is_rep", "shingles"]
+    ).map_batches(rep_only, batch_format="pyarrow")
     band_rows = reps_ds.map_batches(
         _BandsFromShingles,
         batch_format="pyarrow",
@@ -1200,7 +1319,13 @@ def minhash_dedup_clusters_ds(docs_ds, threshold: float = 0.8, num_bands=16,
 
     # expand: every doc joins its rep's component; identity groups of
     # >= 2 docs whose rep is in no rep-level component are their own
-    # cluster (their pairwise Jaccard is exactly 1.0) with label = rep
+    # cluster (their pairwise Jaccard is exactly 1.0) with label = rep.
+    # The narrow (doc_id, rep, gsize) map streams back column-pruned —
+    # the shingle payload never re-enters memory for this pass.
+    narrow = rd.read_parquet(spill, columns=["doc_id", "rep", "gsize"])
+    if len(nodes) > _EXPAND_BROADCAST_LIMIT:
+        # bounded form: no task fetches the whole label map
+        return _expand_cogrouped(narrow, nodes, labels)
     lbl_ref = ray.put((nodes, labels))
 
     def expand(batch: pa.Table) -> pa.Table:
@@ -1222,7 +1347,7 @@ def minhash_dedup_clusters_ds(docs_ds, threshold: float = 0.8, num_bands=16,
             }
         )
 
-    return collapsed.map_batches(expand, batch_format="pyarrow")
+    return narrow.map_batches(expand, batch_format="pyarrow")
 
 
 def minhash_dedup_clusters(docs_ds, threshold: float = 0.8, num_bands=16,
@@ -1670,13 +1795,19 @@ def ngram_jaccard_pairs_prefix(
             }
         )
 
-    # deliberate mid-pipeline materialize of the NARROW derived table
-    # (doc_id, shingle hashes — no text): it feeds two consumers (df
-    # pass + prefix emit); recomputing would re-read and re-shingle the
-    # corpus twice
-    shingled = docs_ds.map_batches(
-        to_shingles, batch_format="pyarrow"
-    ).materialize()
+    # the (doc_id, shingle hashes) table feeds two consumers (df pass +
+    # prefix emit) but is corpus-scale (uint64 per token), so it spills
+    # to parquet shards and each consumer streams it back — recomputing
+    # would re-read and re-shingle the corpus, materializing would pin
+    # ~corpus bytes in the object store for the pipeline's lifetime
+    import ray.data as rd
+
+    shingled = rd.read_parquet(
+        _spill_to_parquet(
+            docs_ds.map_batches(to_shingles, batch_format="pyarrow"),
+            "seekr_ppjoin_shingles_",
+        )
+    )
 
     # global rarity order: df per shingle (sets are distinct per doc, so
     # block-local counts merge under sum), collected once — O(vocab)
@@ -1692,14 +1823,20 @@ def ngram_jaccard_pairs_prefix(
         )
 
     # df per shingle (sets are distinct per doc, so block-local counts
-    # merge under sum) — kept DISTRIBUTED; materialized because two
-    # things consume it (the row count gate and whichever rank build
-    # runs)
-    dfs_ds = bucketed_group_agg(
-        shingled.map_batches(df_partial, batch_format="pyarrow"),
-        "h",
-        [("c", "sum")],
-    ).materialize()
+    # merge under sum) — kept DISTRIBUTED; spilled to parquet because
+    # two things consume it (the row count gate and whichever rank build
+    # runs) and at open vocabularies it is ~distinct-shingle scale; the
+    # count comes free from parquet metadata
+    dfs_ds = rd.read_parquet(
+        _spill_to_parquet(
+            bucketed_group_agg(
+                shingled.map_batches(df_partial, batch_format="pyarrow"),
+                "h",
+                [("c", "sum")],
+            ),
+            "seekr_ppjoin_dfs_",
+        )
+    )
     n_vocab = dfs_ds.count()
     if n_vocab <= driver_rank_limit:
         # small-vocab regime: exact dense rarity ranks, one O(vocab)

@@ -265,3 +265,19 @@ def test_span_dedup_rewrite_ds_matches_stats(ray_session):
             hashlib.md5(text.loc[d, "text"].encode()).hexdigest()
             == stats.loc[d, "kept_md5"]
         )
+
+
+def test_cogrouped_expand_equals_broadcast(ray_session, corpus, monkeypatch):
+    """Round-5: the expand stage's label map no longer has to broadcast —
+    above ``_EXPAND_BROADCAST_LIMIT`` it joins co-grouped on rep id.
+    Force the gate to 0 and assert bit-equal output, alone and composed
+    with the fully-distributed verify/cluster tail."""
+    ds = _docs_ds(corpus)
+    want = minhash_dedup_clusters(ds, threshold=0.4)
+    assert want.num_rows > 0
+    monkeypatch.setattr(dedup, "_EXPAND_BROADCAST_LIMIT", 0)
+    got = minhash_dedup_clusters(ds, threshold=0.4)
+    assert got.equals(want)
+    monkeypatch.setattr(dedup, "_CLUSTER_DRIVER_LIMIT", 0)
+    got2 = minhash_dedup_clusters(ds, threshold=0.4)
+    assert got2.equals(want)
