@@ -151,15 +151,81 @@ def _shingle_hashes_positional(tokens: list[str], k: int) -> np.ndarray:
             cache[t] = h
         th[i] = h
     n_sh = len(tokens) - k + 1
+    powers = _window_powers(k)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n_sh, dtype=np.uint64)
+        for w in range(k):
+            acc += th[w : w + n_sh] * powers[w]
+    return acc
+
+
+def _batch_simple_token_hashes(
+    texts: "pa.Array | pa.ChunkedArray",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized batch form of ``simple_tokens`` + per-token md5-LE
+    hashing (the per-doc loop's hot half): Arrow RE2 split of the
+    lowered text into ``[a-z]+`` runs, dictionary-encode, one md5 per
+    DISTINCT token through the worker cache, and the length/stopword
+    predicate evaluated once per vocab entry.  Returns
+    ``(flat kept-token hashes in stream order, kept count per doc)`` —
+    value-identical to hashing ``simple_tokens(text)`` doc by doc
+    (asserted by golden test; split on ``[^a-z]+`` minus empties ==
+    ``findall('[a-z]+')``)."""
+    from .textstats import MAX_LEN, MIN_LEN, STOPWORDS
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    content = pc.coalesce(
+        pc.cast(texts, pa.string()), pa.scalar("", pa.string())
+    )
+    toks = pc.split_pattern_regex(pc.utf8_lower(content), pattern=r"[^a-z]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    raw_lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+    dict_arr = flat.dictionary_encode()
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = dict_arr.dictionary.to_pylist()
+    cache = _SHINGLE_TOKEN_CACHE
+    if len(cache) > _CACHE_MAX:  # bound worker RSS on open vocabularies
+        cache.clear()
+    th_vocab = np.zeros(len(vocab), dtype=np.uint64)
+    keep_vocab = np.zeros(len(vocab), dtype=bool)
+    for i, t in enumerate(vocab):
+        if MIN_LEN <= len(t) <= MAX_LEN and t not in STOPWORDS:
+            keep_vocab[i] = True
+            h = cache.get(t)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.md5(t.encode()).digest()[:8], "little"
+                )
+                cache[t] = h
+            th_vocab[i] = h
+    if codes.size:
+        keep = keep_vocab[codes]
+        th = th_vocab[codes][keep]
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), raw_lens)
+        kept_lens = np.bincount(doc_idx[keep], minlength=n_docs).astype(
+            np.int64
+        )
+    else:
+        th = np.empty(0, dtype=np.uint64)
+        kept_lens = np.zeros(n_docs, dtype=np.int64)
+    return th, kept_lens
+
+
+def _window_powers(k: int) -> np.ndarray:
+    """The polynomial-combine power vector of
+    ``_shingle_hashes_positional`` (powers[w] = BASE^(k-1-w), uint64
+    wraparound) — shared so the batch window kernel hashes to the same
+    values."""
     with np.errstate(over="ignore"):
         powers = np.empty(k, dtype=np.uint64)
         powers[k - 1] = np.uint64(1)
         for i in range(k - 2, -1, -1):
             powers[i] = powers[i + 1] * _SHINGLE_BASE
-        acc = np.zeros(n_sh, dtype=np.uint64)
-        for w in range(k):
-            acc += th[w : w + n_sh] * powers[w]
-    return acc
+    return powers
 
 
 def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:

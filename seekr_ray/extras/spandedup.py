@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..bucket_agg import _splitmix64
-from .dedup import _shingle_hashes_positional
+from .dedup import _batch_simple_token_hashes, _window_powers
 from .textstats import simple_tokens
 
 
@@ -43,23 +43,47 @@ def _span_pipeline(docs_ds, *, k: int, text_col: str,
     yields the per-doc report, ``emit="text"`` the rewritten corpus."""
 
     def kgram_rows(batch: pa.Table) -> pa.Table:
-        ids: list[int] = []
-        poss: list[int] = []
-        hs: list[np.ndarray] = []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch[text_col].to_pylist()
-        ):
-            h = _shingle_hashes_positional(simple_tokens(text or ""), k)
-            if h.size:
-                ids.extend([doc_id] * len(h))
-                poss.extend(range(len(h)))
-                hs.append(h)
-        flat = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        """Vectorized: one Arrow-regex tokenize + dictionary md5 pass
+        for the whole batch (``_batch_simple_token_hashes``), then ALL
+        window hashes in k shifted uint64 multiplies over the flat
+        token-hash stream; per-doc validity is offsets math (windows
+        crossing a doc boundary are computed but never selected).
+        Value-identical to the per-doc
+        ``_shingle_hashes_positional(simple_tokens(text), k)`` loop
+        (golden test)."""
+        th, lens = _batch_simple_token_hashes(batch[text_col])
+        nw = np.maximum(lens - k + 1, 0)
+        total_w = int(nw.sum())
+        if total_w == 0:
+            flat = np.empty(0, dtype=np.uint64)
+            return pa.table(
+                {
+                    "h": pa.array(flat, pa.uint64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "_b": pa.array([], pa.int64()),
+                }
+            )
+        n_docs = len(lens)
+        doc_starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(lens[:-1], out=doc_starts[1:])
+        w_doc = np.repeat(np.arange(n_docs, dtype=np.int64), nw)
+        w_off = np.cumsum(nw) - nw
+        pos = np.arange(total_w, dtype=np.int64) - w_off[w_doc]
+        g = doc_starts[w_doc] + pos
+        n_global = len(th) - k + 1
+        powers = _window_powers(k)
+        with np.errstate(over="ignore"):
+            acc = np.zeros(n_global, dtype=np.uint64)
+            for w in range(k):
+                acc += th[w : w + n_global] * powers[w]
+        flat = acc[g]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[w_doc]
         return pa.table(
             {
                 "h": pa.array(flat, pa.uint64()),
                 "doc_id": pa.array(ids, pa.int64()),
-                "pos": pa.array(poss, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
                 "_b": pa.array(
                     (_splitmix64(flat) % np.uint64(num_buckets)).astype(
                         np.int64

@@ -281,3 +281,52 @@ def test_cogrouped_expand_equals_broadcast(ray_session, corpus, monkeypatch):
     monkeypatch.setattr(dedup, "_CLUSTER_DRIVER_LIMIT", 0)
     got2 = minhash_dedup_clusters(ds, threshold=0.4)
     assert got2.equals(want)
+
+
+def test_batch_token_hashes_golden():
+    """Vectorized batch tokenize+hash == per-doc simple_tokens + md5
+    loop, including stopwords, length gates, unicode, empties, nulls."""
+    import hashlib
+
+    from seekr_ray.extras.dedup import (
+        _batch_simple_token_hashes,
+        _shingle_hashes_positional,
+        _window_powers,
+    )
+    from seekr_ray.extras.textstats import simple_tokens
+
+    texts = [
+        BASE,
+        "the and of a an",  # all stopwords
+        "x " + "q" * 50 + " ok words here",  # 1-char + overlong dropped
+        "",
+        None,
+        "Émile café naïve touché mixed ascii runs",  # non-ascii separators
+        "short",
+        "don't under_score CamelCase42 splits on every nonletter",
+    ]
+    arr = pa.array(texts, pa.string())
+    th, lens = _batch_simple_token_hashes(arr)
+    flat_want = []
+    for t in texts:
+        toks = simple_tokens(t or "")
+        flat_want.extend(
+            int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+            for w in toks
+        )
+    assert th.tolist() == flat_want
+    assert lens.tolist() == [len(simple_tokens(t or "")) for t in texts]
+
+    # window kernel: global shifted-multiply acc equals the per-doc form
+    k = 3
+    powers = _window_powers(k)
+    starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    for i, t in enumerate(texts):
+        want = _shingle_hashes_positional(simple_tokens(t or ""), k)
+        seg = th[starts[i] : starts[i] + lens[i]]
+        n = max(int(lens[i]) - k + 1, 0)
+        with np.errstate(over="ignore"):
+            acc = np.zeros(n, dtype=np.uint64)
+            for w in range(k):
+                acc += seg[w : w + n] * powers[w]
+        assert acc.tolist() == want.tolist(), t
