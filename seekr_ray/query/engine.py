@@ -903,32 +903,43 @@ class QueryEngine:
     # its Trie serves prefixes only — Suggestions/src/.../Trie.java)
     # ------------------------------------------------------------------
 
-    def _correction_index(self):
+    def _correction_index(self, parts: list[int] | None = None):
         """FastSS deletion-neighborhood index over the INDEX VOCABULARY
         (extras/fuzzy.py discipline, serving-side): variant -> vocab
-        ids.  Built once per engine; memory is O(vocab x token length)
-        — bounded by the vocabulary like the suggestion structures, not
-        by the corpus."""
-        if getattr(self, "_corr_index", None) is None:
-            vocab = self.store.all_terms_array()
+        ids.  Built once per engine per partition slice; memory is
+        O(slice vocab x token length) — ``parts`` restricts the build to
+        a term-partition slice so a serving pool shards the warm-build
+        (and the memory) instead of every actor holding the full map."""
+        cache = getattr(self, "_corr_index_cache", None)
+        if cache is None:
+            cache = self._corr_index_cache = {}
+        key = None if parts is None else tuple(sorted(parts))
+        got = cache.get(key)
+        if got is None:
+            vocab = self.store.partition_terms_array(parts)
             idx: dict[str, list[int]] = {}
             for j, w in enumerate(vocab.tolist()):
                 idx.setdefault(w, []).append(j)
                 for p in range(len(w)):
                     idx.setdefault(w[:p] + w[p + 1 :], []).append(j)
-            self._corr_index = (vocab, idx)
-        return self._corr_index
+            got = cache[key] = (vocab, idx)
+        return got
 
-    def suggest_correction(self, query: str) -> dict[str, str]:
-        """For each query token whose stem misses the vocabulary, the
-        highest-df vocabulary term at Levenshtein distance 1 (ties:
-        lexicographically smallest) — {original_token: correction},
-        empty when every token resolves."""
+    def correction_best(
+        self, query: str, parts: list[int] | None = None
+    ) -> dict[str, tuple[int, str]]:
+        """The mergeable half of ``suggest_correction``: for each query
+        token whose stem misses the vocabulary, the best
+        ``(-df, word)`` key among edit-distance-1 candidates in the
+        ``parts`` vocabulary slice (``None`` = full).  Slices partition
+        the vocab by term hash, so the element-wise MIN of per-slice
+        results equals the full-vocab answer — the scatter-gather merge
+        rule (``SearchService.suggest_correction_scatter``)."""
         from ..extras.fuzzy import _is_edit1
 
-        out: dict[str, str] = {}
+        out: dict[str, tuple[int, str]] = {}
         stems, stem_to_original = tokenize_and_stem(query or "")
-        vocab, idx = self._correction_index()
+        vocab, idx = self._correction_index(parts)
         for s in dict.fromkeys(stems):
             if self.store.term_stat(s) is not None:
                 continue  # resolves in the index
@@ -951,8 +962,17 @@ class QueryEngine:
                 if best is None or key < best:
                     best = key
             if best is not None:
-                out[stem_to_original.get(s, s)] = best[1]
+                out[stem_to_original.get(s, s)] = best
         return out
+
+    def suggest_correction(self, query: str) -> dict[str, str]:
+        """For each query token whose stem misses the vocabulary, the
+        highest-df vocabulary term at Levenshtein distance 1 (ties:
+        lexicographically smallest) — {original_token: correction},
+        empty when every token resolves."""
+        return {
+            tok: best[1] for tok, best in self.correction_best(query).items()
+        }
 
     def _pr_window_ub(self, lo: int, hi: int) -> float:
         """Upper bound on the blended pagerank term over docs in
@@ -1822,13 +1842,16 @@ class QueryEngine:
     # suggestions (BackendManager.java:408-446, K3)
     # ------------------------------------------------------------------
 
-    def suggest(self, query: str, limit: int = 5) -> list[str]:
+    def suggest(
+        self, query: str, limit: int = 5, parts: list[int] | None = None
+    ) -> list[str]:
         if query is None or not query.strip():
             return []
         term = query.strip().lower()
         # O(log V + matches) bisect over the sorted vocabulary (round 1
-        # linearly scanned every term per call)
-        matches = self.store.prefix_terms(term)
+        # linearly scanned every term per call); ``parts`` restricts to
+        # a term-partition slice for scatter serving (service.py)
+        matches = self.store.prefix_terms(term, parts=parts)
 
         def rank_key(w: str):
             if w == term:

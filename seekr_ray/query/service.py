@@ -41,6 +41,18 @@ class _EngineActor:
     def suggest(self, query: str, limit: int) -> list:
         return self.engine.suggest(query, limit)
 
+    def suggest_parts(self, query: str, limit: int, parts: list[int]) -> list:
+        return self.engine.suggest(query, limit, parts=parts)
+
+    def correction_best(self, query: str, parts: list[int]) -> dict:
+        return self.engine.correction_best(query, parts=parts)
+
+    def warm_correction(self, parts: list[int]) -> int:
+        """Build this actor's FastSS slice off the serving path; returns
+        the slice vocab size."""
+        vocab, _ = self.engine._correction_index(parts)
+        return len(vocab)
+
     def total_hits(self, query: str) -> int:
         return self.engine.total_hits(query)
 
@@ -66,6 +78,7 @@ class SearchService:
         ]
         self.affinity = affinity
         self._rr = 0
+        self._part_slices: list[list[int]] | None = None
 
     def _pick(self, query: str):
         if self.affinity:
@@ -143,6 +156,74 @@ class SearchService:
 
     def suggest(self, query: str, limit: int = 5) -> list:
         return ray.get(self._pick(query).suggest.remote(query, limit))
+
+    def _term_part_slices(self) -> list[list[int]]:
+        """One disjoint term-partition slice per actor (vocab partitions
+        by term hash) — the scatter unit for suggestions and the FastSS
+        correction index, mirroring ``_range_bounds`` for doc ids."""
+        if self._part_slices is None:
+            from ..build import load_meta
+            from ..config import IndexConfig
+
+            meta = load_meta(self.index_dir)
+            P = IndexConfig.from_dict(meta["config"]).num_term_partitions
+            w = len(self.actors)
+            edges = [round(i * P / w) for i in range(w + 1)]
+            self._part_slices = [
+                list(range(edges[i], edges[i + 1]))
+                for i in range(w)
+                if edges[i] < edges[i + 1]
+            ]
+        return self._part_slices
+
+    def suggest_scatter(self, query: str, limit: int = 5) -> list:
+        """Scatter-gather suggestions: each actor bisects ONLY its term-
+        partition slice's sorted vocab and returns its per-slice
+        top-``limit`` under the rank rule; the driver merge-sorts.
+        Exact (slices are disjoint and the rank rule is per-term, so the
+        global top-limit is contained in the union of per-slice
+        top-limits); no actor ever holds the full vocabulary."""
+        refs = [
+            a.suggest_parts.remote(query, limit, parts)
+            for a, parts in zip(self.actors, self._term_part_slices())
+        ]
+        merged = [w for part in ray.get(refs) for w in part]
+        term = (query or "").strip().lower()
+        merged.sort(
+            key=lambda w: (
+                1 if w == term else 2 if w.startswith(term + " ") else 3,
+                w,
+            )
+        )
+        return merged[:limit]
+
+    def warm_corrections(self) -> list:
+        """Kick the per-actor FastSS slice builds OFF the serving path
+        (fire-and-forget refs; ``ray.get`` them to block until warm).
+        Each actor holds only its slice — the build cost and memory
+        shard across the pool instead of serializing in one actor on
+        the first miss."""
+        return [
+            a.warm_correction.remote(parts)
+            for a, parts in zip(self.actors, self._term_part_slices())
+        ]
+
+    def suggest_correction_scatter(self, query: str) -> dict:
+        """Scatter-gather did-you-mean: every actor evaluates its vocab
+        slice's edit-1 candidates (``QueryEngine.correction_best``), the
+        driver takes the per-token MIN (-df, word) key across slices —
+        exactly the single-engine answer (slices partition the vocab)."""
+        refs = [
+            a.correction_best.remote(query, parts)
+            for a, parts in zip(self.actors, self._term_part_slices())
+        ]
+        best: dict[str, tuple[int, str]] = {}
+        for part in ray.get(refs):
+            for tok, key in part.items():
+                key = tuple(key)
+                if tok not in best or key < best[tok]:
+                    best[tok] = key
+        return {tok: key[1] for tok, key in best.items()}
 
     def total_hits(self, query: str) -> int:
         return ray.get(self._pick(query).total_hits.remote(query))

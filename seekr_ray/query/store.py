@@ -425,6 +425,7 @@ class SegmentStore:
         self._lazy_cache: OrderedDict[str, LazyTermPostings | None] = OrderedDict()
         self._lazy_cache_max = 4096
         self._all_terms: np.ndarray | None = None
+        self._part_terms_cache: dict[tuple, np.ndarray] = {}
 
     # -- term stats ---------------------------------------------------------
 
@@ -450,13 +451,36 @@ class SegmentStore:
             self._all_terms = np.sort(allv)
         return self._all_terms
 
+    def partition_terms_array(self, parts: "list[int] | None") -> np.ndarray:
+        """Sorted vocabulary restricted to the given term partitions —
+        the scatter-serving unit (each actor of a pool holds ONE slice's
+        suggestion/correction structures instead of all of them).
+        ``None`` means the full vocabulary."""
+        if parts is None:
+            return self.all_terms_array()
+        key = tuple(sorted(parts))
+        cached = self._part_terms_cache.get(key)
+        if cached is None:
+            arrs = [self._stats_partition(p).terms for p in key]
+            allv = (
+                np.concatenate(arrs) if arrs else np.empty(0, dtype=object)
+            )
+            cached = np.sort(allv)
+            self._part_terms_cache[key] = cached
+        return cached
+
     def all_terms(self) -> list[str]:
         return self.all_terms_array().tolist()
 
-    def prefix_terms(self, prefix: str) -> list[str]:
+    def prefix_terms(
+        self, prefix: str, parts: "list[int] | None" = None
+    ) -> list[str]:
         """Terms with the given prefix via bisect over the sorted vocab
-        (O(log V + matches); replaces the round-1 full linear scan)."""
-        terms = self.all_terms_array()
+        (O(log V + matches); replaces the round-1 full linear scan).
+        ``parts`` restricts the scan to a term-partition slice (vocab
+        partitions by term hash, so slices are disjoint and their
+        prefix-match union is exactly the full-vocab match set)."""
+        terms = self.partition_terms_array(parts)
         lo = int(np.searchsorted(terms, prefix, side="left"))
         hi = int(np.searchsorted(terms, prefix + "\U0010FFFF", side="left"))
         return terms[lo:hi].tolist()

@@ -54,3 +54,33 @@ def test_service_matches_local_engine(index_dir):
         assert many[0] == many[2]
     finally:
         svc.shutdown()
+
+
+def test_scatter_suggest_and_correction_match_single_engine(index_dir):
+    """Round-5: suggestions and did-you-mean scatter by term-partition
+    slice — driver merges must equal the single-engine answers exactly,
+    and the warm-build shards (every actor holds one slice only)."""
+    from seekr_ray.query.engine import QueryEngine
+    from seekr_ray.query.service import SearchService
+
+    import ray
+
+    svc = SearchService(index_dir, num_actors=3)
+    local = QueryEngine(index_dir)
+    try:
+        sizes = ray.get(svc.warm_corrections())
+        vocab_total = len(local.store.all_terms_array())
+        assert sum(sizes) == vocab_total  # disjoint slices cover the vocab
+        assert max(sizes) < vocab_total  # ...and no actor holds it all
+        for q in ["tok", "pa", "p", "zzz", "", "token"]:
+            for lim in (1, 5, 50):
+                assert svc.suggest_scatter(q, lim) == local.suggest(q, lim), (
+                    q, lim,
+                )
+        for q in ["tokxn", "parsq", "parse", "qqqq", "tokxn parsq"]:
+            assert (
+                svc.suggest_correction_scatter(q)
+                == local.suggest_correction(q)
+            ), q
+    finally:
+        svc.shutdown()
