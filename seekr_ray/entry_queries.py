@@ -679,6 +679,86 @@ def q_events_recent_counts(sf_dir: str):
     )
 
 
+QLOG_PREFIXES = ["c", "e", "p", "s", "v", "cl", "si", "purchase", "view u1"]
+
+
+def q_query_log_suggest(sf_dir: str):
+    """End-to-end query-log -> suggestions composition (S10 writer + A7
+    12h aggregation + T6 Trie + top-5 serve; ``DataBaseManager.java:19-35``
+    read side, ``Trie.java:6-73`` structure): a synthetic query log
+    derives deterministically from the events table
+    (query = event_type || ' u' || user_id % 97, ts = event ts); each
+    worker batch APPENDS its own part file through the real
+    ``QueryLogWriter`` (the no-coordination serving write path — one
+    uuid-named parquet per writer, tmp+rename); the written log is read
+    back as a Dataset, aggregated under the 12-hour recency window
+    (``aggregate_query_log``); the (n desc, query asc)-ordered counts
+    populate the Trie (per-node top-10, insertion-stable), and each
+    probe prefix serves its top-5.  Output (prefix, rank, query, n) —
+    the Trie's truncation law makes lookup(p)[:5] exactly the SQL
+    row_number() <= 5 under (n DESC, query ASC), which the oracle
+    replays."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from .query.query_log import QueryLogWriter, read_query_log
+    from .query.suggestions import aggregate_query_log, trie_from_counts
+
+    log_dir = tempfile.mkdtemp(prefix="seekr_qlog_")
+    try:
+        ev = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "event_type", "user_id"],
+        )
+
+        def append_log(batch: pa.Table) -> pa.Table:
+            w = QueryLogWriter(log_dir, flush_every=1 << 30)
+            uids = batch["user_id"].to_numpy(zero_copy_only=False)
+            for et, u, t in zip(
+                batch["event_type"].to_pylist(), uids, batch["ts"].to_pylist()
+            ):
+                w.record(f"{et} u{int(u) % 97}", t)
+            w.flush()
+            return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+        for _ in ev.map_batches(
+            append_log, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            pass
+        counts_rows: list[tuple[str, int]] = []
+        for t in aggregate_query_log(
+            read_query_log(log_dir), hours=12.0
+        ).iter_batches(batch_format="pyarrow"):
+            counts_rows.extend(
+                zip(t["query"].to_pylist(), t["count()"].to_pylist())
+            )
+        counts_rows.sort(key=lambda r: (-int(r[1]), r[0]))
+        trie = trie_from_counts(counts_rows)
+        nmap = dict(counts_rows)
+        out_p: list[str] = []
+        out_r: list[int] = []
+        out_q: list[str] = []
+        out_n: list[int] = []
+        for p in QLOG_PREFIXES:
+            for r, q in enumerate(trie.lookup(p)[:5], 1):
+                out_p.append(p)
+                out_r.append(r)
+                out_q.append(q)
+                out_n.append(int(nmap[q]))
+        return pa.table(
+            {
+                "prefix": pa.array(out_p, pa.string()),
+                "rank": pa.array(out_r, pa.int64()),
+                "query": pa.array(out_q, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(log_dir, ignore_errors=True)
+
+
 def q_orders_by_nation(sf_dir: str):
     """Broadcast hash join (the J1 pattern over relational tables):
     customer's (custkey → nationkey) side is ``ray.put`` ONCE as sorted
@@ -8689,6 +8769,26 @@ FROM s GROUP BY user_id, sid"""
 FROM events
 WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 12 HOUR
 GROUP BY event_type"""
+
+    _qlog_prefix_list = ", ".join(f"'{p}'" for p in QLOG_PREFIXES)
+    sql["query_log_suggest"] = f"""WITH log AS (
+  SELECT lower(event_type || ' u' || (user_id % 97)::VARCHAR) AS query, ts
+  FROM events
+), win AS (
+  SELECT query FROM log
+  WHERE ts >= (SELECT max(ts) FROM log) - INTERVAL 12 HOUR
+), counts AS (
+  SELECT query, count(*)::BIGINT AS n FROM win GROUP BY query
+), prefixes AS (
+  SELECT unnest([{_qlog_prefix_list}]) AS prefix
+), ranked AS (
+  SELECT p.prefix, c.query, c.n,
+         row_number() OVER (
+           PARTITION BY p.prefix ORDER BY c.n DESC, c.query
+         ) AS rank
+  FROM prefixes p JOIN counts c ON starts_with(c.query, p.prefix)
+)
+SELECT prefix, rank, query, n FROM ranked WHERE rank <= 5"""
 
     sql["ann_topk"] = f"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
  scored AS (
