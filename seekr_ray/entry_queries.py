@@ -565,15 +565,17 @@ r{i} AS MATERIALIZED (
     return "".join(parts)
 
 
-def _corpus_pagerank_sql(k: int, d: float, eps: float) -> str:
+def _corpus_pagerank_chain(k: int, d: float, eps: float) -> str:
     """ε-convergence PageRank replay over the EXPORTED corpus links +
     id assignment (see ``_export_oracle_input``): K unrolled synchronous
     steps, each carrying its max-|Δ| vs the previous step, and the final
-    select takes the FIRST step whose delta is <= eps — exactly the
+    ``prtbl`` takes the FIRST step whose delta is <= eps — exactly the
     numpy loop's stopping rule (``graph/pagerank.py::_pagerank_numpy``
     returns the NEW vector of the converged step).  K bounds convergence
     with ~2x headroom (measured 21-23 iterations at all three fixture
-    scales)."""
+    scales).  Returns the WITH-chain up through
+    ``prtbl AS (node, pr)`` so the search-scoring oracles can extend it
+    with their own CTEs."""
     parts = [
         f"""WITH docs AS MATERIALIZED (
   SELECT doc_id, url FROM read_parquet('{ORACLE_EXPORT_DIR}/corpus_docs.parquet')
@@ -620,11 +622,147 @@ x{i} AS MATERIALIZED (
     parts.append(
         f""",
 allsteps AS MATERIALIZED ({union}),
-stop AS (SELECT min(step) AS s FROM allsteps WHERE delta <= {eps})
-SELECT node AS doc_id, round(pr, 6) AS page_rank
-FROM allsteps WHERE step = (SELECT s FROM stop)"""
+stop AS (SELECT min(step) AS s FROM allsteps WHERE delta <= {eps}),
+prtbl AS MATERIALIZED (
+  SELECT node, pr FROM allsteps WHERE step = (SELECT s FROM stop)
+)"""
     )
     return "".join(parts)
+
+
+def _corpus_pagerank_sql(k: int, d: float, eps: float) -> str:
+    return (
+        _corpus_pagerank_chain(k, d, eps)
+        + "\nSELECT node AS doc_id, round(pr, 6) AS page_rank FROM prtbl"
+    )
+
+
+def _corpus_scoring_ctes(
+    topk: int, w_tfidf: float, w_pr: float, k1: float, b: float
+) -> str:
+    """Shared scoring CTEs over the EXPORTED per-stem postings, doclen
+    sidecar and query->stem map: df/idf recomputed from the postings
+    themselves (idf = log10(N/df), N = exported doc count), BM25 raw
+    counts recovered as round(tf*dl) (round(tf) where dl=0 — the
+    unnormalized-tf guard), pagerank from the independent replay chain,
+    ranking under (score DESC, doc_id ASC) for BOTH scorers.  The cut
+    line: query tokenization/Porter stemming and the postings DECODE
+    are taken from the export (both pytest-pinned — Porter goldens,
+    codec round-trips, vectorized≡scalar tokenize); every aggregation
+    and scoring step downstream is recomputed by DuckDB."""
+    return f""",
+postings AS MATERIALIZED (
+  SELECT stem, doc_id, tf
+  FROM read_parquet('{ORACLE_EXPORT_DIR}/corpus_postings.parquet')
+),
+dl AS MATERIALIZED (
+  SELECT doc_id, doclen
+  FROM read_parquet('{ORACLE_EXPORT_DIR}/corpus_doclen.parquet')
+),
+qs AS (
+  SELECT query_id, stem
+  FROM read_parquet('{ORACLE_EXPORT_DIR}/corpus_queries.parquet')
+),
+nstat AS (SELECT count(*)::DOUBLE AS n FROM docs),
+avgdl AS (
+  SELECT CASE WHEN count(*) > 0 AND sum(doclen) > 0
+              THEN sum(doclen)::DOUBLE / count(*) ELSE 1.0 END AS a
+  FROM dl
+),
+tstats AS (SELECT stem, count(*)::DOUBLE AS df FROM postings GROUP BY stem),
+contrib AS MATERIALIZED (
+  SELECT p.stem, p.doc_id,
+         log10((SELECT n FROM nstat) / t.df)
+         * (c * ({k1} + 1.0))
+         / (c + {k1} * (1.0 - {b} + {b} * dlv / (SELECT a FROM avgdl))) AS bc,
+         p.tf * log10((SELECT n FROM nstat) / t.df) AS tc
+  FROM (
+    SELECT p.stem, p.doc_id, p.tf,
+           CASE WHEN coalesce(d.doclen, 0) > 0
+                THEN round(p.tf * d.doclen, 0)
+                ELSE round(p.tf, 0) END AS c,
+           coalesce(d.doclen, 0)::DOUBLE AS dlv
+    FROM postings p LEFT JOIN dl d ON d.doc_id = p.doc_id
+  ) p JOIN tstats t USING (stem)
+),
+scored AS MATERIALIZED (
+  SELECT q.query_id, p.doc_id,
+         {w_tfidf} * sum(p.bc) + {w_pr} * coalesce(any_value(pr.pr), 0)
+           AS score_bm25,
+         {w_tfidf} * sum(p.tc) + {w_pr} * coalesce(any_value(pr.pr), 0)
+           AS score_tfidf
+  FROM qs q JOIN contrib p ON p.stem = q.stem
+  LEFT JOIN prtbl pr ON pr.node = p.doc_id
+  GROUP BY q.query_id, p.doc_id
+),
+ranked_bm25 AS MATERIALIZED (
+  SELECT query_id, doc_id, score_bm25 AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score_bm25 DESC, doc_id
+         ) AS rnk
+  FROM scored
+),
+ranked_tfidf AS MATERIALIZED (
+  SELECT query_id, doc_id, score_tfidf AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score_tfidf DESC, doc_id
+         ) AS rnk
+  FROM scored
+)"""
+
+
+def _corpus_bm25_sql(
+    k: int, d: float, eps: float, topk: int, w_tfidf: float, w_pr: float,
+    k1: float, b: float,
+) -> str:
+    return (
+        _corpus_pagerank_chain(k, d, eps)
+        + _corpus_scoring_ctes(topk, w_tfidf, w_pr, k1, b)
+        + f"""
+SELECT query_id, (rnk - 1)::INT AS rank, doc_id, round(score, 6) AS score
+FROM ranked_bm25 WHERE rnk <= {topk}"""
+    )
+
+
+def _corpus_rank_agreement_sql(
+    k: int, d: float, eps: float, depth: int, p: float,
+    w_tfidf: float, w_pr: float, k1: float, b: float,
+) -> str:
+    """RBO@depth between the tfidf and bm25 rankings, both recomputed by
+    the shared scoring CTEs: rbo = (1-p) * Σ_i p^(i-1) * |A_i ∩ B_i| / i
+    with A_i/B_i the depth-i prefixes; queries with no scored docs emit
+    (overlap10 0, rbo 0) like the engine loop."""
+    return (
+        _corpus_pagerank_chain(k, d, eps)
+        + _corpus_scoring_ctes(depth, w_tfidf, w_pr, k1, b)
+        + f""",
+qids AS (SELECT DISTINCT query_id FROM qs),
+a AS (SELECT query_id, doc_id, rnk FROM ranked_tfidf WHERE rnk <= {depth}),
+bq AS (SELECT query_id, doc_id, rnk FROM ranked_bm25 WHERE rnk <= {depth}),
+depths AS (SELECT unnest(generate_series(1, {depth})) AS i),
+ov AS (
+  SELECT a.query_id, d.i, count(*)::DOUBLE AS o
+  FROM a JOIN bq ON a.query_id = bq.query_id AND a.doc_id = bq.doc_id
+  JOIN depths d ON a.rnk <= d.i AND bq.rnk <= d.i
+  GROUP BY a.query_id, d.i
+),
+rbo AS (
+  SELECT query_id,
+         (1.0 - {p}) * sum(pow({p}, i - 1) * o / i) AS r
+  FROM ov GROUP BY query_id
+),
+ov10 AS (
+  SELECT a.query_id, count(*)::BIGINT AS o10
+  FROM a JOIN bq ON a.query_id = bq.query_id AND a.doc_id = bq.doc_id
+  GROUP BY a.query_id
+)
+SELECT q.query_id,
+       coalesce(o.o10, 0) AS overlap10,
+       round(coalesce(r.r, 0.0), 6) AS rbo
+FROM qids q
+LEFT JOIN ov10 o ON o.query_id = q.query_id
+LEFT JOIN rbo r ON r.query_id = q.query_id"""
+    )
 
 
 CONTAINMENT_THRESHOLD = 0.8
@@ -2356,17 +2494,12 @@ def q_corpus_rank_agreement(sf_dir: str):
     the driver contract.  RBO@10, p=0.9:
     ``(1-p) * sum_{i=1..d} p^(i-1) * |A_i ∩ B_i| / i``.
 
-    Output: ``(query_id, overlap10, rbo)`` — rows-only (the rankings
-    come from the engine, not SQL)."""
-    from .fixtures import QUERY_SET
-    from .query.engine import QueryEngine
-    from .query.parser import detect_operator, is_quoted
-
-    engine = QueryEngine(_corpus_index(sf_dir))
+    Output: ``(query_id, overlap10, rbo)``.  Round 5: SQL-oracled — the
+    oracle recomputes BOTH rankings from the exported postings/doclen/
+    query-stem tables (shared scoring CTEs) and replays the RBO sum."""
+    engine = _export_search_inputs(sf_dir)
     out_q, out_o, out_r = [], [], []
-    for qid, query, _k in QUERY_SET:
-        if not query.strip() or detect_operator(query) or is_quoted(query.strip()):
-            continue
+    for qid, query, _k in _plain_queries():
         a = [d for d, _ in engine.search_topk(query, RBO_DEPTH, mode="bmw_cold")]
         b = [d for d, _ in engine.bm25_topk(query, RBO_DEPTH, mode="bmw_cold")]
         rbo = 0.0
@@ -2376,41 +2509,131 @@ def q_corpus_rank_agreement(sf_dir: str):
         rbo *= 1.0 - RBO_P
         out_q.append(qid)
         out_o.append(len(set(a) & set(b)))
-        out_r.append(round(rbo, 6))
+        out_r.append(rbo)
     return pa.table(
         {
             "query_id": pa.array(out_q, pa.string()),
             "overlap10": pa.array(out_o, pa.int64()),
-            "rbo": pa.array(out_r, pa.float64()),
+            "rbo": pa.array(_round6_half_away(out_r), pa.float64()),
         }
     )
+
+
+def _plain_queries() -> list[tuple[str, str, int]]:
+    from .fixtures import QUERY_SET
+    from .query.parser import detect_operator, is_quoted
+
+    return [
+        (qid, query, k)
+        for qid, query, k in QUERY_SET
+        if query.strip()
+        and not detect_operator(query)
+        and not is_quoted(query.strip())
+    ]
+
+
+def _export_search_inputs(sf_dir: str):
+    """Export the search-scoring oracle inputs (beyond the pagerank
+    pair): the query->stem map for the plain free-text query subset
+    (tokenize+Porter — pytest-pinned, the oracle's cut line), the
+    merged per-stem postings ``(stem, doc_id, tf)`` decoded from the
+    index segments, and the doclen sidecar.  Returns the engine."""
+    from .query.engine import QueryEngine
+    from .query.parser import tokenize_and_stem
+    from .query.store import load_doclens
+
+    index_dir = _export_pagerank_inputs(sf_dir)
+    engine = QueryEngine(index_dir)
+    q_ids: list[str] = []
+    q_stems: list[str | None] = []
+    for qid, query, _k in _plain_queries():
+        stems = tokenize_and_stem(query)[0]
+        if not stems:
+            # stem-less query (stopwords only): a NULL-stem row keeps
+            # the query_id visible to the oracle (joins on stem never
+            # match NULL, so it scores no docs — exactly the engine)
+            q_ids.append(qid)
+            q_stems.append(None)
+        for s in stems:
+            q_ids.append(qid)
+            q_stems.append(s)
+    _export_oracle_input(
+        "corpus_queries.parquet",
+        pa.table(
+            {
+                "query_id": pa.array(q_ids, pa.string()),
+                "stem": pa.array(q_stems, pa.string()),
+            }
+        ),
+    )
+    p_stems: list[str] = []
+    p_ids: list[np.ndarray] = []
+    p_tfs: list[np.ndarray] = []
+    for s in sorted(set(q_stems)):
+        tp = engine.store.postings(s)
+        if tp is None:
+            continue
+        p_stems.extend([s] * len(tp.doc_ids))
+        p_ids.append(tp.doc_ids)
+        p_tfs.append(tp.tfs)
+    _export_oracle_input(
+        "corpus_postings.parquet",
+        pa.table(
+            {
+                "stem": pa.array(p_stems, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(p_ids) if p_ids else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+                "tf": pa.array(
+                    np.concatenate(p_tfs) if p_tfs else np.empty(0),
+                    pa.float64(),
+                ),
+            }
+        ),
+    )
+    dl_ids, dls, _avg = load_doclens(index_dir)
+    _export_oracle_input(
+        "corpus_doclen.parquet",
+        pa.table(
+            {
+                "doc_id": pa.array(dl_ids, pa.int64()),
+                "doclen": pa.array(dls, pa.int64()),
+            }
+        ),
+    )
+    return engine
+
+
+def _round6_half_away(vals: list[float]) -> np.ndarray:
+    v = np.asarray(vals, dtype=np.float64)
+    return np.copysign(np.floor(np.abs(v) * 1e6 + 0.5), v) / 1e6
 
 
 def q_corpus_search_bm25(sf_dir: str):
     """BM25 (k1=1.2, b=0.75, pagerank-blended) top-k over the corpus
     index for the plain free-text subset of the query set — the
     north-rule ranking mode; rank-identity vs the brute-force oracle is
-    pytest-asserted (tests/test_rank_identity.py::test_bm25_*)."""
-    from .fixtures import QUERY_SET
-    from .query.engine import QueryEngine
-    from .query.parser import detect_operator, is_quoted
-
-    engine = QueryEngine(_corpus_index(sf_dir))
+    pytest-asserted (tests/test_rank_identity.py::test_bm25_*).  Round
+    5: SQL-oracled — the entry exports the query->stem map, per-stem
+    postings and doclen sidecar, and the oracle independently recomputes
+    df, idf = log10(N/df), the BM25 contribution (raw count recovered as
+    round(tf·dl)), the pagerank blend (from the unrolled replay chain)
+    and the (score DESC, doc_id ASC) top-k."""
+    engine = _export_search_inputs(sf_dir)
     out_q, out_r, out_d, out_s = [], [], [], []
-    for qid, query, k in QUERY_SET:
-        if not query.strip() or detect_operator(query) or is_quoted(query.strip()):
-            continue
+    for qid, query, k in _plain_queries():
         for rank, (doc_id, score) in enumerate(engine.bm25_topk(query, k=k)):
             out_q.append(qid)
             out_r.append(rank)
             out_d.append(doc_id)
-            out_s.append(round(score, 9))
+            out_s.append(score)
     return pa.table(
         {
             "query_id": pa.array(out_q, pa.string()),
             "rank": pa.array(out_r, pa.int32()),
             "doc_id": pa.array(out_d, pa.int64()),
-            "score": pa.array(out_s, pa.float64()),
+            "score": pa.array(_round6_half_away(out_s), pa.float64()),
         }
     )
 
@@ -8709,6 +8932,13 @@ ORDER BY d.doc_id"""
     sql["fingerprints"] = _fingerprints_sql()
 
     sql["corpus_pagerank"] = _corpus_pagerank_sql(40, 0.85, 1e-5)
+    sql["corpus_search_bm25"] = _corpus_bm25_sql(
+        40, 0.85, 1e-5, topk=10, w_tfidf=0.7, w_pr=0.3, k1=1.2, b=0.75
+    )
+    sql["corpus_rank_agreement"] = _corpus_rank_agreement_sql(
+        40, 0.85, 1e-5, depth=RBO_DEPTH, p=RBO_P,
+        w_tfidf=0.7, w_pr=0.3, k1=1.2, b=0.75,
+    )
 
     sql["pagerank_lineitem"] = _pagerank_lineitem_sql(
         PAGERANK_FIXED_ITERS, PAGERANK_FIXED_DAMPING
