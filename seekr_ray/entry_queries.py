@@ -765,6 +765,61 @@ LEFT JOIN rbo r ON r.query_id = q.query_id"""
     )
 
 
+def _bpe_merge_chain(k: int, top_v: int) -> str:
+    """Unrolled replay of the BPE training loop (``extras/bpe.py``
+    ``_merge_loop``) as SQL CTEs, appended after the shared ``toks``
+    tokenization: words render as '(s)(y)(m)' strings (each symbol owns
+    its delimiters, so DuckDB's left-to-right non-overlapping
+    ``replace`` of '(l)(r)' -> '(lr)' applies a merge EXACTLY like the
+    Python walk — shared-boundary separators would double-consume);
+    each step counts adjacent pairs weighted by word freq, picks the
+    (cnt DESC, (l, r) ASC) argmax — 'l r' concat with a space separator
+    orders identically to the tuple because ' ' sorts below [a-z] — and
+    rewrites the vocabulary.  Steps after pair exhaustion contribute no
+    rows (empty argmax; the replace pattern falls back to an unmatchable
+    chr(1)).  Ends with ``w{k}`` (final symbol sequences — for trained
+    words this IS the rank-order encode) and ``merges``."""
+    parts = [
+        f""", wf AS (
+  SELECT t AS word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(tokens) AS t FROM toks) GROUP BY t
+),
+w0 AS MATERIALIZED (
+  SELECT word, freq,
+         array_to_string(list_transform(range(1, length(word) + 1),
+                         i -> '(' || word[i] || ')'), '') AS seq
+  FROM (SELECT word, freq FROM wf ORDER BY freq DESC, word LIMIT {top_v})
+)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+s{i} AS (SELECT string_split(trim(seq, '()'), ')(') AS s, freq FROM w{i - 1}),
+p{i} AS (
+  SELECT s[j] AS l, s[j + 1] AS r, sum(freq)::BIGINT AS cnt
+  FROM s{i}, unnest(generate_series(1, len(s) - 1)) AS u(j)
+  GROUP BY 1, 2
+),
+b{i} AS MATERIALIZED (
+  SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l || ' ' || r LIMIT 1
+),
+w{i} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(seq,
+                 coalesce((SELECT '(' || l || ')(' || r || ')' FROM b{i}), chr(1)),
+                 coalesce((SELECT '(' || l || r || ')' FROM b{i}), chr(1))) AS seq
+  FROM w{i - 1}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i - 1}::BIGINT AS rank, l, r, cnt FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(f""",
+merges AS ({union})""")
+    return "".join(parts)
+
+
 CONTAINMENT_THRESHOLD = 0.8
 
 
@@ -10438,6 +10493,27 @@ pr AS (
   FROM wf
 )
 SELECT pair, sum(freq)::BIGINT AS cnt FROM pr GROUP BY pair ORDER BY pair"""
+
+    bpe_chain = _bpe_merge_chain(BPE_MERGES, 50_000)
+    sql["bpe_merges"] = f"""{toks}
+{bpe_chain}
+SELECT rank, l AS "left", r AS "right", cnt AS freq FROM merges ORDER BY rank"""
+
+    sql["bpe_token_counts"] = f"""{toks}
+{bpe_chain},
+symct AS (
+  SELECT word, len(string_split(trim(seq, '()'), ')('))::BIGINT AS n_sym
+  FROM w{BPE_MERGES}
+)
+SELECT k.doc_id, coalesce(s.total, 0)::BIGINT AS n_bpe_tokens
+FROM (SELECT doc_id FROM toks) k
+LEFT JOIN (
+  SELECT t.doc_id, sum(sy.n_sym) AS total
+  FROM (SELECT doc_id, unnest(tokens) AS word FROM toks) t
+  JOIN symct sy USING (word)
+  GROUP BY t.doc_id
+) s USING (doc_id)
+ORDER BY doc_id"""
 
     sql["pack_offsets"] = f"""{toks}
 , n AS (SELECT doc_id, len(tokens)::BIGINT AS n_tokens FROM toks)
