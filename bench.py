@@ -222,6 +222,44 @@ def run_bench() -> dict:
         timings["sf1_bm25_p95_ms"] = round(b1[int(len(b1) * 0.95) - 1], 3)
         shutil.rmtree(sf1_dir, ignore_errors=True)
 
+    # 5. 1M-doc stress row (round-5, VERDICT r4 #7): the 200k row showed
+    # amortization flips conclusions between sf0.1 and sf1; this point is
+    # 5x further and pins which stage saturates first (tokenize vs
+    # segments) via the same per-stage breakdown.  Gated off by
+    # SEEKR_BENCH_1M=0 for quick iterations; input generation is cached
+    # and untimed like every other row.
+    m1_rows = int(os.environ.get("SEEKR_BENCH_1M_ROWS", "1000000"))
+    if (
+        os.environ.get("SEEKR_BENCH_1M", "1") != "0"
+        and _sf_name(sf_dir) == "sf0.1"
+    ):
+        m1_corpus = cached_corpus_dir(m1_rows)  # untimed: input gen
+        m1_dir = f"{bench_dir}/seekr_bench_index_1m_{num_cpus}"
+        shutil.rmtree(m1_dir, ignore_errors=True)
+        t0 = time.monotonic()
+        mm = build_index(
+            rd.read_parquet(m1_corpus),
+            m1_dir,
+            IndexConfig(num_term_partitions=64, num_id_partitions=32),
+            key_cols=["repo", "path", "commit"],
+            input_path=m1_corpus,
+        )
+        timings["m1_build_sec"] = time.monotonic() - t0
+        timings["m1_docs_per_sec"] = round(m1_rows / timings["m1_build_sec"], 2)
+        for st, sv in mm.get("stages", {}).items():
+            timings[f"m1_stage_{st}_sec"] = sv.get("seconds", 0.0)
+        em = QueryEngine(m1_dir)
+        em.bm25_topk("parse buffer", 10)
+        bm_lat = []
+        for q, k in plain * 5:
+            t0 = time.monotonic()
+            em.bm25_topk(q, k)
+            bm_lat.append((time.monotonic() - t0) * 1000)
+        bm_lat.sort()
+        timings["m1_bm25_p50_ms"] = round(statistics.median(bm_lat), 3)
+        timings["m1_bm25_p95_ms"] = round(bm_lat[int(len(bm_lat) * 0.95) - 1], 3)
+        shutil.rmtree(m1_dir, ignore_errors=True)
+
     total = timings["corpus_build_sec"] + timings["documents_build_sec"]
     result = {
         "metric": "index_build_plus_query",
