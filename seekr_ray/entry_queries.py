@@ -765,6 +765,177 @@ LEFT JOIN rbo r ON r.query_id = q.query_id"""
     )
 
 
+def _phrase_match_ctes(tag: str, stems: list[str], gap: int) -> tuple[str, str]:
+    """CTE chain deciding one phrase's matched-doc set from the exported
+    position lists — the reference ``checkSequentialPositions`` walk
+    (pytest-pinned equal to ``_phrase_walk_vectorized``): per start
+    position of word 0, each later word ENTERS at its first position >
+    cursor (required <= cursor+gap, non-strict) and the cursor SLIDES to
+    the end of the strict-delta run containing the entry (runs split
+    where a consecutive delta reaches gap).  Single-word phrases reduce
+    to stem membership."""
+    name = f"m_{tag}"
+    if len(stems) == 1:
+        return (
+            f",\n{name} AS (SELECT DISTINCT doc_id FROM contrib "
+            f"WHERE stem = '{stems[0]}')",
+            name,
+        )
+    txt: list[str] = []
+    for i, s in enumerate(stems):
+        txt.append(
+            f",\npp_{tag}_{i} AS (SELECT doc_id, pos FROM positions "
+            f"WHERE stem = '{s}')"
+        )
+        if i >= 1:
+            txt.append(
+                f""",
+rr_{tag}_{i} AS (
+  SELECT doc_id, pos, max(pos) OVER (PARTITION BY doc_id, grp) AS run_end
+  FROM (
+    SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS grp
+    FROM (
+      SELECT doc_id, pos,
+             CASE WHEN pos >= lag(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos) + {gap}
+                  THEN 1 ELSE 0 END AS brk
+      FROM pp_{tag}_{i}))
+)"""
+            )
+    txt.append(
+        f",\nst_{tag}_0 AS (SELECT doc_id, pos AS p0, pos AS cur "
+        f"FROM pp_{tag}_0)"
+    )
+    for i in range(1, len(stems)):
+        txt.append(
+            f""",
+en_{tag}_{i} AS (
+  SELECT s.doc_id, s.p0, s.cur, min(r.pos) AS ent
+  FROM st_{tag}_{i - 1} s JOIN rr_{tag}_{i} r
+    ON r.doc_id = s.doc_id AND r.pos > s.cur
+  GROUP BY s.doc_id, s.p0, s.cur
+  HAVING min(r.pos) <= s.cur + {gap}
+),
+st_{tag}_{i} AS (
+  SELECT e.doc_id, e.p0, r.run_end AS cur
+  FROM en_{tag}_{i} e JOIN rr_{tag}_{i} r
+    ON r.doc_id = e.doc_id AND r.pos = e.ent
+)"""
+        )
+    txt.append(
+        f",\n{name} AS (SELECT DISTINCT doc_id "
+        f"FROM st_{tag}_{len(stems) - 1})"
+    )
+    return ("".join(txt), name)
+
+
+def _corpus_search_sql(
+    k: int, d: float, eps: float, topk: int, w_tfidf: float, w_pr: float,
+    k1: float, b: float, gap: int = 3,
+) -> str:
+    """Full-query-set search replay: per QUERY_SET entry a generated
+    fragment with the engine's OWN routing baked in at SQL-build time
+    (same parser calls: operator precedence, 2-part split or malformed
+    fallthrough, quote detection, Porter stems — the pytest-pinned cut
+    line), scoring recomputed from exported postings: plain = sum of
+    tf·idf contribs over the stem-union docs; boolean = set algebra on
+    component candidate sets with LEFT-only wordInfo scoring for AND/NOT
+    (B1) and both-side scoring over the union for OR (operand stem sets
+    are asserted disjoint, so the right-overwrite merge (B2) is the
+    identity); phrase = the position-walk matched set, scored over its
+    stems.  Ranking under (score DESC, doc_id ASC), 6dp pinning."""
+    plans = _query_set_plans()
+    ctes: list[str] = []
+    frags: list[str] = []
+
+    def score_frag(qid: str, stems: list[str], cand: str | None) -> str:
+        lst = ", ".join(f"'{s}'" for s in dict.fromkeys(stems))
+        join = (
+            f"JOIN {cand} kk ON kk.doc_id = c.doc_id\n  " if cand else ""
+        )
+        return f"""SELECT '{qid}' AS query_id, c.doc_id,
+       {w_tfidf} * sum(c.tc) + {w_pr} * coalesce(any_value(p.pr), 0) AS score
+FROM contrib c
+  {join}LEFT JOIN prtbl p ON p.node = c.doc_id
+WHERE c.stem IN ({lst})
+GROUP BY c.doc_id"""
+
+    def cand_plain(stems: list[str]) -> str:
+        if not stems:
+            return "SELECT doc_id FROM contrib WHERE 1 = 0"
+        lst = ", ".join(f"'{s}'" for s in stems)
+        return f"SELECT DISTINCT doc_id FROM contrib WHERE stem IN ({lst})"
+
+    for qid, plan, _k in plans:
+        kind, payload = plan
+        if kind == "empty":
+            continue
+        if kind == "plain":
+            if payload:
+                frags.append(score_frag(qid, payload, None))
+            continue
+        if kind == "phrase":
+            if not payload:
+                continue
+            assert len(set(payload)) == len(payload), qid
+            cte, name = _phrase_match_ctes(qid, payload, gap)
+            ctes.append(cte)
+            frags.append(score_frag(qid, payload, name))
+            continue
+        op, (lkind, lstems), (rkind, rstems) = payload
+
+        def side_cand(side: str, kindx: str, stemsx: list[str]) -> str:
+            if kindx == "phrase" and stemsx:
+                cte, name = _phrase_match_ctes(f"{qid}_{side}", stemsx, gap)
+                ctes.append(cte)
+                return f"SELECT doc_id FROM {name}"
+            return cand_plain(stemsx if kindx == "plain" else [])
+
+        lc = side_cand("l", lkind, lstems)
+        rc = side_cand("r", rkind, rstems)
+        if op == "AND":
+            cand_sql, score_stems = f"{lc} INTERSECT {rc}", lstems
+        elif op == "NOT":
+            cand_sql, score_stems = f"{lc} EXCEPT {rc}", lstems
+        else:
+            # OR: right-overwrite merge (B2) is the identity when the
+            # operand stem sets are disjoint — asserted so a future
+            # query-set change fails loudly instead of silently
+            assert not (set(lstems) & set(rstems)), qid
+            assert lkind == rkind == "plain", qid
+            cand_sql, score_stems = f"{lc} UNION {rc}", lstems + rstems
+        if not score_stems:
+            continue
+        cname = f"cand_{qid}"
+        ctes.append(f",\n{cname} AS ({cand_sql})")
+        frags.append(score_frag(qid, score_stems, cname))
+
+    union = "\nUNION ALL\n".join(frags)
+    return (
+        _corpus_pagerank_chain(k, d, eps)
+        + _corpus_scoring_ctes(topk, w_tfidf, w_pr, k1, b)
+        + f""",
+positions AS MATERIALIZED (
+  SELECT stem, doc_id, pos
+  FROM read_parquet('{ORACLE_EXPORT_DIR}/corpus_positions.parquet')
+)"""
+        + "".join(ctes)
+        + f""",
+allq AS ({union}),
+rankedq AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id
+         ) AS rnk
+  FROM allq
+)
+SELECT query_id, (rnk - 1)::INT AS rank, doc_id, round(score, 6) AS score
+FROM rankedq WHERE rnk <= {topk}"""
+    )
+
+
 def _sha64le_expr(hx: str) -> str:
     """First 8 bytes of a sha256 HEX column, little-endian, as HUGEINT —
     ``stable_hash_str`` rebuilt in SQL (byte i = hex pair 2i..2i+1,
@@ -2609,34 +2780,30 @@ def q_corpus_search(sf_dir: str):
     """Reference-semantics search results for the FULL fixture query set
     over the corpus index (query_id, rank, doc_id, score).
 
-    Rows-only, justified: the set exercises the boolean wordInfo
-    quirks (B1 left-bias, B2 right-overwrite, B4 precedence/malformed
-    fallthrough) and the quoted-phrase position walk (MAX_GAP=3 with
-    the cursor-slide quirk) — stateful sequential semantics with no
-    faithful SQL form.  The PLAIN free-text half of the same pipeline
-    IS SQL-oracled end-to-end (``corpus_search_bm25`` /
-    ``corpus_rank_agreement`` recompute scoring+ranking from exported
-    postings), and the boolean/phrase branches are pinned by the
-    driver-green simplified-tokenization oracles (``bool_*``,
-    ``phrase_match``) plus the rank-identity pytest suite across all
-    five scorer paths."""
+    Round 5: SQL-oracled — the oracle bakes the engine's own parser
+    routing per query at SQL-build time (operator precedence, malformed
+    fallthrough, Porter stems: the pytest-pinned cut line) and replays
+    from exported postings/positions: plain scoring, boolean set
+    algebra with the B1 left-wordInfo bias and B2 right-overwrite
+    (identity on this set's disjoint operands), and the quoted-phrase
+    position walk (MAX_GAP=3 enter-non-strict / slide-strict cursor
+    law) — ranked under (score DESC, doc_id ASC)."""
     from .fixtures import QUERY_SET
-    from .query.engine import QueryEngine
 
-    engine = QueryEngine(_corpus_index(sf_dir))
+    engine = _export_search_inputs(sf_dir)
     out_q, out_r, out_d, out_s = [], [], [], []
     for qid, query, k in QUERY_SET:
         for rank, (doc_id, score) in enumerate(engine.search_topk(query, k)):
             out_q.append(qid)
             out_r.append(rank)
             out_d.append(doc_id)
-            out_s.append(round(score, 9))
+            out_s.append(score)
     return pa.table(
         {
             "query_id": pa.array(out_q, pa.string()),
             "rank": pa.array(out_r, pa.int32()),
             "doc_id": pa.array(out_d, pa.int64()),
-            "score": pa.array(out_s, pa.float64()),
+            "score": pa.array(_round6_half_away(out_s), pa.float64()),
         }
     )
 
@@ -2692,12 +2859,79 @@ def _plain_queries() -> list[tuple[str, str, int]]:
     ]
 
 
+def _component_plan(comp: str):
+    """One boolean operand, mirroring ``QueryEngine._component_arrays``
+    routing: quoted -> phrase stems, else plain stems."""
+    from .query.parser import is_quoted, strip_quotes, tokenize_and_stem
+
+    if is_quoted(comp):
+        return ("phrase", tokenize_and_stem(strip_quotes(comp))[0])
+    return ("plain", tokenize_and_stem(comp)[0])
+
+
+def _query_plan(query: str):
+    """Routing plan of one query-set entry, mirroring
+    ``QueryEngine.search_topk`` exactly (same parser calls, same branch
+    order): ('empty', None) | ('plain', stems) | ('phrase', stems) |
+    ('bool', (op, left_plan, right_plan))."""
+    from .query.parser import (
+        detect_operator,
+        is_quoted,
+        split_query,
+        strip_quotes,
+        tokenize_and_stem,
+    )
+
+    q = (query or "").strip()
+    if not q:
+        return ("empty", None)
+    op = detect_operator(query)
+    if op:
+        parts = split_query(query)
+        if len(parts) == 2:
+            return (
+                "bool",
+                (
+                    op,
+                    _component_plan(parts[0].strip()),
+                    _component_plan(parts[1].strip()),
+                ),
+            )
+        # malformed boolean falls through to the plain path
+    if is_quoted(q):
+        return ("phrase", tokenize_and_stem(strip_quotes(q))[0])
+    return ("plain", tokenize_and_stem(query)[0])
+
+
+def _query_set_plans() -> list[tuple[str, tuple, int]]:
+    from .fixtures import QUERY_SET
+
+    return [(qid, _query_plan(query), k) for qid, query, k in QUERY_SET]
+
+
+def _plan_stems(plan) -> tuple[list[str], list[str]]:
+    """(all stems, phrase-walk stems needing positions) of one plan."""
+    kind, payload = plan
+    if kind == "empty":
+        return [], []
+    if kind == "plain":
+        return list(payload), []
+    if kind == "phrase":
+        return list(payload), list(payload) if len(payload) >= 2 else []
+    op, lp, rp = payload
+    la, lph = _plan_stems(lp)
+    ra, rph = _plan_stems(rp)
+    return la + ra, lph + rph
+
+
 def _export_search_inputs(sf_dir: str):
     """Export the search-scoring oracle inputs (beyond the pagerank
     pair): the query->stem map for the plain free-text query subset
     (tokenize+Porter — pytest-pinned, the oracle's cut line), the
     merged per-stem postings ``(stem, doc_id, tf)`` decoded from the
-    index segments, and the doclen sidecar.  Returns the engine."""
+    index segments for EVERY stem the full query set touches (plain,
+    boolean components, phrases), the phrase stems' position lists, and
+    the doclen sidecar.  Returns the engine."""
     from .query.engine import QueryEngine
     from .query.parser import tokenize_and_stem
     from .query.store import load_doclens
@@ -2726,16 +2960,31 @@ def _export_search_inputs(sf_dir: str):
             }
         ),
     )
+    all_stems: set[str] = set(s for s in q_stems if s is not None)
+    walk_stems: set[str] = set()
+    for _qid, plan, _k in _query_set_plans():
+        a, ph = _plan_stems(plan)
+        all_stems.update(a)
+        walk_stems.update(ph)
     p_stems: list[str] = []
     p_ids: list[np.ndarray] = []
     p_tfs: list[np.ndarray] = []
-    for s in sorted(set(q_stems)):
+    pos_stems: list[str] = []
+    pos_ids: list[np.ndarray] = []
+    pos_vals: list[np.ndarray] = []
+    for s in sorted(all_stems):
         tp = engine.store.postings(s)
         if tp is None:
             continue
         p_stems.extend([s] * len(tp.doc_ids))
         p_ids.append(tp.doc_ids)
         p_tfs.append(tp.tfs)
+        if s in walk_stems:
+            for d, pos in zip(tp.doc_ids, tp.positions):
+                arr = np.asarray(pos, dtype=np.int64)
+                pos_stems.extend([s] * len(arr))
+                pos_ids.append(np.full(len(arr), int(d), np.int64))
+                pos_vals.append(arr)
     _export_oracle_input(
         "corpus_postings.parquet",
         pa.table(
@@ -2748,6 +2997,26 @@ def _export_search_inputs(sf_dir: str):
                 "tf": pa.array(
                     np.concatenate(p_tfs) if p_tfs else np.empty(0),
                     pa.float64(),
+                ),
+            }
+        ),
+    )
+    _export_oracle_input(
+        "corpus_positions.parquet",
+        pa.table(
+            {
+                "stem": pa.array(pos_stems, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(pos_ids)
+                    if pos_ids
+                    else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+                "pos": pa.array(
+                    np.concatenate(pos_vals)
+                    if pos_vals
+                    else np.empty(0, np.int64),
+                    pa.int64(),
                 ),
             }
         ),
@@ -9113,6 +9382,9 @@ ORDER BY d.doc_id"""
 
     sql["corpus_pagerank"] = _corpus_pagerank_sql(40, 0.85, 1e-5)
     sql["corpus_search_bm25"] = _corpus_bm25_sql(
+        40, 0.85, 1e-5, topk=10, w_tfidf=0.7, w_pr=0.3, k1=1.2, b=0.75
+    )
+    sql["corpus_search"] = _corpus_search_sql(
         40, 0.85, 1e-5, topk=10, w_tfidf=0.7, w_pr=0.3, k1=1.2, b=0.75
     )
     sql["corpus_index_manifest"] = _corpus_manifest_sql(8)
