@@ -1388,6 +1388,24 @@ class QueryEngine:
         exhausted = [False] * n
         evals = 0
         skips = 0
+        # cursor docs maintained as an int64 array so the per-iteration
+        # unit ordering is one C argsort, not n Python key calls (round
+        # 5: the Python sort made skip-heavy 1M-doc queries pay seconds
+        # BEFORE any guard could see an eval)
+        cur = np.empty(n, dtype=np.int64)
+
+        def sync(u: int) -> None:
+            if exhausted[u]:
+                cur[u] = _MAX_DOC
+                return
+            d = dec[u]
+            if d is None:
+                cur[u] = u_min[u]
+            elif pos[u] < len(d[0]):
+                cur[u] = int(d[0][pos[u]])
+            else:
+                exhausted[u] = True
+                cur[u] = _MAX_DOC
 
         def decode_unit(u: int) -> None:
             lz, ci = u_ltp[u], u_chunk[u]
@@ -1399,14 +1417,7 @@ class QueryEngine:
             dec[u] = (ids, contribs, last, mx)
 
         def cur_doc(u: int) -> int:
-            if exhausted[u]:
-                return _MAX_DOC
-            d = dec[u]
-            if d is None:
-                return u_min[u]
-            if pos[u] < len(d[0]):
-                return int(d[0][pos[u]])
-            return _MAX_DOC
+            return int(cur[u])
 
         def advance(u: int, target: int) -> None:
             """Move unit ``u``'s cursor to the first posting >= target.
@@ -1425,15 +1436,38 @@ class QueryEngine:
                     pos[u] = int(np.searchsorted(d[0], target, side="left"))
                     if pos[u] >= len(d[0]):
                         exhausted[u] = True
+                sync(u)
                 return
             pos[u] = int(np.searchsorted(d[0], target, side="left"))
             if pos[u] >= len(d[0]):
                 exhausted[u] = True
+            sync(u)
 
+        for u in range(n):
+            sync(u)
         heap: list[tuple[float, int]] = []
         threshold = -np.inf
+        iters = 0
         while True:
-            order = sorted(range(n), key=cur_doc)
+            # total-WORK guard (round 5): every loop turn costs ~(argsort
+            # n + pivot scan), so iters*(64+n) models the spend; a query
+            # that has not produced its top-k within the budget is slower
+            # than vectorized TAAT no matter how its skip ratio looks —
+            # the eval-ratio guard below cannot see skip-heavy loops.
+            iters += 1
+            if iters * (64 + n) > _COLD_WORK_BUDGET:
+                self._bmw_abort_cache[memo_key] = True
+                if len(self._bmw_abort_cache) > self._bmw_abort_cache_max:
+                    self._bmw_abort_cache.popitem(last=False)
+                self.cold_stats = {
+                    "chunks_total": n,
+                    "chunks_decoded": sum(1 for d in dec if d is not None),
+                    "evals": evals,
+                    "block_skips": skips,
+                    "aborted": True,
+                }
+                return None
+            order = np.argsort(cur, kind="stable")
             if cur_doc(order[0]) == _MAX_DOC:
                 break
             acc = static_ub
@@ -1487,9 +1521,18 @@ class QueryEngine:
                 continue
             if cur_doc(order[0]) == pivot_doc:
                 evals += 1
-                if evals >= eval_budget and skips * 16 < evals:
-                    # non-pruning workload: bail out to the warm
-                    # vectorized path before the per-doc loop bites
+                if evals >= eval_budget and (
+                    skips * 16 < evals or evals >= 8 * eval_budget
+                ):
+                    # Bail out to the warm vectorized path: either the
+                    # non-pruning REGIME (skip ratio < 1/16 at the
+                    # budget) or — round 5 — the absolute WORK bound
+                    # (8x budget).  The ratio test alone let a
+                    # mediocre-pruning query on a 1M-doc index run
+                    # ~100k+ per-doc Python evals (measured p95 8.1 s)
+                    # because skips stayed just above 1/16; pruning
+                    # that has not produced a top-k by 8x budget is
+                    # slower than TAAT regardless of the ratio.
                     self._bmw_abort_cache[memo_key] = True
                     if len(self._bmw_abort_cache) > self._bmw_abort_cache_max:
                         self._bmw_abort_cache.popitem(last=False)
@@ -1521,6 +1564,7 @@ class QueryEngine:
                         pos[u] += 1
                         if pos[u] >= len(d[0]):
                             exhausted[u] = True
+                    sync(u)
                 score = w_tfidf * score + w_pr * pr_of(pivot_doc)
                 item = (score, -pivot_doc)
                 if len(heap) < k:
@@ -1867,6 +1911,11 @@ class QueryEngine:
 
 
 _MAX_DOC = 1 << 62
+
+# _topk_cold total-work budget in unit-steps (~iters * (64 + n)): caps
+# the wall time a skip-heavy-but-not-winning cold query can burn before
+# falling back to vectorized TAAT (~0.1-0.3 s at the C-argsort loop cost)
+_COLD_WORK_BUDGET = 10_000_000
 
 # candidate docs per phrase-walk slab: bounds every temporary array to
 # ~slab × positions-per-doc values, so walking a hot term never allocates
