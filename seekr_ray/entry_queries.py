@@ -7416,6 +7416,581 @@ def q_tpch_q22v(sf_dir: str):
     )
 
 
+def q_tpch_q8v(sf_dir: str):
+    """TPC-H Q8 variant (national market share): among 1995-1996 revenue
+    from PROMO-type parts ordered by ASIA-region customers, the share
+    supplied by NATION_2, per order year.
+
+    Ray plan: the PROMO partkey set and the supplier->nation map ride as
+    sorted closure arrays (small sides, broadcast once per task);
+    year-filtered orders stamp their customer's nation via co-partition
+    ``attach_value`` (INNER), keep ASIA customers, and become an
+    (orderkey -> year) lookup that stamps lineitem INNER; per-batch
+    integer e4-cent partials reduce over O(years) keys.  Share =
+    num_cents / den_cents — one division of two exact integers, 6dp,
+    mirrored by the oracle."""
+    import ray.data as rd
+
+    from .bucket_agg import bucketed_group_agg
+    from .extras.copart import attach_value
+    from .extras.textstats import round6
+    from .nputil import isin_sorted
+
+    region = pa.concat_tables(
+        rd.read_parquet(os.path.join(sf_dir, "region.parquet")).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    nation = pa.concat_tables(
+        rd.read_parquet(os.path.join(sf_dir, "nation.parquet")).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    asia_rk = region.filter(pc.equal(region["r_name"], "ASIA"))[
+        "r_regionkey"
+    ][0].as_py()
+    asia = np.sort(
+        nation.filter(pc.equal(nation["n_regionkey"], asia_rk))[
+            "n_nationkey"
+        ].to_numpy(zero_copy_only=False)
+    )
+    target_nk = nation.filter(pc.equal(nation["n_name"], "NATION_2"))[
+        "n_nationkey"
+    ][0].as_py()
+
+    part = pa.concat_tables(
+        rd.read_parquet(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_type"],
+        ).iter_batches(batch_format="pyarrow")
+    )
+    promo = np.sort(
+        part.filter(pc.equal(part["p_type"], "PROMO"))["p_partkey"].to_numpy(
+            zero_copy_only=False
+        )
+    )
+    supp = pa.concat_tables(
+        rd.read_parquet(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_nationkey"],
+        ).iter_batches(batch_format="pyarrow")
+    )
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False)
+    sn = supp["s_nationkey"].to_numpy(zero_copy_only=False)
+    so = np.argsort(sk)
+    sk, sn = sk[so], sn[so]
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(
+        lambda b: pa.table({"node": b["c_custkey"], "value": b["c_nationkey"]}),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def ord_years(batch: pa.Table) -> pa.Table:
+        y = (
+            pc.cast(batch["o_orderdate"], pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        m = (y == 1995) | (y == 1996)
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"].filter(pa.array(m)),
+                "o_orderkey": batch["o_orderkey"].filter(pa.array(m)),
+                "o_year": pa.array(y[m], pa.int64()),
+            }
+        )
+
+    ord_nat = attach_value(
+        orders.map_batches(ord_years, batch_format="pyarrow"),
+        cust,
+        key_col="o_custkey",
+        out_col="c_nat",
+        carry=["o_orderkey", "o_year"],
+    )
+
+    def asia_orders(batch: pa.Table) -> pa.Table:
+        cn = batch["c_nat"].to_numpy(zero_copy_only=False)
+        m, _ = isin_sorted(asia, cn)
+        return pa.table(
+            {
+                "node": batch["o_orderkey"].filter(pa.array(m)),
+                "value": batch["o_year"].filter(pa.array(m)),
+            }
+        )
+
+    ord_lookup = ord_nat.map_batches(asia_orders, batch_format="pyarrow")
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount",
+        ],
+    )
+
+    def li_rows(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        m, _ = isin_sorted(promo, pk)
+        cents = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[m])
+            * 10000.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"].filter(pa.array(m)),
+                "l_suppkey": batch["l_suppkey"].filter(pa.array(m)),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    with_year = attach_value(
+        li.map_batches(li_rows, batch_format="pyarrow"),
+        ord_lookup,
+        key_col="l_orderkey",
+        out_col="o_year",
+        carry=["l_suppkey", "cents"],
+        missing="drop",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        yr = batch["o_year"].to_numpy(zero_copy_only=False)
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sk, lsk).clip(max=max(len(sk) - 1, 0))
+        is_target = (len(sk) > 0) & (sk[pos] == lsk) & (sn[pos] == target_nk)
+        keys, inv = np.unique(yr, return_inverse=True)
+        den = np.zeros(len(keys), np.int64)
+        num = np.zeros(len(keys), np.int64)
+        np.add.at(den, inv, cents)
+        np.add.at(num, inv[is_target], cents[is_target])
+        return pa.table(
+            {
+                "o_year": pa.array(keys, pa.int64()),
+                "num": pa.array(num, pa.int64()),
+                "den": pa.array(den, pa.int64()),
+            }
+        )
+
+    agg = bucketed_group_agg(
+        with_year.map_batches(partial, batch_format="pyarrow"),
+        "o_year",
+        [("num", "sum"), ("den", "sum")],
+    )
+    rows = []
+    for t in agg.iter_batches(batch_format="pyarrow"):
+        for y, nu, de in zip(
+            t["o_year"].to_pylist(),
+            t["sum(num)"].to_pylist(),
+            t["sum(den)"].to_pylist(),
+        ):
+            if de > 0:
+                rows.append((int(y), round6(int(nu) / int(de))))
+    rows.sort()
+    return pa.table(
+        {
+            "o_year": pa.array([r[0] for r in rows], pa.int64()),
+            "mkt_share": pa.array([r[1] for r in rows], pa.float64()),
+        }
+    )
+
+
+def q_tpch_q15v(sf_dir: str):
+    """TPC-H Q15 (top supplier): supplier(s) with the maximum revenue
+    over 1996-Q1 shipments — exact integer e4-cent totals, so the
+    global max and its tie set are order-free; ties all emitted,
+    suppkey-sorted, names joined from the small side."""
+    import ray.data as rd
+
+    from .bucket_agg import bucketed_group_agg
+    from .extras.textstats import round6
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    lo = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1996-04-01", "us").astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = (
+            pc.cast(batch["l_shipdate"], pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        m = (ts >= lo) & (ts < hi)
+        cents = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[m])
+            * 10000.0
+        ).astype(np.int64)
+        keys, inv = np.unique(
+            batch["l_suppkey"].to_numpy(zero_copy_only=False)[m],
+            return_inverse=True,
+        )
+        sums = np.zeros(len(keys), np.int64)
+        np.add.at(sums, inv, cents)
+        return pa.table(
+            {
+                "sk": pa.array(keys, pa.int64()),
+                "cents": pa.array(sums, pa.int64()),
+            }
+        )
+
+    agg = bucketed_group_agg(
+        li.map_batches(partial, batch_format="pyarrow"), "sk", [("cents", "sum")]
+    )
+    totals: dict[int, int] = {}
+    for t in agg.iter_batches(batch_format="pyarrow"):
+        for s, c in zip(t["sk"].to_pylist(), t["sum(cents)"].to_pylist()):
+            totals[int(s)] = int(c)
+    if not totals:
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "total_revenue": pa.array([], pa.float64()),
+            }
+        )
+    best = max(totals.values())
+    winners = sorted(s for s, c in totals.items() if c == best)
+    supp = pa.concat_tables(
+        rd.read_parquet(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_name"],
+        ).iter_batches(batch_format="pyarrow")
+    )
+    name_of = dict(
+        zip(supp["s_suppkey"].to_pylist(), supp["s_name"].to_pylist())
+    )
+    return pa.table(
+        {
+            "s_suppkey": pa.array(winners, pa.int64()),
+            "s_name": pa.array([name_of[s] for s in winners], pa.string()),
+            "total_revenue": pa.array(
+                [round6(best / 10000.0)] * len(winners), pa.float64()
+            ),
+        }
+    )
+
+
+def q_tpch_q17v(sf_dir: str):
+    """TPC-H Q17 (small-quantity-order revenue): average yearly revenue
+    lost if Brand#23 orders below 20%% of the part's average quantity
+    were not taken.
+
+    Exactness law: the per-part threshold compare cross-multiplies
+    integers (5·q·cnt < sum_q, quantities are integer-valued) instead
+    of comparing against the float 0.2·avg, so block layout cannot flip
+    a boundary row; two passes over the brand-filtered rows (per-part
+    stats, then the gated cent sum)."""
+    import ray.data as rd
+
+    from .bucket_agg import bucketed_group_agg
+    from .extras.textstats import round6
+    from .nputil import isin_sorted
+
+    part = pa.concat_tables(
+        rd.read_parquet(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_brand"],
+        ).iter_batches(batch_format="pyarrow")
+    )
+    keep = np.sort(
+        part.filter(pc.equal(part["p_brand"], "Brand#23"))[
+            "p_partkey"
+        ].to_numpy(zero_copy_only=False)
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        m, _ = isin_sorted(keep, pk)
+        q = np.rint(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)[m]
+        ).astype(np.int64)
+        keys, inv = np.unique(pk[m], return_inverse=True)
+        sums = np.zeros(len(keys), np.int64)
+        cnts = np.zeros(len(keys), np.int64)
+        np.add.at(sums, inv, q)
+        np.add.at(cnts, inv, 1)
+        return pa.table(
+            {
+                "pk": pa.array(keys, pa.int64()),
+                "sq": pa.array(sums, pa.int64()),
+                "n": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    agg = bucketed_group_agg(
+        li.map_batches(stats_partial, batch_format="pyarrow"),
+        "pk",
+        [("sq", "sum"), ("n", "sum")],
+    )
+    pks, sqs, cns = [], [], []
+    for t in agg.iter_batches(batch_format="pyarrow"):
+        pks.extend(t["pk"].to_pylist())
+        sqs.extend(t["sum(sq)"].to_pylist())
+        cns.extend(t["sum(n)"].to_pylist())
+    pk_arr = np.asarray(pks, np.int64)
+    o = np.argsort(pk_arr)
+    pk_arr = pk_arr[o]
+    sq_arr = np.asarray(sqs, np.int64)[o]
+    cn_arr = np.asarray(cns, np.int64)[o]
+
+    def gated_cents(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        m, _ = isin_sorted(pk_arr, pk)
+        q = np.rint(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)[m]
+        ).astype(np.int64)
+        pos = np.searchsorted(pk_arr, pk[m])
+        gate = 5 * q * cn_arr[pos] < sq_arr[pos]
+        cents = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m][gate]
+            * 10000.0
+        ).astype(np.int64)
+        return pa.table({"cents": pa.array([int(cents.sum())], pa.int64())})
+
+    total = 0
+    for t in li.map_batches(gated_cents, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        total += sum(t["cents"].to_pylist())
+    return pa.table(
+        {
+            "avg_yearly": pa.array(
+                [round6((total / 10000.0) / 7.0)], pa.float64()
+            )
+        }
+    )
+
+
+Q19_BANDS = [  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#34", 1, 15, 20, 30),
+]
+
+
+def q_tpch_q19v(sf_dir: str):
+    """TPC-H Q19 (discounted revenue, no container column): revenue from
+    lineitems matching ANY of three (brand, size-range, quantity-range)
+    bands — the OR-of-conjunctive-bands predicate family.  Per-band
+    partkey sets ride as sorted closure arrays; quantity compares are
+    integer; one e4-cent total row (always emitted)."""
+    import ray.data as rd
+
+    from .extras.textstats import round6
+    from .nputil import isin_sorted
+
+    part = pa.concat_tables(
+        rd.read_parquet(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_brand", "p_size"],
+        ).iter_batches(batch_format="pyarrow")
+    )
+    band_keys = []
+    for brand, slo, shi, _qlo, _qhi in Q19_BANDS:
+        m = pc.and_(
+            pc.equal(part["p_brand"], brand),
+            pc.and_(
+                pc.greater_equal(part["p_size"], slo),
+                pc.less_equal(part["p_size"], shi),
+            ),
+        )
+        band_keys.append(
+            np.sort(
+                part.filter(m)["p_partkey"].to_numpy(zero_copy_only=False)
+            )
+        )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        q = np.rint(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        m = np.zeros(len(pk), dtype=bool)
+        for keys, (_b, _sl, _sh, qlo, qhi) in zip(band_keys, Q19_BANDS):
+            bm, _ = isin_sorted(keys, pk)
+            m |= bm & (q >= qlo) & (q <= qhi)
+        cents = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[m])
+            * 10000.0
+        ).astype(np.int64)
+        return pa.table({"cents": pa.array([int(cents.sum())], pa.int64())})
+
+    total = 0
+    for t in li.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        total += sum(t["cents"].to_pylist())
+    return pa.table(
+        {"revenue": pa.array([round6(total / 10000.0)], pa.float64())}
+    )
+
+
+Q21_LATE_DAYS = 60
+
+
+def q_tpch_q21v(sf_dir: str):
+    """TPC-H Q21 variant (suppliers who kept orders waiting; the schema
+    has no commit/receipt dates, so "late" = shipped more than 60 days
+    after the order date): for 'F'-status multi-supplier orders where
+    EXACTLY ONE supplier shipped late, count the offending orders per
+    supplier — the EXISTS / NOT-EXISTS pair collapsed into per-order
+    (n_suppliers, n_late_suppliers) integer aggregates over one
+    bucketed orderkey exchange."""
+    import ray.data as rd
+
+    from .bucket_agg import _bucket_ids, bucketed_group_agg
+    from .extras.copart import attach_value
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_orderdate"],
+    )
+
+    def ord_f(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["o_orderstatus"], "F")
+        od = (
+            pc.cast(batch["o_orderdate"].filter(m), pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "node": batch["o_orderkey"].filter(m),
+                "value": pa.array(od, pa.int64()),
+            }
+        )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+
+    def li_rows(batch: pa.Table) -> pa.Table:
+        ts = (
+            pc.cast(batch["l_shipdate"], pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "ship_us": pa.array(ts, pa.int64()),
+            }
+        )
+
+    stamped = attach_value(
+        li.map_batches(li_rows, batch_format="pyarrow"),
+        orders.map_batches(ord_f, batch_format="pyarrow"),
+        key_col="l_orderkey",
+        out_col="od_us",
+        carry=["l_suppkey", "ship_us"],
+        missing="drop",
+    )
+    late_cut = np.int64(Q21_LATE_DAYS) * 86_400_000_000
+
+    def tag(batch: pa.Table) -> pa.Table:
+        late = (
+            batch["ship_us"].to_numpy(zero_copy_only=False)
+            > batch["od_us"].to_numpy(zero_copy_only=False) + late_cut
+        )
+        t = pa.table(
+            {
+                "ok": batch["l_orderkey"],
+                "sk": batch["l_suppkey"],
+                "late": pa.array(late.astype(np.int64), pa.int64()),
+            }
+        )
+        return t.append_column(
+            "_b", pa.array(_bucket_ids(t, ["ok"], 64), pa.int64())
+        )
+
+    def per_order(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("ok", "ascending"), ("sk", "ascending")]
+        )
+        t = group.take(order)
+        ok = t["ok"].to_numpy(zero_copy_only=False)
+        sk = t["sk"].to_numpy(zero_copy_only=False)
+        late = t["late"].to_numpy(zero_copy_only=False)
+        n = len(ok)
+        if n == 0:
+            return pa.table({"sk": pa.array([], pa.int64())})
+        # collapse to distinct (order, supplier) pairs with any(late)
+        new_pair = np.empty(n, dtype=bool)
+        new_pair[0] = True
+        new_pair[1:] = (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])
+        pair_id = np.cumsum(new_pair) - 1
+        n_pairs = int(pair_id[-1]) + 1
+        p_ok = ok[new_pair]
+        p_sk = sk[new_pair]
+        p_late = np.zeros(n_pairs, np.int64)
+        np.maximum.at(p_late, pair_id, late)
+        # per order: supplier count and late-supplier count
+        new_ord = np.empty(n_pairs, dtype=bool)
+        new_ord[0] = True
+        new_ord[1:] = p_ok[1:] != p_ok[:-1]
+        ord_id = np.cumsum(new_ord) - 1
+        n_ord = int(ord_id[-1]) + 1
+        n_supp = np.bincount(ord_id, minlength=n_ord)
+        n_late = np.zeros(n_ord, np.int64)
+        np.add.at(n_late, ord_id, p_late)
+        good = (n_supp[ord_id] >= 2) & (n_late[ord_id] == 1) & (p_late == 1)
+        return pa.table({"sk": pa.array(p_sk[good], pa.int64())})
+
+    winners = (
+        stamped.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(per_order, batch_format="pyarrow")
+    )
+    counts = bucketed_group_agg(winners, "sk", [("sk", "count")])
+    rows = []
+    for t in counts.iter_batches(batch_format="pyarrow"):
+        for s, c in zip(t["sk"].to_pylist(), t["count()"].to_pylist()):
+            rows.append((int(s), int(c)))
+    supp = pa.concat_tables(
+        rd.read_parquet(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_name"],
+        ).iter_batches(batch_format="pyarrow")
+    )
+    name_of = dict(
+        zip(supp["s_suppkey"].to_pylist(), supp["s_name"].to_pylist())
+    )
+    named = sorted(
+        ((name_of[s], c) for s, c in rows), key=lambda r: (-r[1], r[0])
+    )
+    return pa.table(
+        {
+            "s_name": pa.array([r[0] for r in named], pa.string()),
+            "numwait": pa.array([r[1] for r in named], pa.int64()),
+        }
+    )
+
+
 def q_gopher_signals(sf_dir: str):
     """Gopher-rule symbol/layout signals per doc: '#' count, '...'
     (ellipsis) count, bullet-line fraction ('-'/'*' starts) and mean
@@ -10227,6 +10802,87 @@ SELECT count(*)::BIGINT AS numcust,
 FROM customer c, tot
 WHERE CAST(round(c.c_acctbal*100, 0) AS BIGINT) * tot.n > tot.s
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""
+
+    sql["tpch_q8v"] = """WITH asia AS (
+  SELECT n_nationkey FROM nation n
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'ASIA'),
+tgt AS (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_2'),
+f AS (
+  SELECT year(o.o_orderdate)::BIGINT AS o_year,
+         CAST(round(l.l_extendedprice*(1 - l.l_discount)*10000, 0)
+              AS BIGINT) AS x,
+         CASE WHEN s.s_nationkey = (SELECT n_nationkey FROM tgt)
+              THEN 1 ELSE 0 END AS is_t
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE year(o.o_orderdate) IN (1995, 1996)
+    AND c.c_nationkey IN (SELECT n_nationkey FROM asia)
+    AND p.p_type = 'PROMO')
+SELECT o_year,
+       round(sum(x * is_t)::BIGINT / sum(x)::BIGINT, 6) AS mkt_share
+FROM f GROUP BY o_year HAVING sum(x) > 0 ORDER BY o_year"""
+
+    sql["tpch_q15v"] = """WITH f AS (
+  SELECT l_suppkey AS sk,
+         CAST(round(l_extendedprice*(1 - l_discount)*10000, 0)
+              AS BIGINT) AS x
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'),
+g AS (SELECT sk, sum(x)::BIGINT AS cents FROM f GROUP BY sk),
+mx AS (SELECT max(cents) AS m FROM g)
+SELECT g.sk AS s_suppkey, s.s_name,
+       round(g.cents / 10000.0, 6) AS total_revenue
+FROM g JOIN supplier s ON s.s_suppkey = g.sk
+WHERE g.cents = (SELECT m FROM mx) ORDER BY g.sk"""
+
+    sql["tpch_q17v"] = """WITH pb AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+f AS (
+  SELECT l.l_partkey AS pk,
+         CAST(round(l.l_quantity, 0) AS BIGINT) AS q,
+         CAST(round(l.l_extendedprice*10000, 0) AS BIGINT) AS x
+  FROM lineitem l JOIN pb ON pb.p_partkey = l.l_partkey),
+st AS (
+  SELECT pk, sum(q)::BIGINT AS sq, count(*)::BIGINT AS n FROM f GROUP BY pk),
+kept AS (
+  SELECT f.x FROM f JOIN st ON st.pk = f.pk WHERE 5 * f.q * st.n < st.sq)
+SELECT round((coalesce(sum(x), 0)::BIGINT / 10000.0) / 7.0, 6) AS avg_yearly
+FROM kept"""
+
+    _q19_preds = " OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {sl} AND {sh} "
+        f"AND CAST(round(l.l_quantity, 0) AS BIGINT) BETWEEN {ql} AND {qh})"
+        for b, sl, sh, ql, qh in Q19_BANDS
+    )
+    sql["tpch_q19v"] = f"""WITH f AS (
+  SELECT CAST(round(l.l_extendedprice*(1 - l.l_discount)*10000, 0)
+              AS BIGINT) AS x
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE {_q19_preds})
+SELECT round(coalesce(sum(x), 0)::BIGINT / 10000.0, 6) AS revenue FROM f"""
+
+    sql["tpch_q21v"] = f"""WITH f AS (
+  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+         max(CASE WHEN l.l_shipdate >
+                       o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY 1, 2),
+g AS (
+  SELECT ok, count(*)::BIGINT AS n_supp, sum(late)::BIGINT AS n_late
+  FROM f GROUP BY ok),
+w AS (
+  SELECT f.sk FROM f JOIN g USING (ok)
+  WHERE g.n_supp >= 2 AND g.n_late = 1 AND f.late = 1),
+c AS (SELECT sk, count(*)::BIGINT AS numwait FROM w GROUP BY sk)
+SELECT s.s_name, c.numwait FROM c JOIN supplier s ON s.s_suppkey = c.sk
+ORDER BY c.numwait DESC, s.s_name"""
 
     sql["tpch_q13v"] = """WITH c_orders AS (
   SELECT c.c_custkey, count(o.o_custkey)::BIGINT AS c_count
