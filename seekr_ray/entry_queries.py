@@ -638,7 +638,7 @@ def _corpus_pagerank_sql(k: int, d: float, eps: float) -> str:
 
 
 def _corpus_scoring_ctes(
-    topk: int, w_tfidf: float, w_pr: float, k1: float, b: float
+    w_tfidf: float, w_pr: float, k1: float, b: float
 ) -> str:
     """Shared scoring CTEs over the EXPORTED per-stem postings, doclen
     sidecar and query->stem map: df/idf recomputed from the postings
@@ -717,7 +717,7 @@ def _corpus_bm25_sql(
 ) -> str:
     return (
         _corpus_pagerank_chain(k, d, eps)
-        + _corpus_scoring_ctes(topk, w_tfidf, w_pr, k1, b)
+        + _corpus_scoring_ctes(w_tfidf, w_pr, k1, b)
         + f"""
 SELECT query_id, (rnk - 1)::INT AS rank, doc_id, round(score, 6) AS score
 FROM ranked_bm25 WHERE rnk <= {topk}"""
@@ -734,7 +734,7 @@ def _corpus_rank_agreement_sql(
     (overlap10 0, rbo 0) like the engine loop."""
     return (
         _corpus_pagerank_chain(k, d, eps)
-        + _corpus_scoring_ctes(depth, w_tfidf, w_pr, k1, b)
+        + _corpus_scoring_ctes(w_tfidf, w_pr, k1, b)
         + f""",
 qids AS (SELECT DISTINCT query_id FROM qs),
 a AS (SELECT query_id, doc_id, rnk FROM ranked_tfidf WHERE rnk <= {depth}),
@@ -851,7 +851,11 @@ def _corpus_search_sql(
     frags: list[str] = []
 
     def score_frag(qid: str, stems: list[str], cand: str | None) -> str:
-        lst = ", ".join(f"'{s}'" for s in dict.fromkeys(stems))
+        # one contrib row per (stem, doc): a REPEATED stem would need
+        # the reference's duplicate-double-count law (engine `mult`) —
+        # fail loudly at SQL-build time if the query set ever grows one
+        assert len(set(stems)) == len(stems), (qid, stems)
+        lst = ", ".join(f"'{s}'" for s in stems)
         join = (
             f"JOIN {cand} kk ON kk.doc_id = c.doc_id\n  " if cand else ""
         )
@@ -915,7 +919,7 @@ GROUP BY c.doc_id"""
     union = "\nUNION ALL\n".join(frags)
     return (
         _corpus_pagerank_chain(k, d, eps)
-        + _corpus_scoring_ctes(topk, w_tfidf, w_pr, k1, b)
+        + _corpus_scoring_ctes(w_tfidf, w_pr, k1, b)
         + f""",
 positions AS MATERIALIZED (
   SELECT stem, doc_id, pos
@@ -3120,18 +3124,17 @@ def q_corpus_pagerank(sf_dir: str):
 
     index_dir = _export_pagerank_inputs(sf_dir)
     ids, ranks = load_pagerank(index_dir)  # already id-sorted
-    pr = np.asarray(ranks, dtype=np.float64)
-    # half-away-from-zero at 6dp == DuckDB round(x, 6) (never Python
-    # round(): banker's rounding disagrees on exact halves).  6dp, not
-    # 9: the two sides sum floats in different orders (~1e-14 drift
-    # after ~21 iterations), and at ~4e3 nodes the odds of a value
-    # within drift of a 9dp rounding boundary are no longer negligible
-    # — the same margin law as pagerank_lineitem.
-    pr6 = np.copysign(np.floor(np.abs(pr) * 1e6 + 0.5), pr) / 1e6
+    # 6dp (not 9) half-away-from-zero: the two sides sum floats in
+    # different orders (~1e-14 drift after ~21 iterations), and at ~4e3
+    # nodes the odds of a value within drift of a 9dp rounding boundary
+    # are no longer negligible — the same margin law as
+    # pagerank_lineitem.
     return pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
-            "page_rank": pa.array(pr6, pa.float64()),
+            "page_rank": pa.array(
+                _round6_half_away(list(ranks)), pa.float64()
+            ),
         }
     )
 
@@ -7566,8 +7569,11 @@ def q_tpch_q8v(sf_dir: str):
         yr = batch["o_year"].to_numpy(zero_copy_only=False)
         cents = batch["cents"].to_numpy(zero_copy_only=False)
         lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(sk, lsk).clip(max=max(len(sk) - 1, 0))
-        is_target = (len(sk) > 0) & (sk[pos] == lsk) & (sn[pos] == target_nk)
+        if len(sk):
+            pos = np.searchsorted(sk, lsk).clip(max=len(sk) - 1)
+            is_target = (sk[pos] == lsk) & (sn[pos] == target_nk)
+        else:
+            is_target = np.zeros(len(lsk), dtype=bool)
         keys, inv = np.unique(yr, return_inverse=True)
         den = np.zeros(len(keys), np.int64)
         num = np.zeros(len(keys), np.int64)

@@ -837,7 +837,7 @@ _CLUSTER_DRIVER_LIMIT = 5_000_000
 _EXPAND_BROADCAST_LIMIT = 4_000_000
 
 
-def _spill_to_parquet(ds, prefix: str) -> str:
+def _spill_to_parquet(ds, prefix: str, registry: list | None = None) -> str:
     """Write a mid-pipeline Dataset to parquet shards under a temp dir
     and return the dir path for lazy re-reads.
 
@@ -848,7 +848,10 @@ def _spill_to_parquet(ds, prefix: str) -> str:
     pruning via ``read_parquet(columns=...)`` — instead of pinning
     corpus-scale bytes for the pipeline's lifetime.  The shards are
     lineage-free (no recompute for the second consumer) and the dir is
-    removed at interpreter exit."""
+    removed at interpreter exit — or EAGERLY by terminal consumers that
+    pass a ``registry`` list (they rmtree the collected dirs once the
+    pipeline is fully drained, so repeated calls in a long-lived
+    process don't accumulate corpus-scale spill under /tmp)."""
     import atexit
     import shutil
     import tempfile
@@ -856,6 +859,8 @@ def _spill_to_parquet(ds, prefix: str) -> str:
     d = tempfile.mkdtemp(prefix=prefix)
     ds.write_parquet(d)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
+    if registry is not None:
+        registry.append(d)
     return d
 
 
@@ -1303,7 +1308,8 @@ def _expand_cogrouped(narrow_ds, nodes: np.ndarray, labels: np.ndarray,
 def minhash_dedup_clusters_ds(docs_ds, threshold: float = 0.8, num_bands=16,
                               rows_per_band=4, shingle_k=3,
                               text_col: str = "text",
-                              max_bucket: int | None = None):
+                              max_bucket: int | None = None,
+                              spill_registry: list | None = None):
     """Dataset form of ``minhash_dedup_clusters`` — the (doc_id,
     cluster_id) assignment as a STREAMING Ray Dataset, for the 100-TB
     action path (``.write_parquet`` the assignment, or co-group it with
@@ -1345,7 +1351,9 @@ def minhash_dedup_clusters_ds(docs_ds, threshold: float = 0.8, num_bands=16,
     # a mid-pipeline materialize that would pin it in the object store —
     # and each consumer re-reads ONLY its columns
     spill = _spill_to_parquet(
-        _collapse_identity(shingled), "seekr_minhash_collapsed_"
+        _collapse_identity(shingled),
+        "seekr_minhash_collapsed_",
+        registry=spill_registry,
     )
 
     def rep_only(batch: pa.Table) -> pa.Table:
@@ -1424,13 +1432,18 @@ def minhash_dedup_clusters(docs_ds, threshold: float = 0.8, num_bands=16,
     assignment — fine for reports and the oracle contract; the 100-TB
     write path is ``minhash_dedup_clusters_ds``).  See that function
     for the full plan and the exactness argument."""
+    import shutil
+
+    spills: list[str] = []
     ds = minhash_dedup_clusters_ds(
         docs_ds, threshold, num_bands, rows_per_band, shingle_k, text_col,
-        max_bucket,
+        max_bucket, spill_registry=spills,
     )
     parts = [
         t for t in ds.iter_batches(batch_format="pyarrow") if t.num_rows
     ]
+    for d in spills:  # fully drained: reclaim the spill eagerly
+        shutil.rmtree(d, ignore_errors=True)
     if not parts:
         return pa.table(
             {

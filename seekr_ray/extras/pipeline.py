@@ -99,8 +99,29 @@ def _load_or_compute_drops(
     if os.path.exists(done):
         with open(done) as f:
             marker = json.load(f)
-        old_params = marker.get("params", params)
-        if old_params != params:
+        old_params = marker.get("params")
+        if old_params is None:
+            # legacy marker (written before params were recorded): the
+            # old parameters are unknowable, so adopt the CURRENT call's
+            # as recorded — but rewrite the marker below instead of
+            # returning early from the cache hit, so the dir is
+            # protected from the next parameter change onward
+            if marker.get("fragments") == frag_names:
+                arr = pq.read_table(path)["doc_id"].to_numpy(
+                    zero_copy_only=False
+                )
+                sha = marker["drops_sha256"]
+            else:
+                arr = compute()
+                sha = hashlib.sha256(arr.tobytes()).hexdigest()
+                if sha != marker.get("drops_sha256"):
+                    raise RuntimeError(
+                        "input fragments changed AND the drop set "
+                        "changed: existing shards were filtered against "
+                        "different drops. Clear the output dir (or "
+                        "restore the original inputs) and re-run."
+                    )
+        elif old_params != params:
             if out_dir is not None and _committed_shards(out_dir):
                 raise RuntimeError(
                     f"curation parameters changed (recorded {old_params!r} "
@@ -289,6 +310,9 @@ def neardup_write(
     os.makedirs(out_dir, exist_ok=True)
 
     def compute() -> np.ndarray:
+        import shutil
+
+        spills: list[str] = []
         clusters = minhash_dedup_clusters_ds(
             rd.read_parquet(input_path, columns=["doc_id", text_col]),
             threshold=threshold,
@@ -296,6 +320,7 @@ def neardup_write(
             rows_per_band=rows_per_band,
             shingle_k=shingle_k,
             text_col=text_col,
+            spill_registry=spills,
         )
 
         def losers(batch: pa.Table) -> pa.Table:
@@ -306,9 +331,12 @@ def neardup_write(
                 {"doc_id": pa.array(ids[ids != cl], pa.int64())}
             )
 
-        return _collect_ids(
+        out = _collect_ids(
             clusters.map_batches(losers, batch_format="pyarrow")
         )
+        for d in spills:  # fully drained: reclaim the spill eagerly
+            shutil.rmtree(d, ignore_errors=True)
+        return out
 
     drops = _load_or_compute_drops(
         os.path.join(out_dir, "_neardrops"),

@@ -187,3 +187,36 @@ def test_resume_refuses_parameter_change(ray_session, tmp_path):
         neardup_write(nsrc, nout, threshold=0.9)
     m = neardup_write(nsrc, nout, threshold=0.5)
     assert m["shards_skipped"] == 1
+
+
+def test_legacy_marker_upgrades_with_params(ray_session, tmp_path):
+    """A pre-round-5 _SUCCESS marker (no recorded params) must be
+    upgraded in place on the next resume — cached drops reused, the
+    current call's parameters stamped — so later parameter changes
+    refuse like any round-5 dir."""
+    import json
+
+    import pytest as _pytest
+
+    src = str(tmp_path / "lin")
+    out = str(tmp_path / "lout")
+    _write_fragments(
+        src, [[(1, GOOD + " alpha")], [(2, GOOD + " beta tail words here")]]
+    )
+    curate_write(src, out, min_tokens=5)
+    done = os.path.join(out, "_drops", "_SUCCESS")
+    with open(done) as f:
+        marker = json.load(f)
+    assert marker["params"]["min_tokens"] == 5
+    del marker["params"]  # simulate a legacy marker
+    with open(done, "w") as f:
+        json.dump(marker, f)
+    before = _read_out(out)
+    m = curate_write(src, out, min_tokens=5)  # resume upgrades in place
+    assert m["shards_skipped"] == 2
+    with open(done) as f:
+        assert json.load(f)["params"]["min_tokens"] == 5
+    assert _read_out(out) == before
+    # and the upgraded dir now refuses parameter changes
+    with _pytest.raises(RuntimeError, match="parameters changed"):
+        curate_write(src, out, min_tokens=9)
