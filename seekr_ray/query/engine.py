@@ -771,7 +771,20 @@ class QueryEngine:
             self.cfg.tfidf_weight * (float(c.max()) if c.size else 0.0)
             for c in contribs
         ]
-        return self._wand_arrays([t.doc_ids for t in terms], contribs, ubs, k)
+        ids_list = [t.doc_ids for t in terms]
+        # memoize the work-budget abort like the BMW paths: a repeat
+        # query on a known non-pruning workload goes straight to TAAT
+        # instead of re-paying the bounded detour every call
+        key = ("wand", k, tuple(sorted(t.term for t in terms)))
+        if key in self._bmw_abort_cache:
+            self._bmw_abort_cache.move_to_end(key)
+            return self._taat_arrays(ids_list, contribs, k)
+        res = self._wand_arrays(ids_list, contribs, ubs, k)
+        if self.wand_stats.get("aborted"):
+            self._bmw_abort_cache[key] = True
+            if len(self._bmw_abort_cache) > self._bmw_abort_cache_max:
+                self._bmw_abort_cache.popitem(last=False)
+        return res
 
     def _bmw(self, terms, k: int, scorer: str = "tfidf") -> list[tuple[int, float]]:
         if scorer == "bm25":
@@ -842,6 +855,7 @@ class QueryEngine:
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top k
         threshold = -np.inf
         evals = 0
+        iters = 0
 
         def cur_doc(i: int) -> int:
             ids = ids_list[i]
@@ -849,6 +863,19 @@ class QueryEngine:
             return int(ids[p]) if p < len(ids) else _MAX_DOC
 
         while True:
+            # total-work guard (round 5, same law as _topk_cold): on a
+            # non-pruning workload the per-doc Python loop degenerates to
+            # evaluating the whole candidate union (minutes at 10^6
+            # postings); past the budget, vectorized TAAT over the SAME
+            # arrays is strictly faster and rank-identical by test.
+            iters += 1
+            if iters * (64 + n) > _COLD_WORK_BUDGET:
+                self.wand_stats = {
+                    "evals": evals,
+                    "block_skips": 0,
+                    "aborted": True,
+                }
+                return self._taat_arrays(ids_list, contribs, k)
             order = sorted(range(n), key=cur_doc)
             if cur_doc(order[0]) == _MAX_DOC:
                 break
@@ -1677,7 +1704,16 @@ class QueryEngine:
                 self.cfg.tfidf_weight * (float(c.max()) if c.size else 0.0)
                 for c in contribs
             ]
-            return self._wand_arrays(ids_list, contribs, ubs, k)
+            key = ("wand_bm25", k, tuple(sorted(t.term for t in terms)))
+            if key in self._bmw_abort_cache:
+                self._bmw_abort_cache.move_to_end(key)
+                return self._taat_arrays(ids_list, contribs, k)
+            res = self._wand_arrays(ids_list, contribs, ubs, k)
+            if self.wand_stats.get("aborted"):
+                self._bmw_abort_cache[key] = True
+                if len(self._bmw_abort_cache) > self._bmw_abort_cache_max:
+                    self._bmw_abort_cache.popitem(last=False)
+            return res
         if mode == "bmw":
             return self._bmw(terms, k, scorer="bm25")
         return self._taat_arrays(ids_list, contribs, k)

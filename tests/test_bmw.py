@@ -383,3 +383,50 @@ def test_bmw_mode_predictor_end_to_end_skewed():
     want = QueryEngine._taat_arrays(_fake_engine(), ids_list, contribs, 10)
     _rank_equal(got, want)
     assert f.wand_stats["block_skips"] > 0
+
+
+def test_cold_work_budget_aborts_and_memoizes(monkeypatch):
+    """Round-5 total-work guard: a uniform (non-pruning) workload under a
+    tiny work budget must return None (fallback to TAAT) with
+    ``aborted`` stats, memoize the abort, and never burn the loop
+    again for the same key."""
+    import seekr_ray.query.engine as eng
+
+    n = 64 * 40
+    ids = np.arange(n, dtype=np.int64)
+    tfs = np.ones(n)  # perfectly uniform: nothing prunes
+    lz = _FakeLazy("gamma", idf=1.0, chunk_arrays=_chunked(ids, tfs, 64))
+    e = _cold_engine(_FakeStore([lz]))
+    monkeypatch.setattr(eng, "_COLD_WORK_BUDGET", 1_000)
+    got = e._topk_cold(["gamma"], k=5, scorer="tfidf")
+    assert got is None
+    assert e.cold_stats.get("aborted") is True
+    # memoized: the second call short-circuits before any loop work
+    got2 = e._topk_cold(["gamma"], k=5, scorer="tfidf")
+    assert got2 is None
+    # and with the default budget the same workload completes exactly
+    monkeypatch.setattr(eng, "_COLD_WORK_BUDGET", 10_000_000)
+    e2 = _cold_engine(_FakeStore([lz]))
+    got3 = e2._topk_cold(["gamma"], k=5, scorer="tfidf")
+    want = QueryEngine._taat_arrays(_fake_engine(), [ids], [tfs], 5)
+    _rank_equal(got3, want)
+
+
+def test_wand_work_budget_falls_back_to_taat(monkeypatch):
+    """Plain WAND under a tiny work budget must fall back to the exact
+    vectorized TAAT result (rank-identical) instead of walking the full
+    candidate union per-doc."""
+    import seekr_ray.query.engine as eng
+
+    rng = np.random.default_rng(9)
+    ids = np.sort(
+        rng.choice(50_000, size=4_000, replace=False).astype(np.int64)
+    )
+    tfs = np.ones(4_000)  # uniform: nothing prunes
+    e = _fake_engine()
+    e._taat_arrays = lambda i, c, kk: QueryEngine._taat_arrays(e, i, c, kk)
+    want = QueryEngine._taat_arrays(e, [ids], [tfs], 10)
+    monkeypatch.setattr(eng, "_COLD_WORK_BUDGET", 1_000)
+    got = QueryEngine._wand_arrays(e, [ids], [tfs], [1.0], 10)
+    assert e.wand_stats.get("aborted") is True
+    _rank_equal(got, want)
